@@ -1,0 +1,14 @@
+"""Engine facade: importing this module registers every declared query.
+
+``__spark_entry__.py`` (the driver contract) delegates here.
+"""
+
+from __future__ import annotations
+
+# Importing the operator modules populates the registry (side-effect
+# imports are deliberate — each module registers its declared queries).
+import spark_glove_spark.operators.text_queries  # noqa: F401
+
+from spark_glove_spark.registry import REGISTRY, oracle_sql, queries  # noqa: F401
+
+__all__ = ["REGISTRY", "queries", "oracle_sql"]

@@ -1,0 +1,49 @@
+"""Text expression builders (SURVEY.md §2.H — H1/H2/H11, G6/G7).
+
+All pure Column expressions: JVM-side, whole-stage-codegen'd, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokenize(text: Column | str) -> Column:
+    """H1: text -> ordered token array.
+
+    The fixture corpus is space-delimited lowercase over a closed
+    31-word vocabulary (FIXTURES.md), so ``split`` on a single space is
+    exact. For general corpora swap in ``F.split(F.lower(text),
+    r"\\s+")`` or MLlib ``RegexTokenizer`` — same downstream shape.
+    """
+    return F.split(text, " ")
+
+
+def remove_stopwords(tokens: Column, stopwords: list[str]) -> Column:
+    """H2: order-preserving stop-word removal.
+
+    ``F.filter`` keeps relative order (unlike ``array_except``, which
+    also dedups — wrong for a corpus where token positions matter).
+    """
+    return F.filter(tokens, lambda t: ~t.isin(stopwords))
+
+
+def shingles(tokens: Column, k: int) -> Column:
+    """H11: all k-token shingles (n-grams), order-preserving.
+
+    transform over sequence(0, size-k) → slice — linear work per doc,
+    no explode-join. Returns array<array<string>> flattened to
+    space-joined strings so they can be hashed (G7) for MinHash (H13).
+    """
+    n = F.size(tokens)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
+
+
+def content_hash(text: Column | str) -> Column:
+    """G7/H12: stable normalized content hash for exact near-dup keys."""
+    normalized = F.trim(F.lower(text))
+    return F.sha2(normalized, 256)

@@ -1,0 +1,194 @@
+"""Declared queries for the text/GloVe-preprocessing surface.
+
+SURVEY.md §2: H1 (tokenize), D8 (vocabulary), H3+D9 (co-occurrence,
+expression form), C6 (co-occurrence, join form — oracle parity shape),
+H4 (GloVe weighting).
+
+Oracle note: DuckDB positions come from ``generate_subscripts``;
+Spark positions from ``posexplode``. Spark's is 0-based, DuckDB's
+1-based — position *differences* (all that matters for co-occurrence)
+agree; absolute positions are aligned by subtracting 1 in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_glove_spark.operators.cooccurrence import (
+    cooccurrence_counts_by_distance,
+    cooccurrence_matrix,
+    glove_weight,
+    token_positions,
+)
+from spark_glove_spark.registry import query
+from spark_glove_spark.sources import table
+
+# Shared DuckDB CTE: token positions (1-based -> aligned to 0-based).
+_POS_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         unnest(t) AS word,
+         generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+)
+"""
+
+
+def cooccurrence_topk(
+    spark: SparkSession, sf_dir: str, window: int = 2, k: int = 20
+) -> DataFrame:
+    """Flagship: top-k co-occurring word pairs, window=2 (weights 1 and
+
+    0.5 — exactly representable, so float hashing is exact). One scan →
+    expression-only pair generation → single shuffle agg → global top-k
+    (TakeOrderedAndProject, no full sort)."""
+    x = cooccurrence_matrix(table(spark, sf_dir, "documents"), window=window)
+    return (
+        x.select("wi", "wj", F.round("x", 6).alias("x"))
+        .orderBy(F.col("x").desc(), "wi", "wj")
+        .limit(k)
+    )
+
+
+query(
+    "h3_cooccurrence_topk",
+    section="H3,D9,F2",
+    oracle=_POS_CTE
+    + """
+SELECT least(a.word, b.word) AS wi,
+       greatest(a.word, b.word) AS wj,
+       round(sum(1.0 / (b.pos - a.pos)), 6) AS x
+FROM pos a
+JOIN pos b
+  ON a.doc_id = b.doc_id
+ AND b.pos - a.pos BETWEEN 1 AND 2
+GROUP BY 1, 2
+ORDER BY x DESC, wi, wj
+LIMIT 20
+""",
+)(cooccurrence_topk)
+
+
+@query(
+    "h3_cooccurrence_by_distance",
+    section="H3,C6",
+    oracle=_POS_CTE
+    + """
+SELECT least(a.word, b.word) AS wi,
+       greatest(a.word, b.word) AS wj,
+       CAST(b.pos - a.pos AS BIGINT) AS d,
+       count(*) AS cnt
+FROM pos a
+JOIN pos b
+  ON a.doc_id = b.doc_id
+ AND b.pos - a.pos BETWEEN 1 AND 5
+GROUP BY 1, 2, 3
+""",
+)
+def cooccurrence_by_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer co-occurrence counts per (pair, distance), window=5.
+
+    The oracle is the C6 join formulation; the engine runs the linear
+    expression form — same semantics, O(n·w) instead of O(n²)."""
+    out = cooccurrence_counts_by_distance(
+        table(spark, sf_dir, "documents"), window=5
+    )
+    return out.select("wi", "wj", F.col("d").cast("long").alias("d"), "cnt")
+
+
+@query(
+    "d8_vocabulary",
+    section="D8",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+counts AS (
+  SELECT word, count(*) AS freq FROM words GROUP BY word HAVING count(*) >= 5
+)
+SELECT word,
+       freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS id
+FROM counts
+""",
+)
+def vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: word -> (frequency, dense rank id), minCount=5.
+
+    GloVe orders its vocabulary by descending frequency (paper §4.2:
+    top-400k most frequent words); ties broken by word for determinism.
+    At scale the vocab table is small (<=400k rows) — always the
+    broadcast side of downstream joins."""
+    words = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq")).where(
+        F.col("freq") >= 5
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("word"))
+    return counts.select(
+        "word", "freq", F.row_number().over(w).cast("long").alias("id")
+    )
+
+
+@query(
+    "h4_glove_weighting",
+    section="H4,G5",
+    oracle=_POS_CTE
+    + """
+, x AS (
+  SELECT least(a.word, b.word) AS wi,
+         greatest(a.word, b.word) AS wj,
+         count(*) AS cnt
+  FROM pos a
+  JOIN pos b ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 5
+  GROUP BY 1, 2
+)
+SELECT wi, wj, cnt,
+       round(pow(least(cnt / 100.0, 1.0), 0.75), 6) AS fx
+FROM x
+""",
+)
+def glove_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: f(x) = (x/x_max)^0.75 capped at 1 (GloVe eq. 9) applied to
+
+    integer pair counts (window=5) so the input is exact."""
+    counts = (
+        cooccurrence_counts_by_distance(table(spark, sf_dir, "documents"), window=5)
+        .groupBy("wi", "wj")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return counts.select(
+        "wi",
+        "wj",
+        "cnt",
+        F.round(glove_weight(F.col("cnt").cast("double")), 6).alias("fx"),
+    )
+
+
+@query(
+    "h1_token_stats",
+    section="H1,G6",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique
+FROM documents
+""",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1/G6: per-document token and distinct-token counts — the
+
+    tokenizer's observable contract, SQL-checkable without exposing
+    raw arrays to the hash."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+    )

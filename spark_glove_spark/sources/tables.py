@@ -1,0 +1,32 @@
+"""Sources (SURVEY.md §2.A).
+
+A1/A2: parquet scan — ``spark.read.parquet`` is already a full
+columnar source with projection + predicate pushdown (verify with
+``df.explain``: ``PushedFilters`` / ``ReadSchema``); we add nothing on
+top except schema bookkeeping. A4 in-memory literal frames live in
+tests. A5/A6 streaming sources live in ``spark_glove_spark.streaming``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_glove_spark.schemas import TABLES
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A1: columnar parquet scan of a fixture table."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """A3: parquet sink. At 100 TB, add ``partition_by`` on a low-cardinality
+    column so downstream reads get static partition pruning."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

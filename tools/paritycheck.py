@@ -1,0 +1,126 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every declared query through Spark AND its oracle SQL through
+DuckDB on the same sf dir, then compares row count, normalized schema,
+and order-insensitive values (SURVEY.md §5.3.3: never ship a query
+whose oracle we haven't matched locally).
+
+Usage:
+    python tools/paritycheck.py [sf_dir] [query_name ...]
+Defaults to /root/testdata/sf0.01 and all registered queries.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from spark_glove_spark import api  # noqa: E402
+from spark_glove_spark.schemas import TABLES  # noqa: E402
+from spark_glove_spark.session import get_spark  # noqa: E402
+
+
+def _normalize_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # final guard only — queries are expected to round explicitly
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(_normalize_cell(x) for x in v)
+    if isinstance(v, pd.Timestamp):
+        return v.tz_localize(None) if v.tzinfo is not None else v
+    if hasattr(v, "tolist"):  # numpy scalars/arrays
+        return _normalize_cell(v.tolist())
+    return v
+
+
+def _canonical(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_normalize_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=repr)
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"row count {len(spark_df)} vs oracle {len(oracle_df)}")
+    sc, oc = sorted(spark_df.columns), sorted(oracle_df.columns)
+    if sc != oc:
+        problems.append(f"columns {sc} vs oracle {oc}")
+        return problems
+    a, b = _canonical(spark_df), _canonical(oracle_df)
+    if a != b:
+        n_diff = sum(1 for x, y in zip(a, b) if x != y) + abs(len(a) - len(b))
+        problems.append(f"values differ ({n_diff} rows); first diff:")
+        for x, y in zip(a, b):
+            if x != y:
+                problems.append(f"  spark : {x}")
+                problems.append(f"  oracle: {y}")
+                break
+    return problems
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    names = [a for a in args if not os.path.isdir(a)] or sorted(api.queries())
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    spark = get_spark("paritycheck")
+    qs, oracles = api.queries(), api.oracle_sql()
+    failed, rows_only = [], []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+
+    print(
+        f"\n{len(names) - len(failed)}/{len(names)} passed"
+        + (f", {len(rows_only)} rows-only" if rows_only else "")
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
