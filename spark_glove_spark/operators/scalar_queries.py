@@ -1,0 +1,339 @@
+"""Scalar function surface — declared queries for SURVEY.md §2.G.
+
+All pure Column expressions (JVM-side, whole-stage codegen). The
+oracle SQL uses DuckDB's spelling of the same function where names
+differ (ln/log, strftime/date_format, list_*/array_*) — semantics are
+matched, not syntax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_glove_spark.registry import query
+from spark_glove_spark.sources import table
+
+
+@query(
+    "g1_string_core",
+    section="G1",
+    oracle="""
+SELECT c_custkey AS custkey,
+       lower(c_name) AS name_lower,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       substring(c_name, 10, 9) AS key_digits,
+       replace(c_name, 'Customer#', 'CUST-') AS renamed,
+       concat_ws('|', c_mktsegment, c_name) AS tagged,
+       trim(concat('  ', c_mktsegment, ' ')) AS trimmed
+FROM customer
+""",
+)
+def g1_string_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: lower/length/substring/replace/concat_ws/trim."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.lower("c_name").alias("name_lower"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 10, 9).alias("key_digits"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("CUST-")).alias(
+            "renamed"
+        ),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias(
+            "trimmed"
+        ),
+    )
+
+
+@query(
+    "g2_regex",
+    section="G2",
+    oracle=r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\w+) (\w+)$', 1) AS color,
+       regexp_extract(p_name, '^(\w+) (\w+)$', 2) AS item,
+       regexp_replace(p_brand, '#\d+$', '') AS brand_stem,
+       CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT) AS brand_num
+FROM part
+""",
+)
+def g2_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: regexp_extract groups + regexp_replace."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+) (\w+)$", 1).alias("color"),
+        F.regexp_extract("p_name", r"^(\w+) (\w+)$", 2).alias("item"),
+        F.regexp_replace("p_brand", r"#\d+$", "").alias("brand_stem"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("long").alias("brand_num"),
+    )
+
+
+@query(
+    "g3_edit_distance",
+    section="G3",
+    oracle="""
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+FROM nation a
+JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 2
+""",
+)
+def g3_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: Levenshtein fuzzy-match over name pairs (self-join keyed
+
+    a<b so each unordered pair appears once)."""
+    n = table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"))
+    return (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+@query(
+    "g4_datetime",
+    section="G4",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mth,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m
+FROM orders
+WHERE o_orderkey % 10 = 0
+""",
+)
+def g4_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: year/month/quarter/date_trunc/datediff/add_months. Dates are
+
+    rendered as strings so the comparison is type- and TZ-proof."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mth"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).cast("long").alias(
+            "days_since_epoch_start"
+        ),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus_3m"),
+    )
+
+
+@query(
+    "g5_math",
+    section="G5",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(abs(l_discount - l_tax), 6) AS abs_diff,
+       round(ln(l_extendedprice), 6) AS log_price,
+       round(pow(l_quantity, 2), 6) AS qty_sq,
+       round(sqrt(l_extendedprice), 6) AS sqrt_price,
+       round(exp(l_discount), 6) AS exp_disc,
+       round(least(l_discount, l_tax), 6) AS lo,
+       round(greatest(l_discount, l_tax), 6) AS hi
+FROM lineitem
+WHERE l_orderkey % 20 = 0
+""",
+)
+def g5_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: the math kernel needed by f(x) and the training loss —
+
+    abs/log/pow/sqrt/exp/least/greatest (deterministic IEEE ops, no
+    accumulation, so round(6) is belt-and-braces)."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 20 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - F.col("l_tax")), 6).alias("abs_diff"),
+        F.round(F.log("l_extendedprice"), 6).alias("log_price"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.round(F.least("l_discount", "l_tax"), 6).alias("lo"),
+        F.round(F.greatest("l_discount", "l_tax"), 6).alias("hi"),
+    )
+
+
+@query(
+    "g6_array_core",
+    section="G6",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       toks[1] AS first_token,
+       toks[-1] AS last_token,
+       array_to_string(list_slice(toks, 1, 3), ' ') AS first3,
+       CAST(list_contains(toks, 'spark') AS BIGINT) AS has_spark,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+       array_to_string(list_sort(list_distinct(list_slice(toks, 1, 5))), ',')
+         AS first5_sorted
+FROM t
+""",
+)
+def g6_array_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: element_at/slice/contains/distinct/sort_array — the token-
+
+    stream toolkit. Arrays are folded to strings for hash-stable
+    output."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
+        F.array_contains(toks, "spark").cast("long").alias("has_spark"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.concat_ws(",", F.sort_array(F.array_distinct(F.slice(toks, 1, 5)))).alias(
+            "first5_sorted"
+        ),
+    )
+
+
+@query(
+    "g7_content_hash",
+    section="G7,H12",
+    oracle="""
+SELECT doc_id, sha256(trim(lower(text))) AS content_sha
+FROM documents
+WHERE doc_id % 7 = 0
+""",
+)
+def g7_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: stable cross-engine content hash (sha256 of normalized text)
+
+    — the exact-dedup key (H12). xxhash64 is the cheap in-engine
+    variant but engine-specific, so sha2 is the declared one."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return d.select(
+        "doc_id", F.sha2(F.trim(F.lower(F.col("text"))), 256).alias("content_sha")
+    )
+
+
+@query(
+    "g8_higher_order",
+    section="G8",
+    oracle="""
+SELECT vec_id,
+       round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                         (a, b) -> a + b), 6) AS vec_sum,
+       round(sqrt(list_reduce(list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                              (a, b) -> a + b)), 6) AS l2_norm,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+FROM embeddings
+WHERE vec_id % 5 = 0
+""",
+)
+def g8_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: transform/filter/aggregate over vectors — vector arithmetic
+
+    with zero UDFs. Both engines left-fold the array in order with
+    double accumulation, so sums match bit-for-bit before rounding."""
+    e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    vec = F.col("embedding")
+    dsum = F.aggregate(
+        vec, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    sq_sum = F.aggregate(
+        vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.round(dsum, 6).alias("vec_sum"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.size(F.filter(vec, lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+@query(
+    "g9_json",
+    section="G9",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def g9_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: JSON field extraction from event props, then aggregate."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("long")
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "g10_map_ops",
+    section="G10",
+    oracle="""
+SELECT event_id,
+       event_type AS type_from_map,
+       CAST(2 AS BIGINT) AS n_keys
+FROM events
+WHERE event_id % 13 = 0
+""",
+)
+def g10_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10: build a map, read it back via element_at/map_keys. The
+
+    oracle states the expected RESULT (round-trip identity) — DuckDB's
+    map syntax differs but the semantics under check are Spark's."""
+    e = table(spark, sf_dir, "events").where(F.col("event_id") % 13 == 0)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_from_map"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )
+
+
+@query(
+    "g11_struct_ops",
+    section="G11",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus AS status,
+       round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderkey % 17 = 0
+""",
+)
+def g11_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11: pack into a struct and project nested fields back out
+
+    (round-trip identity as the checkable result)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 17 == 0)
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    return o.withColumn("s", s).select(
+        "o_orderkey",
+        F.col("s.status").alias("status"),
+        F.col("s.price").alias("price"),
+    )

@@ -12,14 +12,30 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_glove_spark.schemas import TABLES
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """A1: columnar parquet scan of a fixture table."""
+    """A1: columnar parquet scan of a fixture table.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark 4 rejects
+    outright ([PARQUET_TYPE_ILLEGAL] — nanos never joined the Spark
+    type system). We read nanos as raw int64 (legacy conf) and floor
+    to microseconds with INTEGER division — ns epochs (~1.7e18) exceed
+    double's 2^53 exact-integer range, so a float `/1000` would corrupt
+    microseconds. DuckDB floors ns→µs the same way, keeping oracle
+    parity exact.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
