@@ -1,0 +1,221 @@
+"""Embedding / similarity-search queries (SURVEY.md §2: H7, H8, H9, H15).
+
+The brute-force scan is the exact baseline every ANN variant (H16,
+operators/ann.py) is measured against. Scale shape: probes are always
+the broadcast side; the corpus never shuffles for scoring — only the
+final per-probe top-k reduces. At 100 TB corpus: same plan, plus a
+bounded-heap mapInPandas pre-reduction per partition before the window
+(SURVEY §4.3.5) so the shuffle carries k rows per (probe, partition)
+instead of the full scored corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_glove_spark.functions.vector import dot, dot_sql, vec_add, vec_sub
+from spark_glove_spark.registry import query
+from spark_glove_spark.sources import table
+
+
+@query(
+    "h7_topk_cosine",
+    section="H7",
+    oracle=f"""
+WITH probe AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       round({dot_sql('e.embedding', 'probe.q')}, 6) AS cos
+FROM embeddings e CROSS JOIN probe
+WHERE e.vec_id <> 0
+ORDER BY cos DESC, e.vec_id
+LIMIT 10
+""",
+)
+def h7_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7: findSynonyms shape — top-10 nearest to vec_id 0 by cosine
+
+    (unit vectors ⇒ dot). Probe broadcast; corpus scanned once; top-k
+    via TakeOrderedAndProject."""
+    e = table(spark, sf_dir, "embeddings")
+    probe = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot(F.col("embedding"), F.col("q")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "h8_analogy",
+    section="H8",
+    oracle=f"""
+WITH a AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+b AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 1),
+c AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 2),
+q AS (
+  SELECT list_transform(generate_series(1, len(a.v)),
+                        i -> CAST(a.v[i] AS DOUBLE) - CAST(b.v[i] AS DOUBLE)
+                             + CAST(c.v[i] AS DOUBLE)) AS q
+  FROM a, b, c
+)
+SELECT e.vec_id, round({dot_sql('e.embedding', 'q.q')}, 6) AS score
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id NOT IN (0, 1, 2)
+ORDER BY score DESC, e.vec_id
+LIMIT 5
+""",
+)
+def h8_analogy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8: analogy query vec(a) − vec(b) + vec(c) → top-5 nearest.
+
+    The query vector is composed with double-precision zip_with
+    arithmetic, then scored like H7."""
+    e = table(spark, sf_dir, "embeddings")
+
+    def vec_of(vid: int) -> DataFrame:
+        return e.where(F.col("vec_id") == vid).select(
+            F.col("embedding").alias(f"v{vid}")
+        )
+
+    q = (
+        vec_of(0)
+        .crossJoin(vec_of(1))
+        .crossJoin(vec_of(2))
+        .select(
+            vec_add(vec_sub(F.col("v0"), F.col("v1")), F.col("v2")).alias("q")
+        )
+    )
+    return (
+        e.where(~F.col("vec_id").isin(0, 1, 2))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot(F.col("embedding"), F.col("q")), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@query(
+    "h9_doc_embedding",
+    section="H9",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+counts AS (
+  SELECT word, count(*) AS freq FROM words GROUP BY word HAVING count(*) >= 5
+),
+vocab AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS id
+  FROM counts
+),
+tok_vecs AS (
+  SELECT w.doc_id, e.embedding
+  FROM words w
+  JOIN vocab v ON w.word = v.word
+  JOIN embeddings e ON v.id = e.vec_id
+),
+dims AS (
+  SELECT doc_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM tok_vecs
+)
+SELECT doc_id, CAST(dim AS BIGINT) AS dim, round(avg(val), 6) AS v
+FROM dims
+WHERE doc_id % 50 = 0
+GROUP BY 1, 2
+""",
+)
+def h9_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9: mean-pooled document embeddings (Word2Vec.transform shape).
+
+    words → vocab id (broadcast) → word vector (broadcast: vocab-sized)
+    → posexplode dims → avg per (doc, dim). Output is dim-exploded so
+    every one of the 64 means is hash-checked. avg is accumulation-
+    order sensitive in the last ulp — round(6) with ~1e-16 error is
+    9 orders of margin."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    counts = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= 5)
+    )
+    vocab = counts.select(
+        "word",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("word")))
+        .cast("long")
+        .alias("id"),
+    )
+    tok_vecs = (
+        words.join(F.broadcast(vocab), "word")
+        .join(F.broadcast(e), F.col("id") == F.col("vec_id"))
+        .select("doc_id", "embedding")
+    )
+    dims = tok_vecs.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "val")
+    )
+    return (
+        dims.where(F.col("doc_id") % 50 == 0)
+        .groupBy("doc_id", F.col("dim").cast("long").alias("dim"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("v"))
+    )
+
+
+@query(
+    "h15_knn_bruteforce",
+    section="H15,C7,E2",
+    oracle=f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS q FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT p.probe_id, e.vec_id, e.label,
+         round({dot_sql('e.embedding', 'p.q')}, 6) AS cos
+  FROM embeddings e CROSS JOIN probes p
+  WHERE e.vec_id <> p.probe_id
+)
+SELECT probe_id, vec_id, label, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+""",
+)
+def h15_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H15: brute-force k-NN, k=10, one probe per 100 vec_ids.
+
+    crossJoin(broadcast(probes)) → score → per-probe top-k window.
+    The exact baseline for ANN recall (H16)."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("q")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(dot(F.col("embedding"), F.col("q")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )

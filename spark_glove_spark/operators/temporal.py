@@ -1,0 +1,113 @@
+"""Temporal join operators (SURVEY.md §2: C8 as-of join, C9 interval join).
+
+Spark has no native ASOF JOIN; C8 is implemented with the
+union-and-carry-forward window — the scale-correct formulation: one
+shuffle on user_id, no range join, state bounded by one row per
+stream. The naive alternative (inequality join + max per key)
+re-materializes every (purchase × earlier click) pair — quadratic per
+hot user; never do that at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_glove_spark.registry import query
+from spark_glove_spark.sources import table
+
+
+@query(
+    "c8_asof_join",
+    section="C8",
+    oracle="""
+SELECT p.event_id, p.user_id,
+       epoch_ms(p.ts) - epoch_ms(c.ts) AS ms_since_click
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def c8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: for each purchase, time since the user's latest click at or
+
+    before it (NULL when none). Implementation: tag both streams,
+    union, carry the last click timestamp forward with a window —
+    equal timestamps sort click-first so `ts >= c.ts` inclusive
+    semantics match DuckDB's ASOF. Output gap in ms: when several
+    clicks share the as-of timestamp the gap is still unique, so the
+    result is engine-independent."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("kind"), F.lit(None).cast("long").alias("event_id")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id"
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_ts = F.last(
+        F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        merged.withColumn("last_click_ts", click_ts)
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            (F.unix_millis("ts") - F.unix_millis("last_click_ts")).alias(
+                "ms_since_click"
+            ),
+        )
+    )
+
+
+@query(
+    "c9_interval_join",
+    section="C9",
+    oracle="""
+SELECT s.event_id AS signup_id, e.event_id AS error_id, s.user_id,
+       epoch_ms(e.ts) - epoch_ms(s.ts) AS ms_after_signup
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON s.user_id = e.user_id
+ AND e.ts >= s.ts
+ AND e.ts < s.ts + INTERVAL 1 HOUR
+""",
+)
+def c9_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: errors within [signup, signup + 1h) per user. The equi-key
+
+    (user_id) drives the join; the range predicates filter inside each
+    key group — so this is a hash join + filter, not a nested-loop.
+    For keyless interval joins at scale, bucketize ts to turn the
+    range into an equi-key first."""
+    e = table(spark, sf_dir, "events")
+    s = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("s_ts"),
+    )
+    err = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    return (
+        s.join(
+            err,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("s_ts"))
+            & (F.col("e_ts") < F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "signup_id",
+            "error_id",
+            "user_id",
+            (F.unix_millis("e_ts") - F.unix_millis("s_ts")).alias("ms_after_signup"),
+        )
+    )

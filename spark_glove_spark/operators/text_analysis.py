@@ -1,0 +1,392 @@
+"""Text-analysis / LLM-data-pipeline queries (SURVEY.md §2.H).
+
+H2 stop-words, H10 TF-IDF, H11 shingles, H12 exact near-dup groups,
+H14 exact Jaccard, H17 corpus stats, plus quality scoring and
+language-ID heuristics (north-star text-analysis extensions) and the
+C6 theta-join formulation of co-occurrence (the engine genuinely
+executing the range self-join — kept to small windows; the linear
+expression form in cooccurrence.py is the scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_glove_spark.functions.text import remove_stopwords, shingles, tokenize
+from spark_glove_spark.operators.cooccurrence import token_positions
+from spark_glove_spark.registry import query
+from spark_glove_spark.sources import table
+
+STOPWORDS = ["a", "the"]
+
+# Tiny deterministic per-language function-word profiles for the
+# language-ID heuristic. The fixture corpus is English-vocabulary for
+# every lang label (FIXTURES.md), so the heuristic's observable output
+# is stable — that's what the oracle checks; real corpora would carry
+# real profiles.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "value"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "la", "y"],
+    "de": ["der", "die", "und"],
+    "zh": ["de", "le", "shi"],
+}
+
+
+@query(
+    "h2_stopword_removal",
+    section="H2",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks, x -> x NOT IN ('a', 'the'))) AS BIGINT)
+         AS n_content_tokens,
+       array_to_string(list_slice(list_filter(toks, x -> x NOT IN ('a', 'the')), 1, 5), ' ')
+         AS first5_content
+FROM t
+""",
+)
+def h2_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: order-preserving stop-word filter (F.filter keeps positions;
+
+    array_except would dedup — wrong for corpora)."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    content = remove_stopwords(toks, STOPWORDS)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(content).cast("long").alias("n_content_tokens"),
+        F.concat_ws(" ", F.slice(content, 1, 5)).alias("first5_content"),
+    )
+
+
+@query(
+    "h10_tfidf",
+    section="H10",
+    oracle="""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.word, tf.tf,
+       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df USING (word) CROSS JOIN n
+WHERE tf.doc_id % 25 = 0
+""",
+)
+def h10_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H10: classic TF-IDF (tf × ln(N/df)) without MLlib's hashing trick
+
+    so results are exact and oracle-checkable. The doc-frequency table
+    is vocabulary-sized — broadcast side of the join. N comes from a
+    1-row aggregate cross-joined in (stays lazy, no driver action)."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.where(F.col("doc_id") % 25 == 0)
+        .join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "h11_shingles",
+    section="H11",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+  FROM t WHERE len(toks) >= 3
+)
+SELECT array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle,
+       count(*) AS n
+FROM idx
+GROUP BY 1
+ORDER BY n DESC, shingle
+LIMIT 20
+""",
+)
+def h11_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H11: top-20 3-token shingles. Shingle generation is linear
+
+    (transform over an index sequence + slice) — the MinHash (H13)
+    front-end."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        F.explode(shingles(tokenize(F.col("text")), 3)).alias("shingle")
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "shingle")
+        .limit(20)
+    )
+
+
+@query(
+    "h12_exact_dup_groups",
+    section="H12",
+    oracle="""
+SELECT sha256(trim(lower(text))) AS content_sha,
+       count(*) AS n_dups,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+""",
+)
+def h12_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12: exact near-duplicate groups by normalized content hash.
+
+    The fixture has zero exact dups (FIXTURES.md) — this is the
+    negative test; unit tests inject duplicates to exercise the
+    positive path. keeper = min(doc_id), the deterministic survivor
+    rule."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.trim(F.lower(F.col("text"))), 256).alias("content_sha"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+@query(
+    "h14_jaccard",
+    section="H14",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS s
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))),
+             6) AS jaccard
+FROM t a
+JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+""",
+)
+def h14_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H14: exact token-set Jaccard over candidate pairs. Candidates are
+
+    blocked on (lang, source) — the same block-then-verify shape used
+    after MinHash banding (H13); all-pairs would be O(n²) at scale."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.array_distinct(tokenize(F.col("text"))).alias("s")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("la"),
+        F.col("source").alias("sa"),
+        F.col("s").alias("set_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lb"),
+        F.col("source").alias("sb"),
+        F.col("s").alias("set_b"),
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("sa") == F.col("sb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "h17_corpus_stats",
+    section="H17",
+    oracle="""
+SELECT lang, source,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def h17_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H17: per-(lang, source) corpus statistics."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(tokenize(F.col("text")))), 4).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "h17_quality_score",
+    section="H17",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
+             / len(toks), 6) AS stopword_ratio,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+         AS unique_ratio,
+       round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS avg_token_len,
+       CAST(len(toks) BETWEEN 20 AND 80
+            AND (CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
+                 / len(toks)) < 0.3 AS BIGINT) AS passes_quality
+FROM t
+""",
+)
+def h17_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for training-data filtering: length bounds,
+
+    stop-word ratio, lexical diversity — the standard cheap pre-filters
+    an LLM data pipeline runs before expensive dedup/embedding."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).cast("double") / n
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6).alias(
+            "unique_ratio"
+        ),
+        F.round(F.col("n_chars").cast("double") / n, 6).alias("avg_token_len"),
+        (n.between(20, 80) & (stop_ratio < 0.3)).cast("long").alias("passes_quality"),
+    )
+
+
+def _langid_score_sql() -> str:
+    cases = []
+    for lang, words in LANG_PROFILES.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        cases.append(
+            f"CAST(len(list_filter(toks, x -> x IN ({inlist}))) AS DOUBLE) / len(toks) AS score_{lang}"
+        )
+    return ",\n       ".join(cases)
+
+
+@query(
+    "h17_language_id",
+    section="H17",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+       {_langid_score_sql()}
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN score_en >= greatest(score_fr, score_es, score_de, score_zh)
+            THEN 'en'
+            WHEN score_fr >= greatest(score_es, score_de, score_zh) THEN 'fr'
+            WHEN score_es >= greatest(score_de, score_zh) THEN 'es'
+            WHEN score_de >= score_zh THEN 'de'
+            ELSE 'zh' END AS predicted_lang,
+       round(score_en, 6) AS score_en
+FROM s
+""",
+)
+def h17_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: function-word profile scoring with a
+
+    deterministic argmax (ties broken by fixed language order). The
+    fixture corpus is English-vocabulary under every lang label, so
+    'en' wins every row — the point is the checkable operator shape;
+    swap in real profiles (or char n-grams) for real corpora."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    scores = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(words))).cast("double") / n
+        for lang, words in LANG_PROFILES.items()
+    }
+    order = ["en", "fr", "es", "de", "zh"]
+    pred = F.lit(order[-1])
+    for i in range(len(order) - 2, -1, -1):
+        lang = order[i]
+        rest = [scores[o] for o in order[i + 1 :]]
+        pred = F.when(scores[lang] >= F.greatest(*rest) if len(rest) > 1 else scores[lang] >= rest[0], lang).otherwise(pred)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        F.round(scores["en"], 6).alias("score_en"),
+    )
+
+
+@query(
+    "c6_theta_self_join",
+    section="C6",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, unnest(t) AS word, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+)
+SELECT a.word AS wi, b.word AS wj, count(*) AS cnt
+FROM pos a
+JOIN pos b ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+WHERE a.doc_id < 50
+GROUP BY 1, 2
+""",
+)
+def c6_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: the range/theta self-join formulation of co-occurrence,
+
+    executed AS a join (BroadcastNestedLoopJoin territory) — the
+    engine's theta-join capability demonstrated on a bounded slice.
+    Directional pairs (no canonicalization) to make the join shape
+    explicit. The linear expression form (h3_*) is the production
+    path; this exists for join-operator parity (SURVEY §4.3.1)."""
+    pos = token_positions(
+        table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    ).select("doc_id", "pos", "word")
+    a = pos.select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), F.col("word").alias("wi")
+    )
+    b = pos.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), F.col("word").alias("wj")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("da") == F.col("db"))
+            & ((F.col("pb") - F.col("pa")).between(1, 2)),
+        )
+        .groupBy("wi", "wj")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
