@@ -1,0 +1,400 @@
+"""Distributed GloVe training (SURVEY.md §2 H5/H6, §3 EP2, §4.3.2-4).
+
+Implements the GloVe objective (Pennington, Socher & Manning, EMNLP
+2014, eq. 8):
+
+    J = Σ_ij f(X_ij) (w_i·w̃_j + b_i + b̃_j − ln X_ij)²
+
+with the paper's weighting f (eq. 9, x_max=100, α=0.75) and AdaGrad
+per-coordinate learning rates (paper §4.2, initial rate 0.05,
+accumulators initialized to 1 as in the reference C implementation).
+The distributed adaptation: gradients are summed per word over a full
+pass of X, then one AdaGrad step is applied per iteration (synchronous
+batch AdaGrad) — the standard data-parallel form of the reference's
+per-sample loop; same fixed point, deterministic given a seed.
+
+Execution shape per iteration (designed for |X| ≈ 10⁹ rows at 100 TB
+corpus scale):
+
+  X ⋈ params(center i) ⋈ params(context j)      two key shuffles; X is
+                                                pre-partitioned by i and
+                                                persisted so one side
+                                                never re-shuffles
+  → mapInPandas gradient kernel                 Arrow batches; numpy;
+                                                partial per-id aggregation
+                                                INSIDE each batch so the
+                                                emitted stream is ~unique
+                                                ids per batch, not |X|
+  → groupBy(id % blocks).applyInPandas merge    few LARGE groups (never
+                                                per-word groups — SURVEY
+                                                §4.3.4), numpy add.at
+  → pivot sides → join params → update kernel   vocab-sized, cheap
+  → params.localCheckpoint(eager)               lineage truncation —
+                                                MANDATORY for iterative
+                                                plans (SURVEY §4.3.2)
+
+Everything driver-side is orchestration only; no .collect() of
+parameter data (only the scalar loss).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from spark_glove_spark.functions.vector import dot
+from spark_glove_spark.operators.cooccurrence import cooccurrence_matrix
+
+_GRADS_SCHEMA = (
+    "id long, side int, dvec array<double>, dbias double, dn long"
+)
+_PARAMS_SCHEMA = (
+    "id long, w array<double>, wc array<double>, b double, bc double, "
+    "gw array<double>, gwc array<double>, gb double, gbc double"
+)
+
+
+@dataclass
+class GloveConfig:
+    dim: int = 50
+    window: int = 10
+    min_count: int = 5
+    max_vocab: int = 400_000
+    x_max: float = 100.0
+    alpha: float = 0.75
+    eta: float = 0.05
+    iterations: int = 15
+    seed: int = 42
+    blocks: int = 32  # merge-block count; ≈ cluster cores at scale
+
+
+@dataclass
+class GloveModel:
+    """H6: trained model — word → vector (W + W̃, paper §4.2)."""
+
+    vectors: DataFrame  # (word: string, id: long, vector: array<double>)
+    losses: list[float] = field(default_factory=list)
+
+    def find_synonyms(self, word: str, k: int = 10) -> DataFrame:
+        """H7: top-k nearest words by cosine (join-free: broadcast the
+        query vector, scan the model once, TakeOrderedAndProject)."""
+        q = self.vectors.where(F.col("word") == word).select(
+            F.col("vector").alias("q")
+        )
+        norm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
+        return (
+            self.vectors.where(F.col("word") != word)
+            .crossJoin(F.broadcast(q))
+            .select(
+                "word",
+                (
+                    dot(F.col("vector"), F.col("q"))
+                    / (norm(F.col("vector")) * norm(F.col("q")))
+                ).alias("cos"),
+            )
+            .orderBy(F.col("cos").desc(), "word")
+            .limit(k)
+        )
+
+    def analogy(self, a: str, b: str, c: str, k: int = 5) -> DataFrame:
+        """H8: vec(a) − vec(b) + vec(c) → k nearest (excluding inputs)."""
+        va = self.vectors.where(F.col("word") == a).select(F.col("vector").alias("va"))
+        vb = self.vectors.where(F.col("word") == b).select(F.col("vector").alias("vb"))
+        vc = self.vectors.where(F.col("word") == c).select(F.col("vector").alias("vc"))
+        q = (
+            va.crossJoin(vb)
+            .crossJoin(vc)
+            .select(
+                F.zip_with(
+                    F.zip_with("va", "vb", lambda x, y: x - y),
+                    "vc",
+                    lambda x, y: x + y,
+                ).alias("q")
+            )
+        )
+        norm = lambda col: F.sqrt(dot(col, col))  # noqa: E731
+        return (
+            self.vectors.where(~F.col("word").isin(a, b, c))
+            .crossJoin(F.broadcast(q))
+            .select(
+                "word",
+                (
+                    dot(F.col("vector"), F.col("q"))
+                    / (norm(F.col("vector")) * norm(F.col("q")))
+                ).alias("cos"),
+            )
+            .orderBy(F.col("cos").desc(), "word")
+            .limit(k)
+        )
+
+
+def build_vocabulary(docs: DataFrame, cfg: GloveConfig) -> DataFrame:
+    """D8: word → (freq, 0-based id), frequency-ranked (paper §4.2),
+    truncated to max_vocab. Global row_number over a vocab-sized table
+    — single partition by design; the table is ≤ max_vocab rows."""
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= cfg.min_count)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("word"))
+    return counts.select(
+        "word",
+        "freq",
+        (F.row_number().over(w) - 1).cast("long").alias("id"),
+    ).where(F.col("id") < cfg.max_vocab)
+
+
+def build_cooccurrence(
+    docs: DataFrame, vocab: DataFrame, cfg: GloveConfig
+) -> DataFrame:
+    """H3+D9 on vocab ids, symmetrized to the ordered-pair matrix the
+    reference trains on: for i≠j both (i,j,x) and (j,i,x); the diagonal
+    carries 2x (each unordered self-co-occurrence event updates the
+    same cell twice in the reference's scan). Precomputes ln(x) and
+    f(x) once — they are loop invariants."""
+    x_words = cooccurrence_matrix(docs, window=cfg.window)
+    vi = vocab.select(F.col("word").alias("wi"), F.col("id").alias("i"))
+    vj = vocab.select(F.col("word").alias("wj"), F.col("id").alias("j"))
+    x_ids = (
+        x_words.join(F.broadcast(vi), "wi")
+        .join(F.broadcast(vj), "wj")
+        .select("i", "j", "x")
+    )
+    off_diag = x_ids.where(F.col("i") != F.col("j"))
+    sym = (
+        off_diag.select("i", "j", "x")
+        .unionByName(
+            off_diag.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), F.col("x")
+            )
+        )
+        .unionByName(
+            x_ids.where(F.col("i") == F.col("j")).select(
+                "i", "j", (F.col("x") * 2).alias("x")
+            )
+        )
+    )
+    fx = F.pow(F.least(F.col("x") / cfg.x_max, F.lit(1.0)), F.lit(cfg.alpha))
+    return sym.select("i", "j", "x", F.log("x").alias("logx"), fx.alias("fx"))
+
+
+def _init_params(vocab: DataFrame, cfg: GloveConfig) -> DataFrame:
+    """Distributed parameter init: uniform in ±0.5/dim (reference C
+    init), per-id seeded RNG so results are independent of
+    partitioning; AdaGrad accumulators start at 1.0."""
+    dim, seed = cfg.dim, cfg.seed
+
+    def init(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for word_id in pdf["id"]:
+                rng = np.random.default_rng([seed, int(word_id)])
+                vecs = (rng.random((2, dim)) - 0.5) / dim
+                rows.append(
+                    {
+                        "id": int(word_id),
+                        "w": vecs[0],
+                        "wc": vecs[1],
+                        "b": 0.0,
+                        "bc": 0.0,
+                        "gw": np.ones(dim),
+                        "gwc": np.ones(dim),
+                        "gb": 1.0,
+                        "gbc": 1.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return vocab.select("id").mapInPandas(init, schema=_PARAMS_SCHEMA)
+
+
+def _grad_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-pair gradients, partially aggregated per id within each
+    Arrow batch. Emits (id, side 0=center/1=context, Σdvec, Σdbias)
+    plus one loss row (id=-1) per batch carrying Σ ½·f(x)·diff²."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        w = np.stack(pdf["w"].to_numpy())
+        wc = np.stack(pdf["wc"].to_numpy())
+        diff = (
+            (w * wc).sum(axis=1)
+            + pdf["b"].to_numpy()
+            + pdf["bc"].to_numpy()
+            - pdf["logx"].to_numpy()
+        )
+        fd = pdf["fx"].to_numpy() * diff
+        loss = 0.5 * float((fd * diff).sum())
+        out: dict[str, list] = {
+            "id": [], "side": [], "dvec": [], "dbias": [], "dn": []
+        }
+        for side, ids, grads in (
+            (0, pdf["i"].to_numpy(), fd[:, None] * wc),
+            (1, pdf["j"].to_numpy(), fd[:, None] * w),
+        ):
+            uniq, inv = np.unique(ids, return_inverse=True)
+            acc = np.zeros((len(uniq), grads.shape[1]))
+            np.add.at(acc, inv, grads)
+            bacc = np.zeros(len(uniq))
+            np.add.at(bacc, inv, fd)
+            nacc = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(nacc, inv, 1)
+            out["id"].extend(int(u) for u in uniq)
+            out["side"].extend([side] * len(uniq))
+            out["dvec"].extend(list(acc))
+            out["dbias"].extend(bacc.tolist())
+            out["dn"].extend(nacc.tolist())
+        out["id"].append(-1)
+        out["side"].append(-1)
+        out["dvec"].append(None)
+        out["dbias"].append(loss)
+        out["dn"].append(0)
+        yield pd.DataFrame(out)
+
+
+def _merge_kernel(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Final per-id gradient merge inside one id-block (few large
+    groups, never per-word groups)."""
+    out: dict[str, list] = {
+        "id": [], "side": [], "dvec": [], "dbias": [], "dn": []
+    }
+    loss_rows = pdf[pdf["side"] == -1]
+    if not loss_rows.empty:
+        out["id"].append(-1)
+        out["side"].append(-1)
+        out["dvec"].append(None)
+        out["dbias"].append(float(loss_rows["dbias"].sum()))
+        out["dn"].append(0)
+    real = pdf[pdf["side"] >= 0]
+    if not real.empty:
+        for (word_id, side), grp in real.groupby(["id", "side"], sort=False):
+            out["id"].append(int(word_id))
+            out["side"].append(int(side))
+            out["dvec"].append(np.stack(grp["dvec"].to_numpy()).sum(axis=0))
+            out["dbias"].append(float(grp["dbias"].sum()))
+            out["dn"].append(int(grp["dn"].sum()))
+    return pd.DataFrame(out)
+
+
+def _make_update_kernel(eta: float):
+    def update(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, wc = np.asarray(r.w), np.asarray(r.wc)
+                gw, gwc = np.asarray(r.gw), np.asarray(r.gwc)
+                b, bc, gb, gbc = r.b, r.bc, r.gb, r.gbc
+                # Mean (not summed) gradients per word: batch AdaGrad
+                # with per-word sums scales steps by pair-degree, which
+                # diverges on high-degree words; the mean keeps step
+                # magnitudes degree-independent, matching the reference's
+                # per-sample dynamics in expectation.
+                if r.dw is not None and r.dn0:
+                    dw = np.asarray(r.dw) / r.dn0
+                    db = r.db / r.dn0
+                    w = w - eta * dw / np.sqrt(gw)
+                    gw = gw + dw * dw
+                    b = b - eta * db / math.sqrt(gb)
+                    gb = gb + db * db
+                if r.dwc is not None and r.dn1:
+                    dwc = np.asarray(r.dwc) / r.dn1
+                    dbc = r.dbc / r.dn1
+                    wc = wc - eta * dwc / np.sqrt(gwc)
+                    gwc = gwc + dwc * dwc
+                    bc = bc - eta * dbc / math.sqrt(gbc)
+                    gbc = gbc + dbc * dbc
+                rows.append(
+                    {
+                        "id": r.id, "w": w, "wc": wc, "b": b, "bc": bc,
+                        "gw": gw, "gwc": gwc, "gb": gb, "gbc": gbc,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return update
+
+
+class Glove:
+    """Estimator with the reference's API shape: Glove(**cfg).fit(docs)."""
+
+    def __init__(self, **kwargs):
+        self.config = GloveConfig(**kwargs)
+
+    def fit(self, docs: DataFrame) -> GloveModel:
+        cfg = self.config
+        vocab = build_vocabulary(docs, cfg)
+        vocab.persist(StorageLevel.MEMORY_AND_DISK)
+        if vocab.count() == 0:
+            vocab.unpersist()
+            raise ValueError(
+                f"empty vocabulary: no word reaches min_count={cfg.min_count}"
+            )
+
+        x = (
+            build_cooccurrence(docs, vocab, cfg)
+            .repartition(cfg.blocks, "i")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        x.count()  # materialize once; reused every iteration
+
+        params = _init_params(vocab, cfg).localCheckpoint(eager=True)
+        losses: list[float] = []
+        update_kernel = _make_update_kernel(cfg.eta)
+
+        for _ in range(cfg.iterations):
+            center = params.select(
+                F.col("id").alias("i"), "w", "b"
+            )
+            context = params.select(
+                F.col("id").alias("j"), "wc", "bc"
+            )
+            joined = x.join(center, "i").join(context, "j")
+            grads = joined.mapInPandas(_grad_kernel, schema=_GRADS_SCHEMA)
+            merged = (
+                grads.groupBy(F.pmod(F.col("id"), F.lit(cfg.blocks)).alias("blk"))
+                .applyInPandas(_merge_kernel, schema=_GRADS_SCHEMA)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            loss = merged.where(F.col("id") == -1).agg(
+                F.sum("dbias").alias("loss")
+            ).collect()[0]["loss"]
+            losses.append(float(loss))
+
+            pivoted = (
+                merged.where(F.col("id") >= 0)
+                .groupBy("id")
+                .agg(
+                    F.first(F.when(F.col("side") == 0, F.col("dvec")), True).alias("dw"),
+                    F.first(F.when(F.col("side") == 0, F.col("dbias")), True).alias("db"),
+                    F.first(F.when(F.col("side") == 0, F.col("dn")), True).alias("dn0"),
+                    F.first(F.when(F.col("side") == 1, F.col("dvec")), True).alias("dwc"),
+                    F.first(F.when(F.col("side") == 1, F.col("dbias")), True).alias("dbc"),
+                    F.first(F.when(F.col("side") == 1, F.col("dn")), True).alias("dn1"),
+                )
+            )
+            params = (
+                params.join(pivoted, "id", "left")
+                .mapInPandas(update_kernel, schema=_PARAMS_SCHEMA)
+                .localCheckpoint(eager=True)  # cut lineage — O(T) plan growth otherwise
+            )
+            merged.unpersist()
+
+        vectors = params.join(vocab, "id").select(
+            "word",
+            "id",
+            F.zip_with("w", "wc", lambda a, b: a + b).alias("vector"),
+        )
+        x.unpersist()
+        vocab.unpersist()
+        return GloveModel(vectors=vectors, losses=losses)

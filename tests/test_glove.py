@@ -1,0 +1,84 @@
+"""Property tests for GloVe training (SURVEY.md §5.3.2).
+
+The driver's rows-only check can't see training quality, so these
+tests carry the correctness burden: monotone loss, exact shapes,
+seeded determinism, and co-occurrence/synonym coherence.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_glove_spark.glove import Glove
+
+CFG = dict(dim=8, window=5, min_count=5, seed=42, blocks=4)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+
+
+@pytest.fixture(scope="module")
+def model(docs):
+    return Glove(iterations=5, **CFG).fit(docs)
+
+
+def test_loss_strictly_decreases(model):
+    assert len(model.losses) == 5
+    for a, b in zip(model.losses, model.losses[1:]):
+        assert b < a, f"loss increased: {model.losses}"
+    assert all(math.isfinite(x) and x > 0 for x in model.losses)
+
+
+def test_shapes(docs, model):
+    vocab_size = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .count()
+        .where(F.col("count") >= CFG["min_count"])
+        .count()
+    )
+    rows = model.vectors.collect()
+    assert len(rows) == vocab_size
+    assert all(len(r.vector) == CFG["dim"] for r in rows)
+    assert all(all(math.isfinite(v) for v in r.vector) for r in rows)
+
+
+def test_seeded_determinism(docs):
+    def rounded(m):
+        return {
+            r.word: tuple(round(v, 6) for v in r.vector)
+            for r in m.vectors.collect()
+        }
+
+    m1 = Glove(iterations=2, **CFG).fit(docs)
+    m2 = Glove(iterations=2, **CFG).fit(docs)
+    assert rounded(m1) == rounded(m2)
+
+
+def test_different_seed_differs(docs):
+    cfg = {**CFG, "seed": 7}
+    m1 = Glove(iterations=1, **CFG).fit(docs)
+    m2 = Glove(iterations=1, **cfg).fit(docs)
+    v1 = m1.vectors.where(F.col("word") == "spark").collect()[0].vector
+    v2 = m2.vectors.where(F.col("word") == "spark").collect()[0].vector
+    assert tuple(v1) != tuple(v2)
+
+
+def test_find_synonyms_shape(model):
+    rows = model.find_synonyms("spark", 5).collect()
+    assert len(rows) == 5
+    assert all(-1.0 - 1e-9 <= r.cos <= 1.0 + 1e-9 for r in rows)
+    # descending order, query word excluded
+    assert all(rows[i].cos >= rows[i + 1].cos for i in range(len(rows) - 1))
+    assert all(r.word != "spark" for r in rows)
+
+
+def test_analogy_shape(model):
+    rows = model.analogy("spark", "query", "table", k=3).collect()
+    assert len(rows) == 3
+    assert all(r.word not in ("spark", "query", "table") for r in rows)
