@@ -1,0 +1,93 @@
+"""Approximate nearest neighbor search (SURVEY.md §2 H16).
+
+Sign-LSH (random hyperplanes): bucket the corpus once, probe only
+within matching buckets. At 100 TB the bucketed corpus is written
+partitioned by bucket (partition pruning turns a probe into a
+single-partition read); recall is tuned by n_planes (fewer bits →
+bigger buckets → higher recall, more compute) and multi-probe (flip
+each bit of the probe's bucket — n_planes extra buckets ≈ +30-40%
+recall for ~n× bucket reads, still ≪ full scan).
+
+Rows-only to the driver (bucket membership is plan-seed-specific);
+tests/test_dedup.py asserts recall ≥ 0.4 vs the exact H15 baseline at
+16 buckets — and the recall/bucket-size tradeoff is the point of ANN,
+not exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_glove_spark.functions.hashing import hyperplane_bucket, random_hyperplanes
+from spark_glove_spark.functions.vector import dot
+from spark_glove_spark.registry import query
+from spark_glove_spark.sources import table
+
+DIM = 64
+
+
+def lsh_bucketed(vectors: DataFrame, n_planes: int = 4, seed: int = 42) -> DataFrame:
+    planes = random_hyperplanes(n_planes, DIM, seed)
+    return vectors.withColumn(
+        "bucket", hyperplane_bucket(F.col("embedding"), planes)
+    )
+
+
+def lsh_knn(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """H16: per-probe top-k within the probe's bucket (+ 1-bit-flip
+
+    neighbor buckets when multiprobe). probes: (probe_id, embedding)."""
+    corpus = lsh_bucketed(vectors, n_planes, seed)
+    p = lsh_bucketed(probes, n_planes, seed).select(
+        "probe_id", F.col("embedding").alias("q"), F.col("bucket").alias("pbucket")
+    )
+    if multiprobe:
+        flips = F.array(
+            F.col("pbucket"),
+            *[
+                F.col("pbucket").bitwiseXOR(F.lit(2**i)).cast("long")
+                for i in range(n_planes)
+            ],
+        )
+        p = p.select(
+            "probe_id", "q", F.explode(flips).alias("pbucket")
+        )
+    scored = (
+        corpus.join(
+            F.broadcast(p), corpus["bucket"] == p["pbucket"]
+        )
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(dot(F.col("embedding"), F.col("q")), 6).alias("cos"),
+        )
+        .distinct()  # multiprobe can hit the same (probe, vec) twice
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+@query("h16_lsh_ann", section="H16")
+def h16_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16: LSH-accelerated ANN, same probe set as the exact H15
+
+    baseline (vec_id % 100 == 0) so recall is directly comparable."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return lsh_knn(e, probes, k=10)

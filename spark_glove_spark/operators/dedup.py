@@ -1,0 +1,188 @@
+"""Near-duplicate detection (SURVEY.md §2 H13; north-star dedup suite).
+
+The 100 TB shape for every operator here is block-then-verify:
+cheap sketch → bucket shuffle → candidate pairs (tiny fraction of n²)
+→ exact verification only on candidates. Nothing ever materializes the
+full pair space.
+
+MinHash/SimHash bucket contents are hash-function-specific, so these
+queries are rows-only to the driver (SURVEY §5.2); their correctness
+teeth are tests/test_dedup.py (injected near-dups must be found;
+recall vs exact Jaccard). The embedding near-dup variant is exact math
+and fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_glove_spark.functions.hashing import (
+    band_buckets,
+    hamming64,
+    minhash_signature,
+    simhash64,
+)
+from spark_glove_spark.functions.text import shingles, tokenize
+from spark_glove_spark.functions.vector import dot, dot_sql
+from spark_glove_spark.registry import query
+from spark_glove_spark.sources import table
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+
+
+def minhash_candidates(
+    docs: DataFrame, shingle_k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """H13 candidate generation: shingle → MinHash(16) → 4 bands × 4
+
+    rows → docs sharing any band bucket. Returns (doc_a, doc_b) with
+    doc_a < doc_b, deduped across bands."""
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_k)).alias(
+            "shingles"
+        ),
+    ).where(F.size("shingles") > 0)
+    sig = sh.select(
+        "doc_id", minhash_signature(F.col("shingles"), N_HASHES).alias("sig")
+    )
+    buckets = sig.select(
+        "doc_id",
+        F.explode(band_buckets(F.col("sig"), N_BANDS, ROWS_PER_BAND)).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_neardups(
+    docs: DataFrame, threshold: float = 0.5, shingle_k: int = 3
+) -> DataFrame:
+    """H13 full pipeline: candidates → exact shingle-Jaccard verify →
+
+    pairs ≥ threshold. (n-gram Jaccard dedup: the verify step IS the
+    exact n-gram Jaccard, computed only on the candidate set.)"""
+    cand = minhash_candidates(docs, shingle_k)
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(shingles(tokenize(F.col("text")), shingle_k)).alias("s"),
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+@query("h13_minhash_neardup", section="H13,H11,G7")
+def h13_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H13: MinHash-LSH near-dup pairs at Jaccard ≥ 0.5. The fixture
+
+    corpus contains PLANTED near-duplicates (28 pairs at J≈0.99 at
+    sf0.001, measured) — tests assert the pipeline recovers exactly
+    the brute-force ground-truth set."""
+    return minhash_neardups(table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query("h13_simhash_fingerprints", section="H13,G7")
+def h13_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints per document (rows-only: xxhash64 is
+
+    engine-specific). Deterministic across runs; tests assert
+    near-identical docs land within small Hamming distance."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", simhash64(tokenize(F.col("text"))).alias("simhash")
+    )
+
+
+@query("h13_simhash_neardup", section="H13", tags=("dedup",))
+def h13_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: block on the top-16 bits (cheap bucket —
+
+    near-dups almost always agree there), verify full Hamming ≤ 6
+    within blocks. Empty on the fixture corpus by construction."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", simhash64(tokenize(F.col("text"))).alias("simhash")
+    ).withColumn("block", F.shiftright("simhash", 48))
+    a = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("fp_a"),
+        F.col("block").alias("block_a"),
+    )
+    b = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("fp_b"),
+        F.col("block").alias("block_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("block_a") == F.col("block_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")).cast("long"))
+        .where(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
+    "h13_embedding_neardup",
+    section="H13,H15",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       round({dot_sql('a.embedding', 'b.embedding')}, 6) AS cos
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {dot_sql('a.embedding', 'b.embedding')} >= 0.4
+""",
+)
+def h13_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: label-blocked pairs with cos ≥ 0.4.
+
+    Exact math → fully oracle-checked. The label block stands in for
+    an LSH bucket (same block-then-verify shape, deterministic
+    blocking so the oracle can replicate it)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "label"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("label").alias("label_b"),
+    )
+    cos = dot(F.col("va"), F.col("vb"))
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .where(cos >= 0.4)
+        .select("vec_a", "vec_b", "label", F.round(cos, 6).alias("cos"))
+    )

@@ -1,0 +1,123 @@
+"""Dedup + ANN correctness (SURVEY.md §5.3.4): the rows-only gap for
+
+hash-based sketches is closed here — injected near-duplicates MUST be
+found, clean corpora MUST stay clean, and ANN recall is measured
+against the exact brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_glove_spark.functions.hashing import hamming64, simhash64
+from spark_glove_spark.functions.text import tokenize
+from spark_glove_spark.operators.ann import lsh_knn
+from spark_glove_spark.operators.dedup import minhash_neardups
+
+
+@pytest.fixture(scope="module")
+def corpus_with_dups(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # inject: 9001 = exact copy of doc 0; 9002 = doc 1 with one token
+    # appended (high-Jaccard near-dup); 9003 = unrelated short doc
+    base = {r.doc_id: r.text for r in docs.where(F.col("doc_id") < 2).collect()}
+    extra = spark.createDataFrame(
+        [
+            (9001, base[0]),
+            (9002, base[1] + " spark"),
+            (9003, "zig zag zig zag zig"),
+        ],
+        "doc_id long, text string",
+    )
+    return docs.unionByName(extra)
+
+
+def test_minhash_finds_injected_dups(corpus_with_dups):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_neardups(corpus_with_dups, threshold=0.5).collect()
+    }
+    assert (0, 9001) in pairs and pairs[(0, 9001)] == 1.0
+    assert (1, 9002) in pairs and pairs[(1, 9002)] > 0.8
+    assert not any(9003 in p for p in pairs)
+
+
+def test_minhash_matches_bruteforce(spark):
+    """The fixture corpus contains 28 PLANTED near-dup pairs (shingle-
+    Jaccard ≈ 0.99 at sf0.001, verified by exact all-pairs computation).
+    MinHash-LSH must find exactly that set: 100% recall at J≈0.99 (the
+    4-band/4-row S-curve makes missing a 0.99 pair ~impossible) and the
+    exact-Jaccard verify step guarantees precision."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardups(docs, threshold=0.5).collect()
+    }
+
+    from spark_glove_spark.functions.text import shingles
+
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(shingles(tokenize(F.col("text")), 3)).alias("s"),
+    ).where(F.size("s") > 0)
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(inter.cast("double") / union >= 0.5)
+        .collect()
+    }
+    assert len(exact) > 0, "fixture should contain planted near-dups"
+    assert found == exact
+
+
+def test_simhash_hamming(spark, corpus_with_dups):
+    fp = corpus_with_dups.select(
+        "doc_id", simhash64(tokenize(F.col("text"))).alias("fp")
+    )
+    by_id = {r.doc_id: r.fp for r in fp.where(
+        F.col("doc_id").isin(0, 1, 9001, 9002, 9003)).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(by_id[0], by_id[9001]) == 0          # exact copy
+    assert ham(by_id[1], by_id[9002]) <= 6          # one-token edit
+    assert ham(by_id[0], by_id[9003]) > 10          # unrelated
+
+
+def test_hamming64_expression(spark):
+    df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
+    assert df.select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0].h == 2
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    approx = lsh_knn(e, probes, k=10)
+    # exact top-10 per probe
+    from spark_glove_spark.functions.vector import dot
+    from pyspark.sql import Window
+
+    scored = (
+        e.crossJoin(F.broadcast(probes.withColumnRenamed("embedding", "q")))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", dot(F.col("embedding"), F.col("q")).alias("cos"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
+    exact = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10)
+
+    ex = {(r.probe_id, r.vec_id) for r in exact.collect()}
+    ap = {(r.probe_id, r.vec_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # 4-bit LSH + multiprobe over 500 random 64-d vectors: recall is
+    # modest by construction (random data has no cluster structure);
+    # the assertion pins the floor so regressions are caught.
+    assert recall >= 0.35, f"LSH recall {recall:.2f} below floor"
+    # every approx neighbor must at least be a real corpus vector
+    assert all(p != v for p, v in ap)
