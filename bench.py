@@ -1,0 +1,87 @@
+"""Headline benchmark — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the engine's representative queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS]: the relational core
+(TPC-H Q1 shape, big shuffle join, window top-k), the GloVe pipeline
+(window-10 co-occurrence build and a dim-50 fit), the LLM-pipeline
+operators (MinHash near-dup, TF-IDF, brute-force kNN), and a streaming
+window aggregation. Results go to the noop sink so timings measure
+compute + shuffle, not driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from spark_glove_spark import api  # noqa: E402
+from spark_glove_spark.glove import Glove  # noqa: E402
+from spark_glove_spark.operators.cooccurrence import cooccurrence_matrix  # noqa: E402
+from spark_glove_spark.session import get_spark  # noqa: E402
+from spark_glove_spark.sources import table  # noqa: E402
+
+HEADLINE = [
+    "d1_pricing_summary",
+    "c2_shuffle_join",
+    "e2_topk_per_group",
+    "h3_cooccurrence_topk",
+    "h10_tfidf",
+    "h13_minhash_neardup",
+    "h15_knn_bruteforce",
+    "h16_lsh_ann",
+    "i1_tumbling_window",
+    "c8_asof_join",
+]
+
+
+def _drain(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM + parquet-footer warmup so q1 doesn't pay session startup
+    table(spark, sf_dir, "region").count()
+
+    qs = api.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _drain(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    docs = table(spark, sf_dir, "documents")
+    t0 = time.time()
+    _drain(cooccurrence_matrix(docs, window=10))
+    times["glove_cooc_build_w10"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    model = Glove(dim=50, window=10, iterations=5, min_count=5, seed=42).fit(docs)
+    model.vectors.count()
+    times["glove_fit_d50_w10_it5"] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,11 +11,14 @@ import spark_glove_spark.operators.ann  # noqa: F401
 import spark_glove_spark.operators.dedup  # noqa: F401
 import spark_glove_spark.operators.embeddings  # noqa: F401
 import spark_glove_spark.operators.glove_queries  # noqa: F401
+import spark_glove_spark.operators.multimodal  # noqa: F401
 import spark_glove_spark.operators.relational  # noqa: F401
 import spark_glove_spark.operators.temporal  # noqa: F401
 import spark_glove_spark.operators.scalar_queries  # noqa: F401
 import spark_glove_spark.operators.text_analysis  # noqa: F401
 import spark_glove_spark.operators.text_queries  # noqa: F401
+
+import spark_glove_spark.streaming.queries  # noqa: F401
 
 from spark_glove_spark.registry import REGISTRY, oracle_sql, queries  # noqa: F401
 

@@ -1,0 +1,84 @@
+"""Structured Streaming operators (SURVEY.md §2.I, §3 EP3, §5.4).
+
+Protocol: the `events` parquet is replayed as a file stream
+(availableNow trigger → the stream drains and stops), results land in
+a uniquely-named memory sink, and the declared query returns that
+table. Because the replay is exhaustive and deterministic, the
+streaming result must equal the equivalent batch query — which IS the
+DuckDB oracle. That upgrades streaming operators from rows-only to
+fully hash-checked (SURVEY §5.4).
+
+Scale notes: file-stream + memory sink are the harness stand-ins for
+Kafka + Delta/foreachBatch sinks; the stateful operators (windows,
+dedup, applyInPandasWithState) are exactly what runs against an
+unbounded source — state lives in the executor StateStore either way.
+A1/A6 (real streaming source/sink wiring) is the only part swapped in
+production.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events schema as the file stream must declare it: ts arrives as raw
+# int64 nanos (Spark 4 cannot read TIMESTAMP(NANOS) parquet at all —
+# see sources/tables.py) and is floored to micros with integer div.
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """A5: unbounded read of event-shaped parquet.
+
+    The file-stream source requires a DIRECTORY (a bare file fails
+    with "Option 'basePath' must be a directory"), so a single-file
+    fixture is exposed through a temp dir of symlinks — zero copy,
+    and exactly how a real deployment points at a landing directory.
+    """
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_EVENTS_RAW).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def run_stream(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """A6: drain a streaming frame into a memory sink (availableNow —
+    processes everything then stops) and return the materialized
+    result as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def events_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "events.parquet")

@@ -1,0 +1,326 @@
+"""Declared streaming queries I1–I7 with batch-SQL oracles.
+
+Each callable drains a real Structured Streaming query (file-stream
+replay, availableNow) into a memory sink and returns the result; the
+oracle is the equivalent batch SQL — the batch-equivalence protocol of
+SURVEY.md §5.4, which gives streaming operators full hash checks
+instead of rows-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from spark_glove_spark.registry import query
+from spark_glove_spark.sources import table
+from spark_glove_spark.streaming.jobs import events_path, run_stream, stream_events
+
+
+@query(
+    "i1_tumbling_window",
+    section="I1,A5,A6",
+    oracle="""
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total
+FROM events
+GROUP BY 1, 2
+""",
+)
+def i1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1: 1-hour tumbling windows per event_type over the replayed
+
+    stream; complete output mode so every window is emitted on drain."""
+    s = stream_events(spark, events_path(sf_dir))
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    out = run_stream(agg, "complete")
+    return out.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@query(
+    "i2_sliding_window",
+    section="I2",
+    oracle="""
+WITH starts AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) AS s0,
+         epoch_ms(date_trunc('hour', ts) - INTERVAL 1 HOUR) AS s1,
+         value
+  FROM events
+),
+expanded AS (
+  SELECT s0 AS window_start_ms, value FROM starts
+  UNION ALL
+  SELECT s1 AS window_start_ms, value FROM starts
+)
+SELECT window_start_ms, count(*) AS n, round(sum(value), 2) AS total
+FROM expanded
+GROUP BY 1
+""",
+)
+def i2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2: 2-hour windows sliding by 1 hour — every event lands in two
+
+    windows; the oracle expands each event into both bucket starts."""
+    s = stream_events(spark, events_path(sf_dir))
+    agg = s.groupBy(F.window("ts", "2 hours", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    out = run_stream(agg, "complete")
+    return out.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"), "n", "total"
+    )
+
+
+@query(
+    "i3_session_window",
+    section="I3",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+)
+SELECT user_id,
+       epoch_ms(min(ts)) AS session_start_ms,
+       count(*) AS n,
+       round(sum(value), 2) AS total
+FROM sessions
+GROUP BY user_id, session_no
+""",
+)
+def i3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: 30-minute-gap session windows per user. The oracle is the
+
+    classic gaps-and-islands formulation — identical session membership
+    by construction."""
+    s = stream_events(spark, events_path(sf_dir))
+    agg = s.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    out = run_stream(agg, "complete")
+    return out.select(
+        "user_id",
+        F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+        "n",
+        "total",
+    )
+
+
+@query("i4_watermark_late_drop", section="I4")
+def i4_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4: watermark semantics demonstrated end-to-end: replay the
+
+    stream in two files (fresh data first, then one 2-hour-late row);
+    the 10-minute watermark advanced past it, so the late row is
+    dropped from its (closed) window. Rows-only to the driver — the
+    full property (late row absent; present without watermark) is
+    asserted in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    e = table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="i4_replay_")
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # file 1: everything; file 2: a fresh row (watermark only takes
+    # effect two triggers after the data that advanced it — measured);
+    # file 3: one 2-hour-late sentinel event, now behind the watermark
+    e.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "f1"))
+    spark.createDataFrame(
+        [(10**12 - 1, max_ts, 1, "fresh_probe", 1.0, "{}")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "f2"))
+    late = spark.createDataFrame(
+        [(10**12, max_ts, 1, "late_probe", 1.0, "{}")], schema
+    ).withColumn("ts", F.col("ts") - F.expr("INTERVAL 2 HOURS"))
+    late.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "f3"))
+
+    # re-stream from the replay dir (plain timestamps now, no nanos)
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "*"))
+    )
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_stream(agg, "append")
+    return out.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "event_type",
+        "n",
+    ).where(F.col("event_type") == "late_probe")
+
+
+@query(
+    "i5_streaming_dedup",
+    section="I5",
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM events
+GROUP BY 1
+""",
+)
+def i5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5: streaming dropDuplicates on event_id. The replay appends a
+
+    file of 50 duplicated events; after dedup the aggregate equals the
+    clean batch aggregate — which is the oracle. (countDistinct is
+    unsupported on streams — the dedup itself plays that role.)"""
+    import os
+    import tempfile
+
+    e = table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="i5_replay_")
+    e.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "f1"))
+    e.orderBy("event_id").limit(50).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "f2")
+    )
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "*"))
+        .dropDuplicates(["event_id"])
+    )
+    agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_stream(agg, "complete")
+
+
+_STATE_SCHEMA = "n_events long, total_value double, last_ts_ms long"
+_I6_OUT = "user_id long, n_events long, total_value double, last_ts_ms long"
+
+
+def _running_user_state(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """I6 kernel: per-user running (count, value sum, last ts) carried in
+
+    GroupState across micro-batches."""
+    if state.exists:
+        n, total, last_ms = state.get
+    else:
+        n, total, last_ms = 0, 0.0, 0
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).max()
+        last_ms = max(last_ms, int(ts_ms))
+    state.update((n, total, last_ms))
+    yield pd.DataFrame(
+        [{"user_id": key[0], "n_events": n, "total_value": total, "last_ts_ms": last_ms}]
+    )
+
+
+@query(
+    "i6_stateful_per_key",
+    section="I6,J4",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       max(epoch_ms(ts)) AS last_ts_ms
+FROM events
+GROUP BY 1
+""",
+)
+def i6_stateful_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6: applyInPandasWithState running per-user state machine,
+
+    replayed in multiple micro-batches (4 files) so state genuinely
+    carries across batches. Each batch emits the running state; the
+    final emission per user equals the batch aggregate (the oracle)."""
+    import os
+    import tempfile
+
+    e = table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="i6_replay_")
+    for part in range(4):
+        e.where(F.pmod("event_id", F.lit(4)) == part).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, f"f{part}"))
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "*"))
+    )
+    updates = sdf.groupBy("user_id").applyInPandasWithState(
+        _running_user_state,
+        outputStructType=_I6_OUT,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream(updates, "update")
+    # memory sink holds one emission per (user, batch); the final state
+    # per user is the row with the largest n_events
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+            "last_ts_ms",
+        )
+    )
+
+
+@query(
+    "i7_stream_static_join",
+    section="I7",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       e.event_type,
+       count(*) AS n,
+       round(sum(e.value), 2) AS total
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def i7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7: enrich the stream with a static dimension (broadcast per
+
+    micro-batch), then aggregate."""
+    s = stream_events(spark, events_path(sf_dir))
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    joined = s.join(c, s["user_id"] == c["c_custkey"])
+    agg = joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    return run_stream(agg, "complete")

@@ -1,0 +1,108 @@
+"""Streaming property tests (SURVEY.md §5.4).
+
+Batch-equivalence is covered by the oracle harness (i1-i3, i5-i7 are
+fully hash-checked there); here we test what SQL can't see: watermark
+late-data semantics (I4) and session-window membership on handmade
+events.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_glove_spark.streaming.jobs import run_stream
+
+_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _ts(h: int, m: int = 0) -> datetime:
+    return datetime(2024, 6, 1, h, m, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark):
+    """Three-batch replay: fresh rows, more fresh rows, then one
+    2-hour-late row. The intermediate batch matters: the watermark
+    computed from a batch's max event time only takes effect two
+    triggers later (measured on Spark 4.1 with availableNow), so a
+    late row in the very next trigger would NOT yet be dropped."""
+    base = tempfile.mkdtemp(prefix="late_replay_")
+    fresh = spark.createDataFrame(
+        [
+            (1, _ts(10, 5), 1, "click", 1.0, "{}"),
+            (2, _ts(12, 0), 1, "click", 1.0, "{}"),
+        ],
+        _SCHEMA,
+    )
+    fresh2 = spark.createDataFrame(
+        [(4, _ts(12, 30), 1, "click", 1.0, "{}")], _SCHEMA
+    )
+    late = spark.createDataFrame(
+        [(3, _ts(10, 30), 1, "click", 1.0, "{}")], _SCHEMA
+    )
+    fresh.coalesce(1).write.parquet(os.path.join(base, "f1"))
+    fresh2.coalesce(1).write.parquet(os.path.join(base, "f2"))
+    late.coalesce(1).write.parquet(os.path.join(base, "f3"))
+    return base
+
+
+def _windowed(spark, replay_dir, watermark: str | None):
+    sdf = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(replay_dir, "*"))
+    )
+    if watermark:
+        sdf = sdf.withWatermark("ts", watermark)
+    agg = sdf.groupBy(F.window("ts", "1 hour")).agg(F.count(F.lit(1)).alias("n"))
+    mode = "append" if watermark else "complete"
+    out = run_stream(agg, mode)
+    return {
+        (r["window"].start.hour, r["n"]) for r in out.collect()
+    }
+
+
+def test_watermark_drops_late_row(spark, replay_dir):
+    # with a 10-min watermark, the 10:30 row arriving after the 12:00
+    # row is behind the watermark: the 10:00 window stays at n=1
+    # (append mode emits only finalized windows; 12:00 never finalizes)
+    got = _windowed(spark, replay_dir, "10 minutes")
+    assert got == {(10, 1)}
+
+
+def test_no_watermark_keeps_late_row(spark, replay_dir):
+    # without a watermark (complete mode) the late row lands in its
+    # window: 10:00 has n=2
+    got = _windowed(spark, replay_dir, None)
+    assert got == {(10, 2), (12, 2)}
+
+
+def test_session_window_membership(spark):
+    # gaps > 30 min split sessions: 9:00, 9:20, 9:40 are one session;
+    # 11:00 starts another
+    df = spark.createDataFrame(
+        [
+            (1, _ts(9, 0), 7, "click", 1.0, "{}"),
+            (2, _ts(9, 20), 7, "click", 1.0, "{}"),
+            (3, _ts(9, 40), 7, "click", 1.0, "{}"),
+            (4, _ts(11, 0), 7, "click", 1.0, "{}"),
+        ],
+        _SCHEMA,
+    )
+    base = tempfile.mkdtemp(prefix="sess_")
+    df.coalesce(1).write.parquet(os.path.join(base, "f1"))
+    sdf = spark.readStream.schema(_SCHEMA).parquet(os.path.join(base, "*"))
+    agg = sdf.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_stream(agg, "complete")
+    sessions = {(r["session_window"].start.hour, r["n"]) for r in out.collect()}
+    assert sessions == {(9, 3), (11, 1)}
