@@ -1,0 +1,349 @@
+"""Sources/sinks and the UDF surface — declared queries for SURVEY.md §2.A + §2.J.
+
+§2.A rows A1–A4 get explicit oracle-checked queries here (A5/A6, the
+streaming source/sink, are exercised by every §2.I query through the
+file-stream replay + memory-sink harness in ``streaming/``). §2.J
+declares one query per Python-execution mode — scalar UDF, Arrow-batched
+pandas UDF, grouped-agg UDF, grouped-map ``applyInPandas``,
+``mapInPandas``, and a Spark 4 UDTF — each with a pure-SQL oracle so the
+Python boundary itself is what's under test.
+
+Scale stance (SURVEY.md §4.1, §4.3.4): the J-rows exist to prove the
+escape hatches work, not to recommend them — every kernel here is also
+expressible as a built-in expression, and the expression form is what
+the rest of the engine uses on hot paths. Arrow batch size is governed
+by ``spark.sql.execution.arrow.maxRecordsPerBatch``; grouped kernels
+must see few large groups, not many tiny ones (§4.3.4).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_glove_spark.registry import query
+from spark_glove_spark.sources import table, write_parquet
+
+
+# --------------------------------------------------------------------------
+# A. Sources / sinks
+# --------------------------------------------------------------------------
+
+
+@query(
+    "a1_scan_pushdown",
+    section="A1",
+    oracle="""
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier
+WHERE s_acctbal > 0 AND s_nationkey < 10
+""",
+)
+def a1_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: parquet scan with projection + predicate pushdown.
+
+    ``explain`` shows PushedFilters [GreaterThan(s_acctbal,0),
+    LessThan(s_nationkey,10)] and a 3-column ReadSchema — the scan never
+    materializes the pruned columns, which at 100 TB is the difference
+    between reading the table and reading a third of it."""
+    return (
+        table(spark, sf_dir, "supplier")
+        .where((F.col("s_acctbal") > 0) & (F.col("s_nationkey") < 10))
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+@query(
+    "a2_corpus_source",
+    section="A2",
+    oracle="""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE lang IN ('en', 'de')
+""",
+)
+def a2_corpus_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: corpus/text source — documents as (id, metadata) rows.
+
+    The engine's text pipeline (H1+) starts from exactly this scan; the
+    lang filter is pushed into the parquet row-group stats."""
+    return (
+        table(spark, sf_dir, "documents")
+        .where(F.col("lang").isin("en", "de"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
+    "a3_parquet_roundtrip",
+    section="A3,A1",
+    oracle="""
+SELECT s_nationkey, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+FROM supplier
+GROUP BY s_nationkey
+""",
+)
+def a3_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: parquet sink → scan round-trip.
+
+    Writes the aggregate to a temp dir via the A3 sink and reads it
+    back, proving schema + values survive the columnar round-trip. At
+    100 TB the sink takes ``partition_by`` on a low-cardinality column
+    for static partition pruning downstream (sources/tables.py)."""
+    agg = (
+        table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="sgs_a3_")
+    write_parquet(agg, out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "a4_inmemory_source",
+    section="A4,C1",
+    oracle="""
+SELECT r.r_regionkey, r.r_name, h.hemisphere
+FROM region r
+JOIN (VALUES (0, 'S'), (1, 'N'), (2, 'N'), (3, 'N'), (4, 'N'))
+     AS h(r_regionkey, hemisphere)
+  ON r.r_regionkey = h.r_regionkey
+""",
+)
+def a4_inmemory_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: in-memory literal source joined (broadcast) to a fixture scan —
+    the pattern every unit test and every small seeded dimension
+    (LSH hyperplanes, probe sets) uses."""
+    hemi = spark.createDataFrame(
+        [(0, "S"), (1, "N"), (2, "N"), (3, "N"), (4, "N")],
+        T.StructType(
+            [
+                T.StructField("r_regionkey", T.IntegerType()),
+                T.StructField("hemisphere", T.StringType()),
+            ]
+        ),
+    )
+    return table(spark, sf_dir, "region").join(F.broadcast(hemi), "r_regionkey")
+
+
+# --------------------------------------------------------------------------
+# J. UDF / UDAF / UDTF surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "j1_scalar_udf",
+    section="J1",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS net_price
+FROM lineitem
+WHERE l_quantity >= 45
+""",
+)
+def j1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: row-at-a-time Python UDF — the slow escape hatch, declared to
+    prove it works, filtered first so only ~1/10 of rows cross the
+    Python boundary. The same math is a one-line expression (the oracle);
+    hot paths must use that form (SURVEY.md §4.1)."""
+    net = F.udf(lambda p, d: p * (1 - d), T.DoubleType())
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            # Round outside the UDF: Python's round() is banker's on the
+            # decimal value; F.round matches the oracle's semantics.
+            F.round(net("l_extendedprice", "l_discount"), 4).alias("net_price"),
+        )
+    )
+
+
+@query(
+    "j2_pandas_udf",
+    section="J2",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice * 2, 2) AS double_price
+FROM orders
+WHERE o_orderstatus = 'F'
+""",
+)
+def j2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: Arrow-batched vectorized scalar UDF (numpy-speed, ~10-100× the
+    J1 form). ×2 is an exact binary op that adds no decimal digits, so
+    Spark and DuckDB see the identical double and no rounding tie can
+    occur (same argument as b1_projection)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def quarter(p: pd.Series) -> pd.Series:
+        return p * 2
+
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.round(quarter("o_totalprice"), 2).alias("double_price"),
+        )
+    )
+
+
+@query(
+    "j3_grouped_agg_udf",
+    section="J3",
+    oracle="""
+SELECT event_type, round(avg(value), 4) AS mean_value
+FROM events
+GROUP BY event_type
+""",
+)
+def j3_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: grouped-aggregate pandas UDF (custom UDAF). Five groups at any
+    scale — the per-group Arrow batch is the whole group, so this shape
+    only works when groups are few and bounded; unbounded-cardinality
+    custom aggs belong in applyInPandas over hash buckets (§4.3.4)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def mean_val(v: pd.Series) -> float:
+        return float(v.mean())
+
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(mean_val("value"), 4).alias("mean_value"))
+    )
+
+
+@query(
+    "j4_grouped_map_centroid",
+    section="J4",
+    oracle="""
+SELECT label, list(c ORDER BY pos) AS centroid
+FROM (
+    SELECT label, pos, round(avg(v), 4) AS c
+    FROM (
+        SELECT label,
+               unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+)
+GROUP BY label
+""",
+)
+def j4_grouped_map_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: grouped-map ``applyInPandas`` — per-label centroid of 64-d
+    embeddings via a numpy kernel. This is the execution mode of the H5
+    GloVe training step (glove/trainer.py); here with an exact SQL
+    oracle so the Arrow group-batch path itself is verified. 10 labels
+    → 10 groups of ~200 vectors: few large groups, the right shape."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        c = np.round(mat.mean(axis=0), 4)
+        return pd.DataFrame(
+            {"label": [int(pdf["label"].iloc[0])], "centroid": [c.tolist()]}
+        )
+
+    return (
+        table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .applyInPandas(centroid, out_schema)
+    )
+
+
+@query(
+    "j5_map_in_pandas",
+    section="J5",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_checked
+FROM documents
+""",
+)
+def j5_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: ``mapInPandas`` per-partition batch kernel — the multimodal
+    decode/feature-extract execution mode (operators/multimodal.py),
+    here on integer outputs with an exact oracle. Batches stream through
+    the kernel at ``arrow.maxRecordsPerBatch`` granularity, so memory is
+    bounded regardless of partition size."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_chars_checked", T.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["text"].str.split(" ").str.len().astype("int64"),
+                    "n_chars_checked": pdf["text"].str.len().astype("int64"),
+                }
+            )
+
+    return table(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
+        kernel, out_schema
+    )
+
+
+@query(
+    "j6_udtf",
+    section="J6",
+    oracle="""
+SELECT doc_id, pos, word
+FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+    WHERE doc_id < 50
+)
+""",
+)
+def j6_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: Python UDTF (Spark 4) in a LATERAL join — one input row fans
+    out to one row per token with its position. The built-in
+    ``posexplode(split(...))`` expresses the same thing JVM-side and is
+    what H3 uses; the UDTF exists for table-valued logic that has no
+    expression form."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, word: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield i, w
+
+    spark.udtf.register("sgs_tokenize", Tokenize)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("sgs_docs_j6")
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.word
+        FROM sgs_docs_j6, LATERAL sgs_tokenize(text) t
+        WHERE doc_id < 50
+        """
+    )
