@@ -335,15 +335,30 @@ class Glove:
         cfg = self.config
         vocab = build_vocabulary(docs, cfg)
         vocab.persist(StorageLevel.MEMORY_AND_DISK)
-        if vocab.count() == 0:
+        vocab_n = vocab.count()
+        if vocab_n == 0:
             vocab.unpersist()
             raise ValueError(
                 f"empty vocabulary: no word reaches min_count={cfg.min_count}"
             )
+        # Params side of the per-iteration join: broadcast when the
+        # whole parameter table fits comfortably in an executor
+        # (≤ ~16 MB of vector doubles per side) — then the X ⋈ params
+        # join is shuffle-FREE and the gradient pass runs in place over
+        # X's cached partitions. A 400k-word × 300-d vocab exceeds the
+        # cap and falls back to the pre-partitioned shuffle join
+        # (SURVEY.md §4.3.3).
+        broadcast_params = vocab_n * cfg.dim <= 2_000_000
+        # Effective parallelism scales with the co-occurrence matrix:
+        # |X| ≤ vocab², and each block is a Python-worker round-trip per
+        # iteration, so tiny corpora collapse to few partitions (fixed
+        # overhead, not data, dominates them) while large vocabs keep
+        # the full cfg.blocks fan-out.
+        blocks = max(1, min(cfg.blocks, vocab_n * vocab_n // 100_000 + 1))
 
         x = (
             build_cooccurrence(docs, vocab, cfg)
-            .repartition(cfg.blocks, "i")
+            .repartition(blocks, "i")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         x.count()  # materialize once; reused every iteration
@@ -359,10 +374,13 @@ class Glove:
             context = params.select(
                 F.col("id").alias("j"), "wc", "bc"
             )
+            if broadcast_params:
+                center = F.broadcast(center)
+                context = F.broadcast(context)
             joined = x.join(center, "i").join(context, "j")
             grads = joined.mapInPandas(_grad_kernel, schema=_GRADS_SCHEMA)
             merged = (
-                grads.groupBy(F.pmod(F.col("id"), F.lit(cfg.blocks)).alias("blk"))
+                grads.groupBy(F.pmod(F.col("id"), F.lit(blocks)).alias("blk"))
                 .applyInPandas(_merge_kernel, schema=_GRADS_SCHEMA)
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )

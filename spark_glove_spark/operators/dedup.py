@@ -33,19 +33,27 @@ N_BANDS = 4
 ROWS_PER_BAND = 4
 
 
-def minhash_candidates(
+def shingle_sets(
     docs: DataFrame, shingle_k: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """H13 candidate generation: shingle → MinHash(16) → 4 bands × 4
-
-    rows → docs sharing any band bucket. Returns (doc_a, doc_b) with
-    doc_a < doc_b, deduped across bands."""
-    sh = docs.select(
+    """(doc_id, shingles): distinct k-shingle set per document — the
+    shared input of both the MinHash sketch and the exact-Jaccard
+    verify. Callers that use it twice should persist it; shingling is
+    the dominant per-document cost."""
+    return docs.select(
         "doc_id",
         F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_k)).alias(
             "shingles"
         ),
     ).where(F.size("shingles") > 0)
+
+
+def minhash_candidates(
+    sh: DataFrame,
+) -> DataFrame:
+    """H13 candidate generation from shingle_sets(): MinHash(16) →
+    4 bands × 4 rows → docs sharing any band bucket. Returns
+    (doc_a, doc_b) with doc_a < doc_b, deduped across bands."""
     sig = sh.select(
         "doc_id", minhash_signature(F.col("shingles"), N_HASHES).alias("sig")
     )
@@ -75,14 +83,15 @@ def minhash_neardups(
     """H13 full pipeline: candidates → exact shingle-Jaccard verify →
 
     pairs ≥ threshold. (n-gram Jaccard dedup: the verify step IS the
-    exact n-gram Jaccard, computed only on the candidate set.)"""
-    cand = minhash_candidates(docs, shingle_k)
-    sets = docs.select(
-        "doc_id",
-        F.array_distinct(shingles(tokenize(F.col("text")), shingle_k)).alias("s"),
-    )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("set_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("set_b"))
+    exact n-gram Jaccard, computed only on the candidate set.)
+
+    The shingle sets feed three plan branches (sketch + both verify
+    sides); persisted so shingling runs once, not 3× — at 100 TB this
+    is the difference between one corpus scan and three."""
+    sets = shingle_sets(docs, shingle_k).persist()
+    cand = minhash_candidates(sets)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size("set_a") + F.size("set_b") - inter
     return (
