@@ -103,6 +103,48 @@ class GloveModel:
             .limit(k)
         )
 
+    def transform(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        broadcast_vectors: bool = True,
+    ) -> DataFrame:
+        """H9: mean-pooled document embeddings — (id, vector) with the
+        document's vector = mean of its in-vocabulary word vectors
+        (Word2VecModel.transform shape).
+
+        ``broadcast_vectors`` (default) is right whenever the model fits
+        an executor (≤ ~1M words × 50-d); set False for giant models and
+        the word join becomes a shuffle join AQE can still optimize."""
+        v = self.vectors.select("word", "vector")
+        if broadcast_vectors:
+            v = F.broadcast(v)
+        words = docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        dims = words.join(v, "word").select(
+            id_col, F.posexplode("vector").alias("dim", "val")
+        )
+        pooled = dims.groupBy(id_col, "dim").agg(F.avg("val").alias("v"))
+        # Re-pack the per-dim means into an ordered array (one shuffle,
+        # array length = dim — bounded regardless of corpus size).
+        return pooled.groupBy(id_col).agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "v"))),
+                lambda s: s["v"],
+            ).alias("vector")
+        )
+
+    def save(self, path: str) -> None:
+        """A3: persist the model as parquet (word, id, vector)."""
+        self.vectors.write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "GloveModel":
+        """Reload a saved model; losses are training-time-only state."""
+        return cls(vectors=spark.read.parquet(path))
+
     def analogy(self, a: str, b: str, c: str, k: int = 5) -> DataFrame:
         """H8: vec(a) − vec(b) + vec(c) → k nearest (excluding inputs)."""
         va = self.vectors.where(F.col("word") == a).select(F.col("vector").alias("va"))

@@ -82,3 +82,30 @@ def test_analogy_shape(model):
     rows = model.analogy("spark", "query", "table", k=3).collect()
     assert len(rows) == 3
     assert all(r.word not in ("spark", "query", "table") for r in rows)
+
+
+def test_transform_mean_pools(docs, model):
+    out = {r[0]: list(r[1]) for r in model.transform(docs).collect()}
+    assert out, "transform produced no document vectors"
+    assert all(len(v) == CFG["dim"] for v in out.values())
+    # hand-check one document: mean of its in-vocab word vectors
+    doc = docs.limit(1).collect()[0]
+    vecs = {r.word: r.vector for r in model.vectors.collect()}
+    words = [w for w in doc.text.split(" ") if w in vecs]
+    expected = [
+        sum(vecs[w][d] for w in words) / len(words) for d in range(CFG["dim"])
+    ]
+    got = out[doc.doc_id]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, expected))
+
+
+def test_model_save_load_roundtrip(spark, model, tmp_path):
+    from spark_glove_spark.glove import GloveModel
+
+    path = str(tmp_path / "model")
+    model.save(path)
+    loaded = GloveModel.load(spark, path)
+    orig = {r.word: tuple(r.vector) for r in model.vectors.collect()}
+    back = {r.word: tuple(r.vector) for r in loaded.vectors.collect()}
+    assert orig == back
+    assert loaded.find_synonyms("spark", 3).count() == 3
