@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -76,8 +77,9 @@ def _byte_stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         for item_id, content in zip(pdf["item_id"], pdf["content"]):
             b = bytes(content)
             n = len(b)
-            mean = sum(b) / n if n else 0.0
-            var = sum((x - mean) ** 2 for x in b) / n if n else 0.0
+            arr = np.frombuffer(b, dtype=np.uint8)
+            mean = float(arr.mean()) if n else 0.0
+            var = float(arr.var()) if n else 0.0
             feats.append(
                 {
                     "item_id": int(item_id),

@@ -553,6 +553,36 @@ def d7_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d7_collect_list",
+    section="D7",
+    oracle="""
+SELECT o_custkey AS custkey,
+       list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS orderkeys
+FROM orders
+WHERE o_custkey < 100
+GROUP BY 1
+""",
+)
+def d7_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 bag variant: per-customer order history in date order.
+
+    collect_list over a window'd sort is NOT order-stable across
+    shuffles in general; the deterministic form aggregates structs and
+    sorts inside the array — order lives in the data, not the plan."""
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 100)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("o_orderdate", "o_orderkey"))),
+                lambda s: s["o_orderkey"],
+            ).alias("orderkeys")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # E. Window functions
 # --------------------------------------------------------------------------
