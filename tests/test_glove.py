@@ -84,6 +84,50 @@ def test_analogy_shape(model):
     assert all(r.word not in ("spark", "query", "table") for r in rows)
 
 
+def test_planted_topic_separation(spark):
+    """Training-quality teeth (replaces SURVEY §5.3.2's PMI-overlap
+    idea — measured: the fixture corpus is near-independent word salad,
+    PMI stdev 0.18, so it has NO latent similarity structure to
+    recover). Here ground truth is planted: two disjoint word topics →
+    trained vectors must cluster by topic."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(7)
+    topics = {"A": [f"a{i}" for i in range(5)], "B": [f"b{i}" for i in range(5)]}
+    rows = [
+        (d, " ".join(rng.choice(topics["A" if d % 2 == 0 else "B"]) for _ in range(30)))
+        for d in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = Glove(dim=4, window=5, min_count=5, iterations=40, seed=42, blocks=2).fit(df)
+    vec = {r.word: np.array(r.vector) for r in m.vectors.collect()}
+    words = sorted(vec)
+    M = np.stack([vec[w] for w in words])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = M @ M.T
+    intra = [
+        cos[i, j]
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if words[i][0] == words[j][0]
+    ]
+    inter = [
+        cos[i, j]
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if words[i][0] != words[j][0]
+    ]
+    assert float(np.mean(intra)) > 0.8, f"intra-topic cosine {np.mean(intra):.3f}"
+    assert float(np.mean(inter)) < 0.2, f"inter-topic cosine {np.mean(inter):.3f}"
+    top1_same = sum(
+        words[i][0] == words[int(np.argsort(-cos[i])[1])][0]
+        for i in range(len(words))
+    )
+    assert top1_same >= 9, f"only {top1_same}/10 top-1 neighbors same-topic"
+
+
 def test_transform_mean_pools(docs, model):
     out = {r[0]: list(r[1]) for r in model.transform(docs).collect()}
     assert out, "transform produced no document vectors"
