@@ -1,0 +1,62 @@
+"""Oracle-parity smoke inside pytest (SURVEY.md §5.3.3).
+
+tools/paritycheck.py is the full gate; this runs a representative
+slice at sf0.001 on every `pytest` invocation so a broken column
+alias, rounding change, or oracle drift fails CI immediately instead
+of at driver time. One query per §2 area, biased toward the shapes
+most likely to drift (floats, arrays, timestamps, UDFs).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from paritycheck import compare  # noqa: E402
+
+from spark_glove_spark import api  # noqa: E402
+from spark_glove_spark.schemas import TABLES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SMOKE_QUERIES = [
+    "a3_parquet_roundtrip",   # sink round-trip
+    "b5_case_when",           # conditionals
+    "c1_broadcast_dim_join",  # broadcast join
+    "c8_asof_join",           # temporal join
+    "d1_pricing_summary",     # float aggs + rounding contract
+    "d7_collect_list",        # ordered array agg
+    "e4_running_aggs",        # window frames
+    "g9_json",                # JSON extraction
+    "h3_cooccurrence_by_distance",  # the signature operator
+    "h7_topk_cosine",         # vector math
+    "h14_jaccard",            # array set ops
+    "i1_tumbling_window",     # streaming batch-equivalence
+    "j4_grouped_map_centroid",  # Arrow grouped-map boundary
+    "j6_udtf",                # UDTF lateral
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", SMOKE_QUERIES)
+def test_query_matches_oracle(spark, oracle_con, name):
+    q = api.REGISTRY[name]
+    assert q.oracle is not None, f"{name} has no oracle — pick an oracle-checked query"
+    sdf = q.fn(spark, SF_DIR).toPandas()
+    odf = oracle_con.execute(q.oracle).fetchdf()
+    problems = compare(name, sdf, odf)
+    assert not problems, f"{name}: {problems}"

@@ -1,0 +1,112 @@
+"""Plan-shape regression tests — the 100 TB properties (PLANS.md).
+
+Correctness tests prove the numbers; these prove the PLANS: the
+physical plan shapes that make each operator viable at scale. If a
+refactor silently reintroduces a shuffle, a join, or an unpushed
+filter, these fail even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_glove_spark import api
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_h3_cooccurrence_has_no_join(spark):
+    """§4.3.1: the production co-occurrence path must be expression-only
+    — linear work, no self-join (the C6 join form is BNLJ, O(len²))."""
+    df = api.REGISTRY["h3_cooccurrence_topk"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan, f"co-occurrence plan contains a join:\n{plan}"
+    assert "Generate" in plan  # posexplode + neighbor expression
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """Filters must reach the parquet reader as PushedFilters, and the
+    scan schema must contain only referenced columns."""
+    df = api.REGISTRY["b2_filter_comparisons"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan" in plan or "In(" in plan
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "l_comment" not in read_schema  # untouched wide column stays unread
+
+
+def test_dimension_join_broadcasts(spark):
+    """C1: nation/region dims must broadcast — the fact side never
+    shuffles for dimension enrichment."""
+    df = api.REGISTRY["c1_broadcast_dim_join"].fn(spark, SF_DIR)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_topk_per_group_limits_map_side(spark):
+    """E2/§4.3.5: Spark 4's WindowGroupLimit must appear below the
+    exchange — each partition forwards ≤ k rows per key instead of
+    shuffling everything."""
+    df = api.REGISTRY["e2_topk_per_group"].fn(spark, SF_DIR)
+    assert "WindowGroupLimit" in _plan(df)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located (bucketed) joins: writing both sides bucketed by the
+    join key removes the per-query shuffle entirely — THE pattern for
+    repeated large⋈large joins at 100 TB. Asserts zero Exchange nodes
+    in the join plan."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    (
+        orders.write.bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "orders_b"))
+        .saveAsTable("orders_b")
+    )
+    (
+        lineitem.write.bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(tmp_path / "lineitem_b"))
+        .saveAsTable("lineitem_b")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the test exercises the co-located path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("orders_b")
+            .join(
+                spark.table("lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _plan(joined)
+        join_section = plan.split("HashAggregate")[-1]  # below the agg
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_section, (
+            f"bucketed join still shuffles:\n{plan}"
+        )
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_knn_probe_side_broadcasts(spark):
+    """H15: the probe set must broadcast; the corpus never moves."""
+    df = api.REGISTRY["h15_knn_bruteforce"].fn(spark, SF_DIR)
+    assert "BroadcastNestedLoopJoin" in _plan(df)
