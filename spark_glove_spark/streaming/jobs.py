@@ -80,5 +80,20 @@ def run_stream(sdf: DataFrame, output_mode: str) -> DataFrame:
     return sdf.sparkSession.table(name)
 
 
+def run_stream_foreach_batch(sdf: DataFrame, fn, output_mode: str = "update") -> None:
+    """A6 production form: per-microbatch delivery through
+    ``foreachBatch`` — ``fn(batch_df, epoch_id)`` receives each
+    micro-batch as a NORMAL DataFrame, so any batch sink (parquet,
+    JDBC, merge-into) works unchanged. availableNow: drains then
+    stops."""
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .foreachBatch(fn)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def events_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "events.parquet")

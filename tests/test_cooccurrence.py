@@ -70,3 +70,33 @@ def test_glove_weight_boundary(spark):
     r = df.collect()[0]
     assert abs(r.f99 - 0.99**0.75) < 1e-12
     assert r.f100 == 1.0 and r.f101 == 1.0
+
+
+def test_random_corpus_matches_bruteforce(spark):
+    """Randomized cross-check: the expression-form pipeline must equal
+    a brute-force pure-Python reference on an arbitrary corpus (30
+    docs, ragged lengths, repeated tokens), for several windows."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(3)
+    docs = [
+        (i, " ".join(rng.choice("abcdef") for _ in range(rng.randint(1, 40))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for window in (1, 3, 7):
+        expected: dict = defaultdict(float)
+        for _, text in docs:
+            toks = text.split(" ")
+            for p in range(len(toks)):
+                for q in range(p + 1, min(p + window, len(toks) - 1) + 1):
+                    key = tuple(sorted((toks[p], toks[q])))
+                    expected[key] += 1.0 / (q - p)
+        got = {
+            (r.wi, r.wj): r.x
+            for r in cooccurrence_matrix(df, window=window).collect()
+        }
+        assert set(got) == set(expected), f"pair sets differ at window={window}"
+        for k, v in expected.items():
+            assert abs(got[k] - v) < 1e-9, f"{k}@w{window}: {got[k]} vs {v}"

@@ -106,3 +106,37 @@ def test_session_window_membership(spark):
     out = run_stream(agg, "complete")
     sessions = {(r["session_window"].start.hour, r["n"]) for r in out.collect()}
     assert sessions == {(9, 3), (11, 1)}
+
+
+def test_foreach_batch_delivers_all_microbatches(spark, tmp_path):
+    """A6: foreachBatch sees every micro-batch exactly once; batch
+    row-counts sum to the source total."""
+    import os
+
+    from spark_glove_spark.sources import table
+    from spark_glove_spark.streaming.jobs import (
+        run_stream_foreach_batch,
+        stream_events,
+    )
+
+    e = table(spark, "/root/testdata/sf0.001", "events")
+    base = str(tmp_path / "replay")
+    for part in range(3):
+        e.where(F.pmod("event_id", F.lit(3)) == part).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, f"f{part}"))
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "*"))
+    )
+    seen: list[tuple[int, int]] = []
+    run_stream_foreach_batch(
+        sdf, lambda bdf, epoch: seen.append((epoch, bdf.count())), "append"
+    )
+    assert len(seen) >= 3, f"expected >=3 micro-batches, saw {seen}"
+    assert sum(n for _, n in seen) == e.count()
+    assert len({ep for ep, _ in seen}) == len(seen)  # distinct epochs
