@@ -110,3 +110,26 @@ def test_knn_probe_side_broadcasts(spark):
     """H15: the probe set must broadcast; the corpus never moves."""
     df = api.REGISTRY["h15_knn_bruteforce"].fn(spark, SF_DIR)
     assert "BroadcastNestedLoopJoin" in _plan(df)
+
+
+def test_partitioned_ann_corpus_prunes_at_scan(spark, tmp_path):
+    """H16 scale path: the bucketed corpus written partitionBy(bucket)
+    must give probe reads static partition pruning — only the probed
+    buckets' files are ever opened."""
+    from spark_glove_spark.operators.ann import lsh_bucketed
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = str(tmp_path / "ivf_corpus")
+    lsh_bucketed(e, n_planes=3).write.partitionBy("bucket").parquet(out)
+    probed = spark.read.parquet(out).where(F.col("bucket").isin(3, 5))
+    plan = _plan(probed)
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+    # input_file_name() reports the files ACTUALLY read at execution
+    # time, after pruning (inputFiles() lists the unpruned relation).
+    files = [
+        r[0] for r in probed.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files, "no files matched the probed buckets"
+    assert all(("bucket=3" in f) or ("bucket=5" in f) for f in files), (
+        "scan read files outside the probed buckets"
+    )
