@@ -390,3 +390,30 @@ def c6_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wi", "wj")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query(
+    "h17_bpe_token_count",
+    section="H17,G2",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+FROM documents
+""",
+)
+def h17_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways (north-star text-analysis item):
+    whitespace tokens vs a BPE-ish sub-word regex (letter runs, digit
+    runs, single punctuation marks — the portable core of the GPT-2
+    pre-tokenizer pattern, identical under Java regex and RE2 so the
+    oracle is exact). Budgeting training data by sub-word count instead
+    of whitespace count is the difference that matters at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    bpe = F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    return d.select(
+        "doc_id",
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+    )
