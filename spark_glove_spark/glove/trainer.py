@@ -80,6 +80,11 @@ class GloveConfig:
     iterations: int = 15
     seed: int = 42
     blocks: int = 32  # merge-block count; ≈ cluster cores at scale
+    # Max parameter-table size (words × dim) that still broadcasts in
+    # the per-iteration X ⋈ params join; above it the join falls back
+    # to the pre-partitioned shuffle path (SURVEY §4.3.3). Results are
+    # identical either way (tested); only the physical plan changes.
+    broadcast_max_weights: int = 2_000_000
 
 
 @dataclass
@@ -397,7 +402,7 @@ class Glove:
         # X's cached partitions. A 400k-word × 300-d vocab exceeds the
         # cap and falls back to the pre-partitioned shuffle join
         # (SURVEY.md §4.3.3).
-        broadcast_params = vocab_n * cfg.dim <= 2_000_000
+        broadcast_params = vocab_n * cfg.dim <= cfg.broadcast_max_weights
         # Effective parallelism scales with the co-occurrence matrix:
         # |X| ≤ vocab², and each block is a Python-worker round-trip per
         # iteration, so tiny corpora collapse to few partitions (fixed

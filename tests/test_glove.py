@@ -153,3 +153,39 @@ def test_model_save_load_roundtrip(spark, model, tmp_path):
     back = {r.word: tuple(r.vector) for r in loaded.vectors.collect()}
     assert orig == back
     assert loaded.find_synonyms("spark", 3).count() == 3
+
+
+def test_shuffle_join_path_matches_broadcast_path(docs):
+    """The 100 TB execution path (params too big to broadcast → the
+    pre-partitioned shuffle join, SURVEY §4.3.3) must produce EXACTLY
+    the same model as the broadcast path — physical strategy can never
+    change results. broadcast_max_weights=0 forces the fallback."""
+    def rounded(m):
+        return {
+            r.word: tuple(round(v, 9) for v in r.vector)
+            for r in m.vectors.collect()
+        }
+
+    bcast = Glove(iterations=3, **CFG).fit(docs)
+    shuffled = Glove(iterations=3, broadcast_max_weights=0, **CFG).fit(docs)
+    assert [round(x, 6) for x in bcast.losses] == [
+        round(x, 6) for x in shuffled.losses
+    ]
+    assert rounded(bcast) == rounded(shuffled)
+
+
+def test_max_vocab_truncates_to_top_frequency(spark, docs):
+    m = Glove(iterations=1, max_vocab=10, **{k: v for k, v in CFG.items()})\
+        .fit(docs)
+    words = {r.word for r in m.vectors.collect()}
+    assert len(words) == 10
+    top10 = {
+        r.w
+        for r in docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), "w")
+        .limit(10)
+        .collect()
+    }
+    assert words == top10
