@@ -14,10 +14,15 @@ def tokenize(text: Column | str) -> Column:
 
     The fixture corpus is space-delimited lowercase over a closed
     31-word vocabulary (FIXTURES.md), so ``split`` on a single space is
-    exact. For general corpora swap in ``F.split(F.lower(text),
+    exact there. Empty tokens (from leading/trailing/repeated spaces in
+    real corpora) are filtered — otherwise whitespace-only documents
+    emit '' tokens that pollute the vocabulary and co-occurrence matrix
+    (measured: "   " → X[('','')] = 4.0 before the filter). Order is
+    preserved, so downstream positions/distances are in clean-token
+    space. For general corpora swap in ``F.split(F.lower(text),
     r"\\s+")`` or MLlib ``RegexTokenizer`` — same downstream shape.
     """
-    return F.split(text, " ")
+    return F.filter(F.split(text, " "), lambda t: t != "")
 
 
 def remove_stopwords(tokens: Column, stopwords: list[str]) -> Column:

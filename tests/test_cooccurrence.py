@@ -100,3 +100,17 @@ def test_random_corpus_matches_bruteforce(spark):
         assert set(got) == set(expected), f"pair sets differ at window={window}"
         for k, v in expected.items():
             assert abs(got[k] - v) < 1e-9, f"{k}@w{window}: {got[k]} vs {v}"
+
+
+def test_degenerate_documents_are_clean(spark):
+    """Null / empty / whitespace-only docs must contribute nothing —
+    no '' tokens in the pair stream (real-corpus robustness; the
+    fixture corpus never exercises this)."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, None), (4, "   "), (5, " a  b ")],
+        "doc_id long, text string",
+    )
+    rows = {(r.wi, r.wj): r.x for r in cooccurrence_matrix(df, window=2).collect()}
+    assert all(w != "" for pair in rows for w in pair), f"empty tokens: {rows}"
+    # doc 5 collapses to [a, b] -> one d=1 pair on top of doc 1's pairs
+    assert rows[("a", "b")] == 2.0
