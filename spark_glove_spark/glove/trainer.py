@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from spark_glove_spark.functions.text import tokenize
 from spark_glove_spark.functions.vector import dot
 from spark_glove_spark.operators.cooccurrence import cooccurrence_matrix
 
@@ -133,7 +134,7 @@ class GloveModel:
         if broadcast_vectors:
             v = F.broadcast(v)
         words = docs.select(
-            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word")
         )
         dims = words.join(v, "word").select(
             id_col, F.posexplode("vector").alias("dim", "val")
@@ -194,7 +195,7 @@ def build_vocabulary(docs: DataFrame, cfg: GloveConfig) -> DataFrame:
     truncated to max_vocab. Global row_number over a vocab-sized table
     — single partition by design; the table is ≤ max_vocab rows."""
     counts = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .where(F.col("freq") >= cfg.min_count)
