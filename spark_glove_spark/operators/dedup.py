@@ -21,7 +21,7 @@ from spark_glove_spark.functions.hashing import (
     band_buckets,
     hamming64,
     minhash_signature,
-    simhash64,
+    simhash64_fast,
 )
 from spark_glove_spark.functions.text import shingles, tokenize
 from spark_glove_spark.functions.vector import dot, dot_sql
@@ -124,7 +124,7 @@ def h13_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-identical docs land within small Hamming distance."""
     d = table(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", simhash64(tokenize(F.col("text"))).alias("simhash")
+        "doc_id", simhash64_fast(tokenize(F.col("text"))).alias("simhash")
     )
 
 
@@ -136,7 +136,7 @@ def h13_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within blocks. Empty on the fixture corpus by construction."""
     d = table(spark, sf_dir, "documents")
     fp = d.select(
-        "doc_id", simhash64(tokenize(F.col("text"))).alias("simhash")
+        "doc_id", simhash64_fast(tokenize(F.col("text"))).alias("simhash")
     ).withColumn("block", F.shiftright("simhash", 48))
     a = fp.select(
         F.col("doc_id").alias("doc_a"),

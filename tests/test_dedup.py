@@ -148,3 +148,15 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     ap = {(r.probe_id, r.vec_id) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.45, f"IVF recall {recall:.2f} below floor"
+
+
+def test_simhash_fast_equals_expression_form(spark):
+    """The vectorized numpy vote-fold must produce bit-identical
+    fingerprints to the pure-expression reference form."""
+    from spark_glove_spark.functions.hashing import simhash64, simhash64_fast
+    from spark_glove_spark.functions.text import tokenize
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = {r.doc_id: r.s for r in d.select("doc_id", simhash64(tokenize(F.col("text"))).alias("s")).collect()}
+    fast = {r.doc_id: r.s for r in d.select("doc_id", simhash64_fast(tokenize(F.col("text"))).alias("s")).collect()}
+    assert ref == fast
