@@ -883,3 +883,32 @@ def f5_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("lang", "source", "doc_id")
     )
+
+
+@query(
+    "d2_percentiles",
+    section="D2,D1",
+    oracle="""
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents
+GROUP BY 1
+""",
+)
+def d2_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles — the length-distribution
+    profile every training-data pipeline needs. F.percentile is the
+    EXACT (sort-based) aggregate, matching DuckDB quantile_cont; at
+    100 TB switch to percentile_approx (GK sketch: constant memory,
+    rows-only vs an oracle)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        *[
+            F.round(
+                F.percentile("n_chars", F.lit(q)), 4
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
