@@ -912,3 +912,54 @@ def d2_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (0.5, 0.9, 0.99)
         ]
     )
+
+
+@query(
+    "d6_pivot",
+    section="D6",
+    oracle="""
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       round(coalesce(sum(value) FILTER (event_type = 'click'), 0), 2) AS click,
+       round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2) AS purchase,
+       round(coalesce(sum(value) FILTER (event_type = 'view'), 0), 2) AS view
+FROM events
+GROUP BY 1
+""",
+)
+def d6_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: weekly value totals spread across event-type columns.
+
+    The pivot values are EXPLICIT — without them Spark runs an extra
+    distinct scan to discover columns (a full pass at 100 TB) and the
+    output schema becomes data-dependent, which breaks both Catalyst
+    caching and the oracle contract."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week")
+        )
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
+        .na.fill(0.0, ["click", "purchase", "view"])
+    )
+
+
+@query(
+    "f6_unpivot",
+    section="F3,B1",
+    oracle="""
+SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS v FROM orders WHERE o_orderkey < 500
+UNION ALL
+SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS v
+FROM orders WHERE o_orderkey < 500
+""",
+)
+def f6_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide columns → (key, measure, value) rows — the
+    inverse reshaping (Spark 4 native `unpivot`; linear, no shuffle)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot("o_orderkey", ["totalprice", "custkey"], "measure", "v")
