@@ -60,3 +60,19 @@ def test_query_matches_oracle(spark, oracle_con, name):
     odf = oracle_con.execute(q.oracle).fetchdf()
     problems = compare(name, sdf, odf)
     assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", ["d1_pricing_summary", "g4_datetime", "i1_tumbling_window", "c8_asof_join"])
+def test_timestamp_queries_survive_non_utc_session(spark, oracle_con, name):
+    """The driver owns its SparkSession and may run any timezone; the
+    registry pins spark.sql.session.timeZone per query, so results must
+    match the oracle even from a session set to America/New_York.
+    (Validated against all 95 queries in round 1; pinned here on the
+    timestamp-heavy ones.)"""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "America/New_York")
+    q = api.REGISTRY[name]
+    sdf = q.fn(ns, SF_DIR).toPandas()
+    odf = oracle_con.execute(q.oracle).fetchdf()
+    problems = compare(name, sdf, odf)
+    assert not problems, f"{name}: {problems}"
