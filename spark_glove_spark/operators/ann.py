@@ -9,9 +9,10 @@ each bit of the probe's bucket — n_planes extra buckets ≈ +30-40%
 recall for ~n× bucket reads, still ≪ full scan).
 
 Rows-only to the driver (bucket membership is plan-seed-specific);
-tests/test_dedup.py asserts recall ≥ 0.4 vs the exact H15 baseline at
-16 buckets — and the recall/bucket-size tradeoff is the point of ANN,
-not exactness.
+tests/test_dedup.py asserts recall floors vs the exact H15 baseline
+(sign-LSH ≥ 0.35 on unclustered random vectors; IVF ≥ 0.45, measured
+0.64, on the label-clustered fixture) — the recall/candidate-budget
+tradeoff is the point of ANN, not exactness.
 """
 
 from __future__ import annotations
