@@ -324,3 +324,62 @@ def i7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
     return run_stream(agg, "complete")
+
+
+@query(
+    "i8_stream_stream_join",
+    section="I2,I4,C9",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_ms(p.ts) - epoch_ms(c.ts) AS ms_to_purchase
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def i8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream inner join: clicks ⋈ purchases by the same user
+    within the following hour, both sides watermarked.
+
+    The time-bound predicate + watermarks make the join state FINITE —
+    each side buffers only rows younger than watermark + bound; without
+    them a stream-stream join must buffer both streams forever. With an
+    exhaustive availableNow replay the result equals the batch interval
+    join exactly (the oracle); on a live feed the same plan drops
+    state older than 10 min + 1 h."""
+    ev = stream_events(spark, events_path(sf_dir))
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = run_stream(joined, "append")
+    return out.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("ms_to_purchase"),
+    )
