@@ -963,3 +963,42 @@ def f6_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("totalprice"),
         F.col("o_custkey").cast("double").alias("custkey"),
     ).unpivot("o_orderkey", ["totalprice", "custkey"], "measure", "v")
+
+
+@query(
+    "c2_sql_tpch_q3",
+    section="C2,C1,D1,F2",
+    oracle="""
+SELECT l.l_orderkey AS orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1, 3
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+""",
+)
+def c2_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through the pure-SQL entry point (`spark.sql`
+    over registered views) — same Catalyst plan as the DataFrame API,
+    proving the engine's full SQL surface. LIMIT is deterministic via
+    the unique (revenue, orderkey) sort key."""
+    for t in ("customer", "orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"sgs_{t}")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey AS orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate
+        FROM sgs_customer c
+        JOIN sgs_orders o ON c.c_custkey = o.o_custkey
+        JOIN sgs_lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY 1, 3
+        ORDER BY revenue DESC, orderkey
+        LIMIT 10
+        """
+    )
