@@ -10,7 +10,7 @@ expression form in cooccurrence.py is the scale path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_glove_spark.functions.text import remove_stopwords, shingles, tokenize
@@ -416,4 +416,67 @@ def h17_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(bpe).cast("long").alias("n_bpe_tokens"),
         F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "f7_deterministic_split",
+    section="F5,G7,B5",
+    oracle="""
+SELECT CASE WHEN substring(sha256(CAST(doc_id AS VARCHAR)), 1, 1)
+                 IN ('0', '1') THEN 'val'
+            ELSE 'train' END AS split,
+       lang,
+       count(*) AS n
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def f7_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/val split — the training-data-pipeline
+    way to sample: membership is a pure function of the row key
+    (first sha256 nibble ∈ {0,1} → ~1/8 'val'), so the split is
+    reproducible across engines, runs, partitionings, and data
+    re-orderings — none of which is true of rand()-based sampling."""
+    d = table(spark, sf_dir, "documents")
+    nibble = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 1)
+    return (
+        d.withColumn(
+            "split",
+            F.when(nibble.isin("0", "1"), "val").otherwise("train"),
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "h17_stratified_sample",
+    section="H17,E2,G7",
+    oracle="""
+SELECT lang, doc_id
+FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= 20
+""",
+)
+def h17_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: exactly 20 docs per language,
+    chosen by hash order (uniform within stratum, reproducible).
+    Balancing strata this way is how a 100 TB corpus gets a fixed-size
+    per-language eval set; WindowGroupLimit keeps it map-side bounded."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+        .select("lang", "doc_id")
     )
