@@ -76,3 +76,21 @@ def test_timestamp_queries_survive_non_utc_session(spark, oracle_con, name):
     odf = oracle_con.execute(q.oracle).fetchdf()
     problems = compare(name, sdf, odf)
     assert not problems, f"{name}: {problems}"
+
+
+SLOW_PREFIXES = ("h5_", "h13_", "h16_", "i1", "i2", "i3", "i4", "i5", "i6", "i7", "i8", "h6_", "mm_feature")
+
+
+def test_every_registered_query_executes(spark):
+    """Registry-wide smoke at sf0.001: every declared query must build
+    and execute (the expensive sketch/training/streaming ones are
+    exercised by their own dedicated tests and skipped here)."""
+    failures = []
+    for name, q in api.REGISTRY.items():
+        if name.startswith(SLOW_PREFIXES):
+            continue
+        try:
+            q.fn(spark, SF_DIR).count()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {e}")
+    assert not failures, "\n".join(failures)
