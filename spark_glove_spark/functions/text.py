@@ -52,3 +52,15 @@ def content_hash(text: Column | str) -> Column:
     """G7/H12: stable normalized content hash for exact near-dup keys."""
     normalized = F.trim(F.lower(text))
     return F.sha2(normalized, 256)
+
+
+def tokens_expr(df, text_col: str) -> Column:
+    """The token-array expression for ``text_col``: pass through an
+    already-tokenized ``array<string>`` column, tokenize a raw string
+    column — so every text operator accepts both corpus shapes."""
+    from pyspark.sql import types as T
+
+    dtype = df.schema[text_col].dataType
+    if isinstance(dtype, T.ArrayType):
+        return F.col(text_col)
+    return tokenize(F.col(text_col))

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from spark_glove_spark.functions.text import tokenize
+from spark_glove_spark.functions.text import tokens_expr
 from spark_glove_spark.functions.vector import dot
 from spark_glove_spark.operators.cooccurrence import cooccurrence_matrix
 
@@ -134,7 +134,7 @@ class GloveModel:
         if broadcast_vectors:
             v = F.broadcast(v)
         words = docs.select(
-            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word")
+            F.col(id_col), F.explode(tokens_expr(docs, text_col)).alias("word")
         )
         dims = words.join(v, "word").select(
             id_col, F.posexplode("vector").alias("dim", "val")
@@ -190,12 +190,14 @@ class GloveModel:
         )
 
 
-def build_vocabulary(docs: DataFrame, cfg: GloveConfig) -> DataFrame:
+def build_vocabulary(
+    docs: DataFrame, cfg: GloveConfig, text_col: str = "text"
+) -> DataFrame:
     """D8: word → (freq, 0-based id), frequency-ranked (paper §4.2),
     truncated to max_vocab. Global row_number over a vocab-sized table
     — single partition by design; the table is ≤ max_vocab rows."""
     counts = (
-        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        docs.select(F.explode(tokens_expr(docs, text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .where(F.col("freq") >= cfg.min_count)
@@ -209,14 +211,14 @@ def build_vocabulary(docs: DataFrame, cfg: GloveConfig) -> DataFrame:
 
 
 def build_cooccurrence(
-    docs: DataFrame, vocab: DataFrame, cfg: GloveConfig
+    docs: DataFrame, vocab: DataFrame, cfg: GloveConfig, text_col: str = "text"
 ) -> DataFrame:
     """H3+D9 on vocab ids, symmetrized to the ordered-pair matrix the
     reference trains on: for i≠j both (i,j,x) and (j,i,x); the diagonal
     carries 2x (each unordered self-co-occurrence event updates the
     same cell twice in the reference's scan). Precomputes ln(x) and
     f(x) once — they are loop invariants."""
-    x_words = cooccurrence_matrix(docs, window=cfg.window)
+    x_words = cooccurrence_matrix(docs, window=cfg.window, text_col=text_col)
     vi = vocab.select(F.col("word").alias("wi"), F.col("id").alias("i"))
     vj = vocab.select(F.col("word").alias("wj"), F.col("id").alias("j"))
     x_ids = (
@@ -386,9 +388,11 @@ class Glove:
     def __init__(self, **kwargs):
         self.config = GloveConfig(**kwargs)
 
-    def fit(self, docs: DataFrame) -> GloveModel:
+    def fit(self, docs: DataFrame, text_col: str = "text") -> GloveModel:
+        """text_col: raw string column (tokenized internally) or a
+        pre-tokenized array<string> column — both corpus shapes work."""
         cfg = self.config
-        vocab = build_vocabulary(docs, cfg)
+        vocab = build_vocabulary(docs, cfg, text_col)
         vocab.persist(StorageLevel.MEMORY_AND_DISK)
         vocab_n = vocab.count()
         if vocab_n == 0:
@@ -412,7 +416,7 @@ class Glove:
         blocks = max(1, min(cfg.blocks, vocab_n * vocab_n // 100_000 + 1))
 
         x = (
-            build_cooccurrence(docs, vocab, cfg)
+            build_cooccurrence(docs, vocab, cfg, text_col)
             .repartition(blocks, "i")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )

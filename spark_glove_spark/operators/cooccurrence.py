@@ -30,9 +30,22 @@ from spark_glove_spark.functions.text import tokenize
 
 
 def token_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """H1 + posexplode: (doc_id, pos, word, tokens, n) rows."""
+    """H1 + posexplode: (doc_id, pos, word, tokens, n) rows.
+
+    ``text_col`` may be a raw string column (tokenized here) or an
+    already-tokenized ``array<string>`` column (used as-is) — the
+    pre-tokenized form is the reference-style input for corpora that
+    ship as token sequences."""
+    from pyspark.sql import types as T
+
+    dtype = docs.schema[text_col].dataType
+    toks_expr = (
+        F.col(text_col)
+        if isinstance(dtype, T.ArrayType)
+        else tokenize(F.col(text_col))
+    )
     toks = docs.select(
-        "doc_id", tokenize(F.col(text_col)).alias("tokens")
+        "doc_id", toks_expr.alias("tokens")
     ).withColumn("n", F.size("tokens"))
     return toks.select(
         "doc_id",

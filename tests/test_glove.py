@@ -189,3 +189,14 @@ def test_max_vocab_truncates_to_top_frequency(spark, docs):
         .collect()
     }
     assert words == top10
+
+
+def test_fit_accepts_pretokenized_corpus(spark, docs):
+    """A pre-tokenized array<string> corpus must train to the exact
+    same model as the raw-text corpus it came from."""
+    pre = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    m_text = Glove(iterations=2, **CFG).fit(docs)
+    m_tok = Glove(iterations=2, **CFG).fit(pre, text_col="tokens")
+    a = {r.word: tuple(round(v, 9) for v in r.vector) for r in m_text.vectors.collect()}
+    b = {r.word: tuple(round(v, 9) for v in r.vector) for r in m_tok.vectors.collect()}
+    assert a == b
