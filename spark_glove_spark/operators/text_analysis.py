@@ -480,3 +480,34 @@ def h17_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("lang", "doc_id")
     )
+
+
+@query(
+    "h17_rolling_fingerprint",
+    section="H17,G5,G8",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(
+               CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT))
+           ),
+           (acc, c) -> (acc * 31 + c) % 1000000007
+       ) AS fingerprint
+FROM documents
+""",
+)
+def h17_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (north-star text-analysis
+    item): the Rabin-Karp polynomial hash acc = (acc·31 + byte) mod p
+    folded over the document's characters — a single expression-only
+    pass, engine-portable (exact DuckDB oracle). The same recurrence,
+    windowed, is the basis of content-defined chunking for dedup."""
+    d = table(spark, sf_dir, "documents")
+    rh = F.aggregate(
+        F.split(F.col("text"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % 1_000_000_007,
+    )
+    return d.select("doc_id", rh.alias("fingerprint"))
