@@ -111,3 +111,41 @@ def c9_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_millis("e_ts") - F.unix_millis("s_ts")).alias("ms_after_signup"),
         )
     )
+
+
+def interval_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_start,
+    left_end,
+    right_ts,
+    bin_width_ms: int = 3_600_000,
+) -> DataFrame:
+    """Keyless interval join at scale: right rows whose ``right_ts``
+    falls in the left row's [start, end).
+
+    Spark plans a keyless range predicate as BroadcastNestedLoopJoin —
+    O(|L|·|R|). This form manufactures an equi-key: left intervals
+    explode to every time bin they overlap (bounded fan-out when
+    interval length is bounded), right rows land in exactly one bin,
+    and the join becomes a hash join on bin + a precise range filter.
+    Each (interval, event) pair meets in exactly one bin, so no dedup
+    is needed. Pick bin_width ≈ the typical interval length: fan-out
+    stays ≤ 2 and bin cardinality ∝ time span / width.
+    """
+    w = F.lit(bin_width_ms)
+    lb = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_millis(left_start) / w),
+                F.floor((F.unix_millis(left_end) - 1) / w),
+            )
+        ),
+    )
+    rb = right.withColumn("__bin", F.floor(F.unix_millis(right_ts) / w))
+    return (
+        lb.join(rb, "__bin")
+        .where((right_ts >= left_start) & (right_ts < left_end))
+        .drop("__bin")
+    )

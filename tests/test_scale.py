@@ -133,3 +133,30 @@ def test_partitioned_ann_corpus_prunes_at_scan(spark, tmp_path):
     assert all(("bucket=3" in f) or ("bucket=5" in f) for f in files), (
         "scan read files outside the probed buckets"
     )
+
+
+def test_binned_interval_join_matches_naive_and_avoids_bnlj(spark):
+    """Keyless range join: the binned equi-key form must return exactly
+    the naive BNLJ's pairs while planning as a hash join."""
+    from spark_glove_spark.operators.temporal import interval_join_binned
+    from spark_glove_spark.sources import table
+
+    e = table(spark, SF_DIR, "events")
+    s = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sid"),
+        F.col("ts").alias("s_ts"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("s_end"),
+    )
+    err = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"), F.col("ts").alias("e_ts")
+    )
+    naive = (
+        s.crossJoin(err)
+        .where((F.col("e_ts") >= F.col("s_ts")) & (F.col("e_ts") < F.col("s_end")))
+        .select("sid", "eid")
+    )
+    binned = interval_join_binned(
+        s, err, F.col("s_ts"), F.col("s_end"), F.col("e_ts")
+    ).select("sid", "eid")
+    assert {tuple(r) for r in naive.collect()} == {tuple(r) for r in binned.collect()}
+    assert "BroadcastNestedLoopJoin" not in _plan(binned)
