@@ -152,3 +152,50 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_id",
         F.ceil(n / 10.0).cast("long").alias("n_frames"),
     )
+
+
+def _resize_kernel(stride: int):
+    """Stride-downsample of the payload — the deterministic stand-in
+    for a codec resize (PIL/libvips plugs in here; batch shape, schema
+    and memory profile are identical to the real thing)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"item_id": [], "content_resized": [], "n_bytes_in": [], "n_bytes_out": []}
+            for item_id, content in zip(pdf["item_id"], pdf["content"]):
+                b = bytes(content)
+                small = b[::stride]
+                out["item_id"].append(int(item_id))
+                out["content_resized"].append(small)
+                out["n_bytes_in"].append(len(b))
+                out["n_bytes_out"].append(len(small))
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+@query(
+    "mm_resize",
+    section="J5,G5",
+    oracle="""
+SELECT doc_id AS item_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
+       CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_bytes_out
+FROM documents
+WHERE doc_id % 3 = 0
+""",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize for 'image' items: stride-4 downsample via mapInPandas.
+    The resized payload stays binary-side (never shuffled, never
+    compared); the size arithmetic — ceil(n/4) — is oracle-checked, so
+    the kernel's input/output contract is verified even though the
+    codec itself is a stub (no image libs in this container)."""
+    m = media_table(spark, sf_dir).where(F.col("media_type") == "image")
+    out = m.select("item_id", "content").mapInPandas(
+        _resize_kernel(4),
+        schema="item_id long, content_resized binary, n_bytes_in long, n_bytes_out long",
+    )
+    return out.select("item_id", "n_bytes_in", "n_bytes_out")
