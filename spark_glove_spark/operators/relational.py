@@ -1002,3 +1002,37 @@ def c2_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+@query(
+    "c4_correlated_subquery",
+    section="C4,D1",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS totalprice
+FROM orders o
+WHERE o.o_totalprice > (
+    SELECT 1.5 * avg(o2.o_totalprice)
+    FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+""",
+)
+def c4_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — orders 1.5× above their customer's
+    own average. Catalyst decorrelates this into an aggregate + join
+    (RewriteCorrelatedScalarSubquery, SURVEY §4.1): the subquery runs
+    ONCE as a grouped aggregate, not per outer row — which is the only
+    viable plan at 100 TB. Declared through `spark.sql` so the
+    decorrelation rule itself is exercised."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("sgs_orders_c4")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS totalprice
+        FROM sgs_orders_c4 o
+        WHERE o.o_totalprice > (
+            SELECT 1.5 * avg(o2.o_totalprice)
+            FROM sgs_orders_c4 o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
