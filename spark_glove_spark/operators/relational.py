@@ -1036,3 +1036,29 @@ def c4_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "d2_stats_agg",
+    section="D2,D1,G5",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+       round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+       round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_covar
+FROM lineitem
+GROUP BY 1
+""",
+)
+def d2_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / stddev / covariance) per group —
+    single-pass streaming moments (partial+final like any hash agg), so
+    they scale exactly like sum/avg."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
+            "price_qty_covar"
+        ),
+    )

@@ -1,0 +1,68 @@
+"""Unit tests for the parity comparator itself (tools/paritycheck.py).
+
+The whole correctness story rests on `compare` actually catching
+mismatches — these prove the gate can fail, not just pass.
+No Spark needed: pure pandas in, problem list out.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+)
+
+from paritycheck import compare  # noqa: E402
+
+
+def test_identical_frames_pass():
+    a = pd.DataFrame({"k": [1, 2], "v": [1.5, 2.5]})
+    assert compare("t", a, a.copy()) == []
+
+
+def test_row_order_and_column_order_insensitive():
+    a = pd.DataFrame({"k": [1, 2], "v": [1.5, 2.5]})
+    b = pd.DataFrame({"v": [2.5, 1.5], "k": [2, 1]})
+    assert compare("t", a, b) == []
+
+
+def test_value_mismatch_caught():
+    a = pd.DataFrame({"k": [1], "v": [1.5]})
+    b = pd.DataFrame({"k": [1], "v": [1.6]})
+    assert compare("t", a, b)
+
+
+def test_row_count_mismatch_caught():
+    a = pd.DataFrame({"k": [1, 2]})
+    b = pd.DataFrame({"k": [1]})
+    assert compare("t", a, b)
+
+
+def test_column_name_mismatch_caught():
+    a = pd.DataFrame({"k": [1], "sum_qty": [2.0]})
+    b = pd.DataFrame({"k": [1], "sum(l_quantity)": [2.0]})
+    assert compare("t", a, b)
+
+
+def test_array_values_compared_elementwise():
+    a = pd.DataFrame({"k": [1], "arr": [[1.0, 2.0]]})
+    b_same = pd.DataFrame({"k": [1], "arr": [[1.0, 2.0]]})
+    b_diff = pd.DataFrame({"k": [1], "arr": [[2.0, 1.0]]})
+    assert compare("t", a, b_same) == []
+    assert compare("t", a, b_diff)
+
+
+def test_nan_equals_nan():
+    a = pd.DataFrame({"v": [float("nan")]})
+    assert compare("t", a, a.copy()) == []
+
+
+def test_float_noise_below_round9_tolerated():
+    a = pd.DataFrame({"v": [0.1234567891]})
+    b = pd.DataFrame({"v": [0.1234567894]})
+    assert compare("t", a, b) == []
