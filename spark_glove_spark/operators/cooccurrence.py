@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spark_glove_spark.functions.text import tokenize
+from spark_glove_spark.sources import parallelized
 
 
 def token_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -44,8 +45,8 @@ def token_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
         if isinstance(dtype, T.ArrayType)
         else tokenize(F.col(text_col))
     )
-    toks = docs.select(
-        "doc_id", toks_expr.alias("tokens")
+    toks = parallelized(
+        docs.select("doc_id", toks_expr.alias("tokens"))
     ).withColumn("n", F.size("tokens"))
     return toks.select(
         "doc_id",

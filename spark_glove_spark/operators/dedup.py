@@ -26,7 +26,7 @@ from spark_glove_spark.functions.hashing import (
 from spark_glove_spark.functions.text import shingles, tokenize
 from spark_glove_spark.functions.vector import dot, dot_sql
 from spark_glove_spark.registry import query
-from spark_glove_spark.sources import table
+from spark_glove_spark.sources import parallelized, table
 
 N_HASHES = 16
 N_BANDS = 4
@@ -40,7 +40,7 @@ def shingle_sets(
     shared input of both the MinHash sketch and the exact-Jaccard
     verify. Callers that use it twice should persist it; shingling is
     the dominant per-document cost."""
-    return docs.select(
+    return parallelized(docs.select("doc_id", text_col)).select(
         "doc_id",
         F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_k)).alias(
             "shingles"
@@ -122,7 +122,7 @@ def h13_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     engine-specific). Deterministic across runs; tests assert
     near-identical docs land within small Hamming distance."""
-    d = table(spark, sf_dir, "documents")
+    d = parallelized(table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", simhash64_fast(tokenize(F.col("text"))).alias("simhash")
     )
@@ -135,7 +135,7 @@ def h13_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups almost always agree there), verify full Hamming ≤ 6
     within blocks. On the fixture corpus this recovers the planted
     near-duplicate pairs (38 pairs at sf0.01)."""
-    d = table(spark, sf_dir, "documents")
+    d = parallelized(table(spark, sf_dir, "documents"))
     fp = d.select(
         "doc_id", simhash64_fast(tokenize(F.col("text"))).alias("simhash")
     ).withColumn("block", F.shiftright("simhash", 48))

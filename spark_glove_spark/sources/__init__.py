@@ -1,3 +1,3 @@
-from spark_glove_spark.sources.tables import table, write_parquet
+from spark_glove_spark.sources.tables import parallelized, table, write_parquet
 
-__all__ = ["table", "write_parquet"]
+__all__ = ["parallelized", "table", "write_parquet"]
