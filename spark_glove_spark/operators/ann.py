@@ -23,13 +23,14 @@ from pyspark.sql import functions as F
 from spark_glove_spark.functions.hashing import hyperplane_bucket, random_hyperplanes
 from spark_glove_spark.functions.vector import dot
 from spark_glove_spark.registry import query
-from spark_glove_spark.sources import table
+from spark_glove_spark.sources import parallelized, table
 
 DIM = 64
 
 
 def lsh_bucketed(vectors: DataFrame, n_planes: int = 4, seed: int = 42) -> DataFrame:
     planes = random_hyperplanes(n_planes, DIM, seed)
+    vectors = parallelized(vectors)
     return vectors.withColumn(
         "bucket", hyperplane_bucket(F.col("embedding"), planes)
     )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from spark_glove_spark.functions.vector import dot, dot_sql, vec_add, vec_sub
 from spark_glove_spark.registry import query
-from spark_glove_spark.sources import table
+from spark_glove_spark.sources import parallelized, table
 
 
 @query(
@@ -203,8 +203,10 @@ def h15_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("q")
     )
+    # corpus side fans out first: the fixture file is one unsplittable
+    # row group, and the scoring work is per-(corpus row x probe)
     scored = (
-        e.crossJoin(F.broadcast(probes))
+        parallelized(e).crossJoin(F.broadcast(probes))
         .where(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",

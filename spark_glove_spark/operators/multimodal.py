@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_glove_spark.registry import query
-from spark_glove_spark.sources import table
+from spark_glove_spark.sources import parallelized, table
 
 MEDIA_TYPES = ["image", "audio", "video"]
 
@@ -39,7 +39,7 @@ MEDIA_TYPES = ["image", "audio", "video"]
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesized media table: (item_id, media_type, content binary,
     meta struct). Deterministic — derived from the documents fixture."""
-    d = table(spark, sf_dir, "documents")
+    d = parallelized(table(spark, sf_dir, "documents"))
     mt = F.element_at(
         F.array(*[F.lit(t) for t in MEDIA_TYPES]),
         (F.col("doc_id") % 3 + 1).cast("int"),
