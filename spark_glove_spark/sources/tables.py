@@ -30,6 +30,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "documents":
+        # Every consumer of the corpus does per-row-expensive work
+        # (tokenize/shingle/hash/explode). The fixture file is one
+        # unsplittable row group, so fan out here; filters and column
+        # pruning still push through the repartition to the scan
+        # (verified in tests/test_scale.py), and this is a no-op when
+        # the corpus arrives as many files.
+        return parallelized(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        )
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))

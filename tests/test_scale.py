@@ -160,3 +160,13 @@ def test_binned_interval_join_matches_naive_and_avoids_bnlj(spark):
     ).select("sid", "eid")
     assert {tuple(r) for r in naive.collect()} == {tuple(r) for r in binned.collect()}
     assert "BroadcastNestedLoopJoin" not in _plan(binned)
+
+
+def test_pushdown_survives_corpus_fanout(spark):
+    """documents reads go through a repartition (sources/tables.py) —
+    Catalyst must still push filters and pruning through it to the
+    scan."""
+    df = api.REGISTRY["a2_corpus_source"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [In(lang" in plan or "In(lang" in plan.split("PushedFilters")[1][:200]
+    assert "text" not in plan.split("ReadSchema:")[1].split("\n")[0]
