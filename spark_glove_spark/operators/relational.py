@@ -1062,3 +1062,33 @@ def d2_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_qty_covar"
         ),
     )
+
+
+@query(
+    "d6_grouping_sets",
+    section="D6",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def d6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: explicit GROUPING SETS — per-status totals, per-priority
+    totals, and the grand total in ONE pass (Expand + single shuffle),
+    instead of three scans unioned. Fixture columns are never NULL, so
+    coalesce labels the super-aggregate rows unambiguously."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("sgs_orders_d6")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM sgs_orders_d6
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
