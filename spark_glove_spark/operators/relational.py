@@ -596,15 +596,17 @@ SELECT o_custkey AS custkey, o_orderkey AS orderkey,
        CAST(row_number() OVER w AS BIGINT) AS rn,
        CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS BIGINT)
          AS status_rank,
+       CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS BIGINT)
+         AS status_dense_rank,
        CAST(ntile(4) OVER w AS BIGINT) AS quartile
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey)
 """,
 )
 def e1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1: row_number / rank / ntile. One shuffle on the partition key
+    """E1: row_number / rank / dense_rank / ntile. One shuffle on the
 
-    serves all three (same window spec reuse)."""
+    partition key serves all four (window spec reuse)."""
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").desc(), F.col("o_orderkey")
@@ -615,6 +617,7 @@ def e1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("orderkey"),
         F.row_number().over(w).cast("long").alias("rn"),
         F.rank().over(ws).cast("long").alias("status_rank"),
+        F.dense_rank().over(ws).cast("long").alias("status_dense_rank"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
