@@ -662,18 +662,25 @@ def e2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, event_id,
        lag(event_type) OVER w AS prev_type,
        lead(event_type) OVER w AS next_type,
-       epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS ms_since_prev
+       epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS ms_since_prev,
+       first_value(event_type) OVER wf AS first_type,
+       last_value(event_type) OVER wf AS last_type
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
 )
 def e3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3: lag/lead over per-user event time. Millisecond epochs on
+    """E3: lag/lead/first/last over per-user event time. Millisecond
 
-    both sides: integer-typed, TZ-proof, and floor-consistent between
-    Spark (µs-truncated timestamps) and DuckDB (ns)."""
+    epochs on both sides: integer-typed, TZ-proof, and floor-consistent
+    between Spark (µs-truncated timestamps) and DuckDB (ns). first/last
+    use the explicit full-partition frame — the default frame ends at
+    CURRENT ROW, which silently turns last_value into "current"."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ts_ms = F.unix_millis("ts")
     return e.select(
         "user_id",
@@ -681,6 +688,8 @@ def e3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
         (ts_ms - F.lag(ts_ms).over(w)).alias("ms_since_prev"),
+        F.first("event_type").over(wf).alias("first_type"),
+        F.last("event_type").over(wf).alias("last_type"),
     )
 
 
@@ -695,14 +704,21 @@ SELECT o_custkey AS custkey, o_orderkey AS orderkey,
        round(avg(o_totalprice) OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate, o_orderkey
                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
-         AS moving_avg_3
+         AS moving_avg_3,
+       CAST(count(*) OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice
+                           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_within_10k_below
 FROM orders
 """,
 )
 def e4_running_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4: cumulative and moving-frame aggregates."""
+    """E4: cumulative (ROWS UNBOUNDED PRECEDING), moving (ROWS 2
+    PRECEDING), and value-range (RANGE 10000 PRECEDING) frames — the
+    RANGE frame is peer-inclusive so it is deterministic under ties."""
     o = table(spark, sf_dir, "orders")
     wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = Window.partitionBy("o_custkey").orderBy("o_totalprice")
     return o.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
@@ -713,6 +729,9 @@ def e4_running_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.avg("o_totalprice").over(wo.rowsBetween(-2, 0)), 4
         ).alias("moving_avg_3"),
+        F.count(F.lit(1))
+        .over(wr.rangeBetween(-10000, 0))
+        .alias("n_within_10k_below"),
     )
 
 
