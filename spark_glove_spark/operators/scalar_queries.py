@@ -179,15 +179,17 @@ SELECT doc_id,
        CAST(list_contains(toks, 'spark') AS BIGINT) AS has_spark,
        CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
        array_to_string(list_sort(list_distinct(list_slice(toks, 1, 5))), ',')
-         AS first5_sorted
+         AS first5_sorted,
+       array_to_string(flatten([list_slice(toks, 1, 2), list_slice(toks, 3, 4)]), ' ')
+         AS first4_via_flatten,
+       CAST(list_sum(generate_series(1, len(toks))) AS BIGINT) AS pos_sum
 FROM t
 """,
 )
 def g6_array_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G6: element_at/slice/contains/distinct/sort_array — the token-
-
-    stream toolkit. Arrays are folded to strings for hash-stable
-    output."""
+    """G6: element_at/slice/contains/distinct/sort_array/flatten/
+    sequence — the token-stream toolkit. Arrays are folded to strings
+    or exact ints for hash-stable output."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
@@ -197,6 +199,14 @@ def g6_array_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
         F.array_contains(toks, "spark").cast("long").alias("has_spark"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.concat_ws(
+            " ", F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2)))
+        ).alias("first4_via_flatten"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.size(toks)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("pos_sum"),
         F.concat_ws(",", F.sort_array(F.array_distinct(F.slice(toks, 1, 5)))).alias(
             "first5_sorted"
         ),
