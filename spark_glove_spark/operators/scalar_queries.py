@@ -275,21 +275,29 @@ def g8_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        count(*) AS n,
+       count(*) AS n_struct_parse_match,
        round(sum(value), 2) AS total_value
 FROM events
 GROUP BY 1
 """,
 )
 def g9_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G9: JSON field extraction from event props, then aggregate."""
+    """G9: JSON extraction both ways — path-at-a-time
+    (get_json_object) and schema-full parse (from_json, the 100 TB
+    route: ONE parse per row however many fields you read). The two
+    must agree on every row (n_struct_parse_match == n, oracle-checked
+    against a plain count)."""
     e = table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k LONG")
     return (
-        e.withColumn(
-            "k", F.get_json_object("props", "$.k").cast("long")
-        )
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .withColumn("k_struct", parsed.getField("k"))
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("k_struct").eqNullSafe(F.col("k")), 1)).alias(
+                "n_struct_parse_match"
+            ),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
