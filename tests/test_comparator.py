@@ -66,3 +66,47 @@ def test_float_noise_below_round9_tolerated():
     a = pd.DataFrame({"v": [0.1234567891]})
     b = pd.DataFrame({"v": [0.1234567894]})
     assert compare("t", a, b) == []
+
+
+# --- property-based fuzzing (hypothesis) --------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _cell = st.one_of(
+        st.integers(-10**6, 10**6),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.text(max_size=8),
+        st.none(),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        rows=st.lists(st.tuples(_cell, _cell), min_size=1, max_size=20),
+        seed=st.integers(0, 2**16),
+    )
+    def test_compare_is_permutation_invariant(rows, seed):
+        """Any row/column permutation of a frame must compare equal to
+        the original — the driver's check is order-insensitive."""
+        import random as _random
+
+        a = pd.DataFrame(rows, columns=["x", "y"])
+        shuffled = list(rows)
+        _random.Random(seed).shuffle(shuffled)
+        b = pd.DataFrame(shuffled, columns=["x", "y"])[["y", "x"]]
+        assert compare("t", a, b) == []
+
+    @settings(max_examples=200, deadline=None)
+    @given(rows=st.lists(st.tuples(st.integers(-100, 100)), min_size=1, max_size=10))
+    def test_compare_catches_any_single_cell_change(rows):
+        """Changing one integer cell must always be caught."""
+        a = pd.DataFrame(rows, columns=["x"])
+        b = a.copy()
+        b.loc[0, "x"] = b.loc[0, "x"] + 1
+        assert compare("t", a, b)
