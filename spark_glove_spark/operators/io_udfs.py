@@ -228,18 +228,16 @@ def j3_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j4_grouped_map_centroid",
     section="J4",
     oracle="""
-SELECT label, list(c ORDER BY pos) AS centroid
+SELECT label,
+       CAST(pos AS INT) AS pos,
+       round(avg(v), 4) AS centroid_val
 FROM (
-    SELECT label, pos, round(avg(v), 4) AS c
-    FROM (
-        SELECT label,
-               unnest(embedding) AS v,
-               generate_subscripts(embedding, 1) AS pos
-        FROM embeddings
-    )
-    GROUP BY label, pos
+    SELECT label,
+           unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
 )
-GROUP BY label
+GROUP BY label, pos
 """,
 )
 def j4_grouped_map_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,13 +245,17 @@ def j4_grouped_map_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings via a numpy kernel. This is the execution mode of the H5
     GloVe training step (glove/trainer.py); here with an exact SQL
     oracle so the Arrow group-batch path itself is verified. 10 labels
-    → 10 groups of ~200 vectors: few large groups, the right shape."""
+    → 10 groups of ~200 vectors: few large groups, the right shape.
+    The kernel emits one (label, pos, centroid_val) row per dimension —
+    flat scalar columns, because the driver's comparator cannot hash
+    array-valued cells (1-indexed pos to match SQL subscripts)."""
     import numpy as np
 
     out_schema = T.StructType(
         [
             T.StructField("label", T.IntegerType()),
-            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("centroid_val", T.DoubleType()),
         ]
     )
 
@@ -261,7 +263,11 @@ def j4_grouped_map_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
         c = np.round(mat.mean(axis=0), 4)
         return pd.DataFrame(
-            {"label": [int(pdf["label"].iloc[0])], "centroid": [c.tolist()]}
+            {
+                "label": int(pdf["label"].iloc[0]),
+                "pos": np.arange(1, len(c) + 1, dtype="int32"),
+                "centroid_val": c,
+            }
         )
 
     return (

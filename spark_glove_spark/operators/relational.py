@@ -539,17 +539,24 @@ def d6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="D7",
     oracle="""
 SELECT c_nationkey AS nationkey,
-       list_sort(list(DISTINCT c_mktsegment)) AS segments
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
 FROM customer
 GROUP BY 1
 """,
 )
 def d7_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D7: array-valued aggregate, sort_array for deterministic hashing."""
+    """D7: array-valued aggregate (collect_set + sort_array), serialized
+    to a comma-joined string so the driver's pandas comparator — which
+    cannot hash list-valued cells — can canonicalize the result. The
+    array aggregate is still what executes; only the output is flat."""
     return (
         table(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
-        .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments"))
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set("c_mktsegment"))
+            ).alias("segments")
+        )
     )
 
 
@@ -558,7 +565,8 @@ def d7_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="D7",
     oracle="""
 SELECT o_custkey AS custkey,
-       list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS orderkeys
+       array_to_string(list(o_orderkey ORDER BY o_orderdate, o_orderkey), ',')
+         AS orderkeys
 FROM orders
 WHERE o_custkey < 100
 GROUP BY 1
@@ -569,15 +577,21 @@ def d7_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     collect_list over a window'd sort is NOT order-stable across
     shuffles in general; the deterministic form aggregates structs and
-    sorts inside the array — order lives in the data, not the plan."""
+    sorts inside the array — order lives in the data, not the plan.
+    Output is comma-joined (driver's comparator can't hash lists)."""
     return (
         table(spark, sf_dir, "orders")
         .where(F.col("o_custkey") < 100)
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("o_orderdate", "o_orderkey"))),
-                lambda s: s["o_orderkey"],
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+                    ),
+                    lambda s: s["o_orderkey"].cast("string"),
+                ),
             ).alias("orderkeys")
         )
     )

@@ -134,12 +134,16 @@ def interval_join_binned(
     stays ≤ 2 and bin cardinality ∝ time span / width.
     """
     w = F.lit(bin_width_ms)
+    # Guard empty/negative intervals: F.sequence runs DESCENDING when
+    # end < start, emitting spurious bins (the precise range filter
+    # below removes them, but the fan-out is wasted work).
+    lo = F.floor(F.unix_millis(left_start) / w)
+    hi = F.floor((F.unix_millis(left_end) - 1) / w)
     lb = left.withColumn(
         "__bin",
         F.explode(
-            F.sequence(
-                F.floor(F.unix_millis(left_start) / w),
-                F.floor((F.unix_millis(left_end) - 1) / w),
+            F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+                F.array().cast("array<bigint>")
             )
         ),
     )

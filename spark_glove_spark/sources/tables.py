@@ -43,8 +43,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # floor division (shiftright-free form): `div` truncates toward
+        # zero, which differs from DuckDB's floor semantics by 1µs for
+        # pre-1970 (negative-epoch) nanos. F.floor matches floor.
         return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
         )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
