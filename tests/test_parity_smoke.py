@@ -81,6 +81,28 @@ def test_timestamp_queries_survive_non_utc_session(spark, oracle_con, name):
 SLOW_PREFIXES = ("h5_", "h13_", "h16_", "i1", "i2", "i3", "i4", "i5", "i6", "i7", "i8", "h6_", "mm_feature")
 
 
+def test_no_oracle_query_emits_complex_columns(spark):
+    """Driver-comparator guard (VERDICT r1 item 3): the driver's pandas
+    canonicalization crashes on array/map/struct cells, so every
+    oracle-checked query must emit flat scalar top-level columns.
+    Plan construction only — no execution — so the eager streaming/fit
+    queries are skipped (their outputs are re-checked by the always-on
+    strict mode in tools/paritycheck.py)."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name, q in api.REGISTRY.items():
+        if q.oracle is None or name.startswith(SLOW_PREFIXES):
+            continue
+        for f in q.fn(spark, SF_DIR).schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, (
+        "oracle-checked queries with complex top-level columns "
+        "(driver comparator cannot hash these):\n" + "\n".join(offenders)
+    )
+
+
 def test_every_registered_query_executes(spark):
     """Registry-wide smoke at sf0.001: every declared query must build
     and execute (the expensive sketch/training/streaming ones are

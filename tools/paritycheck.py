@@ -54,8 +54,30 @@ def _canonical(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+def driver_shape_problems(df: pd.DataFrame, side: str) -> list[str]:
+    """Replicate the driver comparator's canonicalization step: pandas
+    ``sort_values`` over the raw columns. The driver crashes with
+    ``TypeError: unhashable type`` on array/map/struct cells (observed
+    round 1 on d7_*), so any oracle-checked query whose output can't
+    survive this step will read as FAILED driver-side even when the
+    values match. Strict check is always on: it's cheap and there is no
+    legitimate reason for an oracle query to emit complex cells."""
+    try:
+        cols = sorted(df.columns)
+        df[cols].sort_values(by=cols, kind="mergesort")
+        for c in cols:  # factorize is the other crash site driver-side
+            pd.factorize(df[c])
+    except TypeError as e:
+        return [f"strict: driver comparator would crash on {side} ({e})"]
+    return []
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     problems = []
+    problems += driver_shape_problems(spark_df, "spark side")
+    problems += driver_shape_problems(oracle_df, "oracle side")
+    if problems:
+        return problems
     if len(spark_df) != len(oracle_df):
         problems.append(f"row count {len(spark_df)} vs oracle {len(oracle_df)}")
     sc, oc = sorted(spark_df.columns), sorted(oracle_df.columns)
