@@ -25,6 +25,25 @@ from spark_glove_spark.operators.cooccurrence import cooccurrence_matrix  # noqa
 from spark_glove_spark.session import get_spark  # noqa: E402
 from spark_glove_spark.sources import table  # noqa: E402
 
+# BASELINE.md "Our baseline — MEASURED at M7" per-query seconds; the
+# bench output carries ratios_vs_baseline so regressions show up in
+# one file (VERDICT r1 item 7). Query set must stay stable or baseline
+# comparability breaks.
+BASELINE_SEC = {
+    "d1_pricing_summary": 2.4,
+    "c2_shuffle_join": 1.5,
+    "e2_topk_per_group": 1.1,
+    "h3_cooccurrence_topk": 1.9,
+    "h10_tfidf": 1.1,
+    "h13_minhash_neardup": 5.5,
+    "h15_knn_bruteforce": 1.0,
+    "h16_lsh_ann": 1.8,
+    "i1_tumbling_window": 2.5,
+    "c8_asof_join": 0.7,
+    "glove_cooc_build_w10": 2.4,
+    "glove_fit_d50_w10_it5": 10.7,
+}
+
 HEADLINE = [
     "d1_pricing_summary",
     "c2_shuffle_join",
@@ -83,6 +102,11 @@ def main() -> None:
     )
 
     total = round(sum(times.values()), 3)
+    ratios = {
+        name: round(t / BASELINE_SEC[name], 2)
+        for name, t in times.items()
+        if name in BASELINE_SEC
+    }
     print(
         json.dumps(
             {
@@ -90,6 +114,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "ratios_vs_baseline": ratios,
                 "sf": sf,
             }
         )

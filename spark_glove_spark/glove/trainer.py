@@ -142,11 +142,27 @@ class GloveModel:
         pooled = dims.groupBy(id_col, "dim").agg(F.avg("val").alias("v"))
         # Re-pack the per-dim means into an ordered array (one shuffle,
         # array length = dim — bounded regardless of corpus size).
-        return pooled.groupBy(id_col).agg(
+        packed = pooled.groupBy(id_col).agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("dim", "v"))),
                 lambda s: s["v"],
             ).alias("vector")
+        )
+        # Word2VecModel.transform parity: a document with zero
+        # in-vocabulary tokens still gets a row — the zero vector —
+        # instead of silently dropping out of the inner join. The model
+        # dimension comes from a 1-row broadcast aggregate (stays lazy).
+        dim_df = self.vectors.agg(F.max(F.size("vector")).alias("_dim"))
+        return (
+            docs.select(id_col).distinct()
+            .join(packed, id_col, "left")
+            .crossJoin(F.broadcast(dim_df))
+            .select(
+                id_col,
+                F.coalesce(
+                    "vector", F.array_repeat(F.lit(0.0), F.col("_dim"))
+                ).alias("vector"),
+            )
         )
 
     def save(self, path: str) -> None:
@@ -343,41 +359,53 @@ def _merge_kernel(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _make_update_kernel(eta: float):
+    """Vectorized AdaGrad step over a whole params batch.
+
+    Mean (not summed) gradients per word: batch AdaGrad with per-word
+    sums scales steps by pair-degree, which diverges on high-degree
+    words; the mean keeps step magnitudes degree-independent, matching
+    per-sample dynamics in expectation.
+
+    All ops are elementwise (no reductions), so the numpy column-stack
+    form is bitwise-identical to the former per-row loop — asserted by
+    the seeded-determinism hash test in tests/test_glove.py."""
+
     def update(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = []
-            for r in pdf.itertuples(index=False):
-                w, wc = np.asarray(r.w), np.asarray(r.wc)
-                gw, gwc = np.asarray(r.gw), np.asarray(r.gwc)
-                b, bc, gb, gbc = r.b, r.bc, r.gb, r.gbc
-                # Mean (not summed) gradients per word: batch AdaGrad
-                # with per-word sums scales steps by pair-degree, which
-                # diverges on high-degree words; the mean keeps step
-                # magnitudes degree-independent, matching the reference's
-                # per-sample dynamics in expectation.
-                if r.dw is not None and r.dn0:
-                    dw = np.asarray(r.dw) / r.dn0
-                    db = r.db / r.dn0
-                    w = w - eta * dw / np.sqrt(gw)
-                    gw = gw + dw * dw
-                    b = b - eta * db / math.sqrt(gb)
-                    gb = gb + db * db
-                if r.dwc is not None and r.dn1:
-                    dwc = np.asarray(r.dwc) / r.dn1
-                    dbc = r.dbc / r.dn1
-                    wc = wc - eta * dwc / np.sqrt(gwc)
-                    gwc = gwc + dwc * dwc
-                    bc = bc - eta * dbc / math.sqrt(gbc)
-                    gbc = gbc + dbc * dbc
-                rows.append(
-                    {
-                        "id": r.id, "w": w, "wc": wc, "b": b, "bc": bc,
-                        "gw": gw, "gwc": gwc, "gb": gb, "gbc": gbc,
-                    }
-                )
-            yield pd.DataFrame(rows)
+            W = np.stack(pdf["w"].to_numpy()).astype(np.float64)
+            WC = np.stack(pdf["wc"].to_numpy()).astype(np.float64)
+            GW = np.stack(pdf["gw"].to_numpy()).astype(np.float64)
+            GWC = np.stack(pdf["gwc"].to_numpy()).astype(np.float64)
+            b = pdf["b"].to_numpy(dtype=np.float64).copy()
+            bc = pdf["bc"].to_numpy(dtype=np.float64).copy()
+            gb = pdf["gb"].to_numpy(dtype=np.float64).copy()
+            gbc = pdf["gbc"].to_numpy(dtype=np.float64).copy()
+
+            def _apply(dvec_col, dn_col, db_col, V, GV, bias, gbias):
+                dn = pd.to_numeric(pdf[dn_col], errors="coerce").fillna(0)
+                m = (pdf[dvec_col].notna() & (dn > 0)).to_numpy()
+                if m.any():
+                    dnm = dn.to_numpy(dtype=np.float64)[m]
+                    dv = np.stack(pdf.loc[m, dvec_col].to_numpy()).astype(
+                        np.float64
+                    ) / dnm[:, None]
+                    db = pdf[db_col].to_numpy(dtype=np.float64)[m] / dnm
+                    V[m] = V[m] - eta * dv / np.sqrt(GV[m])
+                    GV[m] = GV[m] + dv * dv
+                    bias[m] = bias[m] - eta * db / np.sqrt(gbias[m])
+                    gbias[m] = gbias[m] + db * db
+
+            _apply("dw", "dn0", "db", W, GW, b, gb)
+            _apply("dwc", "dn1", "dbc", WC, GWC, bc, gbc)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "w": list(W), "wc": list(WC), "b": b, "bc": bc,
+                    "gw": list(GW), "gwc": list(GWC), "gb": gb, "gbc": gbc,
+                }
+            )
 
     return update
 

@@ -82,11 +82,19 @@ def h10_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     so results are exact and oracle-checkable. The doc-frequency table
     is vocabulary-sized — broadcast side of the join. N comes from a
-    1-row aggregate cross-joined in (stays lazy, no driver action)."""
+    1-row aggregate cross-joined in (stays lazy, no driver action).
+
+    One token shuffle feeds both sides: df is derived from the
+    (doc_id, word) aggregate — count of pairs per word ==
+    countDistinct(doc_id) — so both branches share the same Exchange
+    and Spark's exchange reuse scans + explodes the corpus ONCE
+    (verified: ReusedExchange in the formatted plan). The naive form
+    (independent groupBy for df with countDistinct) re-scans the whole
+    corpus and adds an expand for the distinct — 2× the token I/O."""
     d = table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.where(F.col("doc_id") % 25 == 0)
@@ -289,6 +297,30 @@ def h17_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def language_scores(toks) -> dict:
+    """Per-language function-word hit ratio for a token-array column."""
+    n = F.size(toks)
+    return {
+        lang: F.size(F.filter(toks, lambda x: x.isin(words))).cast("double") / n
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def predict_language(toks):
+    """Deterministic argmax over language_scores (ties broken by the
+    fixed en→fr→es→de→zh order). Column-in, column-out so it composes
+    into any pipeline and is unit-testable on planted fixtures."""
+    scores = language_scores(toks)
+    order = ["en", "fr", "es", "de", "zh"]
+    pred = F.lit(order[-1])
+    for i in range(len(order) - 2, -1, -1):
+        lang = order[i]
+        rest = [scores[o] for o in order[i + 1 :]]
+        cond = scores[lang] >= (F.greatest(*rest) if len(rest) > 1 else rest[0])
+        pred = F.when(cond, lang).otherwise(pred)
+    return pred
+
+
 def _langid_score_sql() -> str:
     cases = []
     for lang, words in LANG_PROFILES.items():
@@ -329,22 +361,11 @@ def h17_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap in real profiles (or char n-grams) for real corpora."""
     d = table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
-    n = F.size(toks)
-    scores = {
-        lang: F.size(F.filter(toks, lambda x: x.isin(words))).cast("double") / n
-        for lang, words in LANG_PROFILES.items()
-    }
-    order = ["en", "fr", "es", "de", "zh"]
-    pred = F.lit(order[-1])
-    for i in range(len(order) - 2, -1, -1):
-        lang = order[i]
-        rest = [scores[o] for o in order[i + 1 :]]
-        pred = F.when(scores[lang] >= F.greatest(*rest) if len(rest) > 1 else scores[lang] >= rest[0], lang).otherwise(pred)
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        pred.alias("predicted_lang"),
-        F.round(scores["en"], 6).alias("score_en"),
+        predict_language(toks).alias("predicted_lang"),
+        F.round(language_scores(toks)["en"], 6).alias("score_en"),
     )
 
 

@@ -43,11 +43,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # floor division (shiftright-free form): `div` truncates toward
-        # zero, which differs from DuckDB's floor semantics by 1µs for
-        # pre-1970 (negative-epoch) nanos. F.floor matches floor.
+        # Integer floor division: `ts div 1000` truncates toward zero,
+        # which differs from DuckDB's floor semantics by 1µs for
+        # pre-1970 (negative-epoch) nanos; float forms like
+        # floor(ts/1000) corrupt the low bits (int64 nanos exceed a
+        # double's 53-bit mantissa). pmod keeps it exact and integral.
         return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
         )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -59,24 +59,47 @@ def stream_events(
     reader = spark.readStream.schema(_EVENTS_RAW).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # Integer floor division (pmod keeps it exact): `ts div 1000` alone
+    # truncates toward zero (off by 1µs for negative-epoch nanos), and
+    # float forms like floor(ts/1000) corrupt the low bits — int64
+    # nanos exceed a double's 53-bit mantissa.
     return reader.load(path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
     )
 
 
-def run_stream(sdf: DataFrame, output_mode: str) -> DataFrame:
+def run_stream(
+    sdf: DataFrame, output_mode: str, shuffle_partitions: int = 8
+) -> DataFrame:
     """A6: drain a streaming frame into a memory sink (availableNow —
     processes everything then stops) and return the materialized
-    result as a batch DataFrame."""
-    name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    result as a batch DataFrame.
+
+    ``shuffle_partitions`` sizes the stateful operators: Structured
+    Streaming pins one StateStore instance per shuffle partition per
+    stateful op for the lifetime of the query, and every micro-batch
+    commits all of them — so partition count is a per-query throughput
+    knob, not a global. The default 8 is sized for the local test
+    drains (32 stores/batch was ~2× slower end-to-end on the sf0.01
+    replays); a production deployment passes ~2-3× its executor-core
+    count. Results are partition-count-independent; the conf is
+    restored after the drain so batch queries keep the session value.
+    """
+    sess = sdf.sparkSession
+    prev = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        q = (
+            sdf.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", prev)
     return sdf.sparkSession.table(name)
 
 

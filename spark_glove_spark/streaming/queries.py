@@ -140,24 +140,53 @@ def i4_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     e = table(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="i4_replay_")
     max_ts = e.agg(F.max("ts")).collect()[0][0]
-    schema = (
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string"
+    # file 1: the last 4 hours of events — enough to advance the
+    # watermark past the sentinel's window without replaying the whole
+    # fixture (the property only involves rows near max_ts);
+    # file 2: a fresh row (watermark only takes effect two triggers
+    # after the data that advanced it — measured);
+    # file 3: one 2-hour-late sentinel event, now behind the watermark.
+    # f2/f3 are single-row sentinels written with pyarrow on the driver:
+    # a Spark write of a Python-created DataFrame pays a per-job Python
+    # worker round-trip that costs seconds in local[32] (measured ~5 s
+    # per single-row write; JVM-sourced writes like f1 are unaffected).
+    e.where(F.col("ts") >= F.lit(max_ts) - F.expr("INTERVAL 4 HOURS")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(base, "f1"))
+
+    def _sentinel(path: str, event_id: int, ts: datetime.datetime, etype: str):
+        os.makedirs(path, exist_ok=True)
+        t = pa.table(
+            {
+                "event_id": pa.array([event_id], pa.int64()),
+                # tz-annotated micros => Spark reads TimestampType (UTC)
+                "ts": pa.array(
+                    [ts.replace(tzinfo=datetime.timezone.utc)],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "user_id": pa.array([1], pa.int64()),
+                "event_type": pa.array([etype], pa.string()),
+                "value": pa.array([1.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        )
+        pq.write_table(t, os.path.join(path, "part-0.parquet"))
+
+    _sentinel(os.path.join(base, "f2"), 10**12 - 1, max_ts, "fresh_probe")
+    _sentinel(
+        os.path.join(base, "f3"),
+        10**12,
+        max_ts - datetime.timedelta(hours=2),
+        "late_probe",
     )
-    # file 1: everything; file 2: a fresh row (watermark only takes
-    # effect two triggers after the data that advanced it — measured);
-    # file 3: one 2-hour-late sentinel event, now behind the watermark
-    e.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "f1"))
-    spark.createDataFrame(
-        [(10**12 - 1, max_ts, 1, "fresh_probe", 1.0, "{}")], schema
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "f2"))
-    late = spark.createDataFrame(
-        [(10**12, max_ts, 1, "late_probe", 1.0, "{}")], schema
-    ).withColumn("ts", F.col("ts") - F.expr("INTERVAL 2 HOURS"))
-    late.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "f3"))
 
     # re-stream from the replay dir (plain timestamps now, no nanos)
     sdf = (
@@ -264,16 +293,16 @@ def i6_stateful_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="i6_replay_")
-    for part in range(4):
-        e.where(F.pmod("event_id", F.lit(4)) == part).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(base, f"f{part}"))
+    # one write job producing 4 part-files; maxFilesPerTrigger=1 then
+    # replays them as 4 micro-batches (batch order is irrelevant: the
+    # running state is a commutative fold — counts, sums, max).
+    e.repartition(4).write.mode("overwrite").parquet(os.path.join(base, "f"))
     sdf = (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
         )
         .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(base, "*"))
+        .parquet(os.path.join(base, "f"))
     )
     updates = sdf.groupBy("user_id").applyInPandasWithState(
         _running_user_state,

@@ -143,6 +143,20 @@ def test_transform_mean_pools(docs, model):
     assert all(abs(a - b) < 1e-9 for a, b in zip(got, expected))
 
 
+def test_transform_emits_zero_vector_for_oov_only_doc(spark, docs, model):
+    """Word2VecModel.transform parity: a document whose tokens are all
+    out-of-vocabulary still gets a row — the zero vector — rather than
+    silently dropping out of the join."""
+    oov = spark.createDataFrame(
+        [(999_999, "zzzqx vvwqk notinvocab")], "doc_id long, text string"
+    )
+    both = docs.select("doc_id", "text").unionByName(oov)
+    out = {r[0]: list(r[1]) for r in model.transform(both).collect()}
+    assert 999_999 in out, "OOV-only document dropped from transform output"
+    assert out[999_999] == [0.0] * CFG["dim"]
+    assert len(out) == docs.count() + 1
+
+
 def test_model_save_load_roundtrip(spark, model, tmp_path):
     from spark_glove_spark.glove import GloveModel
 

