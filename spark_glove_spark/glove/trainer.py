@@ -26,10 +26,14 @@ corpus scale):
                                                 INSIDE each batch so the
                                                 emitted stream is ~unique
                                                 ids per batch, not |X|
-  → groupBy(id % blocks).applyInPandas merge    few LARGE groups (never
-                                                per-word groups — SURVEY
-                                                §4.3.4), numpy add.at
-  → pivot sides → join params → update kernel   vocab-sized, cheap
+  → cogroup(grads, params) by id % blocks       ONE fused kernel merges
+    .applyInPandas fused merge+AdaGrad step     partials and steps params
+                                                (few LARGE groups, never
+                                                per-word — SURVEY §4.3.4);
+                                                replaces the former merge →
+                                                pivot → join → update tail:
+                                                one shuffle and one Arrow
+                                                round-trip less per iter
   → params.localCheckpoint(eager)               lineage truncation —
                                                 MANDATORY for iterative
                                                 plans (SURVEY §4.3.2)
@@ -40,7 +44,6 @@ parameter data (only the scalar loss).
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
@@ -334,80 +337,101 @@ def _grad_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def _merge_kernel(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-    """Final per-id gradient merge inside one id-block (few large
-    groups, never per-word groups)."""
-    out: dict[str, list] = {
-        "id": [], "side": [], "dvec": [], "dbias": [], "dn": []
-    }
-    loss_rows = pdf[pdf["side"] == -1]
-    if not loss_rows.empty:
-        out["id"].append(-1)
-        out["side"].append(-1)
-        out["dvec"].append(None)
-        out["dbias"].append(float(loss_rows["dbias"].sum()))
-        out["dn"].append(0)
-    real = pdf[pdf["side"] >= 0]
-    if not real.empty:
-        for (word_id, side), grp in real.groupby(["id", "side"], sort=False):
-            out["id"].append(int(word_id))
-            out["side"].append(int(side))
-            out["dvec"].append(np.stack(grp["dvec"].to_numpy()).sum(axis=0))
-            out["dbias"].append(float(grp["dbias"].sum()))
-            out["dn"].append(int(grp["dn"].sum()))
-    return pd.DataFrame(out)
+def _make_step_kernel(eta: float):
+    """Fused merge + AdaGrad step for one id-block (cogrouped
+    applyInPandas: partial gradients on the left, current params on the
+    right, both grouped by pmod(id, blocks)).
 
-
-def _make_update_kernel(eta: float):
-    """Vectorized AdaGrad step over a whole params batch.
+    One Python pass replaces the former three-stage tail (merge kernel →
+    pivot hash-agg → join + update kernel): the per-iteration plan loses
+    a shuffle, a vocab-sized join, and one Arrow round-trip. Few LARGE
+    groups by construction (never per-word groups — SURVEY §4.3.4).
 
     Mean (not summed) gradients per word: batch AdaGrad with per-word
     sums scales steps by pair-degree, which diverges on high-degree
     words; the mean keeps step magnitudes degree-independent, matching
     per-sample dynamics in expectation.
 
-    All ops are elementwise (no reductions), so the numpy column-stack
-    form is bitwise-identical to the former per-row loop — asserted by
-    the seeded-determinism hash test in tests/test_glove.py."""
+    The block's loss partials (id = −1 rows from the gradient kernel)
+    are re-emitted as an id = −1 params row carrying the partial loss in
+    ``b`` — the driver reads Σb over id = −1 from the checkpointed
+    result instead of running a second aggregation job over gradients.
+    """
 
-    def update(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            W = np.stack(pdf["w"].to_numpy()).astype(np.float64)
-            WC = np.stack(pdf["wc"].to_numpy()).astype(np.float64)
-            GW = np.stack(pdf["gw"].to_numpy()).astype(np.float64)
-            GWC = np.stack(pdf["gwc"].to_numpy()).astype(np.float64)
-            b = pdf["b"].to_numpy(dtype=np.float64).copy()
-            bc = pdf["bc"].to_numpy(dtype=np.float64).copy()
-            gb = pdf["gb"].to_numpy(dtype=np.float64).copy()
-            gbc = pdf["gbc"].to_numpy(dtype=np.float64).copy()
-
-            def _apply(dvec_col, dn_col, db_col, V, GV, bias, gbias):
-                dn = pd.to_numeric(pdf[dn_col], errors="coerce").fillna(0)
-                m = (pdf[dvec_col].notna() & (dn > 0)).to_numpy()
-                if m.any():
-                    dnm = dn.to_numpy(dtype=np.float64)[m]
-                    dv = np.stack(pdf.loc[m, dvec_col].to_numpy()).astype(
-                        np.float64
-                    ) / dnm[:, None]
-                    db = pdf[db_col].to_numpy(dtype=np.float64)[m] / dnm
-                    V[m] = V[m] - eta * dv / np.sqrt(GV[m])
-                    GV[m] = GV[m] + dv * dv
-                    bias[m] = bias[m] - eta * db / np.sqrt(gbias[m])
-                    gbias[m] = gbias[m] + db * db
-
-            _apply("dw", "dn0", "db", W, GW, b, gb)
-            _apply("dwc", "dn1", "dbc", WC, GWC, bc, gbc)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(),
-                    "w": list(W), "wc": list(WC), "b": b, "bc": bc,
-                    "gw": list(GW), "gwc": list(GWC), "gb": gb, "gbc": gbc,
-                }
+    def step(
+        _key: tuple, grads: pd.DataFrame, params: pd.DataFrame
+    ) -> pd.DataFrame:
+        frames = []
+        loss_rows = grads[grads["side"] == -1] if len(grads) else grads
+        if len(loss_rows):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id": [-1], "w": [None], "wc": [None],
+                        "b": [float(loss_rows["dbias"].sum())], "bc": [0.0],
+                        "gw": [None], "gwc": [None], "gb": [0.0], "gbc": [0.0],
+                    }
+                )
             )
+        if len(params):
+            params = params.reset_index(drop=True)
+            n = len(params)
+            W = np.stack(params["w"].to_numpy()).astype(np.float64)
+            WC = np.stack(params["wc"].to_numpy()).astype(np.float64)
+            GW = np.stack(params["gw"].to_numpy()).astype(np.float64)
+            GWC = np.stack(params["gwc"].to_numpy()).astype(np.float64)
+            b = params["b"].to_numpy(dtype=np.float64).copy()
+            bc = params["bc"].to_numpy(dtype=np.float64).copy()
+            gb = params["gb"].to_numpy(dtype=np.float64).copy()
+            gbc = params["gbc"].to_numpy(dtype=np.float64).copy()
 
-    return update
+            real = grads[grads["side"] >= 0] if len(grads) else grads
+            if len(real):
+                dim = W.shape[1]
+                # position of each partial-gradient row in the params
+                # block (vectorized; every grad id is in this block by
+                # construction — same pmod key on both cogroup sides)
+                pos = pd.Index(params["id"]).get_indexer(real["id"])
+                side = real["side"].to_numpy()
+                dvec = np.stack(real["dvec"].to_numpy()).astype(np.float64)
+                dbias = real["dbias"].to_numpy(dtype=np.float64)
+                dn = real["dn"].to_numpy(dtype=np.float64)
+                for s, V, GV, bias, gbias in (
+                    (0, W, GW, b, gb),
+                    (1, WC, GWC, bc, gbc),
+                ):
+                    DV = np.zeros((n, dim))
+                    DB = np.zeros(n)
+                    DN = np.zeros(n)
+                    sel = side == s
+                    np.add.at(DV, pos[sel], dvec[sel])
+                    np.add.at(DB, pos[sel], dbias[sel])
+                    np.add.at(DN, pos[sel], dn[sel])
+                    m = DN > 0
+                    if m.any():
+                        dnm = DN[m]
+                        dv = DV[m] / dnm[:, None]
+                        db = DB[m] / dnm
+                        V[m] = V[m] - eta * dv / np.sqrt(GV[m])
+                        GV[m] = GV[m] + dv * dv
+                        bias[m] = bias[m] - eta * db / np.sqrt(gbias[m])
+                        gbias[m] = gbias[m] + db * db
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id": params["id"].to_numpy(),
+                        "w": list(W), "wc": list(WC), "b": b, "bc": bc,
+                        "gw": list(GW), "gwc": list(GWC), "gb": gb, "gbc": gbc,
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                columns=["id", "w", "wc", "b", "bc", "gw", "gwc", "gb", "gbc"]
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return step
 
 
 class Glove:
@@ -452,48 +476,55 @@ class Glove:
 
         params = _init_params(vocab, cfg).localCheckpoint(eager=True)
         losses: list[float] = []
-        update_kernel = _make_update_kernel(cfg.eta)
+        step_kernel = _make_step_kernel(cfg.eta)
+        blk = F.pmod(F.col("id"), F.lit(blocks)).alias("blk")
+        prev_cached: DataFrame | None = None
 
         for _ in range(cfg.iterations):
             center = params.select(
                 F.col("id").alias("i"), "w", "b"
             )
+            if broadcast_params:
+                center = F.broadcast(center)
             context = params.select(
                 F.col("id").alias("j"), "wc", "bc"
             )
             if broadcast_params:
-                center = F.broadcast(center)
                 context = F.broadcast(context)
             joined = x.join(center, "i").join(context, "j")
             grads = joined.mapInPandas(_grad_kernel, schema=_GRADS_SCHEMA)
-            merged = (
-                grads.groupBy(F.pmod(F.col("id"), F.lit(blocks)).alias("blk"))
-                .applyInPandas(_merge_kernel, schema=_GRADS_SCHEMA)
+            # One job per iteration: partial gradients cogroup with the
+            # current params by id-block, and the fused kernel merges +
+            # steps in a single Python pass. The id = −1 rows carry the
+            # per-block loss partials; reading them is a trivial scan of
+            # the checkpointed result, not a second gradient pass.
+            # localCheckpoint truncates LINEAGE but INHERITS the source
+            # plan's Catalyst size estimate — and the default stats
+            # visitor multiplies child sizes, so a plan referencing
+            # params three times (center, context, cogroup) would triple
+            # the estimate's BigInt *bit length* every iteration until
+            # the driver spends whole seconds multiplying million-digit
+            # integers (measured: 4× slowdown per iteration from ~it 12).
+            # The persist + the loss collect below materialize the
+            # iteration's result as an InMemoryRelation whose stats are
+            # the ACTUAL cached bytes, resetting the estimate chain.
+            stepped = (
+                grads.groupBy(blk)
+                .cogroup(params.groupBy(blk))
+                .applyInPandas(step_kernel, schema=_PARAMS_SCHEMA)
+                .localCheckpoint(eager=True)  # cut lineage — O(3^T) plan growth otherwise
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            loss = merged.where(F.col("id") == -1).agg(
-                F.sum("dbias").alias("loss")
-            ).collect()[0]["loss"]
+            loss = (
+                stepped.where(F.col("id") == -1)
+                .agg(F.sum("b").alias("loss"))
+                .collect()[0]["loss"]
+            )
             losses.append(float(loss))
-
-            pivoted = (
-                merged.where(F.col("id") >= 0)
-                .groupBy("id")
-                .agg(
-                    F.first(F.when(F.col("side") == 0, F.col("dvec")), True).alias("dw"),
-                    F.first(F.when(F.col("side") == 0, F.col("dbias")), True).alias("db"),
-                    F.first(F.when(F.col("side") == 0, F.col("dn")), True).alias("dn0"),
-                    F.first(F.when(F.col("side") == 1, F.col("dvec")), True).alias("dwc"),
-                    F.first(F.when(F.col("side") == 1, F.col("dbias")), True).alias("dbc"),
-                    F.first(F.when(F.col("side") == 1, F.col("dn")), True).alias("dn1"),
-                )
-            )
-            params = (
-                params.join(pivoted, "id", "left")
-                .mapInPandas(update_kernel, schema=_PARAMS_SCHEMA)
-                .localCheckpoint(eager=True)  # cut lineage — O(T) plan growth otherwise
-            )
-            merged.unpersist()
+            params = stepped.where(F.col("id") >= 0)
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = stepped
 
         vectors = params.join(vocab, "id").select(
             "word",
