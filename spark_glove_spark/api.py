@@ -18,6 +18,7 @@ import spark_glove_spark.operators.temporal  # noqa: F401
 import spark_glove_spark.operators.scalar_queries  # noqa: F401
 import spark_glove_spark.operators.text_analysis  # noqa: F401
 import spark_glove_spark.operators.text_queries  # noqa: F401
+import spark_glove_spark.operators.tpch  # noqa: F401
 
 import spark_glove_spark.streaming.queries  # noqa: F401
 

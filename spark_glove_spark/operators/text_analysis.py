@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from spark_glove_spark.functions.text import remove_stopwords, shingles, tokenize
 from spark_glove_spark.operators.cooccurrence import token_positions
 from spark_glove_spark.registry import query
-from spark_glove_spark.sources import table
+from spark_glove_spark.sources import parallelized, table
 
 STOPWORDS = ["a", "the"]
 
@@ -90,7 +90,9 @@ def h10_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Spark's exchange reuse scans + explodes the corpus ONCE
     (verified: ReusedExchange in the formatted plan). The naive form
     (independent groupBy for df with countDistinct) re-scans the whole
-    corpus and adds an expand for the distinct — 2× the token I/O."""
+    corpus and adds an expand for the distinct — 2× the token I/O.
+    Tokenization parallelism comes from table()'s built-in corpus
+    fan-out."""
     d = table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
