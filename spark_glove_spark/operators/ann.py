@@ -95,6 +95,44 @@ def h16_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_knn(e, probes, k=10)
 
 
+# Quantizer training sample bound: enough for a coarse quantizer of
+# any practical n_lists, small enough that collect + numpy Lloyd are
+# trivially cheap driver-side (32k × 64 doubles = 16 MB).
+_SAMPLE_CAP = 32_768
+
+
+def _lloyd(sample, n_lists: int, max_iter: int, seed: int):
+    """Seeded numpy Lloyd iterations; k-means++-free init (distinct
+    random sample rows) is plenty for a COARSE quantizer. Empty cells
+    are re-seeded from the farthest points so n_lists cells survive."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    centers = sample[rng.choice(n, size=min(n_lists, n), replace=False)].copy()
+    for _ in range(max_iter):
+        # (n, k) squared distances via the ‖x‖²−2x·c+‖c‖² expansion
+        d = (
+            (sample * sample).sum(axis=1)[:, None]
+            - 2.0 * sample @ centers.T
+            + (centers * centers).sum(axis=1)[None, :]
+        )
+        assign = d.argmin(axis=1)
+        moved = 0.0
+        for c in range(len(centers)):
+            members = sample[assign == c]
+            if len(members) == 0:
+                far = d.min(axis=1).argmax()
+                centers[c] = sample[far]
+                continue
+            new = members.mean(axis=0)
+            moved = max(moved, float(((new - centers[c]) ** 2).sum()))
+            centers[c] = new
+        if moved < 1e-12:
+            break
+    return centers
+
+
 def ivf_knn(
     vectors: DataFrame,
     probes: DataFrame,
@@ -117,38 +155,65 @@ def ivf_knn(
 
     probes: (probe_id, embedding); returns (probe_id, vec_id, label,
     cos) — same shape as lsh_knn for direct recall comparison.
+
+    The quantizer is fit DRIVER-SIDE with numpy Lloyd iterations over a
+    bounded deterministic sample (hash-ordered top-N — partitioning-
+    independent): k-means over ≤ SAMPLE_CAP × dim doubles is
+    microseconds of numpy, vs ~2-3 Spark jobs per Lloyd iteration for a
+    distributed fit (measured 3 s of pure orchestration on a 500-row
+    corpus). At 100 TB the sample read is one scan of the embedding
+    column and the quality loss of sampling a coarse quantizer is
+    negligible — exactly the FAISS train/add split.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    feats = vectors.withColumn(
-        "features", array_to_vector(F.col("embedding").cast("array<double>"))
-    )
-    km = KMeans(
-        k=n_lists, seed=seed, maxIter=max_iter, predictionCol="list_id"
-    ).fit(feats.select("features"))
-    assigned = km.transform(feats).drop("features")
+    sample = np.stack(
+        [
+            r[0]
+            for r in vectors.select("embedding")
+            .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+            .limit(_SAMPLE_CAP)
+            .collect()
+        ]
+    ).astype(np.float64)
+    centers = _lloyd(sample, n_lists, max_iter, seed)
 
-    # n_probe nearest centroids per probe, as a pure expression over
-    # driver-side centroid literals (n_lists × dim — always tiny).
     cents = F.array(
         *[
             F.struct(
                 F.lit(i).alias("list_id"),
                 F.array(*[F.lit(float(v)) for v in c]).alias("cv"),
+                F.lit(float((c * c).sum())).alias("cnorm"),
             )
-            for i, c in enumerate(km.clusterCenters())
+            for i, c in enumerate(centers)
         ]
     )
+    # corpus → nearest centroid, as a pure sort_array expression over
+    # the centroid literals (n_lists structs per row, stays codegen —
+    # no MLlib vector conversion, no fan-out join). argmin over
+    # euclidean distance: ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖², and ‖x‖² is
+    # constant per row, so ranking by (‖c‖² − 2x·c) is equivalent.
+    best = F.sort_array(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                (c["cnorm"] - 2 * dot(F.col("embedding"), c["cv"])).alias("d"),
+                c["list_id"].alias("list_id"),
+            ),
+        )
+    )[0]["list_id"]
+    assigned = vectors.withColumn("list_id", best)
+    # probe → its n_probe nearest lists, SAME metric as assignment
+    # (euclidean argmin) so a probe's own cell is always searched.
     pc = probes.select(
         "probe_id", F.col("embedding").alias("q"), F.explode(cents).alias("c")
     ).select(
         "probe_id",
         "q",
         F.col("c.list_id").alias("list_id"),
-        dot(F.col("q"), F.col("c.cv")).alias("cscore"),
+        (F.col("c.cnorm") - 2 * dot(F.col("q"), F.col("c.cv"))).alias("cdist"),
     )
-    w = Window.partitionBy("probe_id").orderBy(F.col("cscore").desc(), "list_id")
+    w = Window.partitionBy("probe_id").orderBy(F.col("cdist").asc(), "list_id")
     plists = (
         pc.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= n_probe)

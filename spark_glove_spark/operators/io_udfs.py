@@ -360,19 +360,20 @@ def j6_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="A1,A3",
     oracle="""
 SELECT fmt, r_regionkey, r_name
-FROM region, (VALUES ('csv'), ('json'), ('parquet')) AS f(fmt)
+FROM region, (VALUES ('csv'), ('json'), ('orc'), ('parquet')) AS f(fmt)
 """,
 )
 def a5_multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-format coverage: the same table written to and read back
-    from CSV, JSON-lines, and parquet, with EXPLICIT schemas on read
-    (schema inference is a full extra scan at 100 TB — never rely on
-    it). Values must survive all three round-trips bit-for-bit."""
+    from CSV, JSON-lines, ORC, and parquet, with EXPLICIT schemas on
+    read (schema inference is a full extra scan at 100 TB — never rely
+    on it). Values must survive all four round-trips bit-for-bit."""
     r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     base = tempfile.mkdtemp(prefix="sgs_a5_")
     schema = "r_regionkey int, r_name string"
     r.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
     r.write.mode("overwrite").json(f"{base}/json")
+    r.write.mode("overwrite").orc(f"{base}/orc")
     r.write.mode("overwrite").parquet(f"{base}/parquet")
     frames = [
         spark.read.schema(schema)
@@ -382,6 +383,9 @@ def a5_multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(schema)
         .json(f"{base}/json")
         .select(F.lit("json").alias("fmt"), "*"),
+        spark.read.schema(schema)
+        .orc(f"{base}/orc")
+        .select(F.lit("orc").alias("fmt"), "*"),
         spark.read.schema(schema)
         .parquet(f"{base}/parquet")
         .select(F.lit("parquet").alias("fmt"), "*"),
