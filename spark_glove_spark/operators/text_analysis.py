@@ -534,3 +534,102 @@ def h17_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, c: (acc * 31 + F.ascii(c)) % 1_000_000_007,
     )
     return d.select("doc_id", rh.alias("fingerprint"))
+
+
+@query(
+    "h17_repetition_score",
+    section="H17,H11",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks
+    FROM documents
+    WHERE doc_id % 10 = 0
+),
+grams AS (
+    SELECT doc_id,
+           array_to_string(
+               list_slice(toks, i, i + 1), ' '
+           ) AS gram
+    FROM (
+        SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2
+    )
+),
+cnt AS (
+    SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(c) AS n_2grams,
+       round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_2gram_frac,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_2gram_frac
+FROM cnt
+GROUP BY 1
+""",
+)
+def h17_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    'Scaling Language Models', §A1.1 heuristics — public): the
+    duplicate-2-gram fraction and the top-2-gram mass per document.
+    High values flag boilerplate/spam for corpus filtering. Linear
+    per-doc work: shingle expression → one (doc_id, gram) aggregate →
+    per-doc rollup; the doc_id sampling filter pushes to the scan."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    grams = d.select(
+        "doc_id",
+        F.explode(shingles(tokenize(F.col("text")), 2)).alias("gram"),
+    )
+    cnt = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        n.alias("n_2grams"),
+        F.round(1.0 - F.count(F.lit(1)) / n.cast("double"), 6).alias(
+            "dup_2gram_frac"
+        ),
+        F.round(F.max("c") / n.cast("double"), 6).alias("top_2gram_frac"),
+    )
+
+
+@query(
+    "h17_token_chunking",
+    section="H17,G8,G6",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks
+    FROM documents
+    WHERE doc_id % 25 = 0
+),
+starts AS (
+    SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 24)) AS start
+    FROM t WHERE len(toks) >= 1
+)
+SELECT doc_id,
+       CAST((start - 1) / 24 AS BIGINT) AS chunk_id,
+       len(list_slice(toks, start, start + 31)) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start, start + 31), ' ') AS chunk_text
+FROM starts
+""",
+)
+def h17_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking — the standard LLM-pipeline step
+    that splits long documents into ~32-token training/RAG chunks with
+    8-token overlap (stride 24). Pure expression fan-out: sequence of
+    chunk starts → posexplode → slice; no UDF, no shuffle before the
+    explode, and the doc sampling filter pushes to the scan. At 100 TB
+    chunk rows are written partitioned by a hash of doc_id so a
+    document's chunks stay co-located for downstream dedup/embedding."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    toks = tokenize(F.col("text"))
+    starts = F.when(
+        F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks), F.lit(24))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / 24).cast("long").alias("chunk_id"),
+            F.size(F.slice("toks", F.col("start"), 32)).alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice("toks", F.col("start"), 32)).alias(
+                "chunk_text"
+            ),
+        )
+    )
