@@ -1128,3 +1128,53 @@ def d6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "skew_salted_join",
+    section="C2",
+    oracle="""
+WITH dim(event_type, weight) AS (
+    VALUES ('click', 1.0), ('view', 0.25), ('purchase', 5.0),
+           ('signup', 3.0), ('error', 0.0)
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       round(sum(e.value * d.weight), 4) AS weighted_value
+FROM events e
+JOIN dim d USING (event_type)
+GROUP BY 1
+""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated dimension join (SURVEY.md §4.3): event_type has
+    only 5 distinct values, so a plain shuffle join lands each hot key
+    on ONE reducer. functions.skew.salted_join scatters each hot key
+    across 8 salts (small side replicated 8×, big side salted
+    uniformly) — bag-identical results, verified here by aggregating
+    the joined stream back to per-type totals against the unsalted
+    oracle. Manual fallback for the skew cases AQE's sort-merge
+    splitter can't touch (stateful consumers, no-AQE configs)."""
+    from spark_glove_spark.functions.skew import salted_join
+
+    e = table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            ("click", 1.0),
+            ("view", 0.25),
+            ("purchase", 5.0),
+            ("signup", 3.0),
+            ("error", 0.0),
+        ],
+        "event_type string, weight double",
+    )
+    return (
+        salted_join(e, dim, on="event_type", n_salts=8)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 4).alias(
+                "weighted_value"
+            ),
+        )
+    )
