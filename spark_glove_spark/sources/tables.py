@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from spark_glove_spark.schemas import TABLES
 
@@ -20,13 +21,20 @@ from spark_glove_spark.schemas import TABLES
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """A1: columnar parquet scan of a fixture table.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark 4 rejects
-    outright ([PARQUET_TYPE_ILLEGAL] — nanos never joined the Spark
-    type system). We read nanos as raw int64 (legacy conf) and floor
-    to microseconds with INTEGER division — ns epochs (~1.7e18) exceed
-    double's 2^53 exact-integer range, so a float `/1000` would corrupt
-    microseconds. DuckDB floors ns→µs the same way, keeping oracle
-    parity exact.
+    ``events.parquet``'s timestamp resolution is GENERATOR-DEPENDENT
+    (round 1 shipped TIMESTAMP(NANOS), round 2 regenerated as
+    TIMESTAMP(MICROS) without UTC adjustment), so ingestion adapts to
+    the arrival type instead of assuming one:
+
+    * int64 nanos (read raw via the legacy conf — Spark 4 rejects
+      TIMESTAMP(NANOS) outright, [PARQUET_TYPE_ILLEGAL]): floor to
+      microseconds with INTEGER division — ns epochs (~1.7e18) exceed
+      double's 2^53 exact-integer range, so a float `/1000` would
+      corrupt microseconds. DuckDB floors ns→µs the same way.
+    * TIMESTAMP_NTZ (µs, no UTC annotation): cast to TimestampType —
+      the session TZ is pinned UTC by the query wrapper (registry.py),
+      so wall-clock values are preserved and downstream code sees the
+      same type either way.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -43,14 +51,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # Integer floor division: `ts div 1000` truncates toward zero,
-        # which differs from DuckDB's floor semantics by 1µs for
-        # pre-1970 (negative-epoch) nanos; float forms like
-        # floor(ts/1000) corrupt the low bits (int64 nanos exceed a
-        # double's 53-bit mantissa). pmod keeps it exact and integral.
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # Raw int64 nanos. Integer floor division: `ts div 1000`
+            # alone truncates toward zero, which differs from DuckDB's
+            # floor semantics by 1µs for pre-1970 (negative-epoch)
+            # nanos; float forms like floor(ts/1000) corrupt the low
+            # bits (int64 nanos exceed a double's 53-bit mantissa).
+            # pmod keeps it exact and integral.
+            return df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
+            )
+        if isinstance(ts_type, TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

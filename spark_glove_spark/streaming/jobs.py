@@ -26,19 +26,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events schema as the file stream must declare it: ts arrives as raw
-# int64 nanos (Spark 4 cannot read TIMESTAMP(NANOS) parquet at all —
-# see sources/tables.py) and is floored to micros with integer div.
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# events schema as the file stream must declare it. The ts column's
+# parquet resolution is generator-dependent (sources/tables.py): int64
+# TIMESTAMP(NANOS) fixtures arrive as raw longs (legacy conf — Spark 4
+# cannot read nanos parquet at all) and are floored to micros with
+# integer div; TIMESTAMP(MICROS) fixtures are declared TimestampType
+# directly (the reader accepts both UTC-adjusted and NTZ annotations
+# into TimestampType; the session TZ is pinned UTC so values agree).
+def _events_raw_schema(ts_is_nanos: bool) -> T.StructType:
+    ts_type = T.LongType() if ts_is_nanos else T.TimestampType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _ts_is_nanos(path: str) -> bool:
+    """Peek at one parquet footer (driver-side, metadata only) to learn
+    the ts resolution the stream must declare."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not files:
+            return False
+        path = os.path.join(path, files[0])
+    return pq.read_schema(path).field("ts").type.unit == "ns"
 
 
 def stream_events(
@@ -56,9 +77,12 @@ def stream_events(
         os.symlink(path, os.path.join(d, os.path.basename(path)))
         path = d
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_RAW).format("parquet")
+    nanos = _ts_is_nanos(path)
+    reader = spark.readStream.schema(_events_raw_schema(nanos)).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if not nanos:
+        return reader.load(path)
     # Integer floor division (pmod keeps it exact): `ts div 1000` alone
     # truncates toward zero (off by 1µs for negative-epoch nanos), and
     # float forms like floor(ts/1000) corrupt the low bits — int64

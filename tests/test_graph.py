@@ -1,0 +1,47 @@
+"""connected_components: planted graphs with known components.
+
+The oracle-checked query (h13_dedup_clusters) proves the embedding
+edge case end-to-end; these tests pin the operator itself on graph
+shapes the fixture doesn't contain — long chains (multi-round
+convergence), isolated vertices, and multi-component mixes.
+"""
+
+from __future__ import annotations
+
+from spark_glove_spark.operators.graph import connected_components
+
+
+def _components(spark, edges, vertices):
+    e = spark.createDataFrame(edges or [(None, None)], "u long, v long")
+    if not edges:
+        e = e.where("u IS NOT NULL")
+    v = spark.createDataFrame([(x,) for x in vertices], "id long")
+    out = connected_components(e, v).collect()
+    return {r["id"]: r["comp"] for r in out}
+
+
+def test_chain_triangle_singleton(spark):
+    # chain 1-2-3-4-5 (diameter 4: needs >1 propagation round),
+    # triangle 10-11-12, singleton 20
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)]
+    comp = _components(spark, edges, [1, 2, 3, 4, 5, 10, 11, 12, 20])
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_edge_orientation_irrelevant(spark):
+    # same component regardless of (u,v) orientation mix
+    comp = _components(spark, [(5, 3), (3, 9), (9, 1)], [1, 3, 5, 9])
+    assert set(comp.values()) == {1}
+
+
+def test_no_edges_all_singletons(spark):
+    comp = _components(spark, [], [7, 8, 9])
+    assert comp == {7: 7, 8: 8, 9: 9}
+
+
+def test_two_chains_merge_through_bridge(spark):
+    # two chains joined by one bridge edge -> single component under min id
+    edges = [(1, 2), (2, 3), (30, 31), (31, 32), (3, 30)]
+    comp = _components(spark, edges, [1, 2, 3, 30, 31, 32])
+    assert set(comp.values()) == {1}
+    assert comp[32] == 1
