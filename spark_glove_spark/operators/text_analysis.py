@@ -633,3 +633,128 @@ def h17_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "h17_pii_redaction",
+    section="H17,G2",
+    oracle=r"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             AS raw
+    FROM documents
+    WHERE doc_id % 10 = 0
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(raw, '\b555-[0-9][0-9][0-9][0-9]\b')) AS BIGINT)
+         AS n_phones,
+       regexp_replace(
+           regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+           '\b555-[0-9][0-9][0-9][0-9]\b', '<PHONE>', 'g'
+       ) AS sanitized
+FROM aug
+""",
+)
+def h17_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the pre-training hygiene pass that counts and
+    masks emails/phone patterns per document. The fixture corpus is
+    synthetic word salad with no PII, so the query plants one
+    deterministic email + phone per sampled document (same expression
+    on both engines) and the redaction provably fires on every row —
+    zero-match regexes would verify nothing. Regex subset chosen to
+    behave identically under Java regex (Spark) and RE2 (DuckDB):
+    character classes, explicit repetition, ASCII word boundaries.
+    Pure JVM expressions — at 100 TB this is a map-only pass with no
+    shuffle; counts enable audit aggregates downstream."""
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+    phone_re = r"\b555-[0-9][0-9][0-9][0-9]\b"
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    # F.regexp_extract_all (not F.expr) so the patterns stay Python
+    # strings — embedding them in a SQL literal would re-interpret
+    # backslash escapes (\b -> backspace) in Spark's lexer.
+    return d.withColumn("raw", raw).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(email_re), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(phone_re), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ).alias("sanitized"),
+    )
+
+
+@query(
+    "h17_sequence_packing",
+    section="H17,E4",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           CAST(doc_id % 8 AS INTEGER) AS bucket,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+s AS (
+    SELECT doc_id, bucket, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_tokens
+    FROM t
+)
+SELECT doc_id, bucket, n_tokens, cum_tokens,
+       CAST(bucket * 1000000 + floor((cum_tokens - n_tokens) / 256.0) AS BIGINT)
+         AS pack_id
+FROM s
+""",
+)
+def h17_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents to fixed token-budget packs
+    (256 tokens) for training-batch construction. Distributed form:
+    documents are bucketed (doc_id % 8 here; a hash at production),
+    packed greedily WITHIN each bucket by running token sum, and the
+    pack id is derived from the exclusive prefix sum — deterministic,
+    engine-independent, and each window is per-bucket so no global
+    single-partition sort exists at any scale (the bucket count scales
+    with the cluster, and a pack never spans buckets). A pack may
+    overflow its budget by at most one document — the standard
+    streaming-packing tradeoff; exact bin packing is NP-hard and
+    sequential."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("bucket"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return s.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        "cum_tokens",
+        (
+            F.col("bucket") * 1000000
+            + F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 256)
+        )
+        .cast("long")
+        .alias("pack_id"),
+    )
