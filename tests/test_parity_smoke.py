@@ -39,6 +39,9 @@ SMOKE_QUERIES = [
     "i1_tumbling_window",     # streaming batch-equivalence
     "j4_grouped_map_centroid",  # Arrow grouped-map boundary
     "j6_udtf",                # UDTF lateral
+    "h13_dedup_clusters",     # iterative connected components vs recursive CTE
+    "sql_tpch_q13",           # zero-preserving outer-join histogram
+    "h17_sequence_packing",   # per-bucket running-sum windows
 ]
 
 
