@@ -148,3 +148,34 @@ def h13_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
     )
+
+
+@query("h13_minhash_clusters", section="H13,F5", tags=("dedup",))
+def h13_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production dedup pipeline, end to end: MinHash-LSH
+    candidate pairs → exact-Jaccard verify (≥ 0.5) → connected
+    components → canonical representative per cluster. ``WHERE
+    is_canonical = 0`` is the drop set. Rows-only to the driver
+    (bucket membership is hash-function-specific, SURVEY §5.2); the
+    correctness tooth is tests/test_graph.py, which pins the clusters
+    to a brute-force exact-Jaccard ground truth on the planted
+    near-duplicates."""
+    from spark_glove_spark.operators.dedup import minhash_neardups
+
+    docs = table(spark, sf_dir, "documents")
+    edges = minhash_neardups(docs, threshold=0.5).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    verts = docs.select(F.col("doc_id").alias("id"))
+    comp = connected_components(edges, verts)
+    w = Window.partitionBy("component_id")
+    return (
+        comp.select(
+            F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
+        )
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("component_id")).cast("int"),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )

@@ -45,3 +45,49 @@ def test_two_chains_merge_through_bridge(spark):
     comp = _components(spark, edges, [1, 2, 3, 30, 31, 32])
     assert set(comp.values()) == {1}
     assert comp[32] == 1
+
+
+def test_minhash_clusters_match_bruteforce_ground_truth(spark):
+    """End-to-end pipeline tooth: the MinHash→verify→CC clusters must
+    equal the components of the brute-force exact-Jaccard graph (all
+    O(n²) pairs, shingle k=3, threshold 0.5) on the fixture corpus —
+    i.e. LSH recall on the planted near-dups is total, and clustering
+    is exact."""
+    from spark_glove_spark.operators.graph import h13_minhash_clusters
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    def sh(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    sets = {r["doc_id"]: sh(r["text"]) for r in rows}
+    ids = sorted(sets)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i_pos, a in enumerate(ids):
+        for b in ids[i_pos + 1 :]:
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= 0.5:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in ids}
+
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in h13_minhash_clusters(spark, sf).collect()
+    }
+    assert got == expected
+    n_clusters = len({c for c in expected.values()})
+    assert n_clusters < len(ids)  # fixture plants real near-dups
