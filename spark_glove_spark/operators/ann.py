@@ -251,3 +251,69 @@ def h16_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_probe=3 → ~30% of the corpus searched, recall 0.64 vs exact
     # (measured sf0.01; LSH at comparable budget: 0.50).
     return ivf_knn(e, probes, k=10, n_lists=10, n_probe=3)
+
+
+@query(
+    "h16_int8_quant",
+    section="H16,G8",
+    oracle="""
+WITH s AS (
+    SELECT vec_id, label, embedding,
+           greatest(list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale
+    FROM embeddings
+)
+SELECT vec_id, label,
+       round(scale, 9) AS scale_r,
+       CAST(list_sum(list_transform(embedding,
+            x -> abs(floor(CAST(x AS DOUBLE) / scale + 0.5)))) AS BIGINT) AS q_l1,
+       round(list_reduce(list_transform(embedding,
+            x -> pow(CAST(x AS DOUBLE)
+                     - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale, 2)),
+            (a, b) -> a + b) / len(embedding), 9) AS mse
+FROM s
+""",
+)
+def h16_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the memory-at-scale
+    companion to IVF/LSH ANN (4× smaller vectors, SIMD-friendly int
+    dot products; at 100 TB the quantized corpus is what lives in
+    executor memory, with exact re-ranking only on the survivors).
+    Quantization uses explicit floor(x/scale + 0.5) so rounding is
+    bit-identical across engines (banker's-vs-half-away round()
+    differences would flip ±1 on exact .5 ties). Emits per-vector
+    scale, the L1 norm of the quantized codes (an exact integer
+    checksum of every component — no array output), and the
+    reconstruction MSE via the same in-order fold as functions/vector
+    so the oracle matches bit-for-bit. Map-only: no shuffle."""
+    e = table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = (
+        F.greatest(
+            F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))),
+            F.lit(1e-12),
+        )
+        / 127.0
+    )
+    s = e.select("vec_id", "label", "embedding", scale.alias("scale"))
+    q = lambda x: F.floor(xd(x) / F.col("scale") + 0.5)  # noqa: E731
+    err2 = F.transform(
+        "embedding", lambda x: F.pow(xd(x) - q(x) * F.col("scale"), 2)
+    )
+    return s.select(
+        "vec_id",
+        "label",
+        F.round("scale", 9).alias("scale_r"),
+        F.aggregate(
+            F.transform("embedding", lambda x: F.abs(q(x))),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        .cast("long")
+        .alias("q_l1"),
+        F.round(
+            F.aggregate(err2, F.lit(0.0), lambda a, b: a + b)
+            / F.size("embedding"),
+            9,
+        ).alias("mse"),
+    )

@@ -758,3 +758,76 @@ def h17_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pack_id"),
     )
+
+
+@query(
+    "h10_bm25",
+    section="H10,D1,F2",
+    oracle="""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl)
+SELECT tf.doc_id,
+       round(sum(
+           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+       ), 6) AS bm25
+FROM tf
+JOIN df USING (word)
+JOIN dl USING (doc_id)
+CROSS JOIN stats
+WHERE tf.word IN ('vector', 'query', 'dup')
+GROUP BY 1
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+""",
+)
+def h10_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson/Sparck Jones; k1=1.2, b=0.75)
+    for a fixed 3-term query — the classic lexical ranker an LLM data
+    pipeline uses for quality-weighted retrieval and hard-negative
+    mining. Everything derives from ONE (doc_id, word) aggregate: tf
+    feeds doc length (sum per doc), document frequency (count per
+    word), and the corpus stats (1-row cross join) — same
+    shared-Exchange shape as h10_tfidf, so the corpus is scanned and
+    exploded once. df is vocabulary-sized → broadcast; the term filter
+    prunes the fact side before the score join. Top-20 runs as
+    TakeOrderedAndProject with a doc_id tiebreak; scores rounded to
+    6 dp so libm accumulation order cannot split ranks across
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    score = (
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * 2.2
+        / (
+            F.col("tf")
+            + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.where(F.col("word").isin("vector", "query", "dup"))
+        .join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
