@@ -1,8 +1,10 @@
 """Training-data curation walkthrough: the LLM-pipeline operators
 chained the way a real corpus pass uses them —
 
-    near-dup removal → quality filter → language profile →
-    deterministic train/val split → stratified eval sample
+    near-dup clustering (keep one canonical per cluster) →
+    PII scrub → quality filter → language profile →
+    deterministic train/val split → stratified eval sample →
+    sequence packing
 
     python examples/curate_corpus.py [sf_dir]
 """
@@ -18,6 +20,7 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from spark_glove_spark.operators.dedup import minhash_neardups  # noqa: E402
+from spark_glove_spark.operators.graph import connected_components  # noqa: E402
 from spark_glove_spark.session import get_spark  # noqa: E402
 from spark_glove_spark.sources import table  # noqa: E402
 
@@ -29,11 +32,35 @@ def main() -> None:
     docs = table(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 1. Near-dup removal: keep the lower doc_id of each duplicate pair.
-    dup_pairs = minhash_neardups(docs, threshold=0.8)
-    losers = dup_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    docs = docs.join(losers, "doc_id", "left_anti")
+    # 1. Near-dup removal, done right: cluster the duplicate-pair
+    #    graph (transitive closure) and keep ONE canonical doc per
+    #    cluster. Dropping "doc_b of every pair" over-deletes on
+    #    chains — A~B, B~C kills both B and C even though C's only
+    #    duplicate (B) is already gone.
+    edges = minhash_neardups(docs, threshold=0.8).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    comp = connected_components(
+        edges, docs.select(F.col("doc_id").alias("id"))
+    )
+    keep = comp.where(F.col("id") == F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    docs = docs.join(keep, "doc_id", "left_semi")
     n1 = docs.count()
+
+    # 1b. PII scrub: mask emails/phone patterns before anything else
+    #     sees the text (map-only, no shuffle).
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+    phone_re = r"\b555-[0-9][0-9][0-9][0-9]\b"
+    docs = docs.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ),
+    )
 
     # 2. Quality filter: drop very short documents.
     docs = docs.where(F.col("n_chars") >= 50)
@@ -65,12 +92,35 @@ def main() -> None:
         .drop("rn")
     )
 
-    print(f"documents: {n0} -> {n1} after dedup -> {n2} after quality filter")
+    # 6. Sequence packing: assign the surviving train docs to fixed
+    #    256-token packs (per-bucket running sum — no global window).
+    from pyspark.sql import Window as W
+
+    train = docs.where(F.col("split") == "train").select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("bucket"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    wp = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packs = train.withColumn("cum", F.sum("n_tokens").over(wp)).select(
+        (
+            F.col("bucket") * 1000000
+            + F.floor((F.col("cum") - F.col("n_tokens")) / 256)
+        ).alias("pack_id")
+    )
+    n_packs = packs.distinct().count()
+
+    print(f"documents: {n0} -> {n1} after cluster-dedup -> {n2} after quality filter")
     print("\nlanguage profile:")
     profile.orderBy("lang").show()
     print("split sizes:")
     split_counts.show()
     print(f"stratified eval set: {eval_set.count()} docs")
+    print(f"train packs (256-token budget): {n_packs}")
 
 
 if __name__ == "__main__":
