@@ -53,3 +53,30 @@ def test_quantized_topk_recall():
         [len(set(e) & set(a)) / 10.0 for e, a in zip(exact, approx)]
     )
     assert overlap >= 0.8, overlap
+
+
+def test_ppm_decode_roundtrip():
+    """decode_media really parses P6 bytes: handcrafted 2x1 image."""
+    from spark_glove_spark.operators.multimodal import decode_media
+
+    img = decode_media(b"P6\n2 1\n255\n" + bytes([1, 2, 3, 250, 251, 252]), "image")
+    assert img.shape == (1, 2, 3)
+    assert img.tolist() == [[[1, 2, 3], [250, 251, 252]]]
+
+
+def test_ppm_synth_matches_closed_form():
+    from spark_glove_spark.operators.multimodal import decode_media, synth_ppm
+
+    img = decode_media(synth_ppm(11), "image")
+    assert img.shape == (8, 8, 3)
+    flat = img.reshape(-1)
+    assert all(int(flat[i]) == (11 * 7 + i * 13) % 256 for i in range(192))
+
+
+def test_compressed_formats_still_raise():
+    import pytest
+
+    from spark_glove_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n\x1a\n....", "image")
