@@ -3,14 +3,15 @@
 Contract per the task definition: media lives as opaque ``binary``
 columns with typed metadata; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas kernels over ``mapInPandas``.
-``decode_media`` is a REAL decoder for binary PPM (P6 — uncompressed
-raster, pure numpy, no codec library needed; exercised end-to-end and
-oracle-checked by mm_image_decode). Compressed formats (JPEG/PNG,
-audio, video) raise NotImplementedError — those codecs are not in
-this container and fabricating pixels would be worse than failing;
-everything Spark-side is real and tested either way: the binary
-schema, the mapInPandas batch shapes, partitioning, and the metadata
-pipeline.
+The UNCOMPRESSED formats are decoded for real with pure numpy — no
+codec library needed: binary PPM/P6 rasters (``decode_media``,
+oracle-checked by mm_image_decode), PCM16 RIFF/WAV audio
+(``decode_wav``, mm_audio_decode), and P6 frame streams
+(mm_video_decode). Compressed formats (JPEG/PNG/MP3/H.264) raise
+NotImplementedError — those codecs are not in this container and
+fabricating pixels would be worse than failing; everything
+Spark-side is real and tested either way: the binary schema, the
+mapInPandas batch shapes, partitioning, and the metadata pipeline.
 
 The fixture media table is synthesized deterministically from the
 ``documents`` fixture (content = UTF-8 bytes of the text, media type
@@ -284,4 +285,144 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item_id long, width int, height int, "
             "mean_r double, mean_g double, mean_b double"
         ),
+    )
+
+
+def synth_wav(item_id: int, n_samples: int = 64) -> bytes:
+    """Deterministic PCM16 mono WAV: sample i is
+    ((item_id*31 + i*17) mod 65536) - 32768 — closed-form, so signal
+    statistics are computable in plain SQL (the mm_audio_decode
+    oracle). Canonical 44-byte RIFF header, little-endian samples."""
+    import struct
+
+    s = ((int(item_id) * 31 + np.arange(n_samples, dtype=np.int64) * 17) % 65536) - 32768
+    data = s.astype("<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(content: bytes) -> np.ndarray:
+    """REAL PCM16 WAV parse — RIFF sanity check, locate the data
+    chunk, frombuffer little-endian int16. Pure numpy; compressed
+    audio goes through decode_media's NotImplementedError instead."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    i = content.index(b"data")
+    import struct
+
+    n = struct.unpack("<I", content[i + 4 : i + 8])[0]
+    return np.frombuffer(content[i + 8 : i + 8 + n], dtype="<i2")
+
+
+def _audio_stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        out = {"item_id": [], "n_samples": [], "rms": [], "n_zero_cross": []}
+        for item_id in pdf["item_id"]:
+            s = decode_wav(synth_wav(int(item_id))).astype("float64")
+            zc = int(np.sum(np.signbit(s[1:]) != np.signbit(s[:-1])))
+            out["item_id"].append(int(item_id))
+            out["n_samples"].append(len(s))
+            out["rms"].append(round(float(np.sqrt(np.mean(s * s))), 6))
+            out["n_zero_cross"].append(zc)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "mm_audio_decode",
+    section="J5,G5",
+    oracle="""
+WITH s AS (
+    SELECT doc_id AS item_id,
+           list_transform(range(64),
+               i -> CAST((doc_id * 31 + i * 17) % 65536 - 32768 AS DOUBLE)) AS sig
+    FROM documents
+    WHERE doc_id % 3 = 1
+)
+SELECT item_id,
+       CAST(64 AS BIGINT) AS n_samples,
+       round(sqrt(list_sum(list_transform(sig, x -> x * x)) / 64), 6) AS rms,
+       CAST(len(list_filter(range(63),
+            i -> (sig[i + 1] < 0) <> (sig[i + 2] < 0))) AS BIGINT) AS n_zero_cross
+FROM s
+""",
+)
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path for 'audio' items: each gets a
+    deterministic PCM16 WAV payload (closed-form sample function),
+    decode_wav parses the actual RIFF bytes back with numpy, and the
+    kernel emits RMS + zero-crossing count. The DuckDB twin recomputes
+    both from the sample function — verifying header layout,
+    little-endian int16 decoding, and signedness exactly (the
+    −32768 offset makes sign handling part of the check)."""
+    m = media_table(spark, sf_dir).where(F.col("media_type") == "audio")
+    return m.select("item_id").mapInPandas(
+        _audio_stats_kernel,
+        schema="item_id long, n_samples long, rms double, n_zero_cross long",
+    )
+
+
+_FRAME_BYTES = 11 + 192  # "P6\n8 8\n255\n" + 8*8*3
+
+
+def synth_video(item_id: int, n_frames: int = 4) -> bytes:
+    """Deterministic 'video': n_frames concatenated 8x8 P6 frames;
+    byte i of frame f is (item_id*7 + f*29 + i*13) mod 256."""
+    frames = []
+    for f in range(n_frames):
+        px = (int(item_id) * 7 + f * 29 + np.arange(192, dtype=np.int64) * 13) % 256
+        frames.append(b"P6\n8 8\n255\n" + px.astype(np.uint8).tobytes())
+    return b"".join(frames)
+
+
+def _video_stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        out = {"item_id": [], "frame_id": [], "mean_px": []}
+        for item_id in pdf["item_id"]:
+            blob = synth_video(int(item_id))
+            n = len(blob) // _FRAME_BYTES
+            for f in range(n):
+                img = decode_media(
+                    blob[f * _FRAME_BYTES : (f + 1) * _FRAME_BYTES], "image"
+                )
+                out["item_id"].append(int(item_id))
+                out["frame_id"].append(f)
+                out["mean_px"].append(round(float(img.mean()), 6))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "mm_video_decode",
+    section="J5,G5",
+    oracle="""
+SELECT doc_id AS item_id,
+       CAST(f AS INTEGER) AS frame_id,
+       round(list_sum(list_transform(range(192),
+             i -> CAST((doc_id * 7 + f * 29 + i * 13) % 256 AS DOUBLE))) / 192, 6)
+         AS mean_px
+FROM documents, unnest(range(4)) AS t(f)
+WHERE doc_id % 3 = 2
+""",
+)
+def mm_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame-stream decode for 'video' items: the payload is a
+    concatenation of fixed-size P6 frames; the kernel splits it on
+    frame boundaries, decodes EVERY frame with the real PPM parser,
+    and emits one (item, frame, mean pixel) row per frame — the
+    keyframe-extraction batch shape with genuine pixel math. Oracle:
+    the closed-form per-frame means, fanned out with unnest(range)."""
+    m = media_table(spark, sf_dir).where(F.col("media_type") == "video")
+    return m.select("item_id").mapInPandas(
+        _video_stats_kernel,
+        schema="item_id long, frame_id int, mean_px double",
     )

@@ -80,3 +80,22 @@ def test_compressed_formats_still_raise():
 
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG\r\n\x1a\n....", "image")
+
+
+def test_wav_decode_roundtrip():
+    from spark_glove_spark.operators.multimodal import decode_wav, synth_wav
+
+    s = decode_wav(synth_wav(5))
+    assert len(s) == 64
+    assert all(
+        int(s[i]) == ((5 * 31 + i * 17) % 65536) - 32768 for i in range(64)
+    )
+
+
+def test_wav_rejects_non_riff():
+    import pytest
+
+    from spark_glove_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"ID3\x04...mp3 bytes...")
