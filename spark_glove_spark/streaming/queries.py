@@ -412,3 +412,72 @@ def i8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("ms_to_purchase"),
     )
+
+
+@query(
+    "i9_streaming_cooccurrence",
+    section="I1,H3,D9",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         unnest(t) AS word,
+         generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+)
+SELECT least(a.word, b.word) AS wi,
+       greatest(a.word, b.word) AS wj,
+       round(sum(1.0 / (b.pos - a.pos)), 6) AS x
+FROM pos a
+JOIN pos b
+  ON a.doc_id = b.doc_id
+ AND b.pos - a.pos BETWEEN 1 AND 2
+GROUP BY 1, 2
+""",
+)
+def i9_streaming_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's signature operator as a STREAM: documents arrive
+    as a file stream, co-occurrence pairs are generated with the same
+    expression-only fan-out as the batch path (no self-join — the
+    §4.3.1 design applies unchanged to unbounded input), and the
+    running X matrix accumulates in complete-mode state. After the
+    exhaustive replay the state equals the batch matrix — which IS
+    the DuckDB oracle, so the streaming aggregate is fully
+    hash-checked. Window=2 keeps every 1/d weight (1.0, 0.5) exactly
+    representable, so cross-micro-batch accumulation order cannot
+    perturb the sums. At production this is incremental vocabulary/X
+    maintenance over a document firehose; state size is bounded by
+    vocab², not corpus size."""
+    import os
+    import tempfile
+
+    from spark_glove_spark.functions.text import tokenize
+    from spark_glove_spark.operators.cooccurrence import _forward_pairs
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="stream_docs_")
+        os.symlink(path, os.path.join(d, "documents.parquet"))
+        path = d
+    sdf = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(path)
+    toks = sdf.select("doc_id", tokenize(F.col("text")).alias("tokens")).withColumn(
+        "n", F.size("tokens")
+    )
+    pos = toks.select(
+        "doc_id", "tokens", "n", F.posexplode("tokens").alias("pos", "word")
+    )
+    pairs = pos.select(
+        F.col("word").alias("w_center"), F.explode(_forward_pairs(2)).alias("p")
+    ).select(
+        F.least("w_center", F.col("p.wj")).alias("wi"),
+        F.greatest("w_center", F.col("p.wj")).alias("wj"),
+        F.col("p.d").alias("d"),
+    )
+    agg = pairs.groupBy("wi", "wj").agg(
+        F.round(F.sum(F.lit(1.0) / F.col("d")), 6).alias("x")
+    )
+    return run_stream(agg, "complete")
