@@ -551,19 +551,26 @@ SELECT CAST(c.c_nationkey AS INTEGER) AS nationkey,
        round(sum(c.c_acctbal), 2) AS totacctbal
 FROM customer c
 WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY 1
 ORDER BY 1
 """,
 )
 def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity): rich customers with
-    no orders — a scalar AVG subquery (1-row broadcast) plus an ANTI
-    join against orders, then a per-nation rollup. Adapted to the
-    trimmed fixture: no c_phone column, so the country-code IN list
-    becomes the nation key itself."""
+    no RECENT orders — a scalar AVG subquery (1-row broadcast) plus an
+    ANTI join against the filtered orders, then a per-nation rollup.
+    Adapted to the trimmed fixture twice over: no c_phone column (the
+    country-code IN list becomes the nation key itself), and the anti
+    join is against post-2000 orders because every fixture customer
+    has SOME order — the spec's "never ordered" predicate returns the
+    empty set here, which would make the oracle check vacuous."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
     avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("threshold")
     )
