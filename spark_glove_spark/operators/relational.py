@@ -325,14 +325,22 @@ def c4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_custkey, c_name
 FROM customer c
 WHERE NOT EXISTS (
-  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-01-01'
 )
 """,
 )
 def c5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5: NOT EXISTS as left-anti."""
+    """C5: NOT EXISTS as left-anti. The anti join targets RECENT
+    orders: every fixture customer has some order, so the unfiltered
+    form returns the empty set — which would only verify that both
+    engines find nothing, never that the anti join KEEPS non-matching
+    rows. With the date filter both directions are exercised."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2001-01-01"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
