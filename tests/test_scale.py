@@ -170,3 +170,46 @@ def test_pushdown_survives_corpus_fanout(spark):
     plan = _plan(df)
     assert "PushedFilters: [In(lang" in plan or "In(lang" in plan.split("PushedFilters")[1][:200]
     assert "text" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_bm25_reads_token_aggregate_from_cache(spark):
+    """PLANS.md r2: exchange reuse can't fire across the term-filter
+    pushdown, so the (doc_id, word) aggregate must be persisted — all
+    four consumers read InMemoryTableScan, not fresh corpus scans."""
+    df = api.REGISTRY["h10_bm25"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan
+
+
+def test_sequence_packing_has_no_global_window(spark):
+    """PLANS.md r2: the running-sum window must be partitioned by
+    bucket — a global (empty-partition) window would serialize the
+    whole table through one task at scale."""
+    df = api.REGISTRY["h17_sequence_packing"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" in plan
+    # hashpartitioning on the bucket key, never SinglePartition, feeds
+    # the window sort
+    assert "SinglePartition" not in plan
+
+
+def test_q19_or_predicate_decomposes_to_both_scans(spark):
+    """PLANS.md r2: the cross-side OR must contribute PushedFilters to
+    BOTH the lineitem scan (quantity ranges) and the part scan
+    (brand/size) instead of being evaluated only post-join."""
+    df = api.REGISTRY["sql_tpch_q19"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    scans = [s for s in plan.split("FileScan parquet") if "PushedFilters: [" in s]
+    pushed = [s.split("PushedFilters: [")[1][:400] for s in scans]
+    assert any("l_quantity" in p for p in pushed)
+    assert any("p_size" in p or "p_brand" in p for p in pushed)
+
+
+def test_pii_redaction_is_map_only(spark):
+    """PLANS.md r2: the scrub pass must have no Exchange — pure
+    expression map over the scan."""
+    df = api.REGISTRY["h17_pii_redaction"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # table() fans the single-file corpus out with one round-robin
+    # repartition; beyond that no shuffle may appear.
+    assert plan.count("Exchange") <= 1
