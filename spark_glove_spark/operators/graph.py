@@ -18,9 +18,11 @@ short chains; 3 rounds converge the fixture), which is exactly the
 workload this operator targets. For adversarial long-chain graphs the
 escalation path is alternating large-star/small-star contraction
 (Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14 — public), which converges in O(log² n) rounds over the same
-(edges, labels) join primitive; not needed for dedup graphs and
-deliberately not the default, since its per-round cost is higher.
+SoCC'14 — public), which converges in O(log² n) rounds; implemented
+here as ``connected_components_star`` (equivalence with hash-min
+pinned on planted shapes and seeded random graphs in
+tests/test_graph.py) but deliberately not the default, since its
+per-round cost is higher and dedup graphs have tiny diameters.
 
 Iterative-plan hygiene: every round ends in ``localCheckpoint`` —
 PLANS.md "Known scale caveats" documents the Catalyst stats-product
@@ -178,4 +180,88 @@ def h13_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("component_id")).cast("int"),
         )
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public):
+    the O(log² n)-round algorithm for graphs whose DIAMETER defeats
+    hash-min propagation (long chains), at a higher per-round cost.
+    Same (id, comp) output contract as ``connected_components`` —
+    equivalence on identical inputs is pinned by tests/test_graph.py.
+
+    Per round, each node u looks at its neighborhood N(u) and
+    re-points neighbors at m = min(N(u) ∪ {u}): large-star moves only
+    strictly-larger neighbors (keeps the graph connected, strictly
+    reduces large-star potential), small-star compacts the ≤-side.
+    Both are one groupBy(u) + one join back to the edge list — two
+    shuffles per round over EDGE-sized data; state never exceeds the
+    (shrinking) edge set. Fixpoint = edge set stable, detected from a
+    count + order-insensitive hash (two scalars per round)."""
+    sym = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        nbrs = e if large else e.where(F.col("v") <= F.col("u"))
+        m = (
+            nbrs.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        )
+        moved = (
+            e.where(F.col("v") > F.col("u")) if large else nbrs
+        ).join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        extra = (
+            m.select(F.col("u"), F.col("m").alias("v"))
+            if not large
+            else moved.limit(0)
+        )
+        return (
+            moved.unionByName(extra)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _sig(e: DataFrame):
+        # bit_xor: order-insensitive and overflow-free (a SUM of
+        # full-range xxhash64 values trips ANSI overflow)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    cur, cur_sig = sym, _sig(sym)
+    for _ in range(max_iter):
+        nxt = _star(_star(cur, large=True), large=False)
+        # re-symmetrize: star edges are directed (child, root); hash-min
+        # over stars needs both directions next round
+        nxt = (
+            nxt.union(nxt.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        nxt_sig = _sig(nxt)
+        done = nxt_sig == cur_sig
+        cur, cur_sig = nxt, nxt_sig
+        if done:
+            break
+    # at fixpoint every component is a star around its minimum:
+    # label(u) = min(u, min over neighbors) — one final aggregate
+    labels = (
+        cur.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("comp"))
+        .select(F.col("u").alias("id"), "comp")
+    )
+    return (
+        vertices.select("id")
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
     )

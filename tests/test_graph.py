@@ -91,3 +91,49 @@ def test_minhash_clusters_match_bruteforce_ground_truth(spark):
     assert got == expected
     n_clusters = len({c for c in expected.values()})
     assert n_clusters < len(ids)  # fixture plants real near-dups
+
+
+def test_star_contraction_matches_hashmin_on_planted_shapes(spark):
+    from spark_glove_spark.operators.graph import connected_components_star
+
+    cases = [
+        ([(1, 2), (2, 3), (3, 4), (4, 5)], [1, 2, 3, 4, 5, 9]),  # chain + isolate
+        ([(10, 11), (11, 12), (10, 12)], [10, 11, 12]),  # triangle
+        ([(1, 2), (2, 3), (30, 31), (31, 32), (3, 30)], [1, 2, 3, 30, 31, 32]),
+        ([], [5, 6]),
+    ]
+    for edges, verts in cases:
+        e = spark.createDataFrame(edges or [(None, None)], "u long, v long")
+        if not edges:
+            e = e.where("u IS NOT NULL")
+        v = spark.createDataFrame([(x,) for x in verts], "id long")
+        got = {
+            r["id"]: r["comp"] for r in connected_components_star(e, v).collect()
+        }
+        expected = _components(spark, edges, verts)
+        assert got == expected, (edges, got, expected)
+
+
+def test_star_contraction_matches_hashmin_on_random_graphs(spark):
+    """Seeded random graphs: both algorithms must produce identical
+    component labelings (min id per component)."""
+    import random
+
+    from spark_glove_spark.operators.graph import connected_components_star
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = 30
+        verts = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(5, 40))
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        e = spark.createDataFrame(edges or [(0, 1)], "u long, v long")
+        if not edges:
+            edges = [(0, 1)]
+        v = spark.createDataFrame([(x,) for x in verts], "id long")
+        a = {r["id"]: r["comp"] for r in connected_components_star(e, v).collect()}
+        b = _components(spark, edges, verts)
+        assert a == b, (trial, edges)
