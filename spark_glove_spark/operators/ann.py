@@ -317,3 +317,73 @@ def h16_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mse"),
     )
+
+
+@query("h16_quantized_knn", section="H16,H15,G8", tags=("ann",))
+def h16_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-scan + exact-re-rank kNN — the production memory path
+    h16_int8_quant enables: the corpus is scanned as int8 codes
+    (4× smaller resident set), candidates are scored on RECONSTRUCTED
+    vectors, the top 30 per probe survive, and only those get the
+    exact float dot product for the final top-10. All expression-only:
+    quantize = floor(x/scale + 0.5), reconstruct = code·scale, same
+    portable rounding as h16_int8_quant. Rows-only to the driver
+    (two-stage selection isn't cleanly SQL-expressible); the tooth is
+    tests/test_quant.py: recall ≥ 0.9 vs the exact h15 top-10."""
+    e = table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = (
+        F.greatest(
+            F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))),
+            F.lit(1e-12),
+        )
+        / 127.0
+    )
+    # int8 codes + per-vector scale: what actually lives in memory at
+    # 100 TB. Reconstruction happens on the fly during scoring.
+    q = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("exact"),
+        scale.alias("scale"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(xd(x) / scale + 0.5).cast("int"),
+        ).alias("codes"),
+    )
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pq")
+    )
+    recon = F.transform(
+        "codes", lambda c: c.cast("double") * F.col("scale")
+    )
+    cand_scored = (
+        parallelized(q)
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "exact",
+            "pq",
+            F.round(dot(recon, F.col("pq")), 6).alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("approx_cos").desc(), "vec_id"
+    )
+    survivors = (
+        cand_scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 30)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        survivors.select(
+            "probe_id",
+            "vec_id",
+            F.round(dot(F.col("exact"), F.col("pq")), 6).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )

@@ -99,3 +99,21 @@ def test_wav_rejects_non_riff():
 
     with pytest.raises(NotImplementedError):
         decode_wav(b"ID3\x04...mp3 bytes...")
+
+
+def test_quantized_knn_recall_vs_exact(spark):
+    """The declared two-stage query (int8 candidate scan -> exact
+    re-rank) must recover >= 0.9 of the exact h15 top-10."""
+    from spark_glove_spark import api
+
+    sf = SF
+    exact = api.REGISTRY["h15_knn_bruteforce"].fn(spark, sf).collect()
+    approx = api.REGISTRY["h16_quantized_knn"].fn(spark, sf).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    for r in approx:
+        ap.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    assert set(ex) == set(ap)
+    recall = sum(len(ex[p] & ap[p]) for p in ex) / sum(len(ex[p]) for p in ex)
+    assert recall >= 0.9, recall
