@@ -86,16 +86,20 @@ def h10_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One token shuffle feeds both sides: df is derived from the
     (doc_id, word) aggregate — count of pairs per word ==
-    countDistinct(doc_id) — so both branches share the same Exchange
-    and Spark's exchange reuse scans + explodes the corpus ONCE
-    (verified: ReusedExchange in the formatted plan). The naive form
-    (independent groupBy for df with countDistinct) re-scans the whole
-    corpus and adds an expand for the distinct — 2× the token I/O.
+    countDistinct(doc_id) — and the aggregate is PERSISTED so the
+    corpus is scanned + exploded once. Plain exchange reuse does NOT
+    fire here (re-verified r2): the doc_id%25 sampling filter pushes
+    through the tf aggregate to the fact-side scan, so the two tf
+    subplans differ and each would re-scan without the cache. The
+    naive form (independent groupBy for df with countDistinct) adds
+    an expand for the distinct on top — even more token I/O.
     Tokenization parallelism comes from table()'s built-in corpus
     fan-out."""
     d = table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
