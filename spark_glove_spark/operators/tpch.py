@@ -585,3 +585,45 @@ def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@query(
+    "sql_tpch_q04",
+    section="C4,D1",
+    oracle="""
+SELECT o.o_orderpriority AS orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def sql_tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): orders in a quarter with at
+    least one LATE lineitem — an EXISTS whose inner predicate
+    correlates with an OUTER column (l_shipdate vs o_orderdate), which
+    a plain equi-semi-join can't express; Spark plans it as a left-semi
+    with the cross-side condition in the join. Adapted to the trimmed
+    fixture: no l_commitdate/l_receiptdate, so 'late' means shipped
+    more than 90 days after the order date."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(l, late, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("orderpriority")
+    )
