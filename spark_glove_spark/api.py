@@ -23,6 +23,24 @@ import spark_glove_spark.operators.tpch  # noqa: F401
 
 import spark_glove_spark.streaming.queries  # noqa: F401
 
-from spark_glove_spark.registry import REGISTRY, oracle_sql, queries  # noqa: F401
+from spark_glove_spark.registry import (  # noqa: F401
+    DRIVER_PRIORITY,
+    DRIVER_WINDOW,
+    REGISTRY,
+    driver_oracle_sql,
+    driver_queries,
+    oracle_sql,
+    original_name,
+    queries,
+)
 
-__all__ = ["REGISTRY", "queries", "oracle_sql"]
+__all__ = [
+    "DRIVER_PRIORITY",
+    "DRIVER_WINDOW",
+    "REGISTRY",
+    "queries",
+    "oracle_sql",
+    "driver_queries",
+    "driver_oracle_sql",
+    "original_name",
+]

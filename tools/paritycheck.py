@@ -99,7 +99,14 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
-    names = [a for a in args if not os.path.isdir(a)] or sorted(api.queries())
+    # Sweep the DRIVER view (priority-windowed keys), i.e. exactly the
+    # contract __spark_entry__ exposes — so the a0_NN_* remap itself is
+    # exercised, not just the underlying queries. CLI args may use either
+    # the driver key or the original registry name.
+    qs, oracles = api.driver_queries(), api.driver_oracle_sql()
+    by_original = {api.original_name(k): k for k in qs}
+    requested = [a for a in args if not os.path.isdir(a)]
+    names = [by_original.get(a, a) for a in requested] or list(qs)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -108,7 +115,6 @@ def main() -> int:
         )
 
     spark = get_spark("paritycheck")
-    qs, oracles = api.queries(), api.oracle_sql()
     failed, rows_only = [], []
     for name in names:
         t0 = time.time()
