@@ -25,7 +25,7 @@ from spark_glove_spark.functions.hashing import (
 )
 from spark_glove_spark.functions.text import shingles, tokenize
 from spark_glove_spark.functions.vector import dot, dot_sql
-from spark_glove_spark.registry import query
+from spark_glove_spark.registry import defer_unpersist, query
 from spark_glove_spark.sources import parallelized, table
 
 N_HASHES = 16
@@ -88,7 +88,7 @@ def minhash_neardups(
     The shingle sets feed three plan branches (sketch + both verify
     sides); persisted so shingling runs once, not 3× — at 100 TB this
     is the difference between one corpus scan and three."""
-    sets = shingle_sets(docs, shingle_k).persist()
+    sets = defer_unpersist(shingle_sets(docs, shingle_k).persist())
     cand = minhash_candidates(sets)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("set_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("set_b"))

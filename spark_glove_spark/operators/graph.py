@@ -28,10 +28,17 @@ Iterative-plan hygiene: every round ends in ``localCheckpoint`` —
 PLANS.md "Known scale caveats" documents the Catalyst stats-product
 explosion that unbounded iterative lineage causes; convergence is
 detected from a one-scalar count per round (the only driver-side
-value, same discipline as the GloVe trainer loss).
+value, same discipline as the GloVe trainer loss). Checkpoint blocks
+from superseded rounds are reclaimed by Spark's ContextCleaner once
+the Python references drop (each round rebinds ``labels``/``cur``, so
+only the final round's blocks stay live past return) — accepted
+behavior per ADVICE r2, documented here rather than forcing an eager
+blocking unpersist into the convergence loop.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,7 +58,12 @@ def connected_components(
     orientation). ``vertices``: column (id) — the universe, so
     isolated vertices get singleton components. ``max_iter`` bounds
     the rounds; the loop exits early at fixpoint (near-dup graphs
-    converge in a handful of rounds — see module docstring).
+    converge in a handful of rounds — see module docstring). If the
+    bound is hit without a fixpoint (diameter > max_iter), the labels
+    would be silently WRONG for the unconverged chains — so this
+    warns and falls back to ``connected_components_star``, whose
+    round count is O(log² n) regardless of diameter, instead of
+    returning labels downstream dedup would wrongly trust.
     """
     sym = (
         edges.select("u", "v")
@@ -62,6 +74,7 @@ def connected_components(
         vertices.select("id", F.col("id").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["u"] == labels["id"]).select(
             F.col("v").alias("id"), F.col("comp")
@@ -83,6 +96,15 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        warnings.warn(
+            f"connected_components did not reach fixpoint in {max_iter} "
+            "rounds (graph diameter exceeds the bound); escalating to "
+            "large/small-star contraction",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return connected_components_star(edges, vertices)
     return labels
 
 

@@ -309,16 +309,42 @@ def synth_wav(item_id: int, n_samples: int = 64) -> bytes:
 
 
 def decode_wav(content: bytes) -> np.ndarray:
-    """REAL PCM16 WAV parse — RIFF sanity check, locate the data
-    chunk, frombuffer little-endian int16. Pure numpy; compressed
+    """REAL PCM16 WAV parse — proper RIFF chunk walk (ADVICE r2): a
+    LIST/INFO chunk before ``data``, or a ``data`` byte-string inside
+    another chunk's payload, must not derail the parse, and the fmt
+    chunk's audio-format code is checked so float/ADPCM/24-bit WAVs
+    raise instead of being silently misread as int16 garbage (the
+    module's fail-loudly contract). Pure numpy/struct; compressed
     audio goes through decode_media's NotImplementedError instead."""
-    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
-        raise NotImplementedError("not a RIFF/WAVE payload")
-    i = content.index(b"data")
     import struct
 
-    n = struct.unpack("<I", content[i + 4 : i + 8])[0]
-    return np.frombuffer(content[i + 8 : i + 8 + n], dtype="<i2")
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    fmt = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise NotImplementedError("truncated fmt chunk")
+            audio_format, channels, _, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_format != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 WAV is decodable here (fmt code "
+                    f"{audio_format}, {bits}-bit)"
+                )
+            fmt = (audio_format, channels, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise NotImplementedError("data chunk before fmt chunk")
+            return np.frombuffer(body[: size - (size % 2)], dtype="<i2")
+        # chunks are word-aligned: odd sizes carry a pad byte
+        pos += 8 + size + (size % 2)
+    raise NotImplementedError("no data chunk found in RIFF/WAVE payload")
 
 
 def _audio_stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

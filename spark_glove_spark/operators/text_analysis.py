@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from spark_glove_spark.functions.text import remove_stopwords, shingles, tokenize
 from spark_glove_spark.operators.cooccurrence import token_positions
-from spark_glove_spark.registry import query
+from spark_glove_spark.registry import defer_unpersist, query
 from spark_glove_spark.sources import parallelized, table
 
 STOPWORDS = ["a", "the"]
@@ -97,9 +97,9 @@ def h10_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out."""
     d = table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(
+    tf = defer_unpersist(words.groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).alias("tf")
-    ).persist()
+    ).persist())
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
@@ -807,9 +807,9 @@ def h10_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     d = table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(
+    tf = defer_unpersist(words.groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    ).persist()
+    ).persist())
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
     stats = dl.agg(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_glove_spark.registry import query
+from spark_glove_spark.registry import defer_unpersist, query
 from spark_glove_spark.sources import table
 
 
@@ -407,6 +407,7 @@ def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    rev = defer_unpersist(rev)
     top = rev.agg(F.max("total_revenue").alias("m"))
     return (
         rev.join(F.broadcast(top), F.col("total_revenue") == F.col("m"))

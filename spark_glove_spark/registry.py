@@ -36,6 +36,30 @@ class DeclaredQuery:
 
 REGISTRY: dict[str, DeclaredQuery] = {}
 
+# Deferred-unpersist tracker (ADVICE r2): operators that .persist() an
+# intermediate feeding the RETURNED DataFrame can't unpersist before
+# the caller consumes it — so they register it here, and the wrapper
+# around the NEXT declared query drains the list. Cached blocks are
+# thereby bounded to one query's worth in a long-lived session instead
+# of accumulating across the whole registry sweep.
+_DEFERRED_UNPERSIST: list[DataFrame] = []
+
+
+def defer_unpersist(df: DataFrame) -> DataFrame:
+    """Mark a persisted intermediate for release when the next declared
+    query starts (safe point: the previous result has been consumed)."""
+    _DEFERRED_UNPERSIST.append(df)
+    return df
+
+
+def drain_deferred_unpersist() -> None:
+    while _DEFERRED_UNPERSIST:
+        df = _DEFERRED_UNPERSIST.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+
 
 def query(
     name: str,
@@ -55,6 +79,7 @@ def query(
             # rendered in session TZ; DuckDB parquet timestamps are
             # UTC-naive).
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            drain_deferred_unpersist()
             return fn(spark, sf_dir)
 
         if name in REGISTRY:

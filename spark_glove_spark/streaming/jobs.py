@@ -48,18 +48,40 @@ def _events_raw_schema(ts_is_nanos: bool) -> T.StructType:
 
 
 def _ts_is_nanos(path: str) -> bool:
-    """Peek at one parquet footer (driver-side, metadata only) to learn
-    the ts resolution the stream must declare."""
+    """Peek at parquet footers (driver-side, metadata only) to learn
+    the ts resolution the stream must declare. Guards (ADVICE r2):
+    a non-timestamp ts (plain int64 fixture) is treated as nanos to
+    match the legacy nanosAsLong conf instead of raising
+    AttributeError on ``.unit``, and for a directory ALL footers are
+    checked — a mixed-resolution landing dir is a hard error rather
+    than silently reading every file with the first file's schema."""
     import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    def one(p: str) -> bool:
+        t = pq.read_schema(p).field("ts").type
+        if pat.is_timestamp(t):
+            return t.unit == "ns"
+        # plain int64 ts: the nanosAsLong conf surfaces real
+        # TIMESTAMP(NANOS) columns as longs too, so treat as nanos
+        return pat.is_integer(t)
 
     if os.path.isdir(path):
         files = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
         )
         if not files:
             return False
-        path = os.path.join(path, files[0])
-    return pq.read_schema(path).field("ts").type.unit == "ns"
+        verdicts = {one(f) for f in files}
+        if len(verdicts) > 1:
+            raise ValueError(
+                f"mixed ts resolutions across parquet files in {path}; "
+                "a file stream needs one declared schema"
+            )
+        return verdicts.pop()
+    return one(path)
 
 
 def stream_events(

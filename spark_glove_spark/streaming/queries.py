@@ -202,11 +202,20 @@ def i4_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     out = run_stream(agg, "append")
-    return out.select(
-        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
-        "event_type",
-        "n",
-    ).where(F.col("event_type") == "late_probe")
+    # Self-evidencing single row (was: empty late_probe selection — a
+    # 0-row result is a vacuous rows-only signal driver-side). Append
+    # mode emits only watermark-closed windows, so: emitted_windows>0
+    # proves the replay ran and the watermark advanced (the 4-hour f1
+    # backlog yields closed hourly windows); late_probe_rows=0 proves
+    # the 2-hours-late sentinel was dropped — its window closed before
+    # f3 arrived, so an accepted late row would have forced a
+    # late-update emission of that window with event_type=late_probe.
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("emitted_windows"),
+        F.sum(F.when(F.col("event_type") == "late_probe", F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("late_probe_rows"),
+    )
 
 
 @query(

@@ -137,3 +137,26 @@ def test_star_contraction_matches_hashmin_on_random_graphs(spark):
         a = {r["id"]: r["comp"] for r in connected_components_star(e, v).collect()}
         b = _components(spark, edges, verts)
         assert a == b, (trial, edges)
+
+
+def test_nonconvergence_warns_and_falls_back_to_star(spark):
+    """ADVICE r2: a graph whose diameter exceeds max_iter must NOT
+    silently return wrong labels — hash-min escalates to star
+    contraction (diameter-independent) with a RuntimeWarning, and the
+    final labels are still exactly right."""
+    import warnings
+
+    chain = [(i, i + 1) for i in range(1, 12)]  # diameter 11 > max_iter 3
+    e = spark.createDataFrame(chain, "u long, v long")
+    v = spark.createDataFrame([(x,) for x in range(1, 13)], "id long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        comp = {
+            r["id"]: r["comp"]
+            for r in connected_components(e, v, max_iter=3).collect()
+        }
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "fixpoint" in str(w.message)
+        for w in caught
+    )
+    assert comp == {i: 1 for i in range(1, 13)}

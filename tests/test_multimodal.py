@@ -1,0 +1,131 @@
+"""Unit teeth for the multimodal decoders and the streaming schema
+probe (ADVICE r2 hardening): RIFF chunk-walk correctness, fail-loudly
+on non-PCM16 audio, and footer-probe guards. Pure-Python — no
+SparkSession needed except the graph fallback test.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from spark_glove_spark.operators.multimodal import (
+    decode_media,
+    decode_wav,
+    synth_ppm,
+    synth_wav,
+)
+from spark_glove_spark.streaming.jobs import _ts_is_nanos
+
+
+def _fmt_chunk(audio_format=1, channels=1, rate=8000, bits=16):
+    block = channels * bits // 8
+    return b"fmt " + struct.pack(
+        "<IHHIIHH", 16, audio_format, channels, rate, rate * block, block, bits
+    )
+
+
+def _data_chunk(samples: np.ndarray) -> bytes:
+    raw = samples.astype("<i2").tobytes()
+    return b"data" + struct.pack("<I", len(raw)) + raw
+
+
+def _riff(*chunks: bytes) -> bytes:
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_roundtrips_synth():
+    s = decode_wav(synth_wav(7))
+    expected = ((7 * 31 + np.arange(64) * 17) % 65536) - 32768
+    assert (s == expected).all()
+
+
+def test_decode_wav_skips_list_chunk_containing_data_bytes():
+    """A LIST/INFO chunk BEFORE data — whose payload contains the
+    literal bytes 'data' — must be walked over, not matched (the old
+    content.index(b'data') bug)."""
+    samples = np.arange(-5, 5)
+    lst = b"LIST" + struct.pack("<I", 9) + b"INFOdata\x00" + b"\x00"  # odd + pad
+    wav = _riff(lst, _fmt_chunk(), _data_chunk(samples))
+    assert (decode_wav(wav) == samples).all()
+
+
+@pytest.mark.parametrize(
+    "audio_format,bits",
+    [(3, 32), (2, 4), (1, 24)],  # IEEE float, ADPCM, 24-bit PCM
+)
+def test_decode_wav_rejects_non_pcm16(audio_format, bits):
+    wav = _riff(
+        _fmt_chunk(audio_format=audio_format, bits=bits),
+        _data_chunk(np.arange(4)),
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav)
+
+
+def test_decode_wav_rejects_data_before_fmt():
+    wav = _riff(_data_chunk(np.arange(4)), _fmt_chunk())
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav)
+
+
+def test_decode_wav_rejects_non_riff():
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"\x00" * 64)
+
+
+def test_decode_media_ppm_roundtrip():
+    img = decode_media(synth_ppm(3), "image")
+    assert img.shape == (8, 8, 3)
+    assert img.dtype == np.uint8
+    expected = ((3 * 7 + np.arange(192) * 13) % 256).reshape(8, 8, 3)
+    assert (img == expected).all()
+
+
+def test_decode_media_unknown_raises():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0JFIF-ish", "image")  # JPEG magic
+
+
+def test_ts_probe_plain_int64_is_nanos(tmp_path):
+    """A plain-int64 ts column must read as 'nanos' (matching the
+    legacy nanosAsLong conf), not crash on .unit (ADVICE r2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"ts": pa.array([1, 2, 3], type=pa.int64())})
+    p = os.path.join(tmp_path, "events.parquet")
+    pq.write_table(t, p)
+    assert _ts_is_nanos(p) is True
+
+
+def test_ts_probe_micros_timestamp(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"ts": pa.array([1, 2, 3], type=pa.timestamp("us"))})
+    p = os.path.join(tmp_path, "events.parquet")
+    pq.write_table(t, p)
+    assert _ts_is_nanos(p) is False
+
+
+def test_ts_probe_mixed_directory_raises(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(tmp_path, "dir")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"ts": pa.array([1], type=pa.timestamp("us"))}),
+        os.path.join(d, "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"ts": pa.array([1], type=pa.int64())}),
+        os.path.join(d, "b.parquet"),
+    )
+    with pytest.raises(ValueError, match="mixed ts resolutions"):
+        _ts_is_nanos(d)

@@ -140,3 +140,18 @@ def test_foreach_batch_delivers_all_microbatches(spark, tmp_path):
     assert len(seen) >= 3, f"expected >=3 micro-batches, saw {seen}"
     assert sum(n for _, n in seen) == e.count()
     assert len({ep for ep, _ in seen}) == len(seen)  # distinct epochs
+
+
+def test_i4_declared_query_is_self_evidencing(spark):
+    """The declared i4 query emits one row proving BOTH directions:
+    closed windows were emitted (pipeline + watermark ran) and the
+    late sentinel was dropped (not merely filtered out of the
+    output)."""
+    from spark_glove_spark import api
+
+    row = api.queries()["i4_watermark_late_drop"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(row) == 1
+    assert row[0]["emitted_windows"] > 0
+    assert row[0]["late_probe_rows"] == 0
