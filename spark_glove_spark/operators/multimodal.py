@@ -3,11 +3,12 @@
 Contract per the task definition: media lives as opaque ``binary``
 columns with typed metadata; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas kernels over ``mapInPandas``.
-The UNCOMPRESSED formats are decoded for real with pure numpy — no
-codec library needed: binary PPM/P6 rasters (``decode_media``,
+Decoded for real with pure numpy + stdlib — no codec library needed:
+binary PPM/P6 rasters and 8-bit RGB PNG incl. the zlib inflate and
+all five scanline unfilters (``decode_media``/``decode_png``,
 oracle-checked by mm_image_decode), PCM16 RIFF/WAV audio
 (``decode_wav``, mm_audio_decode), and P6 frame streams
-(mm_video_decode). Compressed formats (JPEG/PNG/MP3/H.264) raise
+(mm_video_decode). Lossy codecs (JPEG/MP3/H.264) raise
 NotImplementedError — those codecs are not in this container and
 fabricating pixels would be worse than failing; everything
 Spark-side is real and tested either way: the binary schema, the
@@ -63,12 +64,13 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_media(content: bytes, media_type: str) -> np.ndarray:
     """Decode a media payload to a numpy array.
 
-    REAL for binary PPM (P6) — an uncompressed raster format needing
-    no codec library: header parse + frombuffer + reshape to
-    (h, w, 3) uint8. Compressed formats (JPEG/PNG/audio/video) still
-    fail loudly: this container has no PIL/torchaudio/pyav, and
-    fabricating pixels would be worse than raising. Real deployments
-    plug the codec of choice into this exact signature."""
+    REAL for two raster formats needing no codec library: binary PPM
+    (P6 — header parse + frombuffer) and 8-bit RGB PNG (``decode_png``
+    — stdlib zlib inflate + the full per-scanline unfilter pass).
+    Remaining compressed formats (JPEG/MP3/H.264) still fail loudly:
+    this container has no PIL/torchaudio/pyav, and fabricating pixels
+    would be worse than raising. Real deployments plug the codec of
+    choice into this exact signature."""
     if content[:2] == b"P6":
         # P6 header: "P6\n<w> <h>\n<maxval>\n" then w*h*3 raw bytes.
         parts = content.split(b"\n", 3)
@@ -78,10 +80,176 @@ def decode_media(content: bytes, media_type: str) -> np.ndarray:
             if maxval == 255:
                 px = np.frombuffer(parts[3][: w * h * 3], dtype=np.uint8)
                 return px.reshape(h, w, 3)
+    if content[:8] == PNG_SIGNATURE:
+        return decode_png(content)
     raise NotImplementedError(
         f"no {media_type} codec available in this environment; "
         "install pillow/torchaudio/pyav and replace decode_media"
     )
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    # PNG spec §9.4 Paeth predictor (public W3C spec)
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """REAL PNG decode for the 8-bit-RGB/no-interlace subset, pure
+    stdlib zlib + numpy: chunk walk (CRC-checked), IHDR parse,
+    concatenated-IDAT inflate, and the full per-scanline unfilter
+    pass (None/Sub/Up/Average/Paeth — W3C PNG spec §9). Anything
+    outside the subset (palette, alpha, 16-bit, interlace) raises
+    NotImplementedError rather than decoding wrong pixels."""
+    import struct
+    import zlib
+
+    if content[:8] != PNG_SIGNATURE:
+        raise NotImplementedError("not a PNG payload")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(content):
+        (size,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack(
+            ">I", content[pos + 8 + size : pos + 12 + size]
+        )
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise NotImplementedError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit RGB non-interlaced PNG is decodable here "
+                    f"(depth={depth} color={color} interlace={interlace})"
+                )
+            ihdr = (w, h)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise NotImplementedError("PNG missing IHDR or IDAT")
+    w, h = ihdr
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    if len(raw) != h * (1 + stride):
+        raise NotImplementedError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = 3
+    for y in range(h):
+        ftype = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)], dtype=np.uint8
+        ).astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y > 0 else np.zeros(stride, np.int64)
+        if ftype == 0:  # None
+            out[y] = line.astype(np.uint8)
+        elif ftype == 1:  # Sub — sequential in x, vectorize over channels
+            cur = np.zeros(stride, np.int64)
+            cur[:bpp] = line[:bpp]
+            for x in range(bpp, stride):
+                cur[x] = (line[x] + cur[x - bpp]) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        elif ftype == 2:  # Up
+            out[y] = ((line + prev) & 0xFF).astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + (a + prev[x]) // 2) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        elif ftype == 4:  # Paeth
+            cur = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + _paeth(int(a), int(prev[x]), int(c))) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+    return out.reshape(h, w, 3)
+
+
+def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal 8-bit RGB PNG encoder (test harness for decode_png —
+    synthesis side of the oracle loop). ``filters`` picks the filter
+    type per scanline so every unfilter branch gets exercised; default
+    cycles through all five."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    stride = w * 3
+    flat = img.reshape(h, stride).astype(np.int64)
+    filters = filters if filters is not None else [y % 5 for y in range(h)]
+    raw = bytearray()
+    bpp = 3
+    for y in range(h):
+        ftype = filters[y]
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, np.int64)
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            enc = (cur - left) & 0xFF
+        elif ftype == 2:
+            enc = (cur - prev) & 0xFF
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            enc = (cur - (left + prev) // 2) & 0xFF
+        elif ftype == 4:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+            pred = np.array(
+                [
+                    _paeth(int(a), int(b), int(c))
+                    for a, b, c in zip(left, prev, upleft)
+                ],
+                dtype=np.int64,
+            )
+            enc = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"filter {ftype}")
+        raw.append(ftype)
+        raw += enc.astype(np.uint8).tobytes()
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png(item_id: int, w: int = 8, h: int = 8) -> bytes:
+    """Deterministic 8x8 PNG with the SAME pixel function as synth_ppm
+    — byte i is (item_id*7 + i*13) mod 256 — so channel statistics
+    (and therefore the mm_image_decode oracle) are format-independent.
+    Scanline filters cycle 0..4, so decoding it exercises the whole
+    unfilter pass."""
+    n = w * h * 3
+    px = (int(item_id) * 7 + np.arange(n, dtype=np.int64) * 13) % 256
+    return encode_png(px.astype(np.uint8).reshape(h, w, 3))
 
 
 def synth_ppm(item_id: int, w: int = 8, h: int = 8) -> bytes:
@@ -94,16 +262,25 @@ def synth_ppm(item_id: int, w: int = 8, h: int = 8) -> bytes:
 
 
 def _decode_stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Synthesize a PPM per item, decode it with the REAL decoder, and
-    emit per-channel pixel means — the full bytes→pixels→features path
-    a production image pipeline runs, Arrow batch in/out."""
+    """Synthesize an image per item — PPM for even ids, zlib-compressed
+    PNG (filters 0-4) for odd ids, both from the same closed-form pixel
+    function — decode the actual bytes with the REAL decoder, and emit
+    per-channel pixel means: the full bytes→pixels→features path a
+    production image pipeline runs, Arrow batch in/out. Because the
+    pixel function is format-independent, one DuckDB oracle checks
+    both decode paths; a wrong PNG unfilter flips the hash."""
     for pdf in batches:
         if pdf.empty:
             continue
         out = {"item_id": [], "width": [], "height": [],
                "mean_r": [], "mean_g": [], "mean_b": []}
         for item_id in pdf["item_id"]:
-            img = decode_media(synth_ppm(int(item_id)), "image")
+            payload = (
+                synth_ppm(int(item_id))
+                if int(item_id) % 2 == 0
+                else synth_png(int(item_id))
+            )
+            img = decode_media(payload, "image")
             m = img.reshape(-1, 3).mean(axis=0)
             out["item_id"].append(int(item_id))
             out["width"].append(img.shape[1])
@@ -269,15 +446,19 @@ WHERE doc_id % 3 = 0
 """,
 )
 def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A REAL image decode path, fully oracle-checked: each 'image'
-    item gets a deterministic 8x8 binary-PPM payload (closed-form
-    pixel function of item_id), decode_media parses the actual bytes
-    back to a (8, 8, 3) array with numpy — no codec library involved,
-    because P6 is raw raster — and the kernel emits per-channel pixel
-    means. The DuckDB twin computes the same means from the pixel
-    function directly, so header parsing, byte order, reshape, and
-    channel interleaving are all verified bit-exactly. Compressed
-    formats remain honestly stubbed (decode_media raises)."""
+    """A REAL image decode path, fully oracle-checked, covering TWO
+    formats: each 'image' item gets a deterministic 8x8 payload from
+    the same closed-form pixel function — binary PPM for even ids,
+    zlib-compressed PNG for odd ids (scanline filters cycling through
+    None/Sub/Up/Average/Paeth) — and decode_media parses the actual
+    bytes back to (8, 8, 3): raw-raster reshape for P6, stdlib-zlib
+    inflate + the full spec unfilter pass for PNG (decode_png). The
+    kernel emits per-channel pixel means and the DuckDB twin computes
+    the same means from the pixel function directly, so header
+    parsing, CRC handling, byte order, every filter branch, reshape,
+    and channel interleaving are all verified bit-exactly. JPEG and
+    other lossy codecs remain honestly stubbed (decode_media
+    raises)."""
     m = media_table(spark, sf_dir).where(F.col("media_type") == "image")
     return m.select("item_id").mapInPandas(
         _decode_stats_kernel,

@@ -129,3 +129,65 @@ def test_ts_probe_mixed_directory_raises(tmp_path):
     )
     with pytest.raises(ValueError, match="mixed ts resolutions"):
         _ts_is_nanos(d)
+
+
+# ---------------------------------------------------------------------------
+# PNG (round 3): stdlib-zlib decode with full unfilter pass
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_all_filters():
+    from spark_glove_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    for f in range(5):
+        out = decode_png(encode_png(img, filters=[f] * 10))
+        assert (out == img).all(), f"filter {f} did not roundtrip"
+    # mixed filters (the synth default)
+    out = decode_png(encode_png(img))
+    assert (out == img).all()
+
+
+def test_synth_png_matches_synth_ppm_pixels():
+    from spark_glove_spark.operators.multimodal import decode_png, synth_png
+
+    for item_id in (1, 3, 101):
+        png_img = decode_png(synth_png(item_id))
+        ppm_img = decode_media(synth_ppm(item_id), "image")
+        assert (png_img == ppm_img).all()
+
+
+def test_decode_media_dispatches_png():
+    from spark_glove_spark.operators.multimodal import synth_png
+
+    img = decode_media(synth_png(5), "image")
+    assert img.shape == (8, 8, 3)
+
+
+def test_png_rejects_unsupported_subset():
+    import struct
+    import zlib
+
+    from spark_glove_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+        decode_png,
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # 16-bit depth
+    bad = PNG_SIGNATURE + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(bad)
+    # corrupted CRC
+    good_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    c = bytearray(chunk(b"IHDR", good_ihdr))
+    c[-1] ^= 0xFF
+    with pytest.raises(NotImplementedError):
+        decode_png(PNG_SIGNATURE + bytes(c))
