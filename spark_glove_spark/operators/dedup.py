@@ -196,3 +196,106 @@ def h13_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= 0.4)
         .select("vec_a", "vec_b", "label", F.round(cos, 6).alias("cos"))
     )
+
+
+SIMJOIN_THRESHOLD = 0.4
+
+
+@query(
+    "h14_similarity_join",
+    section="H14,H13,H11",
+    tags=("dedup", "similarity"),
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(len(toks) - 2),
+               i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))
+               AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+         AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+      >= {SIMJOIN_THRESHOLD}
+""",
+)
+def h14_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-facing threshold similarity JOIN: every document pair with
+    3-shingle Jaccard >= 0.4, with scores — the one-call entry point
+    the MinHash (h13) + exact-Jaccard (h14) pieces compose into.
+
+    Engine plan is the AllPairs/PPJoin-family **prefix filter**
+    (Bayardo et al., WWW'07; public): order every doc's shingles by
+    ascending global document frequency (rarest first, shingle string
+    as tiebreak), keep only the first ``n - ceil(t*n) + 1`` as the
+    doc's prefix, and equi-join on prefix shingles — any pair with
+    J >= t must share a prefix element under a consistent global
+    order, so candidates shrink to near-misses instead of n²; exact
+    Jaccard then verifies candidates only. Deterministic (no hash
+    functions), so unlike MinHash this plan is fully ORACLE-CHECKED:
+    the DuckDB twin computes ground truth by brute force — if the
+    prefix filter ever missed a qualifying pair, the hash would flip.
+
+    100 TB shape: one shingle scan feeds frequencies + prefixes; the
+    candidate join is an equi-join keyed on rare-first shingles
+    (frequency-skew-resistant by construction — common shingles fall
+    out of short prefixes); verification touches candidates only.
+    """
+    t = SIMJOIN_THRESHOLD
+    sets = defer_unpersist(
+        shingle_sets(table(spark, sf_dir, "documents")).persist()
+    )
+    # global shingle document frequencies (the prefix order)
+    freq = (
+        sets.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # rare-first canonical order per doc, then cut to the prefix
+    n = F.size(F.col("shingles"))
+    p = (n - F.ceil(t * n.cast("double")) + 1).cast("int")
+    ordered = (
+        sets.select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("shingles")
+        )
+    )
+    prefixes = ordered.select(
+        "doc_id", F.explode(F.slice("shingles", 1, p)).alias("shingle")
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= t)
+    )

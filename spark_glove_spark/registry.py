@@ -150,13 +150,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "h13_dedup_clusters",
     "h13_embedding_neardup",
     "h14_jaccard",
+    "h14_similarity_join",
     "h15_knn_bruteforce",
     "h16_lsh_ann",
     "h16_int8_quant",
     "h16_quantized_knn",
     "h17_sequence_packing",
     "h17_pii_redaction",
-    "h17_token_chunking",
     # Streaming (covers §2 A5/A6 + I1-I7; i9 is the capstone)
     "i1_tumbling_window",
     "i2_sliding_window",

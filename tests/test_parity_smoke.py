@@ -36,6 +36,7 @@ SMOKE_QUERIES = [
     "h3_cooccurrence_by_distance",  # the signature operator
     "h7_topk_cosine",         # vector math
     "h14_jaccard",            # array set ops
+    "h14_similarity_join",    # prefix-filter join vs brute-force oracle
     "i1_tumbling_window",     # streaming batch-equivalence
     "j4_grouped_map_centroid",  # Arrow grouped-map boundary
     "j6_udtf",                # UDTF lateral
