@@ -628,3 +628,343 @@ def sql_tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("orderpriority")
     )
+
+
+@query(
+    "sql_tpch_q06",
+    section="B2,D2",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def sql_tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (faithful): the forecast-revenue-change scan-agg. No
+    join at all — the whole query is three pushed predicates and one
+    partial+final agg; the parquet scan should show all three in
+    PushedFilters and zero Exchanges beyond the final single-row
+    merge."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "sql_tpch_q08",
+    section="C1,C2,D1,D5",
+    oracle="""
+SELECT year(o.o_orderdate) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_1'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+JOIN region r    ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+JOIN part p      ON l.l_partkey = p.p_partkey
+WHERE r.r_name = 'AMERICA'
+  AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def sql_tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (faithful on the trimmed schema): national market
+    share — NATION_1's fraction of ECONOMY-part revenue sold into
+    AMERICA-region customers, by order year. Two independent uses of
+    the nation dimension (customer side for the region gate, supplier
+    side for the share test) — aliased broadcasts; the conditional
+    numerator rides the same aggregate as the denominator (D5)."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("sn_name") == "NATION_1", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "sql_tpch_q02_shape",
+    section="C1,E1,E2,F1",
+    oracle="""
+WITH offers AS (
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           min(l_extendedprice / l_quantity) AS unit_price
+    FROM lineitem
+    GROUP BY 1, 2
+),
+eu AS (
+    SELECT o.partkey, o.suppkey, o.unit_price,
+           s.s_acctbal, s.s_name, n.n_name,
+           row_number() OVER (PARTITION BY o.partkey
+                              ORDER BY o.unit_price, o.suppkey) AS rn
+    FROM offers o
+    JOIN supplier s ON o.suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+)
+SELECT round(e.s_acctbal, 2) AS s_acctbal, e.s_name, e.n_name,
+       p.p_partkey AS partkey, round(e.unit_price, 4) AS unit_price
+FROM eu e
+JOIN part p ON e.partkey = p.p_partkey
+WHERE e.rn = 1 AND p.p_type = 'SMALL'
+ORDER BY s_acctbal DESC, n_name, s_name, partkey
+LIMIT 100
+""",
+)
+def sql_tpch_q02_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, adapted (the fixture has no partsupp table):
+    the cheapest EUROPEAN supplier per part, where 'offer price' is
+    the min observed unit price in lineitem. Keeps Q2's essence — a
+    per-group MIN resolved back to the row achieving it — expressed
+    as row_number()=1 with a deterministic (price, suppkey) tiebreak
+    instead of Q2's correlated-min equality join: float-equality
+    joins are an engine-portability hazard, ranking is not."""
+    from pyspark.sql.window import Window
+
+    l = table(spark, sf_dir, "lineitem")
+    offers = l.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "SMALL")
+    w = Window.partitionBy("partkey").orderBy("unit_price", "suppkey")
+    eu = (
+        offers.join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        eu.join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "partkey",
+            F.round("unit_price", 4).alias("unit_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "sql_tpch_q09_shape",
+    section="C1,C2,D1",
+    oracle="""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+""",
+)
+def sql_tpch_q09_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape, adapted (no partsupp → supply cost proxied as
+    60% of p_retailprice): product-line profit by supplier nation and
+    order year for parts named like 'red'. The p_name LIKE pushes
+    into the part scan; part/supplier/nation broadcast; the only
+    shuffles are lineitem⋈orders and the final (nation, year) agg."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "sql_tpch_q20_shape",
+    section="C4,D1,C1",
+    oracle="""
+WITH shipped AS (
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           sum(l_quantity) AS qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT partkey, sum(qty) AS total_qty FROM shipped GROUP BY 1
+)
+SELECT DISTINCT s.s_name AS name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE EXISTS (
+    SELECT 1 FROM shipped sh JOIN tot t ON sh.partkey = t.partkey
+    WHERE sh.suppkey = s.s_suppkey AND sh.qty > 0.05 * t.total_qty
+)
+ORDER BY name
+""",
+)
+def sql_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, adapted (no partsupp availqty → 'dominant
+    shipper' test): suppliers who shipped more than 5% of the total
+    shipped quantity of some red part, as (name, nation). Keeps Q20's
+    nested structure — an aggregate-derived correlated EXISTS feeding
+    a semi join into the supplier dimension."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    shipped = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = shipped.groupBy("partkey").agg(F.sum("qty").alias("total_qty"))
+    qualifying = (
+        shipped.join(tot, "partkey")
+        .where(F.col("qty") > 0.05 * F.col("total_qty"))
+        .select("suppkey")
+    )
+    return (
+        s.join(qualifying, F.col("s_suppkey") == F.col("suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_name").alias("name"), F.col("n_name").alias("nation"))
+        .distinct()
+        .orderBy("name")
+    )
+
+
+@query(
+    "sql_tpch_q21_shape",
+    section="C4,C5,D1,F2",
+    oracle="""
+WITH base AS (
+    SELECT l.l_orderkey AS orderkey, l.l_suppkey AS suppkey,
+           max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1, 2
+),
+per_order AS (
+    SELECT orderkey, count(*) AS n_supps, sum(late) AS n_late
+    FROM base GROUP BY 1
+)
+SELECT s.s_name AS name, count(*) AS numwait
+FROM base b
+JOIN per_order po ON b.orderkey = po.orderkey
+JOIN supplier s ON b.suppkey = s.s_suppkey
+WHERE b.late = 1 AND po.n_supps > 1 AND po.n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, name
+LIMIT 20
+""",
+)
+def sql_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape, adapted (no receipt/commit dates → 'late' =
+    shipped more than 60 days after the order date): suppliers who
+    were the SOLE late shipper on a finished multi-supplier order.
+    Q21's double-correlated EXISTS ('another supplier exists') /
+    NOT-EXISTS ('no other late supplier') collapses into per-order
+    counts joined back — same semantics, one aggregate instead of two
+    correlated subqueries, no repeated lineitem scans."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = table(spark, sf_dir, "supplier")
+    late_flag = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        1,
+    ).otherwise(0)
+    base = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.max(late_flag).alias("late"))
+    )
+    per_order = base.groupBy("orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"), F.sum("late").alias("n_late")
+    )
+    return (
+        base.join(per_order, "orderkey")
+        .where((F.col("late") == 1) & (F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "name")
+        .limit(20)
+    )
