@@ -391,3 +391,127 @@ def h16_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .drop("rn")
     )
+
+
+def _pq_codebooks(sample, m: int, ksub: int, max_iter: int, seed: int):
+    """Per-subspace codebooks for product quantization: split the dim
+    axis into m contiguous subvectors and run the same seeded numpy
+    Lloyd as the IVF coarse quantizer independently per subspace
+    (FAISS's PQ training, minus the OPQ rotation)."""
+    subdim = sample.shape[1] // m
+    return [
+        _lloyd(sample[:, j * subdim : (j + 1) * subdim], ksub, max_iter, seed + j)
+        for j in range(m)
+    ]
+
+
+@query("h16_pq_ann", section="H16,G8", tags=("ann",))
+def h16_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the memory-scaling complement to
+    IVF/LSH/int8: the 64-d float corpus (256 B/vector) is encoded as
+    m=8 sub-codes of 4 bits-worth each (k=16 centroids per subspace;
+    8 B/vector resident, 32× smaller), candidates are scored by
+    asymmetric distance computation — the probe stays float, the
+    corpus vector is replaced by its per-subspace centroids, so
+    approx_dot = Σ_j ⟨codebook_j[code_j], q_j⟩ — and the top 30
+    survivors per probe get the exact float dot for the final top-10
+    (same two-stage discipline as h16_quantized_knn).
+
+    All Spark-side math is expression-only: codebooks are literal
+    arrays fit DRIVER-side on the bounded hash-ordered sample (the
+    FAISS train/add split, as ivf_knn), encoding is an argmin over 16
+    centroid structs per subspace via sort_array, ADC is an 8-term
+    sum of 8-d dot products in codegen. Rows-only to the driver
+    (codebook cells are model-specific); the recall tooth vs exact
+    h15 lives in tests/test_quant.py."""
+    import numpy as np
+
+    m, ksub, subdim = 8, 16, DIM // 8
+    e = table(spark, sf_dir, "embeddings")
+    sample = np.stack(
+        [
+            r[0]
+            for r in e.select("embedding")
+            .orderBy(F.xxhash64(F.col("vec_id"), F.lit(7)))
+            .limit(_SAMPLE_CAP)
+            .collect()
+        ]
+    ).astype(np.float64)
+    books = _pq_codebooks(sample, m, ksub, max_iter=10, seed=7)
+
+    # per-subspace literals: struct(code, centroid vector, ‖c‖²)
+    cents = [
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("code"),
+                    F.array(*[F.lit(float(v)) for v in book[c]]).alias("cv"),
+                    F.lit(float((book[c] * book[c]).sum())).alias("cnorm"),
+                )
+                for c in range(len(book))
+            ]
+        )
+        for book in books
+    ]
+
+    def sub(col, j):
+        return F.slice(col, j * subdim + 1, subdim)
+
+    # encode: per subspace, euclidean argmin over the 16 centroids
+    # (rank by ‖c‖² − 2⟨x_j, c⟩; ‖x_j‖² is constant per row).
+    # NB: close over j via a helper, NOT a defaulted second lambda
+    # parameter — pyspark calls a 2-arg transform lambda as
+    # (element, index), silently rebinding the default.
+    def encode_subspace(j: int):
+        sj = sub(F.col("embedding"), j)
+        return F.sort_array(
+            F.transform(
+                cents[j],
+                lambda c: F.struct(
+                    (c["cnorm"] - 2 * dot(sj, c["cv"])).alias("d"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )[0]["code"]
+
+    codes = F.array(*[encode_subspace(j) for j in range(m)])
+    encoded = parallelized(e).select(
+        "vec_id", F.col("embedding").alias("exact"), codes.alias("codes")
+    )
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("q")
+    )
+    # ADC: Σ_j ⟨codebook_j[code_j], q_j⟩ — element_at picks the
+    # centroid vector by the stored code, all against literal arrays
+    adc = sum(
+        dot(
+            F.element_at(
+                F.transform(cents[j], lambda c: c["cv"]),
+                F.element_at(F.col("codes"), j + 1) + 1,
+            ),
+            sub(F.col("q"), j),
+        )
+        for j in range(m)
+    )
+    cand = (
+        encoded.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "exact", "q", adc.alias("approx_cos"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("approx_cos").desc(), "vec_id")
+    survivors = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 30)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        survivors.select(
+            "probe_id",
+            "vec_id",
+            F.round(dot(F.col("exact"), F.col("q")), 6).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )

@@ -838,3 +838,116 @@ def h10_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "h17_decontamination",
+    section="H17,H11,C4",
+    tags=("dedup", "llm-pipeline"),
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT doc_id, list_distinct(list_transform(range(len(t) - 7),
+           i -> list_aggregate(t[i + 1:i + 8], 'string_agg', ' '))) AS s
+    FROM toks WHERE len(t) >= 8
+),
+train AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0),
+eval_g AS (SELECT doc_id, unnest(s) AS g, len(s) AS n_ngrams
+           FROM sh WHERE doc_id % 10 = 0)
+SELECT e.doc_id AS eval_doc_id,
+       count(*) AS n_shared_ngrams,
+       any_value(e.n_ngrams) AS n_ngrams,
+       round(CAST(count(*) AS DOUBLE) / any_value(e.n_ngrams), 6)
+         AS contamination_rate
+FROM eval_g e JOIN train t ON e.g = t.g
+GROUP BY 1
+""",
+)
+def h17_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the train/eval n-gram overlap check
+    every serious LLM data pipeline runs (the GPT-3/PaLM papers'
+    13-gram test, here 8-gram to fit the fixture doc lengths): split
+    the corpus deterministically (doc_id % 10 == 0 → eval), build each
+    side's distinct 8-gram sets, and report every eval document that
+    shares at least one 8-gram with ANY train document, with its
+    contamination rate (shared / own distinct 8-grams).
+
+    100 TB shape: the train side collapses to DISTINCT n-grams before
+    the join (a hash like xxhash64(g) in production shrinks the
+    shuffle key to 8 B); the join is a plain equi-join on the gram,
+    skew-bounded because formulaic high-frequency grams can be
+    frequency-capped like the prefix filter. One corpus scan feeds
+    both sides."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(shingles(tokenize(F.col("text")), 8)).alias("s"),
+    ).where(F.size("s") > 0)
+    train = (
+        sh.where(F.col("doc_id") % 10 != 0)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    ev = sh.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.size("s").alias("n_ngrams"), F.explode("s").alias("g")
+    )
+    return (
+        ev.join(train, "g")
+        .groupBy(F.col("doc_id").alias("eval_doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_ngrams"),
+            F.first("n_ngrams").alias("n_ngrams"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.first("n_ngrams"), 6
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+@query(
+    "h17_lm_quality_score",
+    section="H17,D1,G5",
+    tags=("llm-pipeline",),
+    oracle="""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+freq AS (
+    SELECT word, count(*) AS c FROM words GROUP BY 1
+),
+tot AS (SELECT count(*) AS n FROM words)
+SELECT w.doc_id,
+       count(*) AS n_tokens,
+       round(avg(ln(CAST(f.c AS DOUBLE) / t.n)), 6) AS avg_logprob
+FROM words w JOIN freq f ON w.word = f.word CROSS JOIN tot t
+GROUP BY 1
+""",
+)
+def h17_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score — the cheapest useful
+    perplexity proxy for corpus filtering: score(doc) = mean over its
+    tokens of ln P(token) under the corpus's own unigram distribution.
+    Outlier-gibberish documents (rare-token-heavy) score far below
+    the corpus mode and get dropped by a percentile cut downstream;
+    unlike the heuristic h17_quality_score this is distribution-
+    calibrated rather than rule-based.
+
+    Plan: one token explode feeds both the frequency table (vocab-
+    sized → broadcast back) and the per-doc average; the corpus total
+    is a scalar cross join. Two shuffles total (word agg, doc agg),
+    both map-side-combined."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = words.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        words.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -148,7 +148,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "h12_exact_dup_groups",
     "h13_minhash_neardup",
     "h13_dedup_clusters",
-    "h13_embedding_neardup",
+    # (h13_embedding_neardup's exact edge math is driver-checked inside
+    # h13_dedup_clusters — its slot goes to the decontamination op)
+    "h17_decontamination",
     "h14_jaccard",
     "h14_similarity_join",
     "h15_knn_bruteforce",
