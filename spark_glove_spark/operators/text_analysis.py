@@ -951,3 +951,95 @@ def h17_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "h17_weighted_resample",
+    section="H17,B2,G5",
+    tags=("llm-pipeline",),
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, n_chars,
+           CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+               / 4294967296 AS u,
+           least(1.0, CAST(n_chars AS DOUBLE) / 400) AS keep_p
+    FROM documents
+)
+SELECT doc_id, round(u, 9) AS u, round(keep_p, 9) AS keep_p
+FROM scored
+WHERE u < keep_p
+""",
+)
+def h17_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus resampling — the data-mixing primitive
+    (sample document i with probability p_i, here a length proxy
+    capped at 1): the acceptance draw is a DETERMINISTIC Knuth-hash
+    uniform u = (doc_id * 2654435761 mod 2^32) / 2^32, not rand(), so
+    the sample is reproducible across runs/partitionings AND exactly
+    replicable by the DuckDB oracle. At 100 TB this is a map-only
+    filter — no shuffle, no state; temperature/quality re-weighting
+    is just a different keep_p expression."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ).cast("double") / F.lit(4294967296.0)
+    keep_p = F.least(F.lit(1.0), F.col("n_chars").cast("double") / 400)
+    return (
+        d.select(
+            "doc_id",
+            F.round(u, 9).alias("u"),
+            F.round(keep_p, 9).alias("keep_p"),
+        )
+        .where(F.col("u") < F.col("keep_p"))
+    )
+
+
+@query(
+    "h17_domain_mix_weights",
+    section="H17,D1,G5",
+    tags=("llm-pipeline",),
+    oracle="""
+WITH stats AS (
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+    FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_chars) AS total_chars, count(*) AS n_sources
+        FROM (SELECT source, sum(n_chars) AS n_chars FROM documents GROUP BY 1) s,
+             (SELECT 1))
+SELECT s.source, s.n_docs, s.n_chars,
+       round(CAST(s.n_chars AS DOUBLE) / t.total_chars, 9) AS actual_share,
+       round(1.0 / t.n_sources, 9) AS target_share,
+       round((1.0 / t.n_sources)
+             / (CAST(s.n_chars AS DOUBLE) / t.total_chars), 6) AS repeat_factor
+FROM stats s CROSS JOIN tot t
+""",
+)
+def h17_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights — the per-source repeat/sample factor that
+    reshapes the corpus toward a target distribution (uniform here;
+    any target vector drops in): factor = target_share / actual_share
+    measured in characters (byte-budget proxy). A factor > 1 means
+    upsample/repeat, < 1 means downsample — feed it into
+    h17_weighted_resample's keep_p for the actual pass. One bounded
+    agg (sources are few) + a scalar cross join; no per-doc state."""
+    d = table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tot = stats.agg(
+        F.sum("n_chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    actual = F.col("n_chars").cast("double") / F.col("total_chars")
+    target = F.lit(1.0) / F.col("n_sources")
+    return (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round(actual, 9).alias("actual_share"),
+            F.round(target, 9).alias("target_share"),
+            F.round(target / actual, 6).alias("repeat_factor"),
+        )
+    )
