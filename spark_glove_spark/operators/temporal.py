@@ -153,3 +153,78 @@ def interval_join_binned(
         .where((right_ts >= left_start) & (right_ts < left_end))
         .drop("__bin")
     )
+
+
+@query(
+    "c9_gap_fill",
+    section="C9,E3,G4",
+    tags=("temporal",),
+    oracle="""
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           count(*) AS n_events, round(sum(value), 6) AS hour_sum
+    FROM events WHERE user_id <= 20 GROUP BY 1, 2
+),
+spans AS (
+    SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+),
+calendar AS (
+    SELECT s.user_id, unnest(generate_series(s.h0, s.h1,
+                                             INTERVAL 1 HOUR)) AS h
+    FROM spans s
+)
+SELECT c.user_id,
+       epoch_ms(c.h) AS hour_ms,
+       coalesce(hy.n_events, 0) AS n_events,
+       last_value(hy.hour_sum IGNORE NULLS)
+           OVER (PARTITION BY c.user_id ORDER BY c.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS filled_sum
+FROM calendar c LEFT JOIN hourly hy
+  ON c.user_id = hy.user_id AND c.h = hy.h
+""",
+)
+def c9_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + forward-fill — the temporal operator that
+    turns an irregular event stream into a dense regular series: per
+    user, materialize every hour between their first and last event
+    (``sequence`` + explode — an expression, not a calendar-table
+    join), left-join the observed hourly aggregates, and carry the
+    last observed value forward with ``last(ignorenulls=True)`` over
+    an UNBOUNDED PRECEDING row frame.
+
+    Scale shape: the calendar fan-out is bounded by span-hours per
+    user (state: one row per user before the explode), the join is
+    co-partitioned on user_id, and the fill window never leaves the
+    user partition — no global sort anywhere. Hourly sums are rounded
+    BEFORE the fill so both engines carry identical quantities."""
+    e = table(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("hour_sum"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    calendar = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        calendar.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.unix_millis("h").alias("hour_ms"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+    )
