@@ -213,14 +213,26 @@ WITH sh AS (
                AS s
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     WHERE len(toks) >= 3
+),
+eg AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+-- lossless candidate generation, independent of the engine's prefix
+-- filter: any pair with J >= t shares >= 1 shingle AND satisfies the
+-- Jaccard length bound t*|B| <= |A| <= |B|/t, so no qualifying pair
+-- can escape this block (a raw all-pairs cross product is minutes of
+-- DuckDB at sf0.1; this is seconds at sf0.01 where the driver runs)
+cand AS (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+    FROM eg a JOIN eg b ON a.g = b.g AND a.doc_id < b.doc_id
+             AND a.n >= {SIMJOIN_THRESHOLD} * b.n
+             AND b.n >= {SIMJOIN_THRESHOLD} * a.n
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+SELECT c.da AS doc_a, c.db AS doc_b,
+       round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6)
          AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+FROM cand c JOIN sh sa ON c.da = sa.doc_id JOIN sh sb ON c.db = sb.doc_id
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
       >= {SIMJOIN_THRESHOLD}
 """,
 )
