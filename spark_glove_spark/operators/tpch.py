@@ -754,7 +754,8 @@ eu AS (
     WHERE r.r_name = 'EUROPE'
 )
 SELECT round(e.s_acctbal, 2) AS s_acctbal, e.s_name, e.n_name,
-       p.p_partkey AS partkey, round(e.unit_price, 4) AS unit_price
+       p.p_partkey AS partkey,
+       floor(e.unit_price * 10000 + 0.5) / 10000 AS unit_price
 FROM eu e
 JOIN part p ON e.partkey = p.p_partkey
 WHERE e.rn = 1 AND p.p_type = 'SMALL'
@@ -795,7 +796,12 @@ def sql_tpch_q02_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_name",
             "partkey",
-            F.round("unit_price", 4).alias("unit_price"),
+            # floor(x*1e4+0.5)/1e4: bit-identical half-up rounding in
+            # both engines (round() half-even ties split at sf0.1 —
+            # one supplier's unit price lands exactly on .xxxx5)
+            (F.floor(F.col("unit_price") * 10000 + 0.5) / 10000).alias(
+                "unit_price"
+            ),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "partkey")
         .limit(100)
