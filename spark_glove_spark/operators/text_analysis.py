@@ -979,7 +979,13 @@ def h17_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicable by the DuckDB oracle. At 100 TB this is a map-only
     filter — no shuffle, no state; temperature/quality re-weighting
     is just a different keep_p expression."""
-    d = table(spark, sf_dir, "documents")
+    import os
+
+    # raw scan, not table(): the corpus fan-out repartition is for
+    # per-row-expensive consumers (tokenize/shingle); a 2-arith-op
+    # filter should stay a zero-Exchange map-only plan
+    # (tests/test_scale.py::test_weighted_resample_is_map_only)
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     u = (
         (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
     ).cast("double") / F.lit(4294967296.0)

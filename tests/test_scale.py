@@ -213,3 +213,73 @@ def test_pii_redaction_is_map_only(spark):
     # table() fans the single-file corpus out with one round-robin
     # repartition; beyond that no shuffle may appear.
     assert plan.count("Exchange") <= 1
+
+
+def test_similarity_join_has_no_nested_loop(spark):
+    """h14_similarity_join (r3): candidates must come from equi-joins
+    on prefix shingles — a cartesian/BNLJ anywhere means the prefix
+    filter degenerated to all-pairs."""
+    df = api.REGISTRY["h14_similarity_join"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_decontamination_joins_on_gram_only(spark):
+    """h17_decontamination (r3): one equi-join keyed on the 8-gram; no
+    quadratic doc-pair structure anywhere."""
+    df = api.REGISTRY["h17_decontamination"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_kmeans_assignment_is_codegen_no_join(spark):
+    """ml_kmeans (r3): the per-iteration assignment must be a pure
+    expression over centroid literals — no join, no Python eval, and
+    the per-cluster update shuffle carries partial aggregates
+    (map-side combine)."""
+    from spark_glove_spark.operators.clustering import (
+        _assign_expr,
+        _seed_centers,
+    )
+    from spark_glove_spark.sources import table
+
+    e = table(spark, SF_DIR, "embeddings")
+    centers = _seed_centers(e, 4, 42, "vec_id", "embedding")
+    assigned = e.select(
+        _assign_expr(centers, "embedding").alias("cid"), "embedding"
+    )
+    plan = _plan(assigned)
+    assert "Join" not in plan and "Python" not in plan, plan
+    agg = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    aplan = _plan(agg)
+    assert "partial_count" in aplan or "HashAggregate" in aplan, aplan
+
+
+def test_gap_fill_window_stays_per_user(spark):
+    """c9_gap_fill (r3): the forward-fill window must be partitioned
+    (per user) — an unpartitioned window would serialize the whole
+    series through one task."""
+    df = api.REGISTRY["c9_gap_fill"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" in plan
+    # every Window operator in the plan declares a partition spec
+    for frag in plan.split("Window ")[1:]:
+        head = frag.split("\n")[0]
+        assert "user_id" in head, head
+
+
+def test_weighted_resample_is_map_only(spark):
+    """h17_weighted_resample (r3): a deterministic acceptance filter
+    must not shuffle — no Exchange in the plan at all."""
+    df = api.REGISTRY["h17_weighted_resample"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan.replace("ReusedExchange", ""), plan
+
+
+def test_pq_candidate_scan_carries_codes_not_floats(spark):
+    """h16_pq_ann (r3): the candidate-scoring side must carry the int8
+    codes column (tinyint array), not re-read float embeddings —
+    that's the 32x resident-set claim."""
+    df = api.REGISTRY["h16_pq_ann"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
