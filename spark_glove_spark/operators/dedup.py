@@ -14,7 +14,7 @@ and fully oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_glove_spark.functions.hashing import (
@@ -310,4 +310,73 @@ def h14_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= t)
+    )
+
+
+@query("h13_semantic_dedup", section="H13,H15,H16", tags=("dedup", "ml"))
+def h13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023 — public):
+    k-means-cluster the embedding space, then search for near-identical
+    pairs ONLY within clusters, dropping the higher-id member of every
+    pair with cosine >= 0.4 (min-id keep rule, deterministic).
+
+    Returns the DROP list: (vec_id, cluster_id, keeper_id, cos) where
+    ``keeper_id`` is the lowest-id qualifying lower neighbor. Rows-only
+    to the driver (the cluster assignment has no SQL twin — the
+    centroids come from an iterative fit); teeth in
+    tests/test_dedup.py: the drop set is re-verified pair-by-pair with
+    numpy, injected exact duplicates are always caught (identical
+    vectors share a cluster by construction), and recall vs the
+    brute-force all-pairs drop set has a measured floor.
+
+    100 TB shape: this is the point of SemDeDup — the O(n²) cosine
+    search collapses to per-cluster blocks. ``k`` scales with corpus
+    size (n/500 here) so expected cluster size stays bounded and total
+    pair work stays ~linear; the cluster assignment itself is the
+    ml_kmeans plan (centroid literals, pure codegen, one k-row shuffle
+    per Lloyd round). The within-cluster pair join is an equi-join on
+    cluster_id — shuffle-partitioned, never a cross join."""
+    from spark_glove_spark.operators.clustering import _assign_expr, kmeans_fit
+
+    e = defer_unpersist(
+        parallelized(table(spark, sf_dir, "embeddings")).persist()
+    )
+    n = e.count()
+    k = max(10, n // 500)
+    centers, _ = kmeans_fit(e, k=k, max_iter=5, seed=42)
+    assigned = e.select(
+        "vec_id",
+        F.col("embedding"),
+        _assign_expr(centers, "embedding").alias("cluster_id"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("keeper_id"),
+        F.col("embedding").alias("va"),
+        "cluster_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("vb"),
+        F.col("cluster_id").alias("cluster_b"),
+    )
+    cos = dot(F.col("va"), F.col("vb"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("cluster_id") == F.col("cluster_b"))
+            & (F.col("keeper_id") < F.col("vec_id")),
+        )
+        .where(cos >= 0.4)
+        .select(
+            "vec_id",
+            "cluster_id",
+            "keeper_id",
+            F.round(cos, 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("keeper_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
     )

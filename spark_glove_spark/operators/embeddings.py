@@ -221,3 +221,50 @@ def h15_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .drop("rn")
     )
+
+
+@query(
+    "h15_range_search",
+    section="H15,C7,G8",
+    tags=("similarity",),
+    oracle=f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS q FROM embeddings WHERE vec_id % 100 = 0
+)
+SELECT p.probe_id, e.vec_id, e.label,
+       round({dot_sql('e.embedding', 'p.q')}, 6) AS cos
+FROM embeddings e CROSS JOIN probes p
+WHERE e.vec_id <> p.probe_id
+  AND {dot_sql('e.embedding', 'p.q')} >= 0.3
+""",
+)
+def h15_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H15 companion: RANGE similarity search — every corpus vector
+    within a cosine radius of each probe (cos >= 0.3), rather than a
+    fixed k. The retrieval primitive behind "collect all candidates
+    above a relevance floor" (e.g. near-dup audit, recall-oriented
+    retrieval); complements the top-k form, which can truncate dense
+    neighborhoods and pad sparse ones.
+
+    Plan: identical shape to h15_knn_bruteforce — corpus fans out,
+    probes broadcast, scoring is a codegen'd double fold — but with NO
+    window: the radius predicate filters map-side, so the operator is
+    shuffle-free end-to-end (explain shows no Exchange). At 100 TB the
+    exact scan is the verification tier; the production tier feeds the
+    same predicate from an ANN candidate set (h16_*)."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("q")
+    )
+    cos = dot(F.col("embedding"), F.col("q"))
+    return (
+        parallelized(e)
+        .crossJoin(F.broadcast(probes))
+        .where((F.col("vec_id") != F.col("probe_id")) & (cos >= 0.3))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(cos, 6).alias("cos"),
+        )
+    )

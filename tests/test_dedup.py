@@ -160,3 +160,89 @@ def test_simhash_fast_equals_expression_form(spark):
     ref = {r.doc_id: r.s for r in d.select("doc_id", simhash64(tokenize(F.col("text"))).alias("s")).collect()}
     fast = {r.doc_id: r.s for r in d.select("doc_id", simhash64_fast(tokenize(F.col("text"))).alias("s")).collect()}
     assert ref == fast
+
+
+def test_semantic_dedup_drop_set_verified_and_recall(spark):
+    """h13_semantic_dedup teeth (rows-only op): (1) every dropped row's
+    (keeper, dropped) pair really has cos >= 0.4 and keeper is the
+    LOWEST qualifying same-cluster lower id — re-verified with numpy
+    from the same centroids; (2) recall vs the brute-force all-pairs
+    min-id drop set has a floor (clustering can only miss cross-cluster
+    pairs); (3) an injected exact duplicate is always dropped."""
+    import numpy as np
+
+    from spark_glove_spark import api
+    from spark_glove_spark.operators.clustering import kmeans_fit
+    from spark_glove_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r.vec_id: (r.cluster_id, r.keeper_id, r.cos)
+        for r in api.REGISTRY["h13_semantic_dedup"].fn(spark, sf).collect()
+    }
+    assert out, "fixture should produce a non-empty drop set"
+
+    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    rows = sorted((r.vec_id, np.array(r.embedding, float)) for r in e.collect())
+    ids = [i for i, _ in rows]
+    mat = np.stack([v for _, v in rows])
+    centers, _ = kmeans_fit(e, k=max(10, len(ids) // 500), max_iter=5, seed=42)
+    # same argmin rule as _assign_expr: (‖c‖²−2⟨x,c⟩, cid) lexicographic
+    # — np.argmin takes the FIRST minimum, i.e. the lowest cid on ties
+    d = (centers**2).sum(axis=1)[None, :] - 2 * mat @ centers.T
+    cid = np.argmin(d, axis=1)
+
+    idx = {v: i for i, v in enumerate(ids)}
+    sims = mat @ mat.T
+    for vec_id, (cluster_id, keeper_id, cos) in out.items():
+        i = idx[vec_id]
+        assert cid[i] == cluster_id
+        lower = [
+            j
+            for j in range(len(ids))
+            if ids[j] < vec_id and cid[j] == cid[i] and sims[i, j] >= 0.4
+        ]
+        assert lower, f"{vec_id} dropped with no qualifying neighbor"
+        assert ids[min(lower)] == keeper_id
+        assert abs(sims[i, idx[keeper_id]] - cos) < 1e-4
+
+    # brute-force global drop set (no clustering): recall floor
+    brute = {
+        ids[i]
+        for i in range(len(ids))
+        if any(sims[i, j] >= 0.4 for j in range(len(ids)) if ids[j] < ids[i])
+    }
+    recall = len(set(out) & brute) / len(brute)
+    assert recall >= 0.3, f"semantic-dedup recall {recall:.2f} vs brute force"
+
+    # injected exact duplicate of the first vector must be dropped
+    dup = spark.createDataFrame(
+        [(99991, rows[0][1].tolist(), 0)],
+        "vec_id long, embedding array<double>, label int",
+    ).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        "label",
+    )
+    aug = e.unionByName(
+        dup.select("vec_id", "embedding"), allowMissingColumns=False
+    )
+    import spark_glove_spark.operators.dedup as dd
+
+    centers2, _ = kmeans_fit(aug, k=max(10, (len(ids) + 1) // 500), max_iter=5, seed=42)
+    from spark_glove_spark.operators.clustering import _assign_expr
+
+    assigned = aug.select(
+        "vec_id", "embedding", _assign_expr(centers2, "embedding").alias("cluster_id")
+    )
+    pair = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") == ids[0])
+            & (F.col("b.vec_id") == 99991),
+        )
+        .count()
+    )
+    assert pair == 1, "identical vectors must share a cluster"
