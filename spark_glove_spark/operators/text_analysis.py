@@ -1049,3 +1049,120 @@ def h17_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(target / actual, 6).alias("repeat_factor"),
         )
     )
+
+
+@query(
+    "h10_inverted_index",
+    section="H10,D7,G6",
+    tags=("ir", "llm-pipeline"),
+    oracle="""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+td AS (SELECT word, doc_id, count(*) AS tf FROM words GROUP BY 1, 2)
+SELECT word,
+       count(*) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       array_to_string(
+           list_transform((list_sort(list(doc_id)))[1:15],
+                          x -> CAST(x AS VARCHAR)), ',') AS postings
+FROM td GROUP BY 1
+""",
+)
+def h10_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the retrieval-side twin of TF-IDF/BM25:
+    one row per term with document frequency, collection frequency,
+    and the head of its sorted posting list (first 15 doc_ids,
+    comma-joined so the driver comparator sees a flat string).
+
+    Plan: ONE token explode feeds a (word, doc) partial count (map-side
+    combined), then a per-word agg builds df/cf/postings together —
+    two shuffles total, both keyed on the term. 100 TB shape: this IS
+    how distributed index builds run (posting lists are per-term
+    reductions; skew from stopword-class terms is bounded here by the
+    posting-head cap, and in production by per-term posting sharding —
+    the same term-partitioned layout search engines use)."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+    td = words.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return td.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 15),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+@query(
+    "h17_span_dedup",
+    section="H17,H11,H12",
+    tags=("dedup", "llm-pipeline"),
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (
+    SELECT doc_id,
+           unnest(list_transform(range(len(t) - 7),
+                  i -> list_aggregate(t[i + 1:i + 8], 'string_agg', ' '))) AS g
+    FROM toks WHERE len(t) >= 8
+),
+nd AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY 1)
+SELECT doc_id, n_windows, n_dup_windows,
+       round(CAST(n_dup_windows AS DOUBLE) / n_windows, 6) AS dup_fraction
+FROM (
+    SELECT w.doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows
+    FROM w JOIN nd ON w.g = nd.g
+    GROUP BY 1
+) WHERE n_dup_windows > 0
+""",
+)
+def h17_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate coverage — the window-granular view of
+    exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — public; the suffix-array
+    method's output, approximated at fixed span length): for every
+    document, the fraction of its 8-token windows that also occur in
+    at least one OTHER document. Downstream policy either drops the
+    repeated spans or down-weights the doc; we report every doc with
+    nonzero duplicated-span coverage.
+
+    Plan: one shingle explode feeds both the per-gram doc-frequency
+    agg and the per-doc coverage agg; the join back is a plain
+    equi-join on the gram. 100 TB shape: grams become 8-byte
+    xxhash64 keys (collision-safe for counting at corpus scale), both
+    aggs are map-side combined, and the gram-frequency side is
+    heavy-hitter-bounded: a frequency cap drops formulaic grams the
+    same way the similarity join's prefix filter does."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id", F.explode(shingles(tokenize(F.col("text")), 8)).alias("g")
+    )
+    nd = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    per_doc = (
+        grams.join(nd, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .where(F.col("n_dup_windows") > 0)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        F.round(
+            F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
+        ).alias("dup_fraction"),
+    )
