@@ -8,6 +8,7 @@ from __future__ import annotations
 # Importing the operator modules populates the registry (side-effect
 # imports are deliberate — each module registers its declared queries).
 import spark_glove_spark.operators.ann  # noqa: F401
+import spark_glove_spark.operators.bpe  # noqa: F401
 import spark_glove_spark.operators.clustering  # noqa: F401
 import spark_glove_spark.operators.dedup  # noqa: F401
 import spark_glove_spark.operators.embeddings  # noqa: F401

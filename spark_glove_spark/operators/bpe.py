@@ -1,0 +1,123 @@
+"""Distributed BPE tokenizer training (north-star text-analysis
+extension: learning the subword vocabulary IS a training-data-pipeline
+job — the tokenizer is fit on the same corpus the engine curates).
+
+Algorithm: classic byte-pair encoding over the word-frequency table
+(Sennrich, Haddow & Birch, ACL 2016 — public): start from characters,
+repeatedly merge the highest-weighted adjacent symbol pair, ties
+broken lexicographically so the merge sequence is deterministic.
+
+Scale split (same discipline as ml_kmeans / the GloVe trainer):
+
+* The corpus collapses to the **word-frequency table once** — BPE
+  statistics are invariant to where words occur, so the iterative part
+  never rescans the corpus. At 100 TB the word table is million-row,
+  not petabyte-row.
+* Each merge round is one expression-only pair explode + one map-side-
+  combined groupBy emitting pair weights, then a global top-1
+  (TakeOrderedAndProject, no full sort); only ONE row crosses to the
+  driver per round.
+* The merge application is a higher-order ``aggregate`` fold over each
+  word's symbol array — pure codegen, no Python, no join.
+* ``localCheckpoint`` per round keeps the iterative plan bounded
+  (PLANS.md "Known scale caveats": iterative plans must materialize
+  per-iteration stats or Catalyst's stats product explodes).
+
+Rows-only to the driver (an iterative fit has no SQL twin); teeth in
+tests/test_bpe.py: the full merge sequence is pinned to a pure-Python
+replica of the same greedy fold, plus planted-corpus and determinism
+checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_glove_spark.functions.text import tokenize
+from spark_glove_spark.registry import query
+from spark_glove_spark.sources import parallelized, table
+
+_EMPTY = "cast(array() as array<string>)"
+
+
+def merge_pair_expr(col: Column, left: str, right: str, merged: str) -> Column:
+    """Greedy left-to-right application of one merge rule to a symbol
+    array, as a single codegen'd fold: scan symbols, and whenever the
+    accumulator's tail is ``left`` and the current symbol is ``right``,
+    replace the tail with ``merged`` (so ``a a a`` under (a,a) becomes
+    ``aa a`` — the standard non-overlapping greedy semantics)."""
+    return F.aggregate(
+        col,
+        F.expr(_EMPTY),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    words: DataFrame, n_merges: int = 10
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``n_merges`` BPE merges from a (word, freq) DataFrame.
+
+    Returns [(rank, left, right, merged, weighted_count), ...] in
+    merge order. Deterministic: the winning pair per round is
+    (max weighted count, then lexicographically smallest pair).
+    """
+    sym = words.select(
+        "word", "freq", F.split(F.col("word"), "").alias("sym")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = sym.where(F.size("sym") >= 2).select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("sym"), 1, F.size("sym") - 1),
+                    F.slice(F.col("sym"), 2, F.size("sym") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(
+                F.col("p.l").alias("left"), F.col("p.r").alias("right")
+            )
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["cnt"]
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+        sym = sym.withColumn(
+            "sym", merge_pair_expr(F.col("sym"), left, right, merged)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+@query("h17_bpe_train", section="H17,D8,G8", tags=("llm-pipeline", "ml"))
+def h17_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 10 BPE merges on the corpus word-frequency table and emit
+    the merge table: (rank, left, right, merged, weighted_count).
+    Rows-only (iterative fit); tests/test_bpe.py pins the sequence to
+    a pure-Python replica and checks planted-corpus behavior."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    merges = bpe_train(words, n_merges=10)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, weighted_count long"
+    )

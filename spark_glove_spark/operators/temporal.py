@@ -228,3 +228,73 @@ def c9_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
         )
     )
+
+
+@query(
+    "c9_ohlc_resample",
+    section="C9,E1,D1",
+    tags=("timeseries",),
+    oracle="""
+WITH x AS (
+    SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+           ts, event_id, value
+    FROM events
+),
+r AS (
+    SELECT bucket_ms, event_type, value,
+           row_number() OVER (PARTITION BY bucket_ms, event_type
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY bucket_ms, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM x
+)
+SELECT bucket_ms, event_type,
+       count(*) AS n,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+       round(sum(value), 2) AS total
+FROM r GROUP BY 1, 2
+""",
+)
+def c9_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample/downsample to OHLC bars — the canonical
+    "hypertable rollup" shape: per (hour, event_type), the opening and
+    closing value (first/last by (ts, event_id) — the tiebreak makes
+    the bar deterministic even with equal timestamps), high, low,
+    count, and volume.
+
+    Plan: ONE shuffle on the (bucket, series) key does everything —
+    the two row_number windows and the final agg share the same
+    partitioning, so Catalyst plans window→window→agg in a single
+    Exchange's scope. At 100 TB this is the right layout: bars
+    partition by time bucket (append-friendly), no per-row Python, no
+    join; late data re-aggregates only the affected bucket."""
+    e = table(spark, sf_dir, "events")
+    x = e.select(
+        F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("bucket_ms"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("bucket_ms", "event_type").orderBy("ts", "event_id")
+    wd = Window.partitionBy("bucket_ms", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = x.select(
+        "bucket_ms",
+        "event_type",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("bucket_ms", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias("close"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
