@@ -283,3 +283,75 @@ def test_pq_candidate_scan_carries_codes_not_floats(spark):
     df = api.REGISTRY["h16_pq_ann"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_range_search_is_shuffle_free(spark):
+    """h15_range_search (r3): probes broadcast, radius predicate
+    filters map-side — the whole operator must run without an
+    Exchange (no shuffle, no window)."""
+    df = api.REGISTRY["h15_range_search"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "ShuffleExchange" not in plan.replace(
+        "BroadcastExchange", ""
+    ) and "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_semantic_dedup_pairs_join_on_cluster(spark):
+    """h13_semantic_dedup (r3): the within-cluster pair search must be
+    an equi-join keyed on cluster_id (SortMerge/ShuffledHash), never a
+    cartesian/BNLJ over the corpus."""
+    df = api.REGISTRY["h13_semantic_dedup"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "cluster_id" in plan or "cluster_b" in plan, plan
+
+
+def test_inverted_index_two_mapside_aggs(spark):
+    """h10_inverted_index (r3): both aggregation levels must be hash
+    aggregates with a partial (map-side) phase; no window, no join."""
+    df = api.REGISTRY["h10_inverted_index"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_span_dedup_joins_on_gram_only(spark):
+    """h17_span_dedup (r3): the dup-frequency join must key on the
+    gram — an equi-join, no quadratic doc-pair structure."""
+    df = api.REGISTRY["h17_span_dedup"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_ohlc_resample_single_exchange(spark):
+    """c9_ohlc_resample (r3): both windows and the final agg share the
+    (bucket, series) partitioning — exactly ONE hash-partitioning
+    Exchange in the plan (plus AQE wrappers), and no join."""
+    df = api.REGISTRY["c9_ohlc_resample"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan}"
+
+
+def test_bpe_merge_apply_is_codegen_no_python(spark):
+    """h17_bpe_train (r3): the merge-application fold must be a pure
+    higher-order expression (no Python eval), and the pair count a
+    map-side-combined hash aggregate."""
+    from spark_glove_spark.operators.bpe import merge_pair_expr
+    from spark_glove_spark.functions.text import tokenize
+    from spark_glove_spark.sources import table
+
+    d = table(spark, SF_DIR, "documents")
+    words = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    applied = words.select(
+        merge_pair_expr(F.split(F.col("word"), ""), "e", "r", "er").alias("s")
+    )
+    plan = _plan(applied)
+    assert "Python" not in plan and "Join" not in plan, plan
