@@ -14,6 +14,7 @@ import spark_glove_spark.operators.dedup  # noqa: F401
 import spark_glove_spark.operators.embeddings  # noqa: F401
 import spark_glove_spark.operators.glove_queries  # noqa: F401
 import spark_glove_spark.operators.graph  # noqa: F401
+import spark_glove_spark.operators.graph_analytics  # noqa: F401
 import spark_glove_spark.operators.io_udfs  # noqa: F401
 import spark_glove_spark.operators.multimodal  # noqa: F401
 import spark_glove_spark.operators.relational  # noqa: F401

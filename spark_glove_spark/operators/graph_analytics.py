@@ -1,0 +1,194 @@
+"""Graph analytics over the word co-occurrence graph (north-star
+extension: the GloVe co-occurrence matrix IS a weighted graph, and
+the classic distributed graph kernels — triangle counting, PageRank —
+are the standard structural probes over it).
+
+Shared edge set: the TOP-100 co-occurrence pairs by GloVe weight
+(window=2, self-loops excluded, ties broken by word pair). Window-2
+weights are sums of 1 and 0.5 — exactly representable doubles — so
+the top-100 cut is bit-deterministic across engines and both
+operators below are FULLY oracle-checked (the PageRank oracle unrolls
+its 10 power iterations as chained SQL CTEs).
+
+Scale notes (100 TB):
+
+* Triangle counting is the two-equi-join formulation over an
+  orientation (s < t) of the edge list — each triangle is found
+  exactly once. The standard skew refinement (orient edges from
+  lower-degree to higher-degree vertex so hub fan-out is bounded —
+  Suri & Vassilvitskii, WWW'11 "Counting Triangles and the Curse of
+  the Last Reducer", public) drops in by replacing the (s < t)
+  orientation with (deg(s), s) < (deg(t), t); the lexicographic
+  orientation is kept here because the oracle must replicate it
+  cheaply.
+* PageRank state is vertex-sized; each iteration is one equi-join of
+  ranks to the out-edge list plus one map-side-combined aggregation —
+  the canonical message-passing round. ``localCheckpoint`` per
+  iteration (PLANS.md iterative-plan caveat). Degrees are attached to
+  the edge list ONCE before the loop, so the per-iteration join
+  carries (src, dst, deg) and never recomputes degree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_glove_spark.operators.cooccurrence import cooccurrence_matrix
+from spark_glove_spark.registry import defer_unpersist, query
+from spark_glove_spark.sources import table
+
+N_EDGES = 100
+_DAMPING = 0.85
+_PR_ITERS = 10
+
+# DuckDB twin of the shared edge set: top-100 co-occurrence pairs.
+_EDGE_CTE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS word,
+               generate_subscripts(t, 1) AS pos
+        FROM toks),
+w AS (
+    SELECT least(a.word, b.word) AS s, greatest(a.word, b.word) AS t2,
+           sum(1.0 / (b.pos - a.pos)) AS x
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+    WHERE a.word <> b.word
+    GROUP BY 1, 2
+),
+e AS (SELECT s, t2 FROM w ORDER BY x DESC, s, t2 LIMIT {N_EDGES})
+"""
+
+
+def top_cooccurrence_edges(docs: DataFrame, n_edges: int = N_EDGES) -> DataFrame:
+    """(s, t) edge list: top-``n_edges`` co-occurrence pairs by weight
+    (window=2), self-loops excluded, s < t, deterministic tiebreak."""
+    x = cooccurrence_matrix(docs, window=2)
+    return (
+        x.where(F.col("wi") != F.col("wj"))
+        .orderBy(F.col("x").desc(), "wi", "wj")
+        .limit(n_edges)
+        .select(F.col("wi").alias("s"), F.col("wj").alias("t"))
+    )
+
+
+@query(
+    "graph_triangle_count",
+    section="H3,C2,D1",
+    tags=("graph",),
+    oracle=_EDGE_CTE
+    + """,
+tri AS (
+    SELECT ab.s AS a, ab.t2 AS b, bc.t2 AS c
+    FROM e ab JOIN e bc ON ab.t2 = bc.s
+              JOIN e ac ON ac.s = ab.s AND ac.t2 = bc.t2
+)
+SELECT word, count(*) AS n_triangles
+FROM (SELECT a AS word FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY 1
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the top-100 co-occurrence
+    graph: two equi-joins over the (s < t)-oriented edge list find
+    each triangle exactly once; exploding its three corners and
+    aggregating gives each word's triangle membership (the local
+    clustering signal — high-triangle words sit in tight collocation
+    clusters)."""
+    docs = table(spark, sf_dir, "documents")
+    e = defer_unpersist(top_cooccurrence_edges(docs).persist())
+    ab = e.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    bc = e.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    ac = e.select(F.col("s").alias("a2"), F.col("t").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("word"))
+        .unionAll(tri.select(F.col("b").alias("word")))
+        .unionAll(tri.select(F.col("c").alias("word")))
+    )
+    return corners.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unroll the 10 power iterations as chained CTEs — DuckDB can't
+    aggregate inside a recursive CTE, but a FIXED iteration count
+    needs no recursion, which is what makes this op oracle-checkable
+    at all."""
+    d, n_it = _DAMPING, _PR_ITERS
+    parts = [
+        _EDGE_CTE
+        + """,
+sym AS (SELECT s AS src, t2 AS dst FROM e
+        UNION ALL SELECT t2 AS src, s AS dst FROM e),
+deg AS (SELECT src AS v, count(*) AS deg FROM sym GROUP BY 1),
+vertices AS (SELECT v FROM deg),
+nv AS (SELECT count(*) AS n FROM vertices),
+r0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS r FROM vertices)"""
+    ]
+    for i in range(1, n_it + 1):
+        parts.append(
+            f""",
+r{i} AS (
+    SELECT se.dst AS v,
+           (1 - {d}) / (SELECT n FROM nv)
+             + {d} * sum(p.r / dg.deg) AS r
+    FROM sym se
+    JOIN r{i - 1} p ON se.src = p.v
+    JOIN deg dg ON dg.v = se.src
+    GROUP BY se.dst
+)"""
+        )
+    parts.append(
+        f"""
+SELECT v AS word, round(r, 6) AS rank FROM r{n_it}
+"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_pagerank",
+    section="H3,C2,D1",
+    tags=("graph",),
+    oracle=_pagerank_oracle(),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 10 iterations) over the symmetrized
+    top-100 co-occurrence graph. Every vertex has degree >= 1 by
+    construction (vertices are edge endpoints), so there is no
+    dangling mass and the 10-step power iteration is a pure
+    join + aggregate per round — the oracle replays the identical
+    unrolled recurrence in SQL, so the declared query is fully
+    hash-checked despite being an iterative algorithm."""
+    docs = table(spark, sf_dir, "documents")
+    e = top_cooccurrence_edges(docs)
+    sym = e.select(F.col("s").alias("src"), F.col("t").alias("dst")).unionAll(
+        e.select(F.col("t").alias("src"), F.col("s").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out-edges with the sender's degree attached once, reused per round
+    out = defer_unpersist(sym.join(deg, "src").persist())
+    n = out.select("src").distinct().count()
+    ranks = out.select("src").distinct().select(
+        F.col("src").alias("v"), F.lit(1.0 / n).alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(_PR_ITERS):
+        ranks = (
+            out.join(ranks, out["src"] == ranks["v"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("acc"))
+            .select(
+                F.col("dst").alias("v"),
+                ((1 - _DAMPING) / n + _DAMPING * F.col("acc")).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("v").alias("word"), F.round("r", 6).alias("rank"))
