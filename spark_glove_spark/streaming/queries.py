@@ -490,3 +490,62 @@ def i9_streaming_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.lit(1.0) / F.col("d")), 6).alias("x")
     )
     return run_stream(agg, "complete")
+
+
+@query(
+    "i10_streaming_ohlc",
+    section="I1,C9",
+    tags=("streaming", "timeseries"),
+    oracle="""
+WITH x AS (
+    SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+           ts, event_id, value
+    FROM events
+),
+r AS (
+    SELECT bucket_ms, event_type, value,
+           row_number() OVER (PARTITION BY bucket_ms, event_type
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY bucket_ms, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM x
+)
+SELECT bucket_ms, event_type,
+       count(*) AS n,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close
+FROM r GROUP BY 1, 2
+""",
+)
+def i10_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars — c9_ohlc_resample's incremental twin: the
+    same hourly (bucket, event_type) bars computed ON THE STREAM with
+    pure streaming-safe aggregates (min_by/max_by over the
+    (ts, event_id) struct replace the batch row_number windows, with
+    the identical deterministic tiebreak), so a replayed stream
+    hash-matches the batch SQL exactly.
+
+    100 TB/always-on shape: state per key is O(1) scalars (open/close
+    candidate + extremes + count) — no buffered rows; with a watermark
+    the state store evicts closed bars, and late data within the
+    watermark updates only its own bar."""
+    s = stream_events(spark, events_path(sf_dir))
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min_by("value", F.struct("ts", "event_id")), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", F.struct("ts", "event_id")), 6).alias("close"),
+    )
+    out = run_stream(agg, "complete")
+    return out.select(
+        F.unix_millis(F.col("window.start")).alias("bucket_ms"),
+        "event_type",
+        "n",
+        "open",
+        "high",
+        "low",
+        "close",
+    )
