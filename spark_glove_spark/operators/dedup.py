@@ -262,6 +262,15 @@ def h14_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = defer_unpersist(
         shingle_sets(table(spark, sf_dir, "documents")).persist()
     )
+    return prefix_filter_pairs(sets, t)
+
+
+def prefix_filter_pairs(sets: DataFrame, t: float) -> DataFrame:
+    """AllPairs/PPJoin prefix-filter threshold join over a persisted
+    (doc_id, shingles) DataFrame: returns (doc_a, doc_b, jaccard) for
+    every pair with Jaccard >= ``t``. Deterministic — no hash
+    functions — so callers can be fully oracle-checked. See
+    h14_similarity_join for the plan rationale."""
     # global shingle document frequencies (the prefix order)
     freq = (
         sets.select(F.explode("shingles").alias("shingle"))

@@ -1,0 +1,169 @@
+"""End-to-end corpus curation — the engine's user story in ONE
+declared query: the staged filter funnel every LLM training-data
+pipeline runs (quality gate → exact dedup → near-dup dedup), with a
+per-language audit of where documents went.
+
+Stages (each individually verified elsewhere; this query proves the
+COMPOSITION):
+
+1. **Quality gate** (h17_quality_score's rule): 20–80 tokens and
+   stop-word ratio < 0.3.
+2. **Exact dedup** among quality passers: keep the lowest doc_id per
+   identical text. (At scale the partition key is sha2(text) — the
+   h12/f5 content-hash form; full text is used here so the oracle is
+   byte-identical.)
+3. **Near-dup dedup** among survivors: the deterministic prefix-filter
+   similarity join (h14) at Jaccard >= 0.4; a doc is dropped when it
+   has a qualifying partner with a lower doc_id in the survivor set
+   (greedy lower-id dominance — the same keep rule as
+   h13_semantic_dedup, chosen over transitive closure so the oracle
+   stays non-recursive; the CC operators in operators/graph.py supply
+   the transitive variant when policy wants it).
+
+Output: one row per (lang, status) with document counts and kept
+token volume — the audit table a curation run ships to its consumers.
+Fully ORACLE-CHECKED: every stage is deterministic SQL, so the DuckDB
+twin replays the identical funnel.
+
+100 TB shape: stage 1 is map-only and prunes before any shuffle; the
+exact-dedup shuffle keys on content (hash in production); the
+similarity join runs on the PRUNED survivor set (the funnel ordering
+is the cost model: cheapest filters first, the quadratic-risk stage
+last and smallest); one corpus scan feeds the whole funnel via a
+persisted tokenized projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_glove_spark.functions.text import shingles, tokenize
+from spark_glove_spark.operators.dedup import prefix_filter_pairs
+from spark_glove_spark.operators.text_analysis import STOPWORDS
+from spark_glove_spark.registry import defer_unpersist, query
+from spark_glove_spark.sources import parallelized, table
+
+_T = 0.4  # similarity-join threshold (shared with h14)
+
+
+@query(
+    "pipeline_curate_corpus",
+    section="H12,H14,H17,F5",
+    tags=("llm-pipeline", "dedup"),
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+    FROM documents
+),
+q AS (
+    SELECT *,
+           (len(toks) BETWEEN 20 AND 80
+            AND CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
+                / len(toks) < 0.3) AS pass_q
+    FROM base
+),
+ex AS (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM q WHERE pass_q
+),
+s2 AS (
+    SELECT q.doc_id, q.toks FROM q JOIN ex ON q.doc_id = ex.doc_id
+    WHERE ex.rn = 1
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(len(toks) - 2),
+               i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))
+             AS s
+    FROM s2 WHERE len(toks) >= 3
+),
+eg AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+cand AS (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+    FROM eg a JOIN eg b ON a.g = b.g AND a.doc_id < b.doc_id
+             AND a.n >= {_T} * b.n AND b.n >= {_T} * a.n
+),
+nd AS (
+    SELECT DISTINCT c.db AS doc_id
+    FROM cand c JOIN sh sa ON c.da = sa.doc_id JOIN sh sb ON c.db = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= {_T}
+),
+status AS (
+    SELECT q.lang, len(q.toks) AS n_toks,
+           CASE WHEN NOT q.pass_q THEN 'quality_fail'
+                WHEN ex.rn > 1 THEN 'exact_dup'
+                WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS status
+    FROM q
+    LEFT JOIN ex ON q.doc_id = ex.doc_id
+    LEFT JOIN nd ON q.doc_id = nd.doc_id
+)
+SELECT lang, status,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN status = 'kept' THEN n_toks ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM status GROUP BY 1, 2
+""",
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the staged curation funnel and return the per-(lang, status)
+    audit: how many documents each stage removed and how many tokens
+    survive. See module docstring for stage semantics."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).cast("double") / n
+    )
+    q = defer_unpersist(
+        d.select(
+            "doc_id",
+            "lang",
+            "text",
+            toks.alias("toks"),
+            (n.between(20, 80) & (stop_ratio < 0.3)).alias("pass_q"),
+        ).persist()
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    ex = (
+        q.where("pass_q")
+        .select("doc_id", "text")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    s2 = (
+        q.join(ex.where(F.col("rn") == 1).select("doc_id"), "doc_id")
+        .select("doc_id", "toks")
+    )
+    sets = defer_unpersist(
+        s2.select(
+            "doc_id",
+            F.array_distinct(shingles(F.col("toks"), 3)).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+        .persist()
+    )
+    nd = prefix_filter_pairs(sets, _T).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    status = (
+        q.join(ex.select("doc_id", "rn"), "doc_id", "left")
+        .join(nd.withColumn("is_nd", F.lit(1)), "doc_id", "left")
+        .select(
+            "lang",
+            F.size("toks").alias("n_toks"),
+            F.when(~F.col("pass_q"), "quality_fail")
+            .when(F.col("rn") > 1, "exact_dup")
+            .when(F.col("is_nd").isNotNull(), "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+    return status.groupBy("lang", "status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("status") == "kept", F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )

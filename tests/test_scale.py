@@ -355,3 +355,15 @@ def test_bpe_merge_apply_is_codegen_no_python(spark):
     )
     plan = _plan(applied)
     assert "Python" not in plan and "Join" not in plan, plan
+
+
+def test_curate_funnel_no_cartesian_single_corpus_scan(spark):
+    """pipeline_curate_corpus (r3): the funnel must contain no
+    Cartesian/NestedLoop anywhere (the similarity stage is the prefix
+    filter over the PRUNED survivor set), and the tokenized projection
+    must come from the persisted cache (InMemoryTableScan), not
+    repeated corpus scans."""
+    df = api.REGISTRY["pipeline_curate_corpus"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
