@@ -394,3 +394,35 @@ def a5_multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+@query(
+    "a7_partitioned_sink_pruning",
+    section="A3,A1",
+    oracle="""
+SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1
+""",
+)
+def a7_partitioned_sink_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A1 capstone: PARTITIONED parquet sink → scan with static
+    partition pruning. Events are written partitioned by event_type
+    (the low-cardinality layout column); the read-back filters one
+    type, and the filter resolves at the DIRECTORY level —
+    `PartitionFilters` in the scan, zero data files of other types
+    opened (guarded in tests/test_scale.py).
+
+    100 TB: partition layout is the first-line pruning mechanism —
+    a date/type-partitioned lake turns most queries' scans from
+    full-corpus to a handful of directories, before row-group stats
+    even apply."""
+    e = table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="sgs_a7_")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    clicks = spark.read.parquet(out).where(F.col("event_type") == "click")
+    return clicks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )

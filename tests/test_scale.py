@@ -367,3 +367,14 @@ def test_curate_funnel_no_cartesian_single_corpus_scan(spark):
     plan = _plan(df)
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_partitioned_sink_prunes_at_directory_level(spark):
+    """a7_partitioned_sink_pruning (r3): the event_type filter must
+    resolve as a PartitionFilter (directory pruning), not a data
+    filter over all files."""
+    df = api.REGISTRY["a7_partitioned_sink_pruning"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan
