@@ -121,3 +121,30 @@ def h17_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, weighted_count long"
     )
+
+
+@query("h17_bpe_segment", section="H17,G8", tags=("llm-pipeline",))
+def h17_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 10 learned merges (h17_bpe_train) to segment every
+    vocabulary word: (word, freq, segments comma-joined, n_segments).
+    The tokenizer's APPLY side — segmentation is the sequential
+    application of the merge table, each rule a codegen'd fold; at
+    scale this runs map-only over any corpus once the merge table is
+    learned. Rows-only (depends on the learned merges); the replica
+    test pins segmentation via the same fold logic."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    merges = bpe_train(words, n_merges=10)
+    seg = F.split(F.col("word"), "")
+    for _, left, right, merged, _cnt in merges:
+        seg = merge_pair_expr(seg, left, right, merged)
+    return words.select(
+        "word",
+        "freq",
+        F.array_join(seg, ",").alias("segments"),
+        F.size(seg).alias("n_segments"),
+    )

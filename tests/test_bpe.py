@@ -80,3 +80,33 @@ def test_bpe_deterministic_across_runs(spark):
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
     assert bpe_train(words, 5) == bpe_train(words, 5)
+
+
+def test_bpe_segmentation_matches_replica(spark):
+    words = (
+        table(spark, SF, "documents")
+        .select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    wf = {r.word: r.freq for r in words.collect()}
+    # replica: re-derive final segmentations after 10 merges
+    syms = {w: list(w) for w in wf}
+    for _, left, right, merged, _c in bpe_replica(wf, 10):
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            syms[w] = out
+    from spark_glove_spark import api
+
+    got = {
+        r.word: (r.segments.split(","), r.n_segments)
+        for r in api.REGISTRY["h17_bpe_segment"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(wf)
+    for w, (segs, n) in got.items():
+        assert segs == syms[w] and n == len(syms[w]), (w, segs, syms[w])
