@@ -7,6 +7,7 @@ from __future__ import annotations
 
 # Importing the operator modules populates the registry (side-effect
 # imports are deliberate — each module registers its declared queries).
+import spark_glove_spark.operators.analytics  # noqa: F401
 import spark_glove_spark.operators.ann  # noqa: F401
 import spark_glove_spark.operators.bpe  # noqa: F401
 import spark_glove_spark.operators.clustering  # noqa: F401
@@ -19,6 +20,7 @@ import spark_glove_spark.operators.io_udfs  # noqa: F401
 import spark_glove_spark.operators.multimodal  # noqa: F401
 import spark_glove_spark.operators.pipeline  # noqa: F401
 import spark_glove_spark.operators.relational  # noqa: F401
+import spark_glove_spark.operators.scale_ops  # noqa: F401
 import spark_glove_spark.operators.temporal  # noqa: F401
 import spark_glove_spark.operators.scalar_queries  # noqa: F401
 import spark_glove_spark.operators.text_analysis  # noqa: F401

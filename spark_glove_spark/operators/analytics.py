@@ -1,0 +1,335 @@
+"""Event/warehouse analytics operators — the product-analytics and
+table-maintenance surface a query engine is expected to carry beyond
+the relational core: ordered funnels, cohort retention, slowly
+changing dimensions (SCD2), MERGE/upsert (CDC apply), and dataset
+profiling. All five are deterministic SQL compositions, so every one
+is FULLY oracle-checked.
+
+Scale notes (100 TB):
+  * e6/e7/e8 shuffle only on ``user_id`` — one partitioning reused
+    across every stage (Catalyst reuses the Exchange when the key is
+    unchanged), never on raw events cross-key.
+  * f8 is the canonical CDC apply: one full-outer join on the table
+    key. On a real lakehouse the base side would be bucketed by the
+    key so only the (much smaller) change set shuffles.
+  * d10 profiles every column in ONE corpus pass; the exact
+    count-distinct is the only expand-multiplying measure — swap it
+    for ``approx_count_distinct`` at petabyte scale (documented in
+    the docstring; the oracle needs the exact form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_glove_spark.registry import query
+from spark_glove_spark.sources import table
+
+# SCD2 open-row convention: the current row's validity ends at a
+# far-future sentinel (avoids NULL-timestamp comparator cells). Not
+# the classic 9999-12-31: that overflows Arrow's nanosecond timestamp
+# range (max 2262-04-11) during toPandas conversion.
+_SCD2_OPEN_END = "2100-01-01 00:00:00"
+
+
+@query(
+    "e6_funnel",
+    section="E2,D5,C4",
+    tags=("analytics",),
+    oracle="""
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+),
+r AS (
+    SELECT 1 AS stage FROM s1
+    UNION ALL SELECT 2 FROM s2
+    UNION ALL SELECT 3 FROM s3
+),
+p AS (SELECT stage, count(*) AS n_users FROM r GROUP BY 1)
+SELECT stage, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / max(CASE WHEN stage = 1 THEN n_users END) OVER (), 6)
+         AS conversion
+FROM p
+""",
+)
+def e6_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (signup -> click -> purchase): a user
+    reaches stage N only with an event strictly after their stage-N-1
+    entry time. Output: per-stage reached-user counts and conversion
+    vs stage 1.
+
+    Plan shape: three groupBy/join stages ALL keyed on user_id, so one
+    hash partitioning carries through (no cross-key shuffle); the
+    final window runs over 3 aggregate rows.
+    """
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    reached = (
+        s1.select(F.lit(1).alias("stage"))
+        .unionAll(s2.select(F.lit(2).alias("stage")))
+        .unionAll(s3.select(F.lit(3).alias("stage")))
+    )
+    per_stage = reached.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+    # Global window over exactly 3 rows — bounded by construction.
+    w = Window.partitionBy()
+    return per_stage.select(
+        "stage",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.max(F.when(F.col("stage") == 1, F.col("n_users"))).over(w),
+            6,
+        ).alias("conversion"),
+    )
+
+
+@query(
+    "e7_retention_cohorts",
+    section="E1,G4,D3",
+    tags=("analytics",),
+    oracle="""
+WITH coh AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+    FROM events GROUP BY 1
+),
+act AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS aw
+    FROM events
+)
+SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+       CAST((a.aw - c.cw) // 7 AS INT) AS week_offset,
+       count(*) AS n_users
+FROM act a JOIN coh c ON a.user_id = c.user_id
+GROUP BY 1, 2
+""",
+)
+def e7_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = week of a user's first event,
+    cell (cohort_week, week_offset) = distinct users from that cohort
+    active ``offset`` weeks later. The standard retention triangle.
+
+    Plan shape: both the cohort assignment and the per-(user, week)
+    activity dedup key on user_id; the join is co-partitioned and the
+    final aggregate is bounded by weeks x offsets, not by events.
+    """
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    coh = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cw")
+    )
+    act = e.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("aw")
+    ).distinct()
+    return (
+        act.join(coh, "user_id")
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff("aw", "cw") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "e8_scd2_history",
+    section="E3,C8",
+    tags=("analytics",),
+    oracle=f"""
+WITH d AS (
+    SELECT user_id, event_type AS state, ts, event_id,
+           lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+)
+SELECT user_id, state, ts AS valid_from,
+       coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                TIMESTAMP '{_SCD2_OPEN_END}') AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM d WHERE prev IS NULL OR prev <> state
+""",
+)
+def e8_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event log: track
+    each user's event_type as a versioned state — one row per state
+    CHANGE with [valid_from, valid_to) and the classic 9999-12-31
+    open-row sentinel. (ts, event_id) is the deterministic ordering
+    tiebreak.
+
+    Plan shape: two windows over the same (user_id | ts, event_id)
+    ordering — Spark computes both in one sort, one shuffle total;
+    state per key is one row (lag/lead), never the full history.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("state"), "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        e.withColumn("prev", F.lag("state").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+        .drop("prev")
+    )
+    nxt = F.lead("ts").over(w)
+    return changed.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(nxt, F.lit(_SCD2_OPEN_END).cast("timestamp")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "f8_merge_upsert",
+    section="C3,F3,B5",
+    tags=("analytics", "cdc"),
+    oracle="""
+WITH ch AS (
+    SELECT o_orderkey AS key,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE 'D' END AS op,
+           floor(o_totalprice * 110) / 100 AS new_price
+    FROM orders WHERE o_orderkey % 7 < 2
+    UNION ALL
+    SELECT o_orderkey + 100000000, 'I', floor(o_totalprice * 50) / 100
+    FROM orders WHERE o_orderkey % 7 = 2
+)
+SELECT coalesce(b.o_orderkey, ch.key) AS o_orderkey,
+       CASE WHEN ch.op IN ('U', 'I') THEN ch.new_price
+            ELSE b.o_totalprice END AS price,
+       CASE WHEN ch.op = 'U' THEN 'updated'
+            WHEN ch.op = 'I' THEN 'inserted'
+            ELSE 'base' END AS src
+FROM orders b FULL OUTER JOIN ch ON b.o_orderkey = ch.key
+WHERE ch.op IS NULL OR ch.op <> 'D'
+""",
+)
+def f8_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the CDC apply step): a deterministic
+    change set — updates for keys %7==0 (price * 1.1), deletes for
+    %7==1, inserts for %7==2 under shifted keys — applied to the
+    ``orders`` base in ONE full-outer join: matched+U -> new value,
+    matched+D -> dropped, unmatched change -> insert, untouched base
+    row -> passthrough. Prices use floor(x*k)/100 cent math so both
+    engines agree bit-for-bit (no round() half-mode divergence).
+
+    Plan shape: one shuffle on the merge key; at scale the base side
+    is bucketed by key so only the change set moves. This is exactly
+    what Delta/Iceberg MERGE compiles to.
+    """
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ch_ud = o.where(k % 7 < 2).select(
+        k.alias("key"),
+        F.when(k % 7 == 0, F.lit("U")).otherwise(F.lit("D")).alias("op"),
+        (F.floor(F.col("o_totalprice") * 110) / 100).alias("new_price"),
+    )
+    ins = o.where(k % 7 == 2).select(
+        (k + 100000000).alias("key"),
+        F.lit("I").alias("op"),
+        (F.floor(F.col("o_totalprice") * 50) / 100).alias("new_price"),
+    )
+    changes = ch_ud.unionByName(ins)
+    base = o.select("o_orderkey", "o_totalprice")
+    op = F.col("op")
+    return (
+        base.join(changes, base["o_orderkey"] == changes["key"], "full_outer")
+        .where(op.isNull() | (op != "D"))
+        .select(
+            F.coalesce("o_orderkey", "key").alias("o_orderkey"),
+            F.when(op.isin("U", "I"), F.col("new_price"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+            F.when(op == "U", F.lit("updated"))
+            .when(op == "I", F.lit("inserted"))
+            .otherwise(F.lit("base"))
+            .alias("src"),
+        )
+    )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _profile_oracle() -> str:
+    measures = ", ".join(
+        f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}, "
+        f"round(min({c}), 6) AS mn_{c}, round(max({c}), 6) AS mx_{c}"
+        for c in _PROFILE_COLS
+    )
+    arms = "\nUNION ALL ".join(
+        f"SELECT '{c}' AS col_name, n AS n_rows, n - nn_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct, mn_{c} AS min_v, mx_{c} AS max_v FROM a"
+        for c in _PROFILE_COLS
+    )
+    return f"WITH a AS (SELECT count(*) AS n, {measures} FROM lineitem)\n{arms}"
+
+
+@query(
+    "d10_data_profile",
+    section="D2,D3,F6",
+    tags=("analytics",),
+    oracle=_profile_oracle(),
+)
+def d10_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling: per-column row/null/distinct counts and
+    min/max over the lineitem measures, computed in ONE table pass
+    (every measure in a single aggregate, then pivoted to one row per
+    column with ``inline``).
+
+    Scale note: the exact count-distinct is the one measure that
+    multiplies the aggregate input (Catalyst expand, x4 here); at
+    petabyte scale substitute ``approx_count_distinct`` — same plan
+    minus the expand. Kept exact so the DuckDB oracle matches.
+    """
+    li = table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.round(F.min(c), 6).alias(f"mn_{c}"),
+            F.round(F.max(c), 6).alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n").alias("n_rows"),
+            (F.col("n") - F.col(f"nn_{c}")).alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_v"),
+            F.col(f"mx_{c}").alias("max_v"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return one.select(F.inline(F.array(*structs)))

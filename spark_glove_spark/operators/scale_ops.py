@@ -1,0 +1,204 @@
+"""Scale-technique operators made user-visible: runtime bloom-filter
+semi joins and Z-order (Morton) layout clustering. Both techniques are
+what keep a 100 TB scan/join cheap; both are expressed here as
+declared, ORACLE-CHECKED queries so their semantics (not just their
+plans) are verified.
+
+* c10_bloom_semi_join — the explicit form of Spark's own runtime
+  bloom-filter join (``spark.sql.optimizer.runtime.bloomFilter.*``):
+  build a compact bitset over the dimension keys, broadcast it as a
+  LITERAL (8-160 KB), apply it as a map-side pre-filter on the fact
+  scan, and only then run the exact semi join on the survivors. False
+  positives are removed by the join, false negatives are impossible,
+  so the result is exactly the semi join — which is the oracle.
+* a8_zorder_layout — interleave the bits of two correlated-access
+  columns into one Morton key; range-bucketing that key gives files
+  whose min/max envelopes are TIGHT on BOTH dimensions, which is what
+  makes multi-dimensional data skipping work (the write path is
+  ``repartitionByRange(zv).sortWithinPartitions(zv)`` + the a7
+  partitioned sink; this query verifies the key math and surfaces the
+  per-bucket envelopes a reader would prune with).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_glove_spark.registry import query
+from spark_glove_spark.sources import table
+
+_BLOOM_SEEDS = (11, 23, 47)  # k = 3 hash functions
+
+
+def _bloom_words(spark: SparkSession, keys: DataFrame, key: str) -> tuple[list[int], int]:
+    """Build an m-bit bloom bitset over ``keys[key]`` as a list of
+    signed 64-bit words. m is sized at ~12 bits/key (fp < 2%), so the
+    driver-side state is ~1.5 bytes/key and the collected position set
+    is bounded by min(k*n, m) — never the fact table.
+    """
+    n_keys = keys.count()
+    m = 1 << max(12, math.ceil(math.log2(max(1, 12 * n_keys))))
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"pmod(xxhash64({key}, {s}L), {m})")
+                    for s in _BLOOM_SEEDS
+                ]
+            )
+        ).alias("p")
+    ).distinct()
+    bits = [0] * (m // 64)
+    for (p,) in pos.collect():
+        bits[p // 64] |= 1 << (p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in bits]
+    return words, m
+
+
+@query(
+    "c10_bloom_semi_join",
+    section="C4,G7",
+    tags=("scale",),
+    oracle="""
+SELECT l_returnflag, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN
+      (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1
+""",
+)
+def c10_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join lineitem -> urgent orders through an explicit bloom
+    pre-filter: the dimension keys are hashed (k=3, ~12 bits/key) into
+    a bitset shipped to the fact scan as one array literal; only rows
+    passing all three bit tests reach the exact semi join. Exactly the
+    semi-join result (bloom FPs are re-verified, FNs impossible), so
+    the oracle is the plain semi join.
+
+    Plan shape: the bit tests are codegen'd expressions on the scan —
+    the fact-side shuffle input shrinks by (1 - selectivity - fp)
+    before any exchange. This is what Spark's runtime bloom join
+    injects automatically; written out here so the engine exposes it
+    on demand (e.g. for non-equi pre-filters Catalyst won't infer).
+    """
+    dim = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .distinct()
+    )
+    words, m = _bloom_words(spark, dim, "o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    probe = li.withColumn("_w", F.lit(words))
+    pred = F.lit(True)
+    for s in _BLOOM_SEEDS:
+        p = f"pmod(xxhash64(l_orderkey, {s}L), {m})"
+        pred = pred & F.expr(
+            f"(shiftright(element_at(_w, CAST({p} div 64 AS INT) + 1), "
+            f"CAST({p} % 64 AS INT)) & 1) = 1"
+        )
+    survivors = probe.where(pred).drop("_w")
+    exact = survivors.join(
+        dim, survivors["l_orderkey"] == dim["o_orderkey"], "left_semi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "a8_zorder_layout",
+    section="A1,G5,F1",
+    tags=("scale",),
+    oracle="""
+WITH b AS (
+    SELECT CAST(o_custkey AS BIGINT) AS xv,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS yv
+    FROM orders
+),
+mm AS (
+    SELECT min(xv) AS mnx, max(xv) AS mxx, min(yv) AS mny, max(yv) AS mxy
+    FROM b
+),
+s AS (
+    SELECT xv, yv,
+           ((xv - mnx) * 65535) // greatest(1, mxx - mnx) AS xs,
+           ((yv - mny) * 65535) // greatest(1, mxy - mny) AS ys
+    FROM b, mm
+),
+z AS (
+    SELECT xv, yv,
+           CAST(list_sum(list_transform(range(0, 16),
+               i -> (((xs >> i) & 1) << (2 * i))
+                  + (((ys >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zv
+    FROM s
+)
+SELECT CAST(zv >> 24 AS BIGINT) AS bucket,
+       count(*) AS n_rows,
+       min(xv) AS min_cust, max(xv) AS max_cust,
+       min(yv) AS min_day, max(yv) AS max_day
+FROM z GROUP BY 1
+""",
+)
+def a8_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key over orders(o_custkey, o_orderdate): both
+    dimensions are min/max-normalized to the full 16-bit range (the
+    step every real Z-order writer does — without it a narrow column
+    contributes no high interleave bits and the key degenerates to a
+    single-dimension sort), Morton-interleaved, and bucketed by the
+    key's top 8 bits. Output: each bucket's min/max envelope on BOTH
+    source dimensions — the statistics a reader prunes with; tightness
+    on both dims is asserted in tests/test_analytics.py.
+
+    Production write path: ``df.repartitionByRange(N, zv)
+    .sortWithinPartitions(zv).write...`` (+ a7's partitioned sink) so
+    parquet row-group min/max stats on o_custkey AND o_orderdate both
+    become selective. The bounds pass is one tiny broadcast aggregate;
+    the key math is pure codegen — no shuffle beyond the final bounded
+    per-bucket aggregate.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("xv"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("yv"),
+    )
+    bounds = o.agg(
+        F.min("xv").alias("mnx"),
+        F.max("xv").alias("mxx"),
+        F.min("yv").alias("mny"),
+        F.max("yv").alias("mxy"),
+    )
+    s = (
+        o.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "xs",
+            F.expr("((xv - mnx) * 65535) div greatest(1L, mxx - mnx)"),
+        )
+        .withColumn(
+            "ys",
+            F.expr("((yv - mny) * 65535) div greatest(1L, mxy - mny)"),
+        )
+    )
+    z = s.withColumn(
+        "zv",
+        F.expr(
+            "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+            " + shiftleft(shiftright(xs, i) & 1, 2 * i)"
+            " + shiftleft(shiftright(ys, i) & 1, 2 * i + 1))"
+        ),
+    )
+    return z.groupBy(F.shiftright("zv", 24).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("xv").alias("min_cust"),
+        F.max("xv").alias("max_cust"),
+        F.min("yv").alias("min_day"),
+        F.max("yv").alias("max_day"),
+    )

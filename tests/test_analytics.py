@@ -1,0 +1,131 @@
+"""Teeth for the analytics + scale-ops wave (operators/analytics.py,
+operators/scale_ops.py) beyond their DuckDB oracles: the properties
+the oracle can't see — bloom pruning actually happening, Z-order
+envelopes actually tight, funnel monotonicity, MERGE accounting, SCD2
+interval integrity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_glove_spark import api
+from spark_glove_spark.operators.scale_ops import _BLOOM_SEEDS, _bloom_words
+from spark_glove_spark.sources import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_funnel_counts_are_monotone(spark):
+    rows = {
+        r["stage"]: r
+        for r in api.REGISTRY["e6_funnel"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"] > 0
+    assert rows[1]["conversion"] == 1.0
+    assert all(0.0 < rows[s]["conversion"] <= 1.0 for s in rows)
+
+
+def test_scd2_intervals_are_contiguous_and_deduped(spark):
+    df = api.REGISTRY["e8_scd2_history"].fn(spark, SF_DIR)
+    bad_order = df.where(F.col("valid_to") <= F.col("valid_from")).count()
+    assert bad_order == 0
+    # exactly one open row per user, and consecutive states never repeat
+    per_user = (
+        df.groupBy("user_id")
+        .agg(F.sum(F.col("is_current").cast("int")).alias("open"))
+        .where(F.col("open") != 1)
+        .count()
+    )
+    assert per_user == 0
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    rep = (
+        df.withColumn("prev", F.lag("state").over(w))
+        .where(F.col("prev") == F.col("state"))
+        .count()
+    )
+    assert rep == 0
+
+
+def test_merge_upsert_accounting(spark):
+    o = table(spark, SF_DIR, "orders")
+    n_upd = o.where(F.col("o_orderkey") % 7 == 0).count()
+    n_del = o.where(F.col("o_orderkey") % 7 == 1).count()
+    n_ins = o.where(F.col("o_orderkey") % 7 == 2).count()
+    n_base = o.count()
+    merged = api.REGISTRY["f8_merge_upsert"].fn(spark, SF_DIR)
+    by_src = {r["src"]: r["n"] for r in merged.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src.get("updated", 0) == n_upd
+    assert by_src.get("inserted", 0) == n_ins
+    assert by_src.get("base", 0) == n_base - n_upd - n_del
+    # deleted keys are gone; inserted keys live in the shifted range
+    assert merged.where((F.col("o_orderkey") % 7 == 1) & (F.col("o_orderkey") < 100000000)).count() == 0
+
+
+def test_bloom_filter_prunes_before_the_join(spark):
+    """The bloom pre-filter must (a) never drop a true match and
+    (b) actually shrink the fact side vs the full scan."""
+    dim = (
+        table(spark, SF_DIR, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .distinct()
+    )
+    words, m = _bloom_words(spark, dim, "o_orderkey")
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey")
+    probe = li.withColumn("_w", F.lit(words))
+    pred = F.lit(True)
+    for s in _BLOOM_SEEDS:
+        p = f"pmod(xxhash64(l_orderkey, {s}L), {m})"
+        pred = pred & F.expr(
+            f"(shiftright(element_at(_w, CAST({p} div 64 AS INT) + 1), "
+            f"CAST({p} % 64 AS INT)) & 1) = 1"
+        )
+    survivors = probe.where(pred)
+    n_total = li.count()
+    n_surv = survivors.count()
+    n_exact = li.join(dim, li["l_orderkey"] == dim["o_orderkey"], "left_semi").count()
+    assert n_exact <= n_surv, "bloom dropped a true match (impossible by design)"
+    assert n_surv < n_total, "bloom pruned nothing"
+    # fp rate over the non-matching rows stays under 5% at ~12 bits/key
+    fp = (n_surv - n_exact) / max(1, n_total - n_exact)
+    assert fp < 0.05, f"false-positive rate {fp:.3f} too high for m={m}"
+
+
+def test_zorder_buckets_are_tight_on_both_dims(spark):
+    """Every Morton bucket's envelope must be narrow on BOTH source
+    dimensions — the property that makes 2-D data skipping work. A
+    single-dimension sort fails this: its buckets span the full range
+    of the other column."""
+    rows = api.REGISTRY["a8_zorder_layout"].fn(spark, SF_DIR).collect()
+    assert len(rows) > 3
+    gx = max(r["max_cust"] for r in rows) - min(r["min_cust"] for r in rows)
+    gy = max(r["max_day"] for r in rows) - min(r["min_day"] for r in rows)
+    # weighted mean envelope width per dimension, as a fraction of range
+    n = sum(r["n_rows"] for r in rows)
+    fx = sum((r["max_cust"] - r["min_cust"]) / gx * r["n_rows"] for r in rows) / n
+    fy = sum((r["max_day"] - r["min_day"]) / gy * r["n_rows"] for r in rows) / n
+    # top-8-bit buckets carve the normalized 16+16-bit key into a
+    # 16x16 grid -> per-dim envelope ~1/16 of range; a plain
+    # single-column sort leaves the other dimension at ~1.0
+    assert fx < 0.25 and fy < 0.25, (fx, fy)
+
+
+def test_profile_matches_direct_aggregates(spark):
+    li = table(spark, SF_DIR, "lineitem")
+    prof = {
+        r["col_name"]: r
+        for r in api.REGISTRY["d10_data_profile"].fn(spark, SF_DIR).collect()
+    }
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_quantity").alias("nd"),
+        F.round(F.max("l_extendedprice"), 6).alias("mx"),
+    ).collect()[0]
+    assert prof["l_quantity"]["n_rows"] == direct["n"]
+    assert prof["l_quantity"]["n_distinct"] == direct["nd"]
+    assert prof["l_extendedprice"]["max_v"] == direct["mx"]
+    assert all(p["n_nulls"] == 0 for p in prof.values())
