@@ -209,11 +209,9 @@ def e8_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "f8_merge_upsert",
-    section="C3,F3,B5",
-    tags=("analytics", "cdc"),
-    oracle="""
+# Shared by f8_merge_upsert and i11_streaming_upsert: the streaming
+# replay of the same change set must converge to the same table.
+MERGE_ORACLE = """
 WITH ch AS (
     SELECT o_orderkey AS key,
            CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE 'D' END AS op,
@@ -231,48 +229,110 @@ SELECT coalesce(b.o_orderkey, ch.key) AS o_orderkey,
             ELSE 'base' END AS src
 FROM orders b FULL OUTER JOIN ch ON b.o_orderkey = ch.key
 WHERE ch.op IS NULL OR ch.op <> 'D'
-""",
-)
-def f8_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE INTO semantics (the CDC apply step): a deterministic
-    change set — updates for keys %7==0 (price * 1.1), deletes for
-    %7==1, inserts for %7==2 under shifted keys — applied to the
-    ``orders`` base in ONE full-outer join: matched+U -> new value,
-    matched+D -> dropped, unmatched change -> insert, untouched base
-    row -> passthrough. Prices use floor(x*k)/100 cent math so both
-    engines agree bit-for-bit (no round() half-mode divergence).
+"""
 
-    Plan shape: one shuffle on the merge key; at scale the base side
-    is bucketed by key so only the change set moves. This is exactly
-    what Delta/Iceberg MERGE compiles to.
-    """
-    o = table(spark, sf_dir, "orders")
+
+def cdc_change_set(orders: DataFrame) -> DataFrame:
+    """The deterministic change set shared by f8 (batch MERGE) and
+    i11_streaming_upsert (the same merge applied per micro-batch):
+    updates for keys %7==0 (price * 1.1), deletes for %7==1, inserts
+    for %7==2 under shifted keys. Prices use floor(x*k)/100 cent math
+    so both engines agree bit-for-bit (no round() half-mode
+    divergence). Each key appears at most once, so any micro-batch
+    slicing of this set converges to the same final table."""
     k = F.col("o_orderkey")
-    ch_ud = o.where(k % 7 < 2).select(
+    ch_ud = orders.where(k % 7 < 2).select(
         k.alias("key"),
         F.when(k % 7 == 0, F.lit("U")).otherwise(F.lit("D")).alias("op"),
         (F.floor(F.col("o_totalprice") * 110) / 100).alias("new_price"),
     )
-    ins = o.where(k % 7 == 2).select(
+    ins = orders.where(k % 7 == 2).select(
         (k + 100000000).alias("key"),
         F.lit("I").alias("op"),
         (F.floor(F.col("o_totalprice") * 50) / 100).alias("new_price"),
     )
-    changes = ch_ud.unionByName(ins)
-    base = o.select("o_orderkey", "o_totalprice")
+    return ch_ud.unionByName(ins)
+
+
+def apply_merge(state: DataFrame, changes: DataFrame) -> DataFrame:
+    """MERGE INTO core: ``state(o_orderkey, price, src)`` full-outer
+    ``changes(key, op, new_price)`` — matched+U -> new value,
+    matched+D -> dropped, unmatched I -> insert, untouched state row
+    -> passthrough. One shuffle on the merge key; at scale the state
+    side is bucketed by key so only the change set moves. Exactly
+    what Delta/Iceberg MERGE compiles to."""
     op = F.col("op")
     return (
-        base.join(changes, base["o_orderkey"] == changes["key"], "full_outer")
+        state.join(changes, state["o_orderkey"] == changes["key"], "full_outer")
         .where(op.isNull() | (op != "D"))
         .select(
             F.coalesce("o_orderkey", "key").alias("o_orderkey"),
             F.when(op.isin("U", "I"), F.col("new_price"))
-            .otherwise(F.col("o_totalprice"))
+            .otherwise(F.col("price"))
             .alias("price"),
             F.when(op == "U", F.lit("updated"))
             .when(op == "I", F.lit("inserted"))
-            .otherwise(F.lit("base"))
+            .otherwise(F.coalesce("src", F.lit("base")))
             .alias("src"),
+        )
+    )
+
+
+@query(
+    "f8_merge_upsert",
+    section="C3,F3,B5",
+    tags=("analytics", "cdc"),
+    oracle=MERGE_ORACLE,
+)
+def f8_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the CDC apply step): the deterministic
+    change set from :func:`cdc_change_set` applied to the ``orders``
+    base in ONE full-outer join (:func:`apply_merge`).
+    i11_streaming_upsert replays the same change set through
+    foreachBatch and must converge to this exact table.
+    """
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit("base").alias("src"),
+    )
+    return apply_merge(base, cdc_change_set(o))
+
+
+_APPROX_QS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "d11_approx_percentile",
+    section="D2,D4",
+    tags=("analytics", "sketch"),
+    oracle=None,  # sketch-algorithm-specific values; rank-error tooth in pytest
+)
+def d11_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group percentiles via Spark's mergeable
+    KLL/GK-style sketch (``percentile_approx``, accuracy 10000 ->
+    rank error <= n/10000). The sketch is the 100 TB path: it merges
+    associatively across partitions (one map-side sketch per
+    partition, constant memory), where the exact percentile needs a
+    per-group sort. Rows-only by design — sketch outputs are
+    algorithm-specific; tests/test_analytics.py pins each value
+    between the exact quantiles at q +/- 1% rank.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", list(_APPROX_QS), 10000
+        ).alias("p")
+    )
+    return (
+        agg.select("l_returnflag", F.posexplode("p").alias("qi", "v"))
+        .select(
+            "l_returnflag",
+            F.element_at(F.lit(list(_APPROX_QS)), F.col("qi") + 1).alias(
+                "quantile"
+            ),
+            F.round("v", 2).alias("approx_value"),
         )
     )
 

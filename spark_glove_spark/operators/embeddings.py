@@ -268,3 +268,83 @@ def h15_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos"),
         )
     )
+
+
+@query(
+    "h15_mmr_rerank",
+    section="H15,J4",
+    tags=("similarity",),
+    oracle=None,  # greedy-iterative; pinned to an independent replica
+    # + diversity property in tests/test_analytics.py
+)
+def h15_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-rank: per probe, take the top-30
+    candidates by cosine (the h15 scan shape), then greedily select
+    k=10 maximizing ``0.7*rel(c) - 0.3*max_{s in S} sim(c, s)`` — the
+    classic retrieval-diversity step between ANN and the consumer.
+
+    The greedy argmax is inherently sequential per probe, so it runs
+    in an ``applyInPandas`` kernel over the BOUNDED candidate group
+    (30 rows x 64 dims), never over the corpus: the corpus-sized work
+    stays in the scan/top-30 stage (broadcast probes, WindowGroupLimit
+    map-side), and Python sees 30-row groups regardless of corpus
+    scale. Candidate order into the kernel is pinned (cos desc,
+    vec_id) so ties resolve identically everywhere.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("q")
+    )
+    scored = (
+        parallelized(e)
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "embedding",
+            dot(F.col("embedding"), F.col("q")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
+    cands = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 30)
+        .drop("rn")
+    )
+
+    def kernel(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["cos", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        C = np.vstack(pdf["embedding"].to_numpy())
+        rel = pdf["cos"].to_numpy()
+        S = C @ C.T
+        k = min(10, len(pdf))
+        lam = 0.7
+        sel = [0]  # best relevance first (sort pins ties)
+        while len(sel) < k:
+            score = lam * rel - (1.0 - lam) * S[:, sel].max(axis=1)
+            score[sel] = -np.inf
+            sel.append(int(np.argmax(score)))  # first index wins ties
+        out = pdf.iloc[sel][["probe_id", "vec_id"]].copy()
+        out["mmr_rank"] = range(1, len(sel) + 1)
+        out["score"] = [
+            round(float(rel[sel[0]]), 6)
+        ] + [
+            round(
+                float(
+                    lam * rel[i]
+                    - (1.0 - lam) * S[i, sel[:r]].max()
+                ),
+                6,
+            )
+            for r, i in enumerate(sel[1:], start=1)
+        ]
+        return out
+
+    return cands.groupBy("probe_id").applyInPandas(
+        kernel, "probe_id long, vec_id long, mmr_rank int, score double"
+    )

@@ -16,9 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from spark_glove_spark.operators.analytics import MERGE_ORACLE
 from spark_glove_spark.registry import query
 from spark_glove_spark.sources import table
-from spark_glove_spark.streaming.jobs import events_path, run_stream, stream_events
+from spark_glove_spark.streaming.jobs import (
+    events_path,
+    run_stream,
+    run_stream_foreach_batch,
+    stream_events,
+)
 
 
 @query(
@@ -549,3 +555,64 @@ def i10_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low",
         "close",
     )
+
+
+@query(
+    "i11_streaming_upsert",
+    section="A5,A6,C3,F3",
+    tags=("streaming", "cdc"),
+    # Same oracle as f8_merge_upsert: the streaming replay must
+    # converge to the batch MERGE result exactly.
+    oracle=MERGE_ORACLE,
+)
+def i11_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — f8_merge_upsert's incremental twin: the
+    same deterministic change set replayed as a FILE STREAM (3 parquet
+    files -> 3 micro-batches via maxFilesPerTrigger=1), with
+    foreachBatch applying the identical ``apply_merge`` full-outer
+    step against a parquet state table and swapping the state pointer
+    per epoch. Each key appears at most once in the change set, so
+    the final state is independent of micro-batch slicing and equals
+    the one-shot batch MERGE — which IS the DuckDB oracle: a stateful
+    streaming pipeline with a full value hash check.
+
+    Production shape: Delta/Iceberg ``MERGE INTO`` per micro-batch —
+    identical algebra, with file-level pruning instead of the full
+    state rewrite used here (the state table is orders-sized in this
+    fixture; a lakehouse MERGE rewrites only the files the batch's
+    keys touch).
+    """
+    import os
+    import tempfile
+
+    from spark_glove_spark.operators.analytics import (
+        apply_merge,
+        cdc_change_set,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_")
+    chdir = os.path.join(tmp, "changes")
+    cdc_change_set(o).repartition(3).write.parquet(chdir)
+    state0 = os.path.join(tmp, "state_0")
+    o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit("base").alias("src"),
+    ).write.parquet(state0)
+    ptr = {"dir": state0, "epoch": 0}
+    sdf = (
+        spark.readStream.schema("key long, op string, new_price double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chdir)
+    )
+
+    def apply_batch(batch_df: DataFrame, _epoch_id: int) -> None:
+        cur = spark.read.parquet(ptr["dir"])
+        nxt = os.path.join(tmp, f"state_{ptr['epoch'] + 1}")
+        apply_merge(cur, batch_df).write.parquet(nxt)
+        ptr["dir"] = nxt
+        ptr["epoch"] += 1
+
+    run_stream_foreach_batch(sdf, apply_batch, "append")
+    return spark.read.parquet(ptr["dir"])

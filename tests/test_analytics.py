@@ -129,3 +129,68 @@ def test_profile_matches_direct_aggregates(spark):
     assert prof["l_quantity"]["n_distinct"] == direct["nd"]
     assert prof["l_extendedprice"]["max_v"] == direct["mx"]
     assert all(p["n_nulls"] == 0 for p in prof.values())
+
+
+def test_approx_percentile_within_rank_error(spark):
+    rows = api.REGISTRY["d11_approx_percentile"].fn(spark, SF_DIR).collect()
+    li = table(spark, SF_DIR, "lineitem")
+    for r in rows:
+        q = r["quantile"]
+        # exact quantiles at q +/- 1% rank bound the sketch value
+        lo, hi = (
+            li.where(F.col("l_returnflag") == r["l_returnflag"])
+            .agg(
+                F.expr(f"percentile(l_extendedprice, {max(0.0, q - 0.01)})"),
+                F.expr(f"percentile(l_extendedprice, {min(1.0, q + 0.01)})"),
+            )
+            .collect()[0]
+        )
+        assert lo - 0.01 <= r["approx_value"] <= hi + 0.01, (r, lo, hi)
+
+
+def test_mmr_rerank_matches_replica_and_diversifies(spark):
+    import numpy as np
+
+    out = api.REGISTRY["h15_mmr_rerank"].fn(spark, SF_DIR)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["probe_id"], []).append((r["mmr_rank"], r["vec_id"]))
+    # independent replica over the same candidate definition
+    e = table(spark, SF_DIR, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in e}
+    probes = [v for v in vecs if v % 100 == 0]
+    assert set(got) == set(probes)
+    deltas = []
+    for p in probes:
+        q = vecs[p]
+        cands = sorted(
+            ((float(vecs[v] @ q), v) for v in vecs if v != p),
+            key=lambda t: (-t[0], t[1]),
+        )[:30]
+        ids = [v for _, v in cands]
+        rel = {v: c for c, v in cands}
+        sel = [ids[0]]
+        while len(sel) < 10:
+            best = max(
+                (v for v in ids if v not in sel),
+                key=lambda v: (
+                    0.7 * rel[v]
+                    - 0.3 * max(float(vecs[v] @ vecs[s]) for s in sel),
+                    -v,
+                ),
+            )
+            sel.append(best)
+        assert [v for _, v in sorted(got[p])] == sel, f"probe {p}"
+        deltas.append((sel, ids[:10]))
+    # diversity holds in AGGREGATE, not per probe: greedy MMR bounds
+    # max-sim-to-selected at each step, which doesn't force a lower
+    # MEAN pairwise similarity for every probe (measured: 2/5 probes
+    # land slightly higher at sf0.001) — assert the across-probe mean
+    # self-similarity drops instead. Data is deterministic, no flake.
+    def avg_sim(vs):
+        return float(
+            np.mean([vecs[a] @ vecs[b] for a in vs for b in vs if a != b])
+        )
+
+    mean_delta = np.mean([avg_sim(s) - avg_sim(t) for s, t in deltas])
+    assert mean_delta < 0.0, mean_delta
