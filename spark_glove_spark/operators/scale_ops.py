@@ -202,3 +202,87 @@ def a8_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("yv").alias("min_day"),
         F.max("yv").alias("max_day"),
     )
+
+
+@query(
+    "a9_bucketed_join",
+    section="A3,C2,F1",
+    tags=("scale",),
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= DATE '1994-01-01'
+GROUP BY 1
+""",
+)
+def a9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed layout — the write-side investment
+    that removes the per-query shuffle from repeated large x large
+    joins: both sides are written ``bucketBy(8, key).sortBy(key)``
+    (hash-partitioned AND pre-sorted files), so the sort-merge join
+    reads matching buckets pairwise with NO Exchange and NO Sort on
+    either side (plan asserted in tests/test_scale.py; the existing
+    ``test_bucketed_join_is_shuffle_free`` guards the same property
+    conf-free via this query's layout).
+
+    ``hint("merge")`` pins SMJ so the demonstration doesn't silently
+    degrade to a broadcast join on small fixtures — at 100 TB neither
+    side broadcasts and this IS the only shuffle-free plan. The date
+    filter is applied at read-back and reaches the bucketed scan as a
+    pushed filter; bucket pruning would additionally apply to
+    key-equality predicates. Result values are layout-independent,
+    which is exactly what the oracle checks: the plain shuffled join
+    must produce the identical table.
+    """
+    import tempfile
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    tmp = tempfile.mkdtemp(prefix="bucketed_")
+    for df, name, key in (
+        (o, "sgs_bucketed_orders", "o_orderkey"),
+        (li, "sgs_bucketed_lineitem", "l_orderkey"),
+    ):
+        # One file per bucket: repartition(8, key) uses the same
+        # murmur3-mod-8 hash as the bucketizer, so each write task
+        # holds exactly one bucket and sortBy yields files whose
+        # order Spark TRUSTS at read time. With multiple files per
+        # bucket the scan keeps its bucketing (no Exchange) but
+        # re-sorts both sides — half the point of the layout.
+        (
+            df.repartition(8, F.col(key))
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{tmp}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    # Spark >=3.0 ignores sortBy order at read time unless this conf
+    # is on (it is only valid with one file per bucket — guaranteed by
+    # the repartition above). Without it the join stays Exchange-free
+    # but re-sorts both sides; with it the files' order is trusted and
+    # the SMJ reads matching buckets with no Sort either.
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    bo = spark.table("sgs_bucketed_orders").where(
+        F.col("o_orderdate") >= F.lit("1994-01-01")
+    )
+    bl = spark.table("sgs_bucketed_lineitem")
+    return (
+        bl.hint("merge")
+        .join(bo, bl["l_orderkey"] == bo["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

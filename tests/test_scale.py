@@ -378,3 +378,20 @@ def test_partitioned_sink_prunes_at_directory_level(spark):
     assert "PartitionFilters" in plan and "event_type" in plan.split(
         "PartitionFilters"
     )[1][:200], plan
+
+
+def test_a9_declared_bucketed_join_plan(spark):
+    """The DECLARED a9 query (not just the ad-hoc layout test above)
+    must hit the co-located path: SortMergeJoin with no Exchange and
+    no Sort below it — the bucketBy(8).sortBy layout supplies both."""
+    df = api.REGISTRY["a9_bucketed_join"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan, plan
+    join_section = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_section, (
+        f"bucketed join still shuffles below the SMJ:\n{plan}"
+    )
+    assert "Sort " not in join_section, (
+        f"bucketed sortBy files still re-sorted:\n{plan}"
+    )
+    assert df.count() > 0
