@@ -298,3 +298,126 @@ def c9_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias("close"),
         F.round(F.sum("value"), 2).alias("total"),
     )
+
+
+@query(
+    "c9_sessionize",
+    section="C9,E3,E4",
+    tags=("temporal",),
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+FROM s GROUP BY 1, 2
+""",
+)
+def c9_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gap-cut twin of I3's streaming
+    session window: a new session starts when a user's inter-event
+    gap exceeds 12 h. Classic two-window formulation: ``lag`` marks
+    session starts, a running ``sum`` of the marks numbers them —
+    ONE shuffle on user_id serves both windows and the final
+    per-session aggregate (same-key partial agg), so the whole
+    pipeline is a single Exchange. Per-user state in each window is
+    one row; no per-key materialization — the formulation that holds
+    for billions of users.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision end to end: flooring each endpoint to
+    # seconds first (unix_timestamp) disagrees with flooring the
+    # DIFFERENCE by up to 1 s — both sides floor the us-difference.
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 43_200_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    s = marked.withColumn(
+        "session_idx", F.sum("is_new").over(w).cast("long")
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000"
+        ).alias("duration_s"),
+    )
+
+
+@query(
+    "c9_ewma",
+    section="C9,J4",
+    tags=("temporal",),
+    oracle="""
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(sum(CASE WHEN rn = 1 THEN power(0.7, n - 1) * value
+                      ELSE 0.3 * power(0.7, n - rn) * value END), 4)
+           AS ewma
+FROM r GROUP BY user_id, n
+""",
+)
+def c9_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of ``value`` per user
+    (alpha=0.3, adjust-free recursion ``y_t = 0.7*y_{t-1} + 0.3*x_t``,
+    seeded with the first observation), reporting each user's final
+    smoothed level — the stateful time-series smoother every metrics
+    pipeline carries.
+
+    The recursion is inherently sequential per key, so it runs in an
+    ``applyInPandas`` kernel over per-user groups: ONE shuffle on
+    user_id, carried state = a single running double per key — the
+    exact shape of its streaming twin (I6 flatMapGroupsWithState).
+    The oracle is the closed form (sum of geometrically-decayed
+    terms), which a SQL engine can express but only at O(n) pow calls
+    per row — the recursion is the scale path. Rounded to 4 dp; the
+    two formulations agree to ~1e-13 relative, far inside the
+    quantum. Deep histories underflow the oracle's pow() to zero
+    gracefully; the recursion never overflows by construction.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def kernel(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        y = (
+            pdf["value"]
+            .ewm(alpha=0.3, adjust=False)
+            .mean()
+            .iloc[-1]
+        )
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma": [round(float(y), 4)],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        kernel, "user_id long, n_events long, ewma double"
+    )

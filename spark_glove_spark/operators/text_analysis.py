@@ -1166,3 +1166,92 @@ def h17_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
         ).alias("dup_fraction"),
     )
+
+
+@query(
+    "h17_dsir_weights",
+    section="H11,H17,D1",
+    tags=("llm-pipeline",),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3') AS tgt,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, tgt,
+         array_to_string(list_slice(toks, i, i + 1), ' ') AS bg
+  FROM (SELECT doc_id, tgt, toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2)
+),
+st AS (
+  SELECT bg,
+         count(*) FILTER (WHERE tgt) AS ct,
+         count(*) FILTER (WHERE NOT tgt) AS cr
+  FROM b GROUP BY bg
+),
+tot AS (
+  SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM st
+)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(avg(ln(((st.ct + 1) / (tot.nt + tot.v))
+                    / ((st.cr + 1) / (tot.nr + tot.v)))), 6)
+           AS dsir_weight
+FROM b JOIN st USING (bg), tot
+WHERE NOT b.tgt
+GROUP BY b.doc_id
+""",
+)
+def h17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public paper):
+    score each RAW-pool document by the mean log-likelihood ratio of
+    its bigrams under add-1-smoothed unigram-of-bigrams models of a
+    TARGET corpus (sources src0-src3 stand in for the high-quality
+    target) vs the raw pool. Resampling raw data ∝ exp(weight) shifts
+    the pretraining mix toward the target distribution — the standard
+    domain-upweighting step of an LLM data pipeline.
+
+    Plan: ONE corpus scan fans out to bigrams (linear transform +
+    explode, no join); the bigram-stats aggregate is vocabulary-
+    bounded and joins back to the raw docs' occurrences by bigram
+    hash — candidates ∝ corpus tokens, never corpus². The two grand
+    totals ride a broadcast crossJoin (scalar row). The paper hashes
+    bigrams into 2^20 buckets to bound V; here V fits and strings
+    keep the oracle exact — the hashed variant only changes the
+    grouping key.
+    """
+    d = table(spark, sf_dir, "documents")
+    tgt = F.col("source").isin("src0", "src1", "src2", "src3")
+    bg = d.select(
+        "doc_id",
+        tgt.alias("tgt"),
+        F.explode(shingles(tokenize(F.col("text")), 2)).alias("bg"),
+    )
+    bg = defer_unpersist(bg.persist())
+    st = bg.groupBy("bg").agg(
+        F.count(F.when(F.col("tgt"), 1)).alias("ct"),
+        F.count(F.when(~F.col("tgt"), 1)).alias("cr"),
+    )
+    st = defer_unpersist(st.persist())
+    tot = st.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    scored = (
+        bg.where(~F.col("tgt"))
+        .join(st, "bg")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "llr",
+            F.log(
+                ((F.col("ct") + 1) / (F.col("nt") + F.col("v")))
+                / ((F.col("cr") + 1) / (F.col("nr") + F.col("v")))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("llr"), 6).alias("dsir_weight"),
+    )

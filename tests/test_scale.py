@@ -395,3 +395,31 @@ def test_a9_declared_bucketed_join_plan(spark):
         f"bucketed sortBy files still re-sorted:\n{plan}"
     )
     assert df.count() > 0
+
+
+def test_c9_sessionize_single_exchange(spark):
+    """Sessionize = lag-window + running-sum window + per-session agg,
+    all keyed by user_id: ONE hash Exchange must serve the whole
+    pipeline."""
+    df = api.REGISTRY["c9_sessionize"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_c9_ewma_is_grouped_pandas_with_one_shuffle(spark):
+    """EWMA's sequential recursion must ride applyInPandas over
+    per-user groups — one shuffle on user_id, no window, no second
+    Exchange."""
+    df = api.REGISTRY["c9_ewma"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_h17_dsir_weights_no_nested_loop(spark):
+    """DSIR scoring joins bigram occurrences to the vocab-bounded
+    stats table by key: hash joins only — the only BNLJ allowed is
+    the scalar-totals broadcast."""
+    df = api.REGISTRY["h17_dsir_weights"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
