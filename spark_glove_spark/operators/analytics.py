@@ -393,3 +393,191 @@ def d10_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _PROFILE_COLS
     ]
     return one.select(F.inline(F.array(*structs)))
+
+
+# Count-min sketch geometry: d=3 pairwise-independent integer hashes
+# ((a*x + b) mod p) mod w with p = 2^31-1 (Mersenne). All arithmetic
+# stays inside int64 (a, x mod p < 2^31 so a*x < 2^62), so BOTH
+# engines evaluate the hashes bit-exactly and the sketch itself is
+# oracle-checkable — rare for a sketch, possible here because the
+# keys are integers.
+_CMS_A = (1103515245, 1299709, 15485863)
+_CMS_B = (12345, 104729, 32452843)
+_CMS_P = 2147483647
+_CMS_W = 256
+
+
+@query(
+    "d12_heavy_hitters",
+    section="D4,G7",
+    tags=("analytics", "sketch"),
+    oracle=f"""
+WITH h AS (
+  SELECT user_id,
+         {', '.join(f"(({a} * (user_id % {_CMS_P}) + {b}) % {_CMS_P}) % {_CMS_W} AS b{i}"
+                    for i, (a, b) in enumerate(zip(_CMS_A, _CMS_B)))}
+  FROM events
+),
+cms AS (
+  SELECT r, bucket, count(*) AS c FROM (
+    SELECT 0 AS r, b0 AS bucket FROM h
+    UNION ALL SELECT 1, b1 FROM h
+    UNION ALL SELECT 2, b2 FROM h
+  ) GROUP BY r, bucket
+),
+est AS (
+  SELECT u.user_id, min(cms.c) AS est_count
+  FROM (SELECT DISTINCT user_id, b0, b1, b2 FROM h) u
+  JOIN cms ON (cms.r = 0 AND cms.bucket = u.b0)
+           OR (cms.r = 1 AND cms.bucket = u.b1)
+           OR (cms.r = 2 AND cms.bucket = u.b2)
+  GROUP BY u.user_id
+),
+exact AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY 1)
+SELECT user_id, est_count, exact_count
+FROM est JOIN exact USING (user_id)
+ORDER BY est_count DESC, user_id LIMIT 20
+""",
+)
+def d12_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via an explicit count-min sketch: 3x256 counters
+    over integer-hashed user_ids, point-estimate = min over the three
+    rows, top-20 by estimate (overestimates only — CMS never
+    undercounts, asserted in tests/test_analytics.py alongside the
+    eps*N error ceiling). The exact count rides along to make the
+    one-sided error visible.
+
+    The 100 TB story is the sketch's shape: the counter table is a
+    FIXED 3x256 grid built by one map-side-combinable aggregate —
+    mergeable across partitions, streams, and days by cell-wise
+    addition, with memory independent of key cardinality. The exact
+    per-key count here exists only to exhibit the error bound; a real
+    deployment keeps the sketch and drops the exact pass. Every hash
+    stays in int64, so even the sketch contents are hash-checked
+    against DuckDB — the estimates are bit-reproducible, not just
+    bounded.
+    """
+    e = table(spark, sf_dir, "events")
+    h = e.select(
+        "user_id",
+        *[
+            (
+                (F.lit(a) * (F.col("user_id") % _CMS_P) + F.lit(b))
+                % _CMS_P
+                % _CMS_W
+            ).alias(f"b{i}")
+            for i, (a, b) in enumerate(zip(_CMS_A, _CMS_B))
+        ],
+    )
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("r"), F.col(f"b{i}").alias("bucket")
+                )
+                for i in range(3)
+            ]
+        )
+    ).alias("cell")
+    cms = (
+        h.select(cells)
+        .groupBy("cell.r", "cell.bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    users = h.distinct()
+    est = (
+        users.select("user_id", cells)
+        .join(
+            cms,
+            (F.col("cell.r") == cms["r"])
+            & (F.col("cell.bucket") == cms["bucket"]),
+        )
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.col("est_count").desc(), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "d13_anomaly_zscore",
+    section="D2,B2",
+    tags=("analytics",),
+    oracle="""
+WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+       round((e.value - s.mu) / s.sd, 4) AS z
+FROM events e JOIN s USING (event_type)
+WHERE abs((e.value - s.mu) / s.sd) > 3
+""",
+)
+def d13_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier detection: events whose value sits more than 3 sample
+    standard deviations from their event-type mean. Two passes over
+    the fact table (bounded stats aggregate, then a broadcast join
+    back to filter) — the per-group stats table is group-cardinality
+    sized, so the filter itself is map-side at any fact scale; no
+    window, no per-key state.
+    """
+    e = table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .where(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+@query(
+    "d14_histogram",
+    section="D1,G5",
+    tags=("analytics",),
+    oracle="""
+WITH mm AS (
+  SELECT min(value) AS mn, max(value) AS mx FROM events
+)
+SELECT event_type,
+       CAST(least(floor((value - mn) * 10 / (mx - mn)), 9) AS BIGINT)
+           AS bin,
+       count(*) AS n
+FROM events, mm
+GROUP BY 1, 2
+""",
+)
+def d14_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of ``value`` per event type: 10 bins over
+    the global [min, max], top bin closed. The bounds pass is one tiny
+    broadcast aggregate; binning is pure codegen arithmetic and the
+    final aggregate is bounded by types x bins. The IEEE expression
+    ``(value - mn) * 10 / (mx - mn)`` is kept structurally identical
+    in both engines, so bin edges are bit-reproducible.
+    """
+    e = table(spark, sf_dir, "events")
+    mm = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = e.crossJoin(F.broadcast(mm)).withColumn(
+        "bin",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn")) * 10 / (F.col("mx") - F.col("mn"))
+            ),
+            F.lit(9),
+        ).cast("long"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )

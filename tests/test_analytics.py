@@ -194,3 +194,16 @@ def test_mmr_rerank_matches_replica_and_diversifies(spark):
 
     mean_delta = np.mean([avg_sim(s) - avg_sim(t) for s, t in deltas])
     assert mean_delta < 0.0, mean_delta
+
+
+def test_cms_overestimates_within_error_bound(spark):
+    """CMS guarantees: est >= exact always (one-sided error), and with
+    d=3 rows of w=256 counters the overshoot stays under ~e*N/w with
+    overwhelming probability — asserted at 3x the expectation for a
+    deterministic fixture."""
+    rows = api.REGISTRY["d12_heavy_hitters"].fn(spark, SF_DIR).collect()
+    n_total = table(spark, SF_DIR, "events").count()
+    assert rows, "no heavy hitters returned"
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"], r
+        assert r["est_count"] - r["exact_count"] <= 3 * 2.72 * n_total / 256, r
