@@ -192,3 +192,63 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("v").alias("word"), F.round("r", 6).alias("rank"))
+
+
+@query(
+    "graph_bfs_distance",
+    section="H3,C2,F3",
+    tags=("graph",),
+    oracle=_EDGE_CTE
+    + """,
+und AS (SELECT s AS u, t2 AS v FROM e UNION ALL SELECT t2, s FROM e),
+root AS (SELECT min(s) AS r FROM e),
+walk AS (
+    WITH RECURSIVE d(word, dist) AS (
+        SELECT r, 0 FROM root
+        UNION
+        SELECT und.v, d.dist + 1
+        FROM d JOIN und ON und.u = d.word
+        WHERE d.dist < 10
+    )
+    SELECT * FROM d
+)
+SELECT word, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY 1
+""",
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances over the top-100 co-occurrence
+    graph (root = lexicographically smallest vertex, 10-round cap
+    matching the oracle's recursion bound). The iterative frontier
+    expansion is the distributed-BFS shape: per round, ONE equi-join
+    of the frontier to the out-edge list, an anti join against the
+    visited set, and a min-dist aggregate — state is vertex-sized,
+    work is frontier-sized, and ``localCheckpoint`` per round keeps
+    the plan from accreting (the same iterative-plan hygiene as
+    PageRank/connected-components). Oracle: DuckDB recursive CTE —
+    a rare fully-hash-checked iterative graph kernel.
+    """
+    docs = table(spark, sf_dir, "documents")
+    e = top_cooccurrence_edges(docs)
+    und = defer_unpersist(
+        e.select(F.col("s").alias("u"), F.col("t").alias("v"))
+        .unionAll(e.select(F.col("t").alias("u"), F.col("s").alias("v")))
+        .persist()
+    )
+    root = e.agg(F.min("s").alias("word")).withColumn("dist", F.lit(0))
+    visited = root.localCheckpoint()
+    frontier = visited
+    for _ in range(10):
+        nxt = (
+            frontier.join(und, frontier["word"] == und["u"])
+            .select(F.col("v").alias("word"), (F.col("dist") + 1).alias("dist"))
+            .join(visited, "word", "left_anti")
+            .groupBy("word")
+            .agg(F.min("dist").alias("dist"))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select("word", F.col("dist").cast("long").alias("dist"))

@@ -1255,3 +1255,71 @@ def h17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("llr"), 6).alias("dsir_weight"),
     )
+
+
+@query(
+    "c11_fuzzy_join",
+    section="C2,G3,H13",
+    tags=("similarity",),
+    oracle="""
+WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 0)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+)
+def c11_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance <= 1) self-join on customer names via
+    SymSpell-style deletion-neighborhood blocking: each name emits
+    itself plus its |name| single-character deletions; two names
+    within edit distance 1 ALWAYS share a variant (substitution ->
+    same deletion at the differing position; insert/delete -> the
+    shorter name is literally a deletion of the longer), so an
+    equi-join on the variant yields a complete candidate set sized by
+    collisions — never the n^2 of the naive theta-join the oracle
+    runs (kept tractable there by the deterministic custkey%10
+    restriction). Exact levenshtein then prunes the false candidates.
+    At 100 TB the variant join is an ordinary hash join whose cost
+    scales with names x length; deletion distance d covers edit
+    distance d at (|name| choose d) variants per name.
+    """
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name")
+    )
+    v = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode_outer(
+            F.array_distinct(
+                F.expr(
+                    "concat(array(c_name), transform("
+                    "sequence(1, length(c_name)), i -> "
+                    "concat(substring(c_name, 1, i - 1),"
+                    " substring(c_name, i + 1, 1000))))"
+                )
+            )
+        ).alias("v"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    cand = (
+        a.join(b, F.col("a.v") == F.col("b.v"))
+        .where(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .where(F.col("dist") <= 1)
+        .select("key_a", "key_b", "dist")
+    )

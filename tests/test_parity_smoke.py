@@ -43,6 +43,10 @@ SMOKE_QUERIES = [
     "h13_dedup_clusters",     # iterative connected components vs recursive CTE
     "sql_tpch_q13",           # zero-preserving outer-join histogram
     "h17_sequence_packing",   # per-bucket running-sum windows
+    "c9_sessionize",          # microsecond gap-cut windows
+    "d12_heavy_hitters",      # bit-exact count-min sketch
+    "c11_fuzzy_join",         # deletion-neighborhood blocking vs brute force
+    "graph_bfs_distance",     # iterative BFS vs recursive CTE
 ]
 
 
