@@ -19,6 +19,7 @@ import spark_glove_spark.operators.graph_analytics  # noqa: F401
 import spark_glove_spark.operators.io_udfs  # noqa: F401
 import spark_glove_spark.operators.multimodal  # noqa: F401
 import spark_glove_spark.operators.pipeline  # noqa: F401
+import spark_glove_spark.operators.pydatasource  # noqa: F401
 import spark_glove_spark.operators.relational  # noqa: F401
 import spark_glove_spark.operators.scale_ops  # noqa: F401
 import spark_glove_spark.operators.temporal  # noqa: F401
