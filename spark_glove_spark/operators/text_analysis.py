@@ -1323,3 +1323,132 @@ def c11_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 1)
         .select("key_a", "key_b", "dist")
     )
+
+
+_LR_ITERS = 10
+_LR_RATE = 0.5
+_LR_TARGETS = "('src0', 'src1', 'src2', 'src3')"
+
+
+def _lr_oracle() -> str:
+    """Unrolled-CTE twin of the logistic-regression training loop
+    (same technique as the PageRank oracle): each iteration is one
+    5-gradient aggregate CTE + one weight-update CTE, chained 10
+    times, with expression shapes kept structurally identical to the
+    Spark side so the float paths agree to ~1e-13."""
+    feats = f"""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN source IN {_LR_TARGETS} THEN 1.0 ELSE 0.0 END AS y,
+         ln(len(string_split(text, ' '))) AS x1,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('a', 'the'))) / len(string_split(text, ' ')) AS x2,
+         len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' ')) AS x3,
+         length(replace(text, ' ', '')) / len(string_split(text, ' ')) AS x4
+  FROM documents
+),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"""
+    ctes = [feats]
+    for k in range(_LR_ITERS):
+        z = (
+            f"(w{k}.w0 + w{k}.w1 * f.x1 + w{k}.w2 * f.x2"
+            f" + w{k}.w3 * f.x3 + w{k}.w4 * f.x4)"
+        )
+        sig = f"(1.0 / (1.0 + exp(-{z})))"
+        gs = ", ".join(
+            f"avg(({sig} - f.y) * {x}) AS g{j}"
+            for j, x in enumerate(["1.0", "f.x1", "f.x2", "f.x3", "f.x4"])
+        )
+        ctes.append(f"g{k} AS (SELECT {gs} FROM f, w{k})")
+        ws = ", ".join(
+            f"w{k}.w{j} - {_LR_RATE} * g{k}.g{j} AS w{j}" for j in range(5)
+        )
+        ctes.append(f"w{k + 1} AS (SELECT {ws} FROM w{k}, g{k})")
+    wn = f"w{_LR_ITERS}"
+    zf = (
+        f"({wn}.w0 + {wn}.w1 * f.x1 + {wn}.w2 * f.x2"
+        f" + {wn}.w3 * f.x3 + {wn}.w4 * f.x4)"
+    )
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+       round(1.0 / (1.0 + exp(-{zf})), 4) AS score
+FROM f, {wn}
+"""
+    )
+
+
+@query(
+    "h17_quality_classifier",
+    section="H17,D2,J2",
+    tags=("llm-pipeline", "training"),
+    oracle=_lr_oracle(),
+)
+def h17_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style linear quality classifier, trained distributed:
+    full-batch logistic regression (10 iterations, lr=0.5) on four
+    cheap text statistics (log token count, stopword ratio, distinct
+    ratio, mean token length), labels = membership in the DSIR target
+    sources. Per iteration the 5-dim gradient is ONE map-side-
+    combinable aggregate over the persisted feature table — the
+    weights are driver-held scalars folded back in as literals, so
+    the loop does 10 bounded scans with NO shuffle beyond the final
+    combine and NO vocab-sized joins (this is the d<<n regime; the
+    GloVe trainer covers the big-parameter regime). Oracle: the loop
+    unrolled as 10 chained CTEs, hash-matched end to end — the
+    distributed gradient path is verified, not just plausible.
+
+    The fixture corpus is source-homogeneous, so the classifier
+    honestly learns ~the base rate (bias -> logit(0.2)); the verified
+    mechanics, not fixture separability, are the point.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    f = d.select(
+        "doc_id",
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3"), 1.0
+        )
+        .otherwise(0.0)
+        .alias("y"),
+        F.log(n.cast("double")).alias("x1"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin("a", "the"))) / n
+        ).alias("x2"),
+        (F.size(F.array_distinct(toks)) / n).alias("x3"),
+        (F.length(F.regexp_replace("text", " ", "")) / n).alias("x4"),
+    )
+    f = defer_unpersist(f.persist())
+    w = [0.0] * 5
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"), F.col("x4")]
+    for _ in range(_LR_ITERS):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+            + F.lit(w[4]) * F.col("x4")
+        )
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = f.agg(
+            *[
+                F.avg((sig - F.col("y")) * x).alias(f"g{j}")
+                for j, x in enumerate(xs)
+            ]
+        ).collect()[0]
+        w = [w[j] - _LR_RATE * row[f"g{j}"] for j in range(5)]
+    zf = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+        + F.lit(w[4]) * F.col("x4")
+    )
+    return f.select(
+        "doc_id",
+        F.col("y").cast("long").alias("label"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zf)), 4).alias("score"),
+    )
