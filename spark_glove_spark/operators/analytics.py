@@ -581,3 +581,79 @@ def d14_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("event_type", "bin").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "d15_integrity_audit",
+    section="C5,D5,B4",
+    tags=("analytics", "quality"),
+    oracle="""
+SELECT 'orphan_lineitem' AS check_name, count(*) AS n_violations
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orphan_order_customer', count(*)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'nonpositive_price', count(*)
+FROM lineitem WHERE l_extendedprice <= 0
+UNION ALL
+SELECT 'discount_out_of_range', count(*)
+FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1
+UNION ALL
+SELECT 'premature_order_date', count(*)
+FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+""",
+)
+def d15_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit in one declared result: referential checks
+    (lineitem -> orders, orders -> customer) as anti joins, plus three
+    domain checks as map-side filters, unioned into a (check_name,
+    n_violations) table. The anti joins broadcast the KEY side when it
+    fits and otherwise shuffle on the key like any semi join; the
+    domain checks are pure scan predicates. This is the shape of a
+    nightly pipeline gate at any scale: every check is one bounded
+    aggregate, and the union is of 5 scalar rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+
+    def scalar(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    checks = [
+        scalar(
+            "orphan_lineitem",
+            li.join(
+                o, li["l_orderkey"] == o["o_orderkey"], "left_anti"
+            ),
+        ),
+        scalar(
+            "orphan_order_customer",
+            o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti"),
+        ),
+        scalar(
+            "nonpositive_price", li.where(F.col("l_extendedprice") <= 0)
+        ),
+        scalar(
+            "discount_out_of_range",
+            li.where(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+            ),
+        ),
+        scalar(
+            "premature_order_date",
+            o.where(
+                F.to_date("o_orderdate") < F.lit("1992-01-01").cast("date")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionAll(df)
+    return out

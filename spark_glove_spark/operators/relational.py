@@ -1186,3 +1186,46 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "e9_interval_range_frame",
+    section="E4,D1,G4",
+    tags=("window",),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+             AS day_idx,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT day_idx, revenue,
+       round(sum(revenue) OVER (
+           ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 2) AS trailing_7d
+FROM daily
+""",
+)
+def e9_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: daily order revenue with a trailing
+    7-day windowed sum — the period-over-period rollup shape. The
+    RANGE frame is over the day INDEX (value-based, gap-aware: a
+    missing day still shrinks the window, unlike ROWS 6 PRECEDING),
+    computed on the pre-aggregated daily series — so the window runs
+    over ~thousands of rows regardless of fact-table scale, and the
+    only fact-sized work is the first map-side-combinable aggregate.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day_idx")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    return daily.select(
+        "day_idx",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("trailing_7d"),
+    )
