@@ -426,3 +426,100 @@ def a7_partitioned_sink_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total"),
     )
+
+
+@query(
+    "a11_schema_evolution",
+    section="A1,A3,B4",
+    oracle="""
+SELECT CASE WHEN event_id % 2 = 1 THEN event_type
+            ELSE '<pre-evolution>' END AS event_type,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events
+GROUP BY 1
+""",
+)
+def a11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: an 'old' batch written WITHOUT the
+    ``event_type`` column and a 'new' batch written with it land in
+    the same dataset directory; ``mergeSchema=true`` reconciles the
+    footers into the union schema, with the missing column null-filled
+    for pre-evolution files — exactly how a long-lived lake absorbs
+    additive schema changes without rewriting history. The aggregate
+    coalesces the null band so the oracle (which reconstructs both
+    bands from the source table) checks every row landed in the right
+    schema generation.
+
+    100 TB: schema merge is a FOOTER-level operation (one small read
+    per file — and per-directory pruning still applies before it);
+    the data files are never touched.
+    """
+    e = table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="sgs_a11_")
+    old = e.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    new = e.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    old.write.parquet(f"{out}/batch=1")
+    new.write.parquet(f"{out}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.groupBy(
+        F.coalesce("event_type", F.lit("<pre-evolution>")).alias(
+            "event_type"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+@query(
+    "a12_dynamic_partition_pruning",
+    section="A1,C1,B2",
+    oracle="""
+SELECT e.event_type, count(*) AS n, round(sum(e.value), 2) AS total
+FROM events e
+JOIN (VALUES ('click', 'growth'), ('signup', 'growth'),
+             ('view', 'content'), ('purchase', 'revenue'),
+             ('error', 'platform')) AS d(event_type, team)
+  ON e.event_type = d.event_type
+WHERE d.team = 'growth'
+GROUP BY 1
+""",
+)
+def a12_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is laid out
+    partitioned by the join column, the dim side is filtered on an
+    attribute (team = 'growth') the fact side doesn't carry — so
+    static pruning is impossible, and Catalyst instead INJECTS the
+    dim's surviving keys into the fact scan at runtime
+    (``dynamicpruningexpression`` in the scan's PartitionFilters,
+    guarded in tests/test_scale.py): only the 2 matching directories
+    of 5 are read. This is THE mechanism that makes star-schema
+    queries cheap on a partitioned 100 TB lake — the fact scan is
+    pruned by a filter that only exists after the dim is evaluated.
+    """
+    e = table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="sgs_a12_")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [
+            ("click", "growth"),
+            ("signup", "growth"),
+            ("view", "content"),
+            ("purchase", "revenue"),
+            ("error", "platform"),
+        ],
+        "event_type string, team string",
+    )
+    return (
+        fact.join(dim.where(F.col("team") == "growth"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )

@@ -423,3 +423,12 @@ def test_h17_dsir_weights_no_nested_loop(spark):
     df = api.REGISTRY["h17_dsir_weights"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_a12_plan_has_dynamic_pruning(spark):
+    """The fact scan must carry a runtime dynamicpruning partition
+    filter injected from the filtered dim — not a static filter and
+    not a full scan."""
+    df = api.REGISTRY["a12_dynamic_partition_pruning"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
