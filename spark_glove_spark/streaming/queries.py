@@ -616,3 +616,99 @@ def i11_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_stream_foreach_batch(sdf, apply_batch, "append")
     return spark.read.parquet(ptr["dir"])
+
+
+@query(
+    "i13_checkpoint_recovery",
+    section="A5,A6,I1",
+    tags=("streaming", "fault-tolerance"),
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM events
+GROUP BY 1
+""",
+)
+def i13_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant restart: a complete-mode aggregation over a
+    4-file event stream is STOPPED mid-flight after at least one
+    committed micro-batch, then restarted against the SAME checkpoint
+    — the restarted query resumes from the recorded offsets, the
+    state store replays the pre-crash aggregate state, and the final
+    table equals the one-shot batch aggregate (the oracle) exactly.
+    This is the exactly-once contract users actually rely on: offsets
+    + state both live in the checkpoint, so a crash loses nothing and
+    double-counts nothing, regardless of where the cut landed.
+    """
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    tmp = tempfile.mkdtemp(prefix="sgs_i13_")
+    data = os.path.join(tmp, "data")
+    ckpt = os.path.join(tmp, "ckpt")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    # 4 files now; a 5th lands AFTER the crash (below), so the
+    # restarted leg always has at least one new file to commit and
+    # the recovered result provably includes post-crash arrivals.
+    ev.where(F.col("event_id") % 5 != 0).repartition(4).write.parquet(data)
+    schema = "event_id long, event_type string, value double"
+
+    def agg_stream():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(data)
+        )
+        return sdf.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # leg 1: run until at least one micro-batch commits, then stop
+        # mid-stream (the crash). Where the cut lands doesn't matter —
+        # that's the point.
+        name1 = f"i13a_{uuid.uuid4().hex[:8]}"
+        q1 = (
+            agg_stream()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name1)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(
+                p["batchId"] >= 0 and p["numInputRows"] > 0
+                for p in (q1.recentProgress or [])
+            ):
+                break
+            time.sleep(0.1)
+        q1.stop()
+        q1.awaitTermination()
+        # the late file arrives while the query is down
+        ev.where(F.col("event_id") % 5 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(data)
+        # leg 2: restart from the same checkpoint; offsets + agg state
+        # replay, availableNow drains the remaining + late files.
+        name2 = f"i13b_{uuid.uuid4().hex[:8]}"
+        q2 = (
+            agg_stream()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name2)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name2)
