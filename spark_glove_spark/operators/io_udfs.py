@@ -523,3 +523,75 @@ def a12_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("value"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "a13_corrupt_records",
+    section="A2,B4",
+    oracle="""
+SELECT 'corrupt' AS band, count(*) AS n,
+       CAST(NULL AS DOUBLE) AS total
+FROM events WHERE event_id % 100 = 7
+UNION ALL
+SELECT 'good', count(*), round(sum(value), 2)
+FROM events WHERE event_id % 100 <> 7
+""",
+)
+def a13_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input quarantine: a CSV feed where ~1% of lines carry
+    an unparseable value column is read in PERMISSIVE mode with
+    ``columnNameOfCorruptRecord`` — parse failures null the typed
+    columns and capture the raw line instead of killing the job
+    (FAILFAST) or silently vanishing (DROPMALFORMED). The query
+    splits the feed into its good/corrupt bands and aggregates each;
+    the oracle reconstructs both bands from the clean source, so the
+    parser provably quarantines exactly the planted lines.
+
+    At 100 TB this is the ingestion edge's contract: bad rows are
+    data, not exceptions — they land in a quarantine band with their
+    raw bytes for replay, and the pipeline's totals stay auditable.
+    """
+    import tempfile
+
+    e = table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="sgs_a13_")
+    lines = e.select(
+        F.when(
+            F.col("event_id") % 100 == 7,
+            # value column replaced by an unparseable token
+            F.concat_ws(
+                ",",
+                F.col("event_id"),
+                F.col("user_id"),
+                F.lit("#corrupt#"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(",", F.col("event_id"), F.col("user_id"), F.col("value"))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema(
+            "event_id long, user_id long, value double, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return (
+        parsed.withColumn(
+            "band",
+            F.when(F.col("_corrupt_record").isNull(), "good").otherwise(
+                "corrupt"
+            ),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # corrupt rows carry null typed columns, so their band's
+            # sum is naturally NULL — matching the oracle's literal
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
