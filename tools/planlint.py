@@ -1,0 +1,122 @@
+"""Plan lint: sweep every declared BATCH query's physical plan for
+scale smells (PLANS.md's audit, automated).
+
+Smells checked:
+  * CartesianProduct / unhinted BroadcastNestedLoopJoin — O(n*m) joins
+    (allowlisted where the BNLJ IS the documented design: broadcast-
+    probe kNN scans and the §2 C6/C7 contract demos);
+  * BatchEvalPython — row-at-a-time Python in the plan (allowlisted
+    for the §2 J1 scalar-UDF contract demo only);
+  * > MAX_EXCHANGES shuffles in one query — fused-stage queries
+    should not fan into shuffle chains silently.
+
+Queries whose *declaration* executes work (streaming drains,
+iterative trainers, sink roundtrips) are skipped by tag/name — their
+plan hygiene is asserted by dedicated pytest guards instead.
+
+Usage: python tools/planlint.py [sf_dir]   (exit 1 on new smells)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from spark_glove_spark import api  # noqa: E402
+from spark_glove_spark.session import get_spark  # noqa: E402
+
+# Declarations that RUN (streams, loops, writes) rather than build a
+# lazy plan; each has its own plan/property guard in tests/.
+SKIP_TAGS = {"streaming", "training", "cdc", "fault-tolerance"}
+SKIP_PREFIXES = (
+    "i", "glove_", "mm_", "pipeline_", "graph_", "h17_bpe_train",
+    "a3_", "a5_", "a7_", "a8_", "a9_", "a11_", "a12_", "a13_",
+    "h16_ivf", "h16_pq", "h13_semantic", "clustering_", "h17_quality_classifier",
+    "h6_", "skew_",
+)
+
+# BNLJ/cartesian by documented design (broadcast-probe scans + the
+# C6/C7 cross/theta-join contract rows).
+BNLJ_OK = {
+    "c6_theta_join",
+    "c7_cross_join",
+    "h15_knn_bruteforce",
+    "h15_range_search",
+    "h15_mmr_rerank",
+    "h13_embedding_neardup",
+    "h16_lsh_ann",
+    "h16_int8_quant",
+    "h16_quantized_knn",
+    "h8_analogy",
+    "h7_topk_cosine",
+    "d2_global_agg",  # scalar-broadcast crossJoin
+    # BNLJ against a SCALAR broadcast aggregate (corpus size, global
+    # bounds, grand totals — O(n x 1)) or a tiny bounded dim (g3's
+    # 25-row nation theta self-join): verified by reading each plan;
+    # the lint pins them so a real two-table BNLJ can never hide
+    # behind the same name.
+    "d14_histogram",
+    "g3_edit_distance",
+    "h10_bm25",
+    "h10_tfidf",
+    "h17_domain_mix_weights",
+    "h17_dsir_weights",
+    "h17_lm_quality_score",
+    "sql_tpch_q22",
+}
+PYTHON_OK = {"j1_scalar_udf", "j6_udtf"}  # Python IS the J1/J6 contract
+MAX_EXCHANGES = 8
+# Multi-phase pipelines with audited shuffle chains: recorded ceilings
+# (current count at record time) so growth still trips the lint.
+EXCHANGE_ALLOWANCE = {
+    "e6_funnel": 10,
+    "h10_tfidf": 9,
+    "h10_bm25": 16,
+    "h14_similarity_join": 15,
+    "h17_dsir_weights": 9,
+    "sql_tpch_q08": 9,
+    "sql_tpch_q20_shape": 11,
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("planlint")
+    spark.sparkContext.setLogLevel("ERROR")
+    problems = []
+    n_checked = 0
+    for name, q in sorted(api.REGISTRY.items()):
+        if SKIP_TAGS & set(q.tags) or name.startswith(SKIP_PREFIXES):
+            continue
+        try:
+            plan = (
+                q.fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as exc:  # noqa: BLE001 — report, don't die
+            problems.append(f"{name}: plan build failed: {exc}")
+            continue
+        n_checked += 1
+        if "CartesianProduct" in plan and name not in BNLJ_OK:
+            problems.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            problems.append(f"{name}: BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan and name not in PYTHON_OK:
+            problems.append(f"{name}: row-at-a-time Python (BatchEvalPython)")
+        n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
+        cap = EXCHANGE_ALLOWANCE.get(name, MAX_EXCHANGES)
+        if n_ex > cap:
+            problems.append(f"{name}: {n_ex} Exchanges (> {cap})")
+    print(f"planlint: {n_checked} plans checked, {len(problems)} problems")
+    for p in problems:
+        print(f"  SMELL {p}")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
