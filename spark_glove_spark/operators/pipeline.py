@@ -167,3 +167,100 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_tokens"),
     )
+
+
+@query(
+    "pipeline_training_batches",
+    section="H17,E4,G8",
+    tags=("llm-pipeline", "capstone"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+         CAST(doc_id % 8 AS INTEGER) AS bucket
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, split, bucket, toks,
+         unnest(range(1, len(toks) + 1, 24)) AS start
+  FROM t WHERE len(toks) >= 1
+),
+ch AS (
+  SELECT doc_id, split, bucket,
+         CAST((start - 1) / 24 AS BIGINT) AS chunk_id,
+         CAST(len(list_slice(toks, start, start + 31)) AS BIGINT)
+             AS n_tokens
+  FROM starts
+),
+s AS (
+  SELECT *, CAST(sum(n_tokens) OVER (
+      PARTITION BY split, bucket ORDER BY doc_id, chunk_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM ch
+)
+SELECT split, bucket,
+       CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id,
+       count(*) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM s GROUP BY 1, 2, 3
+""",
+)
+def pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone #2 — training-batch assembly in ONE declared query:
+    every document is chunked into 32-token sliding windows (stride
+    24, the h17_token_chunking step over the FULL corpus), each chunk
+    inherits a deterministic train/val split (doc_id band — the
+    decontamination-compatible id split) and a pack bucket, and the
+    chunks are packed greedily into ~256-token sequences per
+    (split, bucket) via the h17_sequence_packing running-sum window.
+    Output: the pack manifest (chunk count, token count, doc range
+    per pack) a training job reads to build batches.
+
+    The COMPOSITION is the point: chunk fan-out is expression-only
+    (no shuffle before the explode), the split/bucket assignment is
+    map-side arithmetic, and the only shuffle is the pack window's
+    partition-by (split, bucket) — per-bucket running sums, never a
+    global window, so the plan holds at any corpus size. Fully
+    oracle-checked end to end.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    starts = F.when(
+        F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks), F.lit(24))
+    ).otherwise(F.array().cast("array<int>"))
+    ch = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .otherwise("val")
+        .alias("split"),
+        (F.col("doc_id") % 8).cast("int").alias("bucket"),
+        toks.alias("toks"),
+        F.explode(starts).alias("start"),
+    ).select(
+        "doc_id",
+        "split",
+        "bucket",
+        ((F.col("start") - 1) / 24).cast("long").alias("chunk_id"),
+        F.size(F.slice("toks", F.col("start"), 32))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("split", "bucket")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = ch.withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
+    return s.groupBy(
+        "split",
+        "bucket",
+        F.floor((F.col("cum") - F.col("n_tokens")) / 256.0)
+        .cast("long")
+        .alias("pack_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
