@@ -595,3 +595,48 @@ def a13_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "a14_compaction",
+    section="A3,A1",
+    oracle="""
+SELECT l_returnflag, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS total
+FROM lineitem
+GROUP BY 1
+""",
+)
+def a14_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lake-maintenance pass every
+    long-lived table needs: a fragmented write (64 files, the shape
+    left by streaming ingestion or over-parallel writers) is rewritten
+    through ``coalesce(4)`` — a NARROW dependency that merges
+    partitions without a shuffle (plan-guarded in tests/test_scale.py)
+    — into a handful of scan-efficient files. The aggregate over the
+    compacted copy must match the source exactly: compaction moves
+    bytes, never changes them.
+
+    100 TB: file count drives open/footer/listing overhead on every
+    downstream scan; periodic compaction to ~128 MB-1 GB files (via
+    maxRecordsPerFile or coalesce against a measured row width) is
+    what keeps a streaming-fed lake scannable.
+    """
+    import tempfile
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="sgs_a14_")
+    frag = f"{tmp}/fragmented"
+    compact = f"{tmp}/compacted"
+    li.repartition(64).write.parquet(frag)
+    spark.read.parquet(frag).coalesce(4).write.parquet(compact)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )

@@ -432,3 +432,23 @@ def test_a12_plan_has_dynamic_pruning(spark):
     df = api.REGISTRY["a12_dynamic_partition_pruning"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_a14_compaction_is_shuffle_free_and_compacts(spark, tmp_path):
+    """Compaction must use a narrow coalesce (no Exchange between the
+    fragmented scan and the write) and actually reduce file count."""
+    import os
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    frag = str(tmp_path / "frag")
+    li.repartition(64).write.parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    compacted = spark.read.parquet(frag).coalesce(4)
+    plan = _plan(compacted)
+    assert "Exchange" not in plan, plan
+    out = str(tmp_path / "compact")
+    compacted.write.parquet(out)
+    n_out = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_frag == 64 and n_out <= 4, (n_frag, n_out)
