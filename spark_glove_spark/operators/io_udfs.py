@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from spark_glove_spark.registry import query
+from spark_glove_spark.registry import defer_unpersist, query
 from spark_glove_spark.sources import table, write_parquet
 
 
@@ -580,6 +580,10 @@ def a13_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(out)
     )
+    # Spark refuses plans whose column pruning leaves ONLY the internal
+    # corrupt-record column on a raw CSV scan (e.g. a downstream
+    # count()); persisting the parsed frame is the documented fix.
+    parsed = defer_unpersist(parsed.persist())
     return (
         parsed.withColumn(
             "band",
