@@ -657,3 +657,76 @@ def d15_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in checks[1:]:
         out = out.unionAll(df)
     return out
+
+
+@query(
+    "d16_regression_agg",
+    section="D2,G5",
+    tags=("analytics",),
+    oracle="""
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4)
+           AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem
+GROUP BY 1
+""",
+)
+def d16_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression AGGREGATES (slope, intercept, R^2 of price on
+    quantity per return flag) — the in-database analytics primitive
+    for trend fits without leaving the engine. These are single-pass
+    moment aggregates (sums of x, y, xy, x^2, y^2 combined at the
+    end), so they're map-side combinable and mergeable like any sum —
+    one bounded HashAggregate at any fact scale, same story as the
+    CMS/quantile sketches but for second-order moments.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
+@query(
+    "g12_listagg",
+    section="D7,F1",
+    tags=("analytics",),
+    oracle="""
+SELECT n_nationkey AS nationkey,
+       string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
+       count(*) AS n
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
+""",
+)
+def g12_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg — the report
+    formatter): supplier names per nation concatenated in sorted
+    order. Expressed as sort-inside-aggregate (collect_list ->
+    array_sort -> join) so the output is deterministic regardless of
+    partitioning — the unordered form is nondeterministic by
+    construction and would fail any hash check. The per-group array
+    is dimension-bounded here; unbounded groups would cap + overflow
+    to a side table (same rule as D7).
+    """
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(
+            F.broadcast(n),
+            s["s_nationkey"] == n["n_nationkey"],
+        )
+        .groupBy(F.col("n_nationkey").alias("nationkey"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("s_name")), "|"
+            ).alias("suppliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
