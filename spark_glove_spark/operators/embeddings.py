@@ -348,3 +348,182 @@ def h15_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.groupBy("probe_id").applyInPandas(
         kernel, "probe_id long, vec_id long, mmr_rank int, score double"
     )
+
+
+@query(
+    "h15_knn_classifier",
+    section="H15,E2,D1",
+    tags=("similarity", "ml"),
+    oracle=f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS q, label AS true_label
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT p.probe_id, p.true_label, e.label,
+         round({dot_sql('e.embedding', 'p.q')}, 6) AS cos, e.vec_id
+  FROM embeddings e CROSS JOIN probes p
+  WHERE e.vec_id <> p.probe_id
+),
+nn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+),
+votes AS (
+  SELECT probe_id, true_label, label, count(*) AS n_votes,
+         max(cos) AS best_cos
+  FROM nn GROUP BY 1, 2, 3
+)
+SELECT probe_id, true_label,
+       CAST(label AS INTEGER) AS predicted,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY probe_id
+      ORDER BY n_votes DESC, best_cos DESC, label) AS vr
+  FROM votes
+) WHERE vr = 1
+""",
+)
+def h15_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification over the embedding corpus: each probe takes
+    its 10 nearest neighbors by cosine (the h15 broadcast-probe scan)
+    and predicts the majority label, ties broken by best neighbor
+    similarity then label id — the lazy-learning baseline classifier,
+    and the standard label-propagation primitive for weak labeling at
+    corpus scale. Same plan as h15 plus one bounded vote aggregate:
+    the corpus never shuffles, votes are 10 rows per probe.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("q"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        parallelized(e)
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "true_label",
+            "label",
+            F.round(dot(F.col("embedding"), F.col("q")), 6).alias("cos"),
+            "vec_id",
+        )
+    )
+    wnn = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), "vec_id"
+    )
+    nn = (
+        scored.withColumn("rn", F.row_number().over(wnn))
+        .where(F.col("rn") <= 10)
+    )
+    votes = nn.groupBy("probe_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"), F.max("cos").alias("best_cos")
+    )
+    wv = Window.partitionBy("probe_id").orderBy(
+        F.col("n_votes").desc(), F.col("best_cos").desc(), "label"
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "probe_id",
+            "true_label",
+            F.col("label").cast("int").alias("predicted"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+
+
+@query(
+    "h15_centroid_classifier",
+    section="H15,H9,D1",
+    tags=("similarity", "ml"),
+    oracle=f"""
+WITH pos AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings WHERE vec_id % 100 <> 0
+),
+cent AS (
+  SELECT label, list(av ORDER BY dim) AS c
+  FROM (SELECT label, dim, avg(v) AS av FROM pos GROUP BY 1, 2)
+  GROUP BY 1
+),
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS q, label AS true_label
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT p.probe_id, p.true_label, cent.label,
+         round({dot_sql('cent.c', 'p.q')}, 6) AS score
+  FROM probes p CROSS JOIN cent
+)
+SELECT probe_id, true_label,
+       CAST(label AS INTEGER) AS predicted,
+       score
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY probe_id ORDER BY score DESC, label) AS r
+  FROM scored
+) WHERE r = 1
+""",
+)
+def h15_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification: per-label centroids
+    via DISTRIBUTED vector averaging — posexplode to (label, dim,
+    value), one hash aggregate, re-assembled with sort-inside-
+    aggregate — then each held-out probe takes the best-scoring
+    centroid. The centroid table is labels x dims tiny and broadcast;
+    probe scoring is map-side. This is the vector-aggregation
+    primitive (same shape as H9's doc pooling) fused with the h7
+    scoring shape; where kNN pays a corpus scan per batch, Rocchio
+    pays one corpus scan EVER, then O(labels) per probe forever — the
+    classic scale trade.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    train = e.where(F.col("vec_id") % 100 != 0)
+    pos = train.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    cent = (
+        pos.groupBy("label", "dim")
+        .agg(F.avg("v").alias("av"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "av"))
+            ).alias("pairs")
+        )
+        .select(
+            "label",
+            F.transform(F.col("pairs"), lambda p: p["av"]).alias("c"),
+        )
+    )
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("q"),
+        F.col("label").alias("true_label"),
+    )
+    scored = probes.crossJoin(F.broadcast(cent)).select(
+        "probe_id",
+        "true_label",
+        "label",
+        F.round(dot(F.col("c"), F.col("q")), 6).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), "label")
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "probe_id",
+            "true_label",
+            F.col("label").cast("int").alias("predicted"),
+            "score",
+        )
+    )
