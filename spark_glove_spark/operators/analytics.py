@@ -730,3 +730,41 @@ def g12_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "d17_quantile_binning",
+    section="E1,D1",
+    tags=("analytics",),
+    oracle="""
+WITH b AS (
+  SELECT value,
+         ntile(10) OVER (ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT CAST(decile AS INTEGER) AS decile, count(*) AS n,
+       round(min(value), 4) AS lo, round(max(value), 4) AS hi
+FROM b GROUP BY 1
+""",
+)
+def d17_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (decile cut points) — d14's equi-width
+    twin, the feature-engineering discretizer: ``ntile(10)`` over the
+    (value, id)-pinned order splits ties deterministically, and the
+    per-decile envelopes are the cut table a model pipeline persists.
+    The global-order window is the documented scale caveat: at fact
+    scale this becomes the d11 quantile SKETCH (approx cut points, no
+    sort); the exact form is declared because cut-table consumers
+    often require exact rank semantics on bounded slices.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        e.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )

@@ -355,3 +355,52 @@ def g11_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.status").alias("status"),
         F.col("s.price").alias("price"),
     )
+
+
+@query(
+    "g13_url_functions",
+    section="G1,G2",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/'
+             || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+       regexp_extract(url, '^([a-z]+):', 1) AS scheme
+FROM u
+""",
+)
+def g13_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — the first step of every web-corpus pipeline
+    (host-level dedup, domain quality lists, path routing): Spark's
+    native ``parse_url`` (HOST / PATH / QUERY param / PROTOCOL, all
+    codegen'd) over deterministically synthesized URLs; the oracle
+    decomposes the same URLs with equivalent regexes, proving the
+    built-in's semantics on this grammar. At 100 TB the host column
+    becomes the partition/dedup key (one groupBy host feeds domain
+    blocklists and per-site rate stats).
+    """
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+        F.lower(F.parse_url("url", F.lit("PROTOCOL"))).alias("scheme"),
+    )
