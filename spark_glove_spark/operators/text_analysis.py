@@ -1452,3 +1452,117 @@ def h17_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("long").alias("label"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zf)), 4).alias("score"),
     )
+
+
+@query(
+    "h10_tfidf_doc_sim",
+    section="H10,H15,C2",
+    tags=("similarity",),
+    oracle="""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+v AS (
+  SELECT tf.doc_id, tf.word,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS w
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM v GROUP BY 1),
+dots AS (
+  SELECT p.doc_id AS probe_id, c.doc_id AS cand_id,
+         sum(p.w * c.w) AS dot
+  FROM v p JOIN v c USING (word)
+  WHERE p.doc_id % 100 = 0 AND c.doc_id <> p.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT probe_id, cand_id,
+         round(dot / (np.nm * nc.nm), 6) AS cos
+  FROM dots
+  JOIN nrm np ON np.doc_id = probe_id
+  JOIN nrm nc ON nc.doc_id = cand_id
+)
+SELECT probe_id, cand_id, cos FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def h10_tfidf_doc_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF document similarity — h15's SPARSE counterpart,
+    the lexical retrieval workhorse: cosine between tf-idf vectors
+    computed as an inverted-index join (terms meet on the word key,
+    partial products sum per pair), never as dense vectors. Top-5
+    neighbors per probe doc, cosine ROUNDED BEFORE ranking so rank
+    order is immune to sub-1e-6 float drift (the fixture's planted
+    exact dups make rank-boundary ties real; doc_id breaks them).
+
+    Scale shape: candidate pairs ∝ posting-list collisions, pruned in
+    production by the h14 prefix filter or df-capped stopword drop
+    (rare terms dominate the dot product; 'the' contributes ~0 weight
+    AND the worst fan-out — cap df to kill both). One token scan
+    feeds tf, df, norms, and the join via a persisted (doc, word)
+    aggregate — same exchange-reuse discipline as h10_tfidf/bm25.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = token_positions(d).select("doc_id", "word")
+    tf = defer_unpersist(
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    df_ = tf.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.count()
+    v = defer_unpersist(
+        tf.join(df_, "word")
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("w"),
+        )
+        .persist()
+    )
+    nrm = v.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm")
+    )
+    p = v.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("probe_id"), "word", F.col("w").alias("pw")
+    )
+    dots = (
+        p.join(v.withColumnRenamed("doc_id", "cand_id"), "word")
+        .where(F.col("cand_id") != F.col("probe_id"))
+        .groupBy("probe_id", "cand_id")
+        .agg(F.sum(F.col("pw") * F.col("w")).alias("dot"))
+    )
+    np_ = nrm.select(
+        F.col("doc_id").alias("probe_id"), F.col("nm").alias("pnm")
+    )
+    nc = nrm.select(
+        F.col("doc_id").alias("cand_id"), F.col("nm").alias("cnm")
+    )
+    scored = (
+        dots.join(np_, "probe_id")
+        .join(nc, "cand_id")
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(
+                F.col("dot") / (F.col("pnm") * F.col("cnm")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), "cand_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("probe_id", "cand_id", "cos")
+    )

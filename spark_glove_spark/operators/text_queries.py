@@ -192,3 +192,84 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
     )
+
+
+_SUBSAMPLE_T = 1e-3
+_SUBSAMPLE_KNUTH = 2654435761
+
+
+@query(
+    "h2_frequent_subsample",
+    section="H2,H1,D1",
+    tags=("llm-pipeline",),
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS word,
+         generate_subscripts(toks, 1) AS pos
+  FROM t
+),
+freq AS (SELECT word, count(*) AS f FROM pos GROUP BY 1),
+n AS (SELECT count(*) AS total FROM pos),
+kept AS (
+  SELECT p.word,
+         CASE WHEN ((p.doc_id * 10000 + p.pos) * {_SUBSAMPLE_KNUTH})
+                   % 4294967296 / 4294967296.0
+                < sqrt({_SUBSAMPLE_T} * n.total / freq.f)
+              THEN 1 ELSE 0 END AS keep
+  FROM pos p JOIN freq USING (word) CROSS JOIN n
+)
+SELECT word, count(*) AS n_occurrences,
+       CAST(sum(keep) AS BIGINT) AS n_kept
+FROM kept
+GROUP BY 1
+ORDER BY n_occurrences DESC, word
+LIMIT 20
+""",
+)
+def h2_frequent_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-word subsampling (word2vec's preprocessing step,
+    Mikolov et al. 2013 — public): each token OCCURRENCE survives with
+    probability sqrt(t*N/f(word)), so stopword-frequency words are
+    aggressively thinned while rare words always survive — the step
+    that keeps a co-occurrence build from drowning in 'the'. The
+    coin flip is DERANDOMIZED with the same Knuth-multiplicative
+    integer hash as the CMS (keyed by (doc_id, pos), bit-exact in
+    both engines), making the subsample reproducible across runs,
+    partitionings, AND engines — which is exactly what a 100 TB
+    pipeline wants from sampling: content-addressed decisions, no RNG
+    state. One token scan + a vocab-bounded frequency join; the
+    decision is pure map-side arithmetic.
+    """
+    d = table(spark, sf_dir, "documents")
+    pos = token_positions(d).select("doc_id", "pos", "word")
+    freq = pos.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    n = pos.agg(F.count(F.lit(1)).alias("total"))
+    # token_positions is 0-based; the oracle's generate_subscripts is
+    # 1-based — align the hash key so both engines flip the same coin.
+    u = (
+        ((F.col("doc_id") * 10000 + F.col("pos") + 1) * _SUBSAMPLE_KNUTH)
+        % F.lit(4294967296)
+        / F.lit(4294967296.0)
+    )
+    keep = F.when(
+        u
+        < F.sqrt(
+            F.lit(_SUBSAMPLE_T) * F.col("total") / F.col("f")
+        ),
+        1,
+    ).otherwise(0)
+    kept = (
+        pos.join(freq, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("keep", keep)
+    )
+    return (
+        kept.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.sum("keep").cast("long").alias("n_kept"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "word")
+        .limit(20)
+    )
