@@ -66,6 +66,11 @@ BNLJ_OK = {
     "h17_dsir_weights",
     "h17_lm_quality_score",
     "sql_tpch_q22",
+    # broadcast-probe / broadcast-centroid scans (h15 family) and the
+    # scalar token-total broadcast in the subsampler
+    "h15_knn_classifier",
+    "h15_centroid_classifier",
+    "h2_frequent_subsample",
 }
 PYTHON_OK = {"j1_scalar_udf", "j6_udtf"}  # Python IS the J1/J6 contract
 MAX_EXCHANGES = 8
@@ -79,6 +84,9 @@ EXCHANGE_ALLOWANCE = {
     "h17_dsir_weights": 9,
     "sql_tpch_q08": 9,
     "sql_tpch_q20_shape": 11,
+    # printed plan re-expands the persisted tf/v subtrees under each
+    # InMemoryRelation consumer; the executed DAG reuses them
+    "h10_tfidf_doc_sim": 35,
 }
 
 
