@@ -396,6 +396,12 @@ def h15_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the standard label-propagation primitive for weak labeling at
     corpus scale. Same plan as h15 plus one bounded vote aggregate:
     the corpus never shuffles, votes are 10 rows per probe.
+
+    Fixture honesty: the synthetic labels are independent of the
+    embedding geometry (measured accuracy ~ chance), so no accuracy
+    floor is asserted — the oracle verifies the MECHANICS (neighbor
+    sets, vote counts, tiebreaks) exactly, which is what transfers to
+    a corpus whose labels do cluster.
     """
     e = table(spark, sf_dir, "embeddings")
     probes = e.where(F.col("vec_id") % 100 == 0).select(
@@ -484,7 +490,9 @@ def h15_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive (same shape as H9's doc pooling) fused with the h7
     scoring shape; where kNN pays a corpus scan per batch, Rocchio
     pays one corpus scan EVER, then O(labels) per probe forever — the
-    classic scale trade.
+    classic scale trade. (Same fixture-honesty note as
+    h15_knn_classifier: labels are random w.r.t. geometry, so the
+    oracle proves mechanics, not accuracy.)
     """
     e = table(spark, sf_dir, "embeddings")
     train = e.where(F.col("vec_id") % 100 != 0)
