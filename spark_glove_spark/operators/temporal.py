@@ -421,3 +421,124 @@ def c9_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(
         kernel, "user_id long, n_events long, ewma double"
     )
+
+
+@query(
+    "c9_interpolate",
+    section="C9,E3,G5",
+    tags=("temporal",),
+    oracle="""
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           round(sum(value), 6) AS v
+    FROM events WHERE user_id <= 20 GROUP BY 1, 2
+),
+spans AS (
+    SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+),
+calendar AS (
+    SELECT s.user_id, unnest(generate_series(s.h0, s.h1,
+                                             INTERVAL 1 HOUR)) AS h
+    FROM spans s
+),
+g AS (
+    SELECT c.user_id, c.h, hy.v,
+           CASE WHEN hy.v IS NULL THEN NULL ELSE c.h END AS kh
+    FROM calendar c LEFT JOIN hourly hy
+      ON c.user_id = hy.user_id AND c.h = hy.h
+),
+w AS (
+    SELECT user_id, h, v,
+           last_value(v IGNORE NULLS) OVER wb AS pv,
+           last_value(kh IGNORE NULLS) OVER wb AS pt,
+           first_value(v IGNORE NULLS) OVER wf AS nv,
+           first_value(kh IGNORE NULLS) OVER wf AS nt
+    FROM g
+    WINDOW wb AS (PARTITION BY user_id ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY user_id ORDER BY h
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, epoch_ms(h) AS hour_ms,
+       CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS interpolated,
+       floor((CASE
+           WHEN v IS NOT NULL THEN v
+           WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv)
+                  * (epoch_ms(h) - epoch_ms(pt))
+                  / (epoch_ms(nt) - epoch_ms(pt))
+           WHEN pv IS NOT NULL THEN pv
+           ELSE nv END) * 10000 + 0.5) / 10000 AS value
+FROM w
+""",
+)
+def c9_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the regular hourly grid — gap_fill's
+    numeric twin (forward-fill answers 'carry the reading', interp
+    answers 'estimate between readings' — the hypertable
+    ``interpolate()`` primitive). Two windows per key, both riding
+    the SAME user_id shuffle as the grid join: backward last-known
+    (value, time) and forward next-known; missing hours get the
+    time-weighted blend, edges degrade to nearest-known. All
+    expression-level arithmetic on epoch-ms integers, so both engines
+    compute the identical IEEE blend.
+    """
+    e = table(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    calendar = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    g = calendar.join(hourly, ["user_id", "h"], "left").withColumn(
+        "kh", F.when(F.col("v").isNotNull(), F.col("h"))
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    w = (
+        g.withColumn("pv", F.last("v", ignorenulls=True).over(wb))
+        .withColumn("pt", F.last("kh", ignorenulls=True).over(wb))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wf))
+        .withColumn("nt", F.first("kh", ignorenulls=True).over(wf))
+    )
+    ms = F.unix_millis
+    blend = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        ms(F.col("h")) - ms(F.col("pt"))
+    ) / (ms(F.col("nt")) - ms(F.col("pt")))
+    return w.select(
+        "user_id",
+        ms(F.col("h")).alias("hour_ms"),
+        F.when(F.col("v").isNotNull(), 0).otherwise(1).alias("interpolated"),
+        # floor-based half-up rounding: midpoint blends (exact 1/2
+        # fractions) land on exact .00005 ties where Spark's round and
+        # DuckDB's disagree; floor(x*1e4 + 0.5)/1e4 is the same
+        # expression in both engines (the f8 cent-math rule).
+        (
+            F.floor(
+                F.when(F.col("v").isNotNull(), F.col("v"))
+                .when(
+                    F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+                    blend,
+                )
+                .when(F.col("pv").isNotNull(), F.col("pv"))
+                .otherwise(F.col("nv"))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("value"),
+    )
