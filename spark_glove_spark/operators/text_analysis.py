@@ -1517,14 +1517,15 @@ def h10_tfidf_doc_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("word").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    n_docs = d.count()
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     v = defer_unpersist(
         tf.join(df_, "word")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "word",
             (
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
             ).alias("w"),
         )
         .persist()

@@ -213,7 +213,8 @@ freq AS (SELECT word, count(*) AS f FROM pos GROUP BY 1),
 n AS (SELECT count(*) AS total FROM pos),
 kept AS (
   SELECT p.word,
-         CASE WHEN ((p.doc_id * 10000 + p.pos) * {_SUBSAMPLE_KNUTH})
+         CASE WHEN ((p.doc_id * 10000 + p.pos) % 2147483647
+                    * {_SUBSAMPLE_KNUTH})
                    % 4294967296 / 4294967296.0
                 < sqrt({_SUBSAMPLE_T} * n.total / freq.f)
               THEN 1 ELSE 0 END AS keep
@@ -247,8 +248,13 @@ def h2_frequent_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = pos.agg(F.count(F.lit(1)).alias("total"))
     # token_positions is 0-based; the oracle's generate_subscripts is
     # 1-based — align the hash key so both engines flip the same coin.
+    # The key is reduced mod 2^31-1 BEFORE the Knuth multiply so the
+    # product stays inside int64 for any doc_id (the unreduced form
+    # overflows past doc_id ~347k — ANSI crash or silent keep-all).
     u = (
-        ((F.col("doc_id") * 10000 + F.col("pos") + 1) * _SUBSAMPLE_KNUTH)
+        ((F.col("doc_id") * 10000 + F.col("pos") + 1)
+         % F.lit(2147483647)
+         * _SUBSAMPLE_KNUTH)
         % F.lit(4294967296)
         / F.lit(4294967296.0)
     )
