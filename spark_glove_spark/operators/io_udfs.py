@@ -644,3 +644,139 @@ def a14_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "j7_map_in_arrow",
+    section="J5,J2",
+    oracle="""
+SELECT event_id, user_id,
+       round(value * 100, 4) AS cents
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def j7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the lowest-overhead Python boundary: the kernel
+    receives raw ``pyarrow.RecordBatch``es (no pandas conversion, no
+    index materialization, zero-copy into numpy where dtypes allow),
+    making it the right lane for byte-level / columnar kernels where
+    even mapInPandas' pandas wrapping is measurable. The multimodal
+    decoders (operators/multimodal.py) are the production users of
+    this boundary; this declared query pins its row-preservation and
+    arithmetic semantics with a full hash check.
+    """
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("event_id"),
+                    b.column("user_id"),
+                    pc.round(
+                        pc.multiply(b.column("value"), pa.scalar(100.0)),
+                        ndigits=4,
+                    ),
+                ],
+                names=["event_id", "user_id", "cents"],
+            )
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    return e.select("event_id", "user_id", "value").mapInArrow(
+        kernel, "event_id long, user_id long, cents double"
+    )
+
+
+@query(
+    "j8_cogrouped_map",
+    section="J4,C3",
+    oracle="""
+SELECT o.o_orderkey,
+       round(o.o_totalprice, 2) AS header_total,
+       floor(coalesce(sum(l.l_extendedprice * (1 - l.l_discount)), 0)
+             * 100 + 0.5) / 100 AS line_total,
+       count(l.l_orderkey) AS n_lines
+FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey % 50 = 0
+GROUP BY o.o_orderkey, o.o_totalprice
+""",
+)
+def j8_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the two-sided Arrow boundary (the
+    same ``FlatMapCoGroupsInPandas`` plan the GloVe trainer's fused
+    merge+AdaGrad kernel rides): orders and their lineitems meet
+    per order key, and the kernel reconciles header total vs summed
+    line revenue in pandas. Both sides shuffle ONCE on the key and
+    each kernel call sees one bounded (header, lines) group — the
+    general shape for per-entity reconciliation/sessionization where
+    the logic genuinely needs both frames at once. Oracle: the
+    equivalent outer-join aggregate.
+    """
+    import math
+
+    import numpy as np
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    # same key predicate as the orders side: lines of other orders
+    # can't contribute (the oracle's LEFT JOIN drops them), and
+    # without the filter cogroup shuffles the whole lineitem table
+    # and invokes the kernel for thousands of header-less groups
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 50 == 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+
+    def reconcile(key, odf, ldf):
+        # cogroup invokes the kernel for keys present in EITHER frame;
+        # line-only keys (orders filtered out above) contribute nothing
+        if not len(odf):
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "header_total": pd.Series([], dtype="float64"),
+                    "line_total": pd.Series([], dtype="float64"),
+                    "n_lines": pd.Series([], dtype="int64"),
+                }
+            )
+        rev = (
+            float(
+                np.sum(
+                    ldf["l_extendedprice"].to_numpy()
+                    * (1.0 - ldf["l_discount"].to_numpy())
+                )
+            )
+            if len(ldf)
+            else 0.0
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "header_total": [round(float(odf["o_totalprice"].iloc[0]), 2)],
+                # floor cent-math: numpy's sum order differs from
+                # SQL's, and a value near a half-cent boundary flips
+                # under round(); floor(x*100+0.5)/100 matches the
+                # oracle expression exactly (the f8 rule)
+                "line_total": [math.floor(rev * 100 + 0.5) / 100],
+                "n_lines": [len(ldf)],
+            }
+        )
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, header_total double, line_total double,"
+            " n_lines long",
+        )
+    )
