@@ -768,3 +768,82 @@ def d17_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+@query(
+    "f9_snapshot_diff",
+    section="C3,F4,B5",
+    tags=("analytics", "cdc"),
+    oracle="""
+WITH ch AS (
+    SELECT o_orderkey AS key,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE 'D' END AS op,
+           floor(o_totalprice * 110) / 100 AS new_price
+    FROM orders WHERE o_orderkey % 7 < 2
+    UNION ALL
+    SELECT o_orderkey + 100000000, 'I', floor(o_totalprice * 50) / 100
+    FROM orders WHERE o_orderkey % 7 = 2
+),
+after AS (
+    SELECT coalesce(b.o_orderkey, ch.key) AS o_orderkey,
+           CASE WHEN ch.op IN ('U', 'I') THEN ch.new_price
+                ELSE b.o_totalprice END AS price
+    FROM orders b FULL OUTER JOIN ch ON b.o_orderkey = ch.key
+    WHERE ch.op IS NULL OR ch.op <> 'D'
+)
+SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+       CASE WHEN b.o_orderkey IS NULL THEN 'added'
+            WHEN a.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       b.o_totalprice AS old_price,
+       a.price AS new_price
+FROM orders b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey
+WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+   OR b.o_totalprice <> a.price
+""",
+)
+def f9_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — CDC GENERATION, the inverse of f8's CDC apply:
+    given two table versions (here: orders, and orders after the f8
+    change set), one full-outer join recovers exactly the rows that
+    were added, removed, or changed — which round-trips the change
+    set the apply consumed (added = the I rows, removed = the D rows,
+    changed = the U rows; the identity is what the oracle checks).
+    This is how a pipeline without a CDC feed manufactures one from
+    periodic snapshots. One shuffle on the key; at scale both
+    snapshots are bucketed by key (a9's layout) and the diff is
+    co-located — or the comparison short-circuits file-level with
+    content hashes per bucket before any row-level join.
+    """
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit("base").alias("src"),
+    )
+    after = apply_merge(base, cdc_change_set(o)).select(
+        "o_orderkey", F.col("price").alias("new_price")
+    )
+    b = o.select("o_orderkey", F.col("o_totalprice").alias("old_price"))
+    j = b.join(
+        after,
+        b["o_orderkey"] == after["o_orderkey"],
+        "full_outer",
+    )
+    return (
+        j.select(
+            F.coalesce(b["o_orderkey"], after["o_orderkey"]).alias(
+                "o_orderkey"
+            ),
+            F.when(b["o_orderkey"].isNull(), "added")
+            .when(after["o_orderkey"].isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+            "old_price",
+            "new_price",
+        )
+        .where(
+            F.col("change_type").isin("added", "removed")
+            | (F.col("old_price") != F.col("new_price"))
+        )
+    )
