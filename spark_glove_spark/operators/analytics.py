@@ -209,6 +209,20 @@ def e8_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The deterministic change set as one SQL CTE body — composed into
+# MERGE_ORACLE (f8/i11) AND f9_snapshot_diff's oracle, so the
+# encodings of the change set (cdc_change_set and both oracles) can
+# never drift apart.
+CH_CTE_BODY = """
+    SELECT o_orderkey AS key,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE 'D' END AS op,
+           floor(o_totalprice * 110) / 100 AS new_price
+    FROM orders WHERE o_orderkey % 7 < 2
+    UNION ALL
+    SELECT o_orderkey + 100000000, 'I', floor(o_totalprice * 50) / 100
+    FROM orders WHERE o_orderkey % 7 = 2
+"""
+
 # Shared by f8_merge_upsert and i11_streaming_upsert: the streaming
 # replay of the same change set must converge to the same table.
 MERGE_ORACLE = """
@@ -774,16 +788,8 @@ def d17_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f9_snapshot_diff",
     section="C3,F4,B5",
     tags=("analytics", "cdc"),
-    oracle="""
-WITH ch AS (
-    SELECT o_orderkey AS key,
-           CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE 'D' END AS op,
-           floor(o_totalprice * 110) / 100 AS new_price
-    FROM orders WHERE o_orderkey % 7 < 2
-    UNION ALL
-    SELECT o_orderkey + 100000000, 'I', floor(o_totalprice * 50) / 100
-    FROM orders WHERE o_orderkey % 7 = 2
-),
+    oracle=f"""
+WITH ch AS ({CH_CTE_BODY}),
 after AS (
     SELECT coalesce(b.o_orderkey, ch.key) AS o_orderkey,
            CASE WHEN ch.op IN ('U', 'I') THEN ch.new_price

@@ -651,7 +651,7 @@ def a14_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="J5,J2",
     oracle="""
 SELECT event_id, user_id,
-       round(value * 100, 4) AS cents
+       floor(value * 100 * 10000 + 0.5) / 10000 AS cents
 FROM events
 WHERE event_type = 'purchase'
 """,
@@ -672,15 +672,23 @@ def j7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow.compute as pc
 
         for b in batches:
+            # floor(x*1e4 + 0.5)/1e4, not pc.round: pyarrow's default
+            # round mode is half-to-even while DuckDB rounds half-away
+            # — exact ties would diverge (the f8 cent-math rule)
+            cents = pc.divide(
+                pc.floor(
+                    pc.add(
+                        pc.multiply(
+                            pc.multiply(b.column("value"), pa.scalar(100.0)),
+                            pa.scalar(10000.0),
+                        ),
+                        pa.scalar(0.5),
+                    )
+                ),
+                pa.scalar(10000.0),
+            )
             yield pa.RecordBatch.from_arrays(
-                [
-                    b.column("event_id"),
-                    b.column("user_id"),
-                    pc.round(
-                        pc.multiply(b.column("value"), pa.scalar(100.0)),
-                        ndigits=4,
-                    ),
-                ],
+                [b.column("event_id"), b.column("user_id"), cents],
                 names=["event_id", "user_id", "cents"],
             )
 
@@ -697,7 +705,7 @@ def j7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="J4,C3",
     oracle="""
 SELECT o.o_orderkey,
-       round(o.o_totalprice, 2) AS header_total,
+       floor(o.o_totalprice * 100 + 0.5) / 100 AS header_total,
        floor(coalesce(sum(l.l_extendedprice * (1 - l.l_discount)), 0)
              * 100 + 0.5) / 100 AS line_total,
        count(l.l_orderkey) AS n_lines
@@ -761,11 +769,15 @@ def j8_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "o_orderkey": [key[0]],
-                "header_total": [round(float(odf["o_totalprice"].iloc[0]), 2)],
-                # floor cent-math: numpy's sum order differs from
-                # SQL's, and a value near a half-cent boundary flips
-                # under round(); floor(x*100+0.5)/100 matches the
-                # oracle expression exactly (the f8 rule)
+                "header_total": [
+                    math.floor(float(odf["o_totalprice"].iloc[0]) * 100 + 0.5)
+                    / 100
+                ],
+                # floor cent-math (the f8 rule): pins the ROUNDING
+                # expression to the oracle's; the summation order
+                # itself still differs (numpy vs SQL), so a group sum
+                # within 1 ulp of a half-cent boundary could in
+                # principle still flip — none do in these fixtures
                 "line_total": [math.floor(rev * 100 + 0.5) / 100],
                 "n_lines": [len(ldf)],
             }
