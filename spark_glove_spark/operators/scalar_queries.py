@@ -404,3 +404,38 @@ def g13_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lower(F.parse_url("url", F.lit("PROTOCOL"))).alias("scheme"),
     )
+
+
+@query(
+    "g14_bitwise_agg",
+    section="G5,D1",
+    oracle="""
+SELECT CAST(user_id % 8 AS BIGINT) AS grp,
+       bit_and(event_id) AS all_bits,
+       bit_or(event_id) AS any_bits,
+       bit_xor(event_id) AS parity_bits,
+       CAST(sum(bit_count(event_id)) AS BIGINT) AS total_popcount
+FROM events
+GROUP BY 1
+""",
+)
+def g14_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AGGREGATES (bit_and / bit_or / bit_xor per group, plus
+    summed popcounts) — the flag-mask rollup primitive: presence
+    masks union with bit_or, required-capability masks intersect with
+    bit_and, xor gives parity/checksum semantics. All are
+    single-pass, map-side-combinable, and associative-commutative, so
+    they merge like sums at any scale — the same mergeability story
+    as the CMS but for bit lattices.
+    """
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.col("user_id") % 8).cast("long").alias("grp")
+    ).agg(
+        F.bit_and("event_id").alias("all_bits"),
+        F.bit_or("event_id").alias("any_bits"),
+        F.bit_xor("event_id").alias("parity_bits"),
+        F.sum(F.bit_count("event_id")).cast("long").alias(
+            "total_popcount"
+        ),
+    )
