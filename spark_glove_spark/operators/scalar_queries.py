@@ -439,3 +439,42 @@ def g14_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_popcount"
         ),
     )
+
+
+@query(
+    "g15_try_semantics",
+    section="G1,G5,B4",
+    oracle="""
+SELECT doc_id,
+       TRY_CAST(lang AS INTEGER) AS lang_as_int,
+       TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS chars_roundtrip,
+       n_chars / nullif(doc_id % 5, 0) AS safe_ratio,
+       CASE WHEN n_chars % 3 = 0 THEN NULL
+            ELSE CAST(n_chars AS DOUBLE) / (n_chars % 3) END AS mixed_div
+FROM documents
+""",
+)
+def g15_try_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_* semantics — the ANSI-mode safety valves (Spark 4 runs
+    ANSI ON by default, where a bad cast or division by zero KILLS
+    the job): ``try_cast`` turns unparseable input into NULL instead
+    of an exception, ``try_divide`` nulls division by zero. A 100 TB
+    ingest keeps strict ANSI for the math that must not silently
+    corrupt, and wraps exactly the columns fed by untrusted input in
+    TRY_* — per-expression opt-out, not a global ANSI off. The oracle
+    mirrors with DuckDB's TRY_CAST and nullif-guarded division.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("try_cast(lang AS int)").alias("lang_as_int"),
+        F.expr(
+            "try_cast(cast(n_chars AS string) AS int)"
+        ).alias("chars_roundtrip"),
+        F.try_divide(F.col("n_chars"), F.col("doc_id") % 5).alias(
+            "safe_ratio"
+        ),
+        F.try_divide(
+            F.col("n_chars").cast("double"), F.col("n_chars") % 3
+        ).alias("mixed_div"),
+    )
