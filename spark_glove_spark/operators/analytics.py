@@ -853,3 +853,51 @@ def f9_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("old_price") != F.col("new_price"))
         )
     )
+
+
+@query(
+    "d18_percent_change",
+    section="E3,D1,G4",
+    tags=("analytics",),
+    oracle="""
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)),
+                  '%Y-%m') AS month,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       round(lag(revenue) OVER (ORDER BY month), 2) AS prev_revenue,
+       floor((revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month) * 1000000 + 0.5)
+           / 10000 AS pct_change
+FROM monthly
+""",
+)
+def d18_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period change — the month-over-month revenue delta
+    every BI layer reports: fact-sized work collapses into the
+    monthly aggregate FIRST (map-side-combinable), then a single lag
+    window runs over the ~dozens-of-rows series, so the window cost
+    is independent of fact scale (the same pre-aggregate-then-window
+    discipline as e9). First month's change is NULL by construction.
+    Percentages use the floor half-up idiom — ratios land on exact
+    rounding ties more often than raw sums do.
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(prev, 2).alias("prev_revenue"),
+        (
+            F.floor(
+                (F.col("revenue") - prev) / prev * 1000000 + 0.5
+            )
+            / 10000
+        ).alias("pct_change"),
+    )
