@@ -182,9 +182,10 @@ FROM d WHERE prev IS NULL OR prev <> state
 def e8_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing-dimension build from an event log: track
     each user's event_type as a versioned state — one row per state
-    CHANGE with [valid_from, valid_to) and the classic 9999-12-31
-    open-row sentinel. (ts, event_id) is the deterministic ordering
-    tiebreak.
+    CHANGE with [valid_from, valid_to) and a 2100-01-01 open-row
+    sentinel (chosen instead of the classic 9999-12-31 because Arrow
+    nanosecond timestamps overflow past 2262). (ts, event_id) is the
+    deterministic ordering tiebreak.
 
     Plan shape: two windows over the same (user_id | ts, event_id)
     ordering — Spark computes both in one sort, one shuffle total;
@@ -225,16 +226,10 @@ CH_CTE_BODY = """
 
 # Shared by f8_merge_upsert and i11_streaming_upsert: the streaming
 # replay of the same change set must converge to the same table.
-MERGE_ORACLE = """
-WITH ch AS (
-    SELECT o_orderkey AS key,
-           CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE 'D' END AS op,
-           floor(o_totalprice * 110) / 100 AS new_price
-    FROM orders WHERE o_orderkey % 7 < 2
-    UNION ALL
-    SELECT o_orderkey + 100000000, 'I', floor(o_totalprice * 50) / 100
-    FROM orders WHERE o_orderkey % 7 = 2
-)
+# Interpolates CH_CTE_BODY so the change-set encoding genuinely has
+# one source of truth (an edit there flows into f8/i11 AND f9).
+MERGE_ORACLE = f"""
+WITH ch AS ({CH_CTE_BODY})
 SELECT coalesce(b.o_orderkey, ch.key) AS o_orderkey,
        CASE WHEN ch.op IN ('U', 'I') THEN ch.new_price
             ELSE b.o_totalprice END AS price,
@@ -566,7 +561,8 @@ WITH mm AS (
   SELECT min(value) AS mn, max(value) AS mx FROM events
 )
 SELECT event_type,
-       CAST(least(floor((value - mn) * 10 / (mx - mn)), 9) AS BIGINT)
+       CAST(least(floor((value - mn) * 10 / greatest(mx - mn, 1e-12)), 9)
+                AS BIGINT)
            AS bin,
        count(*) AS n
 FROM events, mm
@@ -578,8 +574,10 @@ def d14_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global [min, max], top bin closed. The bounds pass is one tiny
     broadcast aggregate; binning is pure codegen arithmetic and the
     final aggregate is bounded by types x bins. The IEEE expression
-    ``(value - mn) * 10 / (mx - mn)`` is kept structurally identical
-    in both engines, so bin edges are bit-reproducible.
+    ``(value - mn) * 10 / greatest(mx - mn, 1e-12)`` is kept
+    structurally identical in both engines, so bin edges are
+    bit-reproducible; the ``greatest`` floor degrades a constant
+    column to a single bin instead of an ANSI divide-by-zero error.
     """
     e = table(spark, sf_dir, "events")
     mm = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
@@ -587,7 +585,9 @@ def d14_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         F.least(
             F.floor(
-                (F.col("value") - F.col("mn")) * 10 / (F.col("mx") - F.col("mn"))
+                (F.col("value") - F.col("mn"))
+                * 10
+                / F.greatest(F.col("mx") - F.col("mn"), F.lit(1e-12))
             ),
             F.lit(9),
         ).cast("long"),

@@ -27,7 +27,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_glove_spark.registry import query
+from spark_glove_spark.registry import defer_cleanup, query
 from spark_glove_spark.sources import table
 
 _BLOOM_SEEDS = (11, 23, 47)  # k = 3 hash functions
@@ -237,6 +237,7 @@ def a9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     must produce the identical table.
     """
     import tempfile
+    import uuid
 
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
@@ -245,9 +246,14 @@ def a9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     tmp = tempfile.mkdtemp(prefix="bucketed_")
+    # Per-run unique table names: permanent catalog entries with fixed
+    # names would collide across concurrent runs sharing a warehouse.
+    run_id = uuid.uuid4().hex[:8]
+    t_orders = f"sgs_bucketed_orders_{run_id}"
+    t_lineitem = f"sgs_bucketed_lineitem_{run_id}"
     for df, name, key in (
-        (o, "sgs_bucketed_orders", "o_orderkey"),
-        (li, "sgs_bucketed_lineitem", "l_orderkey"),
+        (o, t_orders, "o_orderkey"),
+        (li, t_lineitem, "l_orderkey"),
     ):
         # One file per bucket: repartition(8, key) uses the same
         # murmur3-mod-8 hash as the bucketizer, so each write task
@@ -267,14 +273,28 @@ def a9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is on (it is only valid with one file per bucket — guaranteed by
     # the repartition above). Without it the join stays Exchange-free
     # but re-sorts both sides; with it the files' order is trusted and
-    # the SMJ reads matching buckets with no Sort either.
-    spark.conf.set(
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
-    )
-    bo = spark.table("sgs_bucketed_orders").where(
+    # the SMJ reads matching buckets with no Sort either. Physical
+    # planning reads the conf at ACTION time (after this function
+    # returns), so it can't be restored inline; a deferred cleanup
+    # restores it — and drops the temp tables — once the caller has
+    # consumed the result (next declared query's safe point).
+    _ORDERING_CONF = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prior = spark.conf.get(_ORDERING_CONF, None)
+    spark.conf.set(_ORDERING_CONF, "true")
+
+    def _restore() -> None:
+        if prior is None:
+            spark.conf.unset(_ORDERING_CONF)
+        else:
+            spark.conf.set(_ORDERING_CONF, prior)
+        for t in (t_orders, t_lineitem):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    defer_cleanup(_restore)
+    bo = spark.table(t_orders).where(
         F.col("o_orderdate") >= F.lit("1994-01-01")
     )
-    bl = spark.table("sgs_bucketed_lineitem")
+    bl = spark.table(t_lineitem)
     return (
         bl.hint("merge")
         .join(bo, bl["l_orderkey"] == bo["o_orderkey"])

@@ -372,8 +372,9 @@ WITH r AS (
   FROM events
 )
 SELECT user_id, CAST(n AS BIGINT) AS n_events,
-       round(sum(CASE WHEN rn = 1 THEN power(0.7, n - 1) * value
-                      ELSE 0.3 * power(0.7, n - rn) * value END), 4)
+       floor(sum(CASE WHEN rn = 1 THEN power(0.7, n - 1) * value
+                      ELSE 0.3 * power(0.7, n - rn) * value END)
+             * 1e4 + 0.5) / 1e4
            AS ewma
 FROM r GROUP BY user_id, n
 """,
@@ -391,11 +392,15 @@ def c9_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact shape of its streaming twin (I6 flatMapGroupsWithState).
     The oracle is the closed form (sum of geometrically-decayed
     terms), which a SQL engine can express but only at O(n) pow calls
-    per row — the recursion is the scale path. Rounded to 4 dp; the
-    two formulations agree to ~1e-13 relative, far inside the
+    per row — the recursion is the scale path. Quantized to 4 dp with
+    the repo's floor(x*1e4+0.5)/1e4 half-up idiom in BOTH engines
+    (Python round() is banker's half-to-even, SQL round() is half
+    away from zero — a tie-adjacent value could flip between them);
+    the two formulations agree to ~1e-13 relative, far inside the
     quantum. Deep histories underflow the oracle's pow() to zero
     gracefully; the recursion never overflows by construction.
     """
+    import math
     e = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
@@ -414,7 +419,7 @@ def c9_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
-                "ewma": [round(float(y), 4)],
+                "ewma": [math.floor(float(y) * 1e4 + 0.5) / 1e4],
             }
         )
 

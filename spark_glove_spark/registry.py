@@ -52,11 +52,31 @@ def defer_unpersist(df: DataFrame) -> DataFrame:
     return df
 
 
+# Generic deferred cleanups (same safe point as deferred unpersist):
+# callables run when the NEXT declared query starts — after the caller
+# has consumed the previous result. Used for session-conf restores and
+# temp-table drops that must outlive lazy plan execution (e.g. a9's
+# bucketed-scan legacy conf, which physical planning reads at action
+# time, AFTER the query function has returned).
+_DEFERRED_CLEANUP: list[Callable[[], None]] = []
+
+
+def defer_cleanup(fn: Callable[[], None]) -> None:
+    """Run ``fn`` when the next declared query starts."""
+    _DEFERRED_CLEANUP.append(fn)
+
+
 def drain_deferred_unpersist() -> None:
     while _DEFERRED_UNPERSIST:
         df = _DEFERRED_UNPERSIST.pop()
         try:
             df.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    while _DEFERRED_CLEANUP:
+        fn = _DEFERRED_CLEANUP.pop()
+        try:
+            fn()
         except Exception:  # noqa: BLE001 — session may already be gone
             pass
 
