@@ -194,6 +194,92 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "h1_unicode_tokenize",
+    section="H1,G2,G6",
+    tags=("llm-pipeline",),
+    oracle=r"""
+WITH messy AS (
+  SELECT doc_id,
+         concat(
+           'Héllo №', CAST(doc_id AS VARCHAR), ': ',
+           replace(text, ' ',
+                   CASE doc_id % 4 WHEN 0 THEN ' ' WHEN 1 THEN ', '
+                                   WHEN 2 THEN '—' ELSE ' … ' END),
+           CASE doc_id % 3 WHEN 0 THEN ' (fin / конец)'
+                           WHEN 1 THEN ' — DONE; ok?'
+                           ELSE ' 你好,世界!' END
+         ) AS mtext
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         regexp_extract_all(mtext, '[\p{L}\p{N}]+') AS toks
+  FROM messy
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(
+           list_transform(toks, t -> lower(t)))) AS BIGINT)
+           AS n_unique_lower,
+       toks[1] AS first_tok,
+       toks[len(toks)] AS last_tok
+FROM tok
+""",
+)
+def h1_unicode_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 on REAL-WORLD text: regex tokenization of messy
+    punctuation/unicode input — the first thing a raw corpus hits,
+    where the fixture's space-delimited tokenizer (h1_token_stats)
+    stops being enough. The messy text is synthesized
+    deterministically from the documents fixture (the mm_* pattern):
+    an accented/symbol prefix, per-doc separator rewriting (comma, em
+    dash, ellipsis), and a cyrillic/CJK/punctuation suffix, so a
+    DuckDB oracle can hash-match the result byte-for-byte.
+
+    Tokens are maximal runs of Unicode letters/digits
+    (``[\\p{L}\\p{N}]+`` — the same class semantics in Java regex and
+    RE2), reported as per-doc counts plus first/last token so the hash
+    covers the token STREAM, not just its length. Lowercase-distinct
+    exercises unicode-aware case folding on the cyrillic suffix. Plan:
+    pure codegen string expressions, one scan, no shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    sep = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" "))
+        .when(F.col("doc_id") % 4 == 1, F.lit(", "))
+        .when(F.col("doc_id") % 4 == 2, F.lit("—"))
+        .otherwise(F.lit(" … "))
+    )
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" (fin / конец)"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" — DONE; ok?"))
+        .otherwise(F.lit(" 你好,世界!"))
+    )
+    mtext = F.concat(
+        F.lit("Héllo №"),
+        F.col("doc_id").cast("string"),
+        F.lit(": "),
+        F.replace(F.col("text"), F.lit(" "), sep),
+        suffix,
+    )
+    toks = F.expr(
+        r"regexp_extract_all(mtext, '[\\p{L}\\p{N}]+', 0)"
+    )
+    return (
+        d.select("doc_id", mtext.alias("mtext"))
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(
+                F.array_distinct(F.transform(toks, F.lower))
+            ).cast("long").alias("n_unique_lower"),
+            F.element_at(toks, 1).alias("first_tok"),
+            F.element_at(toks, -1).alias("last_tok"),
+        )
+    )
+
+
 _SUBSAMPLE_T = 1e-3
 _SUBSAMPLE_KNUTH = 2654435761
 
