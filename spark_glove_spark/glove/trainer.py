@@ -83,6 +83,12 @@ class GloveConfig:
     eta: float = 0.2
     iterations: int = 15
     seed: int = 42
+    # "uniform": reference C init, per-id seeded PCG64 RNG (default).
+    # "grid": closed-form integer-mod init — exactly expressible in
+    # plain SQL, so a micro fit can be hash-checked end-to-end against
+    # a DuckDB oracle that unrolls the same iterations (the
+    # h5_glove_fit_micro driver gate). Same training math either way.
+    init: str = "uniform"
     blocks: int = 32  # merge-block count; ≈ cluster cores at scale
     # Max parameter-table size (words × dim) that still broadcasts in
     # the per-iteration X ⋈ params join; above it the join falls back
@@ -266,15 +272,27 @@ def build_cooccurrence(
 def _init_params(vocab: DataFrame, cfg: GloveConfig) -> DataFrame:
     """Distributed parameter init: uniform in ±0.5/dim (reference C
     init), per-id seeded RNG so results are independent of
-    partitioning; AdaGrad accumulators start at 1.0."""
-    dim, seed = cfg.dim, cfg.seed
+    partitioning; AdaGrad accumulators start at 1.0. ``cfg.init ==
+    "grid"`` swaps the RNG for a closed-form integer-mod formula
+    (values in ±0.10, exactly representable) that a SQL oracle can
+    reproduce term-for-term."""
+    dim, seed, mode = cfg.dim, cfg.seed, cfg.init
 
     def init(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for word_id in pdf["id"]:
-                rng = np.random.default_rng([seed, int(word_id)])
-                vecs = (rng.random((2, dim)) - 0.5) / dim
+                if mode == "grid":
+                    k = np.arange(dim, dtype=np.int64) + int(word_id) * dim
+                    vecs = np.stack(
+                        [
+                            (k * 37 % 21 - 10) / 100.0,
+                            (k * 53 % 21 - 10) / 100.0,
+                        ]
+                    )
+                else:
+                    rng = np.random.default_rng([seed, int(word_id)])
+                    vecs = (rng.random((2, dim)) - 0.5) / dim
                 rows.append(
                     {
                         "id": int(word_id),

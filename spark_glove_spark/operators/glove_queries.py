@@ -51,6 +51,143 @@ def h5_glove_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _micro_fit_oracle(iters: int = 3, eta: float = 0.2) -> str:
+    """Unrolled-CTE DuckDB replica of ``iters`` synchronous batch
+    AdaGrad GloVe iterations at dim=2/window=2 with the SQL-exact
+    "grid" init — the same unroll trick that hash-checked the
+    h17_quality_classifier LR loop. Every CTE mirrors one stage of the
+    trainer: vocabulary → symmetric X with ln/f(x) → init → per-pair
+    fd → per-word MEAN gradients (both sides) → AdaGrad step using the
+    PRE-update accumulator, accumulator += grad² after."""
+    head = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, unnest(t) AS word, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+),
+vc AS (SELECT word, count(*) AS freq FROM pos GROUP BY 1
+       HAVING count(*) >= 5),
+vid AS (
+  SELECT word,
+         CAST(row_number() OVER (ORDER BY freq DESC, word) - 1 AS BIGINT)
+             AS id
+  FROM vc
+),
+xw AS (
+  SELECT least(a.word, b.word) AS wi, greatest(a.word, b.word) AS wj,
+         sum(1.0 / (b.pos - a.pos)) AS x
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+  GROUP BY 1, 2
+),
+xid AS (
+  SELECT vi.id AS i, vj.id AS j, xw.x
+  FROM xw JOIN vid vi ON vi.word = xw.wi JOIN vid vj ON vj.word = xw.wj
+),
+xsym AS (
+  SELECT i, j, x FROM xid WHERE i <> j
+  UNION ALL SELECT j AS i, i AS j, x FROM xid WHERE i <> j
+  UNION ALL SELECT i, j, 2 * x AS x FROM xid WHERE i = j
+),
+xx AS (SELECT i, j, ln(x) AS logx,
+              pow(least(x / 100.0, 1.0), 0.75) AS fx
+       FROM xsym),
+p0 AS (
+  SELECT id,
+         ((id * 2 + 0) * 37 % 21 - 10) / 100.0 AS w0,
+         ((id * 2 + 1) * 37 % 21 - 10) / 100.0 AS w1,
+         ((id * 2 + 0) * 53 % 21 - 10) / 100.0 AS c0,
+         ((id * 2 + 1) * 53 % 21 - 10) / 100.0 AS c1,
+         0.0 AS b, 0.0 AS bc,
+         1.0 AS gw0, 1.0 AS gw1, 1.0 AS gc0, 1.0 AS gc1,
+         1.0 AS gb, 1.0 AS gbc
+  FROM vid
+)"""
+    steps = []
+    for t in range(iters):
+        steps.append(f""",
+d{t} AS (
+  SELECT xx.i, xx.j,
+         xx.fx * (pi.w0 * pj.c0 + pi.w1 * pj.c1 + pi.b + pj.bc
+                  - xx.logx) AS fd,
+         pi.w0 AS iw0, pi.w1 AS iw1, pj.c0 AS jc0, pj.c1 AS jc1
+  FROM xx JOIN p{t} pi ON pi.id = xx.i JOIN p{t} pj ON pj.id = xx.j
+),
+gc{t} AS (
+  SELECT i AS id, sum(fd * jc0) / count(*) AS dv0,
+         sum(fd * jc1) / count(*) AS dv1, sum(fd) / count(*) AS db
+  FROM d{t} GROUP BY 1
+),
+gx{t} AS (
+  SELECT j AS id, sum(fd * iw0) / count(*) AS dv0,
+         sum(fd * iw1) / count(*) AS dv1, sum(fd) / count(*) AS db
+  FROM d{t} GROUP BY 1
+),
+p{t + 1} AS (
+  SELECT p.id,
+    CASE WHEN gc.id IS NULL THEN p.w0
+         ELSE p.w0 - {eta} * gc.dv0 / sqrt(p.gw0) END AS w0,
+    CASE WHEN gc.id IS NULL THEN p.w1
+         ELSE p.w1 - {eta} * gc.dv1 / sqrt(p.gw1) END AS w1,
+    CASE WHEN gx.id IS NULL THEN p.c0
+         ELSE p.c0 - {eta} * gx.dv0 / sqrt(p.gc0) END AS c0,
+    CASE WHEN gx.id IS NULL THEN p.c1
+         ELSE p.c1 - {eta} * gx.dv1 / sqrt(p.gc1) END AS c1,
+    CASE WHEN gc.id IS NULL THEN p.b
+         ELSE p.b - {eta} * gc.db / sqrt(p.gb) END AS b,
+    CASE WHEN gx.id IS NULL THEN p.bc
+         ELSE p.bc - {eta} * gx.db / sqrt(p.gbc) END AS bc,
+    CASE WHEN gc.id IS NULL THEN p.gw0
+         ELSE p.gw0 + gc.dv0 * gc.dv0 END AS gw0,
+    CASE WHEN gc.id IS NULL THEN p.gw1
+         ELSE p.gw1 + gc.dv1 * gc.dv1 END AS gw1,
+    CASE WHEN gx.id IS NULL THEN p.gc0
+         ELSE p.gc0 + gx.dv0 * gx.dv0 END AS gc0,
+    CASE WHEN gx.id IS NULL THEN p.gc1
+         ELSE p.gc1 + gx.dv1 * gx.dv1 END AS gc1,
+    CASE WHEN gc.id IS NULL THEN p.gb
+         ELSE p.gb + gc.db * gc.db END AS gb,
+    CASE WHEN gx.id IS NULL THEN p.gbc
+         ELSE p.gbc + gx.db * gx.db END AS gbc
+  FROM p{t} p
+  LEFT JOIN gc{t} gc ON gc.id = p.id
+  LEFT JOIN gx{t} gx ON gx.id = p.id
+)""")
+    tail = f"""
+SELECT v.word, p.id,
+       round(p.w0 + p.c0, 6) AS v0, round(p.w1 + p.c1, 6) AS v1
+FROM p{iters} p JOIN vid v ON v.id = p.id
+"""
+    return head + "".join(steps) + tail
+
+
+@query(
+    "h5_glove_fit_micro",
+    section="H5,J4,J5,D8,D9",
+    oracle=_micro_fit_oracle(),
+)
+def h5_glove_fit_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5 with a REAL hash-match (VERDICT r3 item 5): the exact same
+    distributed training machinery as h5_glove_fit (X ⋈ params joins,
+    mapInPandas gradient kernel, fused cogrouped merge+AdaGrad step,
+    localCheckpoint per iteration) at dim=2 / window=2 / 3 iterations,
+    but with the SQL-expressible "grid" init — so a DuckDB oracle can
+    unroll the identical iterations CTE-by-CTE and match the final
+    vectors to 6 dp. This promotes the engine's signature operator
+    from a rows-only driver check to a value-hashed one; the
+    production-shaped fit (seeded RNG init, dim 8) stays covered by
+    h5_glove_fit + the pytest property teeth."""
+    model = Glove(
+        dim=2, window=2, min_count=5, iterations=3, eta=0.2, init="grid"
+    ).fit(table(spark, sf_dir, "documents"))
+    return model.vectors.select(
+        "word",
+        "id",
+        F.round(F.element_at("vector", 1), 6).alias("v0"),
+        F.round(F.element_at("vector", 2), 6).alias("v1"),
+    )
+
+
 @query("h6_model_export_roundtrip", section="H6,A3")
 def h6_model_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H6+A3: fit → write model parquet → read back (sink/source
