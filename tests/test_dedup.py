@@ -246,3 +246,46 @@ def test_semantic_dedup_drop_set_verified_and_recall(spark):
         .count()
     )
     assert pair == 1, "identical vectors must share a cluster"
+
+
+def test_span_dedup_multi_finds_injected_long_duplicate(spark, tmp_path):
+    """VERDICT r3 item 7: a 40-token span shared by two otherwise
+    unrelated docs must surface at every ladder rung, and the k=32
+    island union must recover the FULL 40-token extent (fixed k=8
+    alone reports it, but only the ladder proves the span is long)."""
+    from spark_glove_spark.api import queries
+
+    span = " ".join(f"tok{i}" for i in range(40))
+    filler_a = " ".join(f"aaa{i}" for i in range(20))
+    filler_b = " ".join(f"bbb{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler_a} {span}", "en", "src0", 0),
+            (2, f"{span} {filler_b}", "en", "src1", 0),
+            (3, f"{filler_a} {filler_b}", "en", "src2", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    out = queries()["h17_span_dedup_multi"](spark, sf_dir)
+    rows = {(r["doc_id"], r["k"]): r for r in out.collect()}
+    # Docs 1/2 share the 40-token span with each other AND their
+    # 20-token filler with doc 3, so at k<=16 the dup windows are
+    # span (40-k+1) + filler (20-k+1) and coverage is 60 tokens in
+    # two islands; at k=32 only the long span survives the rung.
+    for did in (1, 2):
+        for k in (8, 16):
+            r = rows[(did, k)]
+            assert r["n_dup_windows"] == (40 - k + 1) + (20 - k + 1)
+            assert r["covered_tokens"] == 60
+            assert r["max_span_tokens"] == 40
+        r = rows[(did, 32)]
+        assert r["n_dup_windows"] == 40 - 32 + 1
+        assert r["covered_tokens"] == 40
+        assert r["max_span_tokens"] == 40
+    # doc 3's duplicates are both 20-token fillers: visible at k<=16
+    # but NOT at k=32 — the ladder separates span-length classes.
+    assert rows[(3, 8)]["max_span_tokens"] == 20
+    assert rows[(3, 8)]["covered_tokens"] == 40
+    assert (3, 32) not in rows
