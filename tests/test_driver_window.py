@@ -75,23 +75,51 @@ def test_oracle_keys_match_query_keys_in_lockstep():
     assert rows_only == set(api.queries()) - set(plain)
 
 
-def test_window_covers_rows_missing_from_round2():
-    """Every SURVEY.md §2 row without a driver-green CORRECTNESS_r02
-    entry must have at least one representative inside the window."""
-    required = (
-        # one query per §2 row that had zero green rows after r2
-        ["h%d" % i for i in range(1, 18)]  # H1..H17 prefixes
-        + ["i%d" % i for i in range(1, 8)]  # I1..I7 (A5/A6 ride on these)
-        + ["j%d" % i for i in range(1, 7)]  # J1..J6
-        + ["g%d" % i for i in range(1, 10)]  # G1..G9
-        + ["g11"]
-        + ["h3"]  # D9 rides on h3 co-occurrence agg
-        + ["mm"]
-    )
-    for prefix in required:
-        assert any(
-            n == prefix or n.startswith(prefix + "_") for n in DRIVER_PRIORITY
-        ), f"no priority query for §2 row {prefix}"
+def test_window_contains_only_never_driver_checked_queries():
+    """VERDICT r3 item 1: the round-4 window must spend all 50 slots
+    on queries with no driver-green row in ANY recorded round, so the
+    cross-round union grows by the full window size."""
+    import json
+
+    checked: set[str] = set()
+    for rec in ("CORRECTNESS_r01", "CORRECTNESS_r02", "CORRECTNESS_r03"):
+        path = os.path.join(REPO, f"{rec}.json")
+        if os.path.exists(path):
+            checked |= {original_name(k) for k in json.load(open(path))}
+    stale = [n for n in DRIVER_PRIORITY if n in checked]
+    assert not stale, f"window wastes slots on already-checked: {stale}"
+
+
+def test_window_covers_the_rotation_waves():
+    """The rotation must carry every wave VERDICT r3 called out."""
+    waves = {
+        "tpch": [n for n in DRIVER_PRIORITY if n.startswith("sql_tpch_")],
+        "cdc": [n for n in DRIVER_PRIORITY if n in ("f8_merge_upsert", "f9_snapshot_diff")],
+        "analytics_e": [n for n in DRIVER_PRIORITY if n.startswith("e")],
+        "analytics_d": [n for n in DRIVER_PRIORITY if n.startswith("d1")],
+        "graph": [n for n in DRIVER_PRIORITY if n.startswith("graph_")],
+        "temporal": [n for n in DRIVER_PRIORITY if n.startswith("c9_")],
+        "scale_a": [n for n in DRIVER_PRIORITY if n.startswith("a")],
+        "round4_new": [
+            n
+            for n in DRIVER_PRIORITY
+            if n
+            in (
+                "h5_glove_fit_micro",
+                "h1_unicode_tokenize",
+                "h17_span_dedup_multi",
+                "h10_tfidf_doc_sim",
+            )
+        ],
+    }
+    assert len(waves["tpch"]) == 19
+    assert len(waves["cdc"]) == 2
+    assert len(waves["analytics_e"]) == 4
+    assert len(waves["analytics_d"]) == 9
+    assert len(waves["graph"]) == 3
+    assert len(waves["temporal"]) == 5
+    assert len(waves["scale_a"]) == 4
+    assert len(waves["round4_new"]) == 4
 
 
 def test_driver_keys_sort_before_every_organic_name():
