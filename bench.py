@@ -84,7 +84,19 @@ def main() -> None:
     times: dict[str, float] = {}
 
     def timed(name, fn) -> None:
-        reps = 3 if BASELINE_SEC.get(name, 99.0) < 2.5 else 2
+        # h13 gets min-of-3 despite its 5.5 s baseline (VERDICT r3
+        # item 3): its r1/r2 numbers turned out to be warm-cache
+        # artifacts (plan-equality cache hits across reps before the
+        # deferred-unpersist hygiene landed), so its honest cold time
+        # deserves the same repetition as the cheap queries.
+        reps = (
+            3
+            if (
+                BASELINE_SEC.get(name, 99.0) < 2.5
+                or name == "h13_minhash_neardup"
+            )
+            else 2
+        )
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
