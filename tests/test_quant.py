@@ -119,23 +119,35 @@ def test_quantized_knn_recall_vs_exact(spark):
     assert recall >= 0.9, recall
 
 
-def test_pq_ann_recall_vs_exact(spark):
-    """Product quantization (8 subspaces x 16 centroids, ADC scoring,
-    exact re-rank of 30 survivors) must recover >= 0.4 of the exact
-    h15 top-10 at sf0.001 — the 32x-compression/recall tradeoff point
-    measured for this corpus (0.48 at sf0.001, 0.58 at sf0.01; the
-    numpy replica of the same pipeline measures 0.46)."""
+def _recall_vs_exact(spark, qname, sf):
     from spark_glove_spark import api
 
-    sf = SF
     exact = api.REGISTRY["h15_knn_bruteforce"].fn(spark, sf).collect()
-    approx = api.REGISTRY["h16_pq_ann"].fn(spark, sf).collect()
+    approx = api.REGISTRY[qname].fn(spark, sf).collect()
     ex, ap = {}, {}
     for r in exact:
         ex.setdefault(r["probe_id"], set()).add(r["vec_id"])
     for r in approx:
         ap.setdefault(r["probe_id"], set()).add(r["vec_id"])
-    recall = sum(len(ex[p] & ap.get(p, set())) for p in ex) / sum(
+    return sum(len(ex[p] & ap.get(p, set())) for p in ex) / sum(
         len(ex[p]) for p in ex
     )
-    assert recall >= 0.4, recall
+
+
+def test_pq_ann_recall_vs_exact(spark):
+    """Product quantization (8 subspaces x 16 centroids, ADC scoring,
+    exact re-rank of 100 survivors) must recover >= 0.7 of the exact
+    h15 top-10 (VERDICT r3 item 6; measured 0.88 at sf0.001 AND
+    sf0.01 after the re-rank depth went 30 -> 100; depth 30 measured
+    only 0.48/0.58)."""
+    recall = _recall_vs_exact(spark, "h16_pq_ann", SF)
+    assert recall >= 0.7, recall
+
+
+def test_lsh_multitable_recall_vs_exact(spark):
+    """Multi-table LSH (4 planes x 3 tables, 1-bit multiprobe) must
+    recover >= 0.85 of the exact top-10 at sf0.001 (deterministic
+    seeded hyperplanes: measured 0.94 here, 0.80 at sf0.01 — vs
+    0.48/0.50 for the single-table budget point)."""
+    recall = _recall_vs_exact(spark, "h16_lsh_multitable", SF)
+    assert recall >= 0.85, recall
