@@ -1266,6 +1266,16 @@ def h17_span_dedup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = parts[0]
     for p in parts[1:]:
         grams = grams.unionByName(p)
+    # Three consumers (gram frequency, per-doc totals, dup join) read
+    # this stream — persist it ONCE, with grams reduced to xxhash64
+    # longs (identity-only use; counts are hash-invariant), so the
+    # corpus is tokenized/exploded once instead of three times and
+    # every downstream shuffle carries 8-byte keys.
+    grams = defer_unpersist(
+        grams.select(
+            "doc_id", "k", "pos", F.xxhash64("g").alias("g")
+        ).persist()
+    )
     nd = grams.groupBy("k", "g").agg(
         F.countDistinct("doc_id").alias("ndocs")
     )

@@ -82,8 +82,16 @@ EXCHANGE_ALLOWANCE = {
     "h10_bm25": 13,
     "h14_similarity_join": 10,
     # printed plan re-expands the persisted tf/v subtrees under each
-    # InMemoryRelation consumer; the executed DAG reuses them
-    "h10_tfidf_doc_sim": 36,
+    # InMemoryRelation consumer; the executed DAG reuses them. r4: the
+    # champion-list candidate stage adds two more consumers of v
+    # (champ window + cands join), each re-printing the persisted
+    # subtree — executed shuffles stay ~a dozen.
+    "h10_tfidf_doc_sim": 53,
+    # same artifact: the persisted hashed-gram stream is printed under
+    # each of its three consumers (nd / tot / dupw); executed DAG
+    # shuffles are ~10 (3 aggs, dup join, island window, 2 stat aggs,
+    # 2 final joins) for a 3-rung ladder.
+    "h17_span_dedup_multi": 22,
 }
 
 
