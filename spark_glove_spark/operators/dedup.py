@@ -228,6 +228,134 @@ def h13_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "h13_url_dedup",
+    section="H12,G2,G13",
+    tags=("dedup", "llm-pipeline"),
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'https://cdn.example.com/docs/'
+                       || CAST(doc_id % 97 AS VARCHAR)
+           WHEN 1 THEN 'HTTP://CDN.EXAMPLE.COM/docs/'
+                       || CAST(doc_id % 97 AS VARCHAR)
+           WHEN 2 THEN 'https://www.cdn.example.com/docs/'
+                       || CAST(doc_id % 97 AS VARCHAR) || '/'
+           WHEN 3 THEN 'https://cdn.example.com/docs/'
+                       || CAST(doc_id % 97 AS VARCHAR)
+                       || '?utm_source=feed&utm_campaign=x'
+           ELSE 'https://cdn.example.com/docs/'
+                       || CAST(doc_id % 97 AS VARCHAR) || '?lang=en'
+         END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         'https://'
+         || regexp_replace(
+              lower(regexp_extract(
+                  regexp_replace(url, '^[A-Za-z]+://', ''),
+                  '^([^/?]+)', 1)),
+              '^www\\.', '')
+         || regexp_replace(
+              regexp_replace(
+                  regexp_extract(
+                      regexp_replace(url, '^[A-Za-z]+://', ''),
+                      '^[^/?]+(.*)$', 1),
+                  '[?&]utm_[a-z]+=[^&]*', '', 'g'),
+              '/$', '')
+             AS canonical_url
+  FROM raw
+)
+SELECT canonical_url,
+       min(doc_id) AS rep_doc_id,
+       count(*) AS n_docs
+FROM canon GROUP BY 1
+""",
+)
+def h13_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the cheapest, highest-yield dedup
+    pass in any web-corpus pipeline, run BEFORE content hashing: the
+    same page arrives as scheme/case variants, www-prefixed,
+    trailing-slashed, and tracking-parameter-tagged copies. URLs are
+    synthesized deterministically from the fixture: variant class =
+    doc_id mod 5, path key = doc_id mod 97 — 97 is coprime to 5, so
+    docs sharing a path key span DIFFERENT variant classes and the
+    canonicalizer must genuinely merge scheme/case/www/slash/utm
+    variants into one group. Fully oracle-checked; real params
+    (?lang=en) survive canonicalization — only utm_* tracking params
+    are stripped, so the lang variant stays its own group.
+
+    Canonical form: lowercase host without leading www., scheme
+    normalized to https, trailing slash and utm_* params dropped, via
+    a regexp_replace chain kept to the Java/RE2 common subset. Then
+    one groupBy canonical_url keeping min(doc_id) as representative.
+    Plan: pure codegen string expressions + ONE shuffle on the
+    canonical key — at 100 TB this is the map-side-combined exact
+    dedup shape (f5/h12) with the canonicalizer fused into the scan.
+    """
+    d = table(spark, sf_dir, "documents")
+    key = (F.col("doc_id") % 97).cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("https://cdn.example.com/docs/"), key),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("HTTP://CDN.EXAMPLE.COM/docs/"), key),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("https://www.cdn.example.com/docs/"),
+                key,
+                F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(
+                F.lit("https://cdn.example.com/docs/"),
+                key,
+                F.lit("?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn.example.com/docs/"),
+                key,
+                F.lit("?lang=en"),
+            )
+        )
+    )
+    noscheme = F.regexp_replace(raw, "^[A-Za-z]+://", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(noscheme, "^([^/?]+)", 1)),
+        "^www\\.",
+        "",
+    )
+    rest = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(noscheme, "^[^/?]+(.*)$", 1),
+            "[?&]utm_[a-z]+=[^&]*",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    canonical = F.concat(F.lit("https://"), host, rest)
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
 SIMJOIN_THRESHOLD = 0.4
 
 

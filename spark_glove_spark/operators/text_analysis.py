@@ -1168,6 +1168,90 @@ def h17_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "h17_sentence_split",
+    section="H17,H1,G2,G8",
+    tags=("llm-pipeline",),
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+built AS (
+  SELECT doc_id,
+         list_aggregate(
+           list_transform(range(len(t)), i ->
+             t[i + 1] ||
+             CASE WHEN i = len(t) - 1 THEN '.'
+                  WHEN i % 7 = 6 THEN
+                    CASE CAST(floor(i / 7.0) AS BIGINT) % 3
+                      WHEN 0 THEN '. ' WHEN 1 THEN '! ' ELSE '? ' END
+                  ELSE ' ' END),
+           'string_agg', '') AS prose
+  FROM toks
+),
+sent AS (
+  SELECT doc_id, string_split_regex(prose, '[.!?] ') AS sents
+  FROM built
+),
+cnt AS (
+  SELECT doc_id, sents,
+         list_transform(sents, s -> len(string_split(s, ' '))) AS counts
+  FROM sent
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       round(list_aggregate(counts, 'sum') * 1.0 / len(counts), 4)
+           AS avg_sentence_tokens,
+       CAST(list_aggregate(counts, 'max') AS BIGINT)
+           AS max_sentence_tokens,
+       sents[1] AS first_sentence
+FROM cnt
+""",
+)
+def h17_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation — the unit every downstream quality
+    heuristic (mean sentence length, fragment detection) and packing
+    policy (sentence-boundary truncation) wants but the raw fixture
+    lacks. Prose is synthesized deterministically: a sentence break
+    after every 7th token, terminator cycling . ! ? , final period
+    appended — so a DuckDB oracle can rebuild the identical prose and
+    the regex splitter ``[.!?] `` is hash-checked end to end (counts,
+    mean/max sentence length in tokens, and the first sentence
+    string).
+
+    Plan: pure higher-order array expressions (transform + aggregate)
+    in one projection — no shuffle, no UDF; the 100 TB shape is a
+    map-only pass fused into the scan.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    term = F.array(F.lit(". "), F.lit("! "), F.lit("? "))
+
+    def piece(tok, i):
+        cyc = F.element_at(term, (F.floor(i / 7.0) % 3 + 1).cast("int"))
+        return F.concat(
+            tok,
+            F.when(i == n - 1, F.lit("."))
+            .when(i % 7 == 6, cyc)
+            .otherwise(F.lit(" ")),
+        )
+
+    prose = F.array_join(F.transform(t, piece), "")
+    sents = F.split(prose, "[.!?] ")
+    counts = F.transform(sents, lambda s: F.size(F.split(s, " ")))
+    return d.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.round(
+            F.aggregate(counts, F.lit(0), lambda a, x: a + x)
+            * 1.0
+            / F.size(counts),
+            4,
+        ).alias("avg_sentence_tokens"),
+        F.array_max(counts).cast("long").alias("max_sentence_tokens"),
+        F.element_at(sents, 1).alias("first_sentence"),
+    )
+
+
 _SPAN_KS = (8, 16, 32)
 
 
