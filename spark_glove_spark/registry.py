@@ -228,6 +228,79 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 
 DRIVER_WINDOW = 50
 
+# The concrete round-5 rotation (next 50 never-driver-checked), fixed
+# NOW so the swap is mechanical: replace DRIVER_PRIORITY with R5_PLAN
+# at the start of round 5. tests/test_driver_window.py asserts that
+# prior-round records + DRIVER_PRIORITY + R5_PLAN + R6_SPILL exactly
+# cover the registry, so any new query must be slotted explicitly.
+R5_PLAN: tuple[str, ...] = (
+    "a8_zorder_layout",
+    "a11_schema_evolution",
+    "a13_corrupt_records",
+    "a14_compaction",
+    "c10_bloom_semi_join",
+    "c11_fuzzy_join",
+    "g12_listagg",
+    "g13_url_functions",
+    "g14_bitwise_agg",
+    "g15_try_semantics",
+    "h2_frequent_subsample",
+    "h3_cooccurrence_by_distance",
+    "h10_inverted_index",
+    "h13_embedding_neardup",
+    "h13_url_dedup",
+    "h15_centroid_classifier",
+    "h15_knn_classifier",
+    "h15_range_search",
+    "h17_bpe_token_count",
+    "h17_corpus_stats",
+    "h17_domain_mix_weights",
+    "h17_dsir_weights",
+    "h17_language_id",
+    "h17_lm_quality_score",
+    "h17_quality_classifier",
+    "h17_quality_score",
+    "h17_repetition_score",
+    "h17_rolling_fingerprint",
+    "h17_sentence_split",
+    "h17_span_dedup",
+    "h17_stratified_sample",
+    "h17_token_chunking",
+    "h17_weighted_resample",
+    "h17_bpe_segment",
+    "h17_bpe_train",
+    "i8_stream_stream_join",
+    "i10_streaming_ohlc",
+    "i11_streaming_upsert",
+    "i12_python_stream_source",
+    "i13_checkpoint_recovery",
+    "j7_map_in_arrow",
+    "j8_cogrouped_map",
+    "ml_kmeans",
+    "mm_byte_plumbing",
+    "mm_frame_sample",
+    "mm_resize",
+    "mm_video_decode",
+    "pipeline_curate_corpus",
+    "pipeline_training_batches",
+    "skew_salted_join",
+)
+
+# Round-6 spill: rows-only sketch/ANN variants whose driver record is
+# weakest (rows-only) AND whose pytest teeth are strongest — last in
+# line by design.
+R6_SPILL: tuple[str, ...] = (
+    "h13_minhash_clusters",
+    "h13_semantic_dedup",
+    "h13_simhash_fingerprints",
+    "h13_simhash_neardup",
+    "h15_mmr_rerank",
+    "h16_ivf_ann",
+    "h16_pq_ann",
+    "h16_lsh_multitable",
+    "mm_feature_extract",
+)
+
 
 def driver_key(rank: int, name: str) -> str:
     """Stable driver-facing key for priority slot ``rank`` (0-based)."""

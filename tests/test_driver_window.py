@@ -18,6 +18,8 @@ from spark_glove_spark import api
 from spark_glove_spark.registry import (
     DRIVER_PRIORITY,
     DRIVER_WINDOW,
+    R5_PLAN,
+    R6_SPILL,
     driver_key,
     original_name,
 )
@@ -128,6 +130,29 @@ def test_driver_keys_sort_before_every_organic_name():
     first_organic = min(organic)
     last_window = driver_key(DRIVER_WINDOW - 1, DRIVER_PRIORITY[-1])
     assert last_window < first_organic
+
+
+def test_rotation_plan_partitions_the_registry():
+    """Prior driver records + the r4 window + R5_PLAN + R6_SPILL must
+    cover every registered query with no overlaps among the plans —
+    so each future rotation is a mechanical list swap, and any NEW
+    query must be slotted into a plan explicitly."""
+    import json
+
+    checked: set[str] = set()
+    for rec in ("CORRECTNESS_r01", "CORRECTNESS_r02", "CORRECTNESS_r03"):
+        path = os.path.join(REPO, f"{rec}.json")
+        if os.path.exists(path):
+            checked |= {original_name(k) for k in json.load(open(path))}
+    window, r5, r6 = set(DRIVER_PRIORITY), set(R5_PLAN), set(R6_SPILL)
+    assert not (window & r5), window & r5
+    assert not (window & r6), window & r6
+    assert not (r5 & r6), r5 & r6
+    assert len(R5_PLAN) == 50
+    uncovered = set(api.queries()) - checked - window - r5 - r6
+    assert not uncovered, f"queries not slotted in any rotation: {uncovered}"
+    ghost = (r5 | r6) - set(api.queries())
+    assert not ghost, f"plan names not registered: {ghost}"
 
 
 def test_original_name_roundtrip():
