@@ -901,3 +901,203 @@ def d18_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("pct_change"),
     )
+
+
+@query(
+    "d19_mad_outliers",
+    section="D1,E1,G5",
+    tags=("analytics", "quality"),
+    oracle="""
+WITH s AS (SELECT event_type, value FROM events),
+rk AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+),
+med AS (
+  SELECT event_type, avg(value) AS med
+  FROM rk
+  WHERE rn IN (CAST(floor((n + 1) / 2.0) AS BIGINT),
+               CAST(floor((n + 2) / 2.0) AS BIGINT))
+  GROUP BY 1
+),
+dev AS (
+  SELECT s.event_type, s.value, abs(s.value - m.med) AS dev, m.med
+  FROM s JOIN med m USING (event_type)
+),
+rk2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, avg(dev) AS mad
+  FROM rk2
+  WHERE rn IN (CAST(floor((n + 1) / 2.0) AS BIGINT),
+               CAST(floor((n + 2) / 2.0) AS BIGINT))
+  GROUP BY 1
+)
+SELECT d.event_type,
+       count(*) AS n_events,
+       round(any_value(d.med), 6) AS median_value,
+       round(any_value(t.mad), 6) AS mad,
+       CAST(sum(CASE WHEN d.dev > 3 * 1.4826 * t.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad t USING (event_type)
+GROUP BY 1
+""",
+)
+def d19_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — d13's
+    z-score twin for heavy-tailed metrics where mean/stddev are
+    themselves dragged by the outliers. Exact medians computed the
+    MANUAL way (rank + average of the middle one/two rows) rather
+    than percentile built-ins, because the two engines' interpolation
+    kernels need not agree bit-for-bit while rank selection does —
+    so med and mad are bit-identical across engines and the 3-sigma-
+    equivalent cut (dev > 3 * 1.4826 * mad) is deterministic.
+
+    Plan: two rank-window passes over a per-type partition (one sort
+    shuffle each) + broadcast-sized med/mad joins back. At fact scale
+    swap the exact ranks for approx_percentile and keep the same
+    downstream shape — documented tradeoff, same as d17.
+    """
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    rk = e.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    mid = lambda n, off: F.floor((n + off) / 2.0).cast("long")  # noqa: E731
+    med = (
+        rk.where(
+            (F.col("rn") == mid(F.col("n"), 1))
+            | (F.col("rn") == mid(F.col("n"), 2))
+        )
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("med"))
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    wr2 = Window.partitionBy("event_type").orderBy("dev")
+    rk2 = dev.withColumn("rn", F.row_number().over(wr2)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    mad = (
+        rk2.where(
+            (F.col("rn") == mid(F.col("n"), 1))
+            | (F.col("rn") == mid(F.col("n"), 2))
+        )
+        .groupBy("event_type")
+        .agg(F.avg("dev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.any_value("med"), 6).alias("median_value"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("dev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "e10_attribution",
+    section="E3,E4,D1",
+    tags=("analytics",),
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type IN ('view', 'click')
+              THEN event_type END AS touch
+  FROM events
+),
+att AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         first_value(touch IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS first_touch,
+         last_value(touch IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_touch
+  FROM e
+),
+conv AS (
+  SELECT * FROM att
+  WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+)
+SELECT 'first_touch' AS model, first_touch AS channel,
+       count(*) AS n_conversions,
+       round(sum(value), 2) AS revenue
+FROM conv GROUP BY 2
+UNION ALL
+SELECT 'last_touch', last_touch, count(*), round(sum(value), 2)
+FROM conv GROUP BY 2
+""",
+)
+def e10_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution — first-touch vs last-touch revenue
+    credit: for every purchase, find the user's first and most recent
+    preceding touch event (view/click) and credit the purchase value
+    to that channel under each model. The running first/last carry
+    ONE value per user (first/last over an unbounded-preceding frame
+    with IGNORE NULLS), so the whole attribution is a single sort
+    shuffle on user_id — never a self-join of purchases against the
+    touch history, which is the quadratic formulation this replaces.
+
+    The frame excludes the current row, so a conversion can never be
+    its own touch; (ts, event_id) is the deterministic tiebreak.
+    Output: model x channel conversion counts + 2-dp revenue.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    att = e.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    conv = att.where(
+        (F.col("event_type") == "purchase")
+        & F.col("last_touch").isNotNull()
+    )
+
+    def credit(model: str, col: str) -> DataFrame:
+        return conv.groupBy(F.col(col).alias("channel")).agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        ).select(
+            F.lit(model).alias("model"),
+            "channel",
+            "n_conversions",
+            "revenue",
+        )
+
+    return credit("first_touch", "first_touch").unionByName(
+        credit("last_touch", "last_touch")
+    )

@@ -228,12 +228,11 @@ def h13_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "h13_url_dedup",
-    section="H12,G2,G13",
-    tags=("dedup", "llm-pipeline"),
-    oracle="""
-WITH raw AS (
+# Shared by h13_url_dedup and h13_quality_keep: deterministic messy
+# URLs (variant class = doc_id % 5, path key = doc_id % 97) and their
+# canonical form, as one oracle CTE pair.
+URL_CANON_CTE = """
+raw AS (
   SELECT doc_id,
          CASE doc_id % 5
            WHEN 0 THEN 'https://cdn.example.com/docs/'
@@ -268,34 +267,12 @@ canon AS (
              AS canonical_url
   FROM raw
 )
-SELECT canonical_url,
-       min(doc_id) AS rep_doc_id,
-       count(*) AS n_docs
-FROM canon GROUP BY 1
-""",
-)
-def h13_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-canonicalization dedup — the cheapest, highest-yield dedup
-    pass in any web-corpus pipeline, run BEFORE content hashing: the
-    same page arrives as scheme/case variants, www-prefixed,
-    trailing-slashed, and tracking-parameter-tagged copies. URLs are
-    synthesized deterministically from the fixture: variant class =
-    doc_id mod 5, path key = doc_id mod 97 — 97 is coprime to 5, so
-    docs sharing a path key span DIFFERENT variant classes and the
-    canonicalizer must genuinely merge scheme/case/www/slash/utm
-    variants into one group. Fully oracle-checked; real params
-    (?lang=en) survive canonicalization — only utm_* tracking params
-    are stripped, so the lang variant stays its own group.
+"""
 
-    Canonical form: lowercase host without leading www., scheme
-    normalized to https, trailing slash and utm_* params dropped, via
-    a regexp_replace chain kept to the Java/RE2 common subset. Then
-    one groupBy canonical_url keeping min(doc_id) as representative.
-    Plan: pure codegen string expressions + ONE shuffle on the
-    canonical key — at 100 TB this is the map-side-combined exact
-    dedup shape (f5/h12) with the canonicalizer fused into the scan.
-    """
-    d = table(spark, sf_dir, "documents")
+
+def canonical_url_col():
+    """Spark twin of URL_CANON_CTE: (raw url, canonical url) column
+    expressions over the documents table."""
     key = (F.col("doc_id") % 97).cast("string")
     raw = (
         F.when(
@@ -345,13 +322,120 @@ def h13_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/$",
         "",
     )
-    canonical = F.concat(F.lit("https://"), host, rest)
+    return F.concat(F.lit("https://"), host, rest)
+
+
+@query(
+    "h13_url_dedup",
+    section="H12,G2,G13",
+    tags=("dedup", "llm-pipeline"),
+    oracle=f"""
+WITH {URL_CANON_CTE}
+SELECT canonical_url,
+       min(doc_id) AS rep_doc_id,
+       count(*) AS n_docs
+FROM canon GROUP BY 1
+""",
+)
+def h13_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the cheapest, highest-yield dedup
+    pass in any web-corpus pipeline, run BEFORE content hashing: the
+    same page arrives as scheme/case variants, www-prefixed,
+    trailing-slashed, and tracking-parameter-tagged copies. URLs are
+    synthesized deterministically from the fixture: variant class =
+    doc_id mod 5, path key = doc_id mod 97 — 97 is coprime to 5, so
+    docs sharing a path key span DIFFERENT variant classes and the
+    canonicalizer must genuinely merge scheme/case/www/slash/utm
+    variants into one group. Fully oracle-checked; real params
+    (?lang=en) survive canonicalization — only utm_* tracking params
+    are stripped, so the lang variant stays its own group.
+
+    Canonical form: lowercase host without leading www., scheme
+    normalized to https, trailing slash and utm_* params dropped, via
+    a regexp_replace chain kept to the Java/RE2 common subset. Then
+    one groupBy canonical_url keeping min(doc_id) as representative.
+    Plan: pure codegen string expressions + ONE shuffle on the
+    canonical key — at 100 TB this is the map-side-combined exact
+    dedup shape (f5/h12) with the canonicalizer fused into the scan.
+    """
+    d = table(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", canonical.alias("canonical_url"))
+        d.select("doc_id", canonical_url_col().alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.min("doc_id").alias("rep_doc_id"),
             F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "h13_quality_keep",
+    section="H12,H17,E2",
+    tags=("dedup", "llm-pipeline"),
+    oracle=f"""
+WITH {URL_CANON_CTE},
+q AS (
+  SELECT c.canonical_url, c.doc_id,
+         round(CAST(len(list_distinct(string_split(d.text, ' ')))
+                    AS DOUBLE)
+               / len(string_split(d.text, ' ')), 6) AS unique_ratio
+  FROM canon c JOIN documents d ON d.doc_id = c.doc_id
+),
+r AS (
+  SELECT canonical_url, doc_id, unique_ratio,
+         row_number() OVER (
+             PARTITION BY canonical_url
+             ORDER BY unique_ratio DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY canonical_url) AS n_docs
+  FROM q
+)
+SELECT canonical_url,
+       doc_id AS kept_doc_id,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       unique_ratio AS kept_unique_ratio
+FROM r WHERE rn = 1 AND n_docs >= 2
+""",
+)
+def h13_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keep rule — the curation policy layered on
+    top of group detection: when several crawls of the same canonical
+    URL disagree (different extractions of one page), keep the
+    highest-QUALITY copy, not the lowest doc_id. Groups come from the
+    URL canonicalizer (h13_url_dedup's synthesis — members genuinely
+    differ in text); quality is lexical diversity (unique-token
+    ratio, the h17_quality_score signal); ties break on doc_id. Only
+    groups with a real choice (n_docs >= 2) are emitted.
+
+    Plan: canonicalize in the scan projection, ONE shuffle on the
+    canonical key, keep-rule via a per-group WindowGroupLimit (rank
+    <= 1 never materializes the full sorted group). This is the 100
+    TB keep-rule shape for any grouping — swap the key for a MinHash
+    cluster id and the score for a model-based quality column and the
+    plan is unchanged.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    q = d.select(
+        "doc_id",
+        canonical_url_col().alias("canonical_url"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("unique_ratio"),
+    )
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col("unique_ratio").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("canonical_url")
+    return (
+        q.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wc))
+        .where((F.col("rn") == 1) & (F.col("n_docs") >= 2))
+        .select(
+            "canonical_url",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("unique_ratio").alias("kept_unique_ratio"),
         )
     )
 

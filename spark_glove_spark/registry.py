@@ -267,8 +267,9 @@ R5_PLAN: tuple[str, ...] = (
     "h17_stratified_sample",
     "h17_token_chunking",
     "h17_weighted_resample",
-    "h17_bpe_segment",
-    "h17_bpe_train",
+    "h13_quality_keep",
+    "d19_mad_outliers",
+    "e10_attribution",
     "i8_stream_stream_join",
     "i10_streaming_ohlc",
     "i11_streaming_upsert",
@@ -276,7 +277,6 @@ R5_PLAN: tuple[str, ...] = (
     "i13_checkpoint_recovery",
     "j7_map_in_arrow",
     "j8_cogrouped_map",
-    "ml_kmeans",
     "mm_byte_plumbing",
     "mm_frame_sample",
     "mm_resize",
@@ -286,9 +286,11 @@ R5_PLAN: tuple[str, ...] = (
     "skew_salted_join",
 )
 
-# Round-6 spill: rows-only sketch/ANN variants whose driver record is
-# weakest (rows-only) AND whose pytest teeth are strongest — last in
-# line by design.
+# Round-6 spill: rows-only sketch/ANN/replica-pinned variants whose
+# driver record is weakest (rows-only) AND whose pytest teeth are
+# strongest — last in line by design. R5 keeps the oracle-checked
+# queries (hash-level driver evidence) and trades its rows-only
+# entries here for the round-4 late additions.
 R6_SPILL: tuple[str, ...] = (
     "h13_minhash_clusters",
     "h13_semantic_dedup",
@@ -298,6 +300,9 @@ R6_SPILL: tuple[str, ...] = (
     "h16_ivf_ann",
     "h16_pq_ann",
     "h16_lsh_multitable",
+    "h17_bpe_segment",
+    "h17_bpe_train",
+    "ml_kmeans",
     "mm_feature_extract",
 )
 
