@@ -34,6 +34,17 @@ def remove_stopwords(tokens: Column, stopwords: list[str]) -> Column:
     return F.filter(tokens, lambda t: ~t.isin(stopwords))
 
 
+def unicode_tokens(text: Column | str) -> Column:
+    """General-text tokenizer: maximal runs of Unicode letters/digits
+    (``[\\p{L}\\p{N}]+`` — same class semantics in Java regex and
+    RE2, so DuckDB oracles can replicate it). The real-corpus
+    counterpart of :func:`tokenize`'s space-split. Property-tested in
+    tests/test_properties.py against a pure-Python unicodedata
+    category scanner on arbitrary generated text."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit(r"[\p{L}\p{N}]+"), 0)
+
+
 def shingles(tokens: Column, k: int) -> Column:
     """H11: all k-token shingles (n-grams), order-preserving.
 

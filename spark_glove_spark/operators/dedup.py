@@ -270,6 +270,32 @@ canon AS (
 """
 
 
+def canonicalize_url(url):
+    """Canonical form of a raw URL column: https scheme, lowercase
+    host without leading www., trailing slash and utm_* params
+    dropped. Regex chain stays in the Java/RE2 common subset so the
+    DuckDB oracle twin (URL_CANON_CTE) is expression-for-expression
+    identical. Property-tested in tests/test_properties.py:
+    every scheme-case/www/slash/utm variant of a URL collapses to one
+    canonical string, and canonicalization is idempotent."""
+    noscheme = F.regexp_replace(url, "^[A-Za-z]+://", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(noscheme, "^([^/?]+)", 1)),
+        "^www\\.",
+        "",
+    )
+    rest = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(noscheme, "^[^/?]+(.*)$", 1),
+            "[?&]utm_[a-z]+=[^&]*",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return F.concat(F.lit("https://"), host, rest)
+
+
 def canonical_url_col():
     """Spark twin of URL_CANON_CTE: (raw url, canonical url) column
     expressions over the documents table."""
@@ -307,22 +333,7 @@ def canonical_url_col():
             )
         )
     )
-    noscheme = F.regexp_replace(raw, "^[A-Za-z]+://", "")
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(noscheme, "^([^/?]+)", 1)),
-        "^www\\.",
-        "",
-    )
-    rest = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_extract(noscheme, "^[^/?]+(.*)$", 1),
-            "[?&]utm_[a-z]+=[^&]*",
-            "",
-        ),
-        "/$",
-        "",
-    )
-    return F.concat(F.lit("https://"), host, rest)
+    return canonicalize_url(raw)
 
 
 @query(

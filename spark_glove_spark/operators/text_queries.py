@@ -21,6 +21,7 @@ from spark_glove_spark.operators.cooccurrence import (
     glove_weight,
     token_positions,
 )
+from spark_glove_spark.functions.text import unicode_tokens
 from spark_glove_spark.registry import query
 from spark_glove_spark.sources import table
 
@@ -263,9 +264,7 @@ def h1_unicode_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("text"), F.lit(" "), sep),
         suffix,
     )
-    toks = F.expr(
-        r"regexp_extract_all(mtext, '[\\p{L}\\p{N}]+', 0)"
-    )
+    toks = unicode_tokens(F.col("mtext"))
     return (
         d.select("doc_id", mtext.alias("mtext"))
         .select(
