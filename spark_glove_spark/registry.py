@@ -288,10 +288,12 @@ R5_PLAN: tuple[str, ...] = (
 
 # Round-6 spill: rows-only sketch/ANN/replica-pinned variants whose
 # driver record is weakest (rows-only) AND whose pytest teeth are
-# strongest — last in line by design. R5 keeps the oracle-checked
-# queries (hash-level driver evidence) and trades its rows-only
-# entries here for the round-4 late additions.
+# strongest — last in line by design — plus oracle-checked late
+# additions that arrived after R5's 50 slots filled. R5 keeps the
+# oracle-checked queries (hash-level driver evidence) and trades its
+# rows-only entries here for the round-4 late additions.
 R6_SPILL: tuple[str, ...] = (
+    "i14_streaming_quality_filter",
     "h13_minhash_clusters",
     "h13_semantic_dedup",
     "h13_simhash_fingerprints",

@@ -712,3 +712,79 @@ def i13_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name2)
+
+
+@query(
+    "i14_streaming_quality_filter",
+    section="A5,A6,I1,H17",
+    tags=("streaming", "llm-pipeline"),
+    oracle="""
+WITH t AS (
+  SELECT lang, string_split(text, ' ') AS toks FROM documents
+),
+q AS (
+  SELECT lang, len(toks) AS n,
+         CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
+             / len(toks) AS sr
+  FROM t
+)
+SELECT lang,
+       CAST(n BETWEEN 20 AND 80 AND sr < 0.3 AS BIGINT)
+           AS passes_quality,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens
+FROM q GROUP BY 1, 2
+""",
+)
+def i14_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-ingest quality gate — the h17_quality_score
+    pre-filter applied AS DOCUMENTS ARRIVE, the shape of a live
+    crawl-ingest pipeline: a document stream (file replay, two
+    micro-batches) is scored with the same pure-expression quality
+    signals (length bounds, stop-word ratio) and rolled up per
+    (lang, passes_quality) with document counts and token volume —
+    the running curation dashboard. Complete-mode aggregate state is
+    bounded by langs x 2 regardless of stream length.
+
+    The oracle is the BATCH formulation over the same corpus: the
+    streaming drain must converge to exactly the batch answer (the
+    §5.4 batch-equivalence discipline), so this query is fully
+    hash-checked, not rows-only.
+    """
+    import os
+    import tempfile
+
+    d = table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="i14_replay_")
+    d.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "f1"))
+    d.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "f2"))
+    sdf = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "*"))
+    )
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sr = (
+        F.size(F.filter(toks, lambda x: x.isin("a", "the"))).cast("double")
+        / n
+    )
+    scored = sdf.select(
+        "lang",
+        n.alias("n"),
+        (n.between(20, 80) & (sr < 0.3)).cast("long").alias(
+            "passes_quality"
+        ),
+    )
+    agg = scored.groupBy("lang", "passes_quality").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+    )
+    return run_stream(agg, "complete")
