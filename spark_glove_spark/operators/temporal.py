@@ -156,6 +156,102 @@ def interval_join_binned(
 
 
 @query(
+    "c9_interval_join_binned",
+    section="C9,C2",
+    tags=("temporal", "scale"),
+    oracle="""
+SELECT s.event_id AS signup_id, e.event_id AS error_id,
+       CAST(epoch_ms(e.ts) - epoch_ms(s.ts) AS BIGINT)
+           AS ms_after_signup
+FROM events s JOIN events e
+  ON e.event_type = 'error'
+ AND s.event_type = 'signup'
+ AND e.ts >= s.ts
+ AND e.ts < s.ts + INTERVAL 1 HOUR
+""",
+)
+def c9_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval join as a declared query — c9_interval_join
+    drops its user_id equi-key: every error within one hour of ANY
+    signup. Spark plans a bare range predicate as
+    BroadcastNestedLoopJoin (O(|L|·|R|)); this runs through
+    ``interval_join_binned``, which manufactures an equi-key by
+    exploding each interval onto the hour bins it overlaps (fan-out
+    ≤ 2 at bin width = interval length) so the physical plan is a
+    hash join on the bin plus a precise range filter. The oracle is
+    the naive range join — DuckDB's IEJoin handles it at fixture
+    scale, and any divergence between the binned plan and the naive
+    semantics flips the hash.
+    """
+    e = table(spark, sf_dir, "events")
+    s = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    err = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    joined = interval_join_binned(
+        s,
+        err,
+        F.col("s_ts"),
+        F.col("s_ts") + F.expr("INTERVAL 1 HOUR"),
+        F.col("e_ts"),
+    )
+    return joined.select(
+        "signup_id",
+        "error_id",
+        (F.unix_millis("e_ts") - F.unix_millis("s_ts")).alias(
+            "ms_after_signup"
+        ),
+    )
+
+
+@query(
+    "f10_windowed_dedup",
+    section="F5,E1,G4",
+    tags=("dedup",),
+    oracle="""
+SELECT event_id, user_id, event_type,
+       date_trunc('hour', ts) AS hour
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type, date_trunc('hour', ts)
+      ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def f10_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed keep-first dedup — F5's time-bucketed form and the
+    batch twin of streaming dropDuplicates-within-watermark (i5):
+    keep the earliest event per (user, type, hour), the standard
+    collapse for at-least-once ingestion where retries land in the
+    same reporting bucket. Deterministic keep rule: (ts, event_id)
+    ordering inside each bucket.
+
+    Plan: ONE sort shuffle on the bucket key and a WindowGroupLimit
+    (rank <= 1 is applied map-side before the full sort materializes)
+    — never a self-join against the history. State per bucket is one
+    row; at 100 TB the bucket key is also the natural partition key
+    for the sink.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+    )
+
+
+@query(
     "c9_gap_fill",
     section="C9,E3,G4",
     tags=("temporal",),

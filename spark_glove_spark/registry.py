@@ -294,6 +294,8 @@ R5_PLAN: tuple[str, ...] = (
 # rows-only entries here for the round-4 late additions.
 R6_SPILL: tuple[str, ...] = (
     "i14_streaming_quality_filter",
+    "c9_interval_join_binned",
+    "f10_windowed_dedup",
     "h13_minhash_clusters",
     "h13_semantic_dedup",
     "h13_simhash_fingerprints",
