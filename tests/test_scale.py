@@ -452,3 +452,29 @@ def test_a14_compaction_is_shuffle_free_and_compacts(spark, tmp_path):
     compacted.write.parquet(out)
     n_out = len([f for f in os.listdir(out) if f.endswith(".parquet")])
     assert n_frag == 64 and n_out <= 4, (n_frag, n_out)
+
+
+def test_a9_restores_conf_and_drops_tables(spark):
+    """ADVICE r3: a9 sets the legacy bucketedTableScan conf and
+    registers catalog tables; both must be cleaned up at the next
+    declared query's safe point (deferred cleanup), not leaked into
+    the rest of the session."""
+    from spark_glove_spark import api
+
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    before = spark.conf.get(conf_key, None)
+    sf = "/root/testdata/sf0.001"
+    df = api.REGISTRY["a9_bucketed_join"].fn(spark, sf)
+    df.collect()  # consume the result while the conf is still set
+    assert spark.conf.get(conf_key) == "true"
+    n_tables = len(
+        [t for t in spark.catalog.listTables() if "sgs_bucketed" in t.name]
+    )
+    assert n_tables == 2
+    # Any next declared query drains the deferred cleanups.
+    api.REGISTRY["b1_projection"].fn(spark, sf).collect()
+    after = spark.conf.get(conf_key, None)
+    assert after == before
+    assert not [
+        t for t in spark.catalog.listTables() if "sgs_bucketed" in t.name
+    ]
