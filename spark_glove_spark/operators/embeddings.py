@@ -535,3 +535,69 @@ def h15_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+
+
+@query(
+    "h15_hard_negatives",
+    section="H15,C7,E2",
+    tags=("similarity", "llm-pipeline"),
+    oracle=f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, embedding AS q, label AS anchor_label
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT a.anchor_id, a.anchor_label, e.vec_id AS negative_id,
+         e.label AS negative_label,
+         round({dot_sql('e.embedding', 'a.q')}, 6) AS cos
+  FROM embeddings e CROSS JOIN anchors a
+  WHERE e.label <> a.anchor_label
+)
+SELECT anchor_id, anchor_label, negative_id, negative_label, cos
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cos DESC, negative_id) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+)
+def h15_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the training-data op behind contrastive
+    embedding fine-tuning (in-batch negatives are easy; the gradient
+    signal lives in near-misses): for each anchor, the top-3 most
+    similar vectors with a DIFFERENT label. Same exact
+    broadcast-probe scan shape as h15_knn_bruteforce with the label
+    inequality pushed into the scoring filter, so mined negatives are
+    by construction the hardest ones the corpus offers.
+
+    At 100 TB the anchor set broadcasts in batches and the corpus is
+    scanned once per batch; the per-anchor top-3 is WindowGroupLimit-
+    bounded. Swap the scan for the h16 ANN variants (same key shape)
+    when the corpus no longer admits a full pass per anchor batch.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("q"),
+        F.col("label").alias("anchor_label"),
+    )
+    scored = (
+        parallelized(e)
+        .crossJoin(F.broadcast(anchors))
+        .where(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round(dot(F.col("embedding"), F.col("q")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), "negative_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )

@@ -1873,3 +1873,64 @@ def h10_tfidf_doc_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("probe_id", "cand_id", "cos")
     )
+
+
+@query(
+    "h17_novelty_score",
+    section="H17,H11,D1",
+    tags=("llm-pipeline", "dedup"),
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(len(t) - 2),
+                i -> list_aggregate(t[i + 1:i + 3], 'string_agg', ' ')))
+             AS gram
+  FROM toks WHERE len(t) >= 3
+),
+fst AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN fst.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN fst.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty_ratio
+FROM g JOIN fst USING (gram)
+GROUP BY 1
+""",
+)
+def h17_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty per document — ingestion-order contribution
+    accounting: a doc's distinct 3-grams are NOVEL if this doc is
+    their first corpus occurrence (min doc_id). Curation pipelines use
+    exactly this to rank candidate sources by marginal new content
+    (a 0.05-novelty shard adds almost nothing to a trained model) and
+    to pick which member of a near-dup cluster "owns" shared text.
+
+    Plan: one shingle explode → per-doc distinct → a min-aggregate on
+    the gram key → join back on the gram — the h17_span_dedup shape
+    with min(doc_id) instead of a frequency. At 100 TB grams hash to
+    xxhash64 keys before the shuffle and both aggregates map-side
+    combine; nothing is quadratic because the join key is the gram,
+    never the doc pair.
+    """
+    d = parallelized(table(spark, sf_dir, "documents"))
+    g = d.select(
+        "doc_id",
+        F.explode(shingles(tokenize(F.col("text")), 3)).alias("gram"),
+    ).distinct()
+    fst = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        g.join(fst, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty_ratio"),
+        )
+    )

@@ -296,6 +296,8 @@ R6_SPILL: tuple[str, ...] = (
     "i14_streaming_quality_filter",
     "c9_interval_join_binned",
     "f10_windowed_dedup",
+    "h15_hard_negatives",
+    "h17_novelty_score",
     "h13_minhash_clusters",
     "h13_semantic_dedup",
     "h13_simhash_fingerprints",
