@@ -70,6 +70,7 @@ BNLJ_OK = {
     # scalar token-total broadcast in the subsampler
     "h15_knn_classifier",
     "h15_centroid_classifier",
+    "h15_hard_negatives",  # broadcast-anchor brute scan, by design
     "h2_frequent_subsample",
     "h10_tfidf_doc_sim",  # corpus-size scalar broadcast
 }
