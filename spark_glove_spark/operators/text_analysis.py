@@ -1934,3 +1934,119 @@ def h17_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ratio"),
         )
     )
+
+
+_BOILERPLATE_DF = 20  # lines in >= this many docs are boilerplate
+
+
+@query(
+    "h17_boilerplate_lines",
+    section="H17,H11,D1",
+    tags=("llm-pipeline", "dedup"),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+built AS (
+  SELECT doc_id,
+         list_aggregate(
+           list_transform(range(len(t)), i ->
+             t[i + 1] ||
+             CASE WHEN i = len(t) - 1 THEN '.'
+                  WHEN i % 7 = 6 THEN
+                    CASE CAST(floor(i / 7.0) AS BIGINT) % 3
+                      WHEN 0 THEN '. ' WHEN 1 THEN '! ' ELSE '? ' END
+                  ELSE ' ' END),
+           'string_agg', '') AS prose
+  FROM toks
+),
+paged AS (
+  SELECT b.doc_id,
+         'Shared navigation menu for ' || d.source || '. '
+           || b.prose || ' Global copyright footer.' AS page
+  FROM built b JOIN documents d ON d.doc_id = b.doc_id
+),
+lines AS (
+  SELECT doc_id, unnest(string_split_regex(page, '[.!?] ')) AS line
+  FROM paged
+),
+freq AS (
+  SELECT line, count(DISTINCT doc_id) AS ndocs FROM lines GROUP BY 1
+)
+SELECT l.doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN f.ndocs >= {_BOILERPLATE_DF}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       CAST(sum(CASE WHEN f.ndocs >= {_BOILERPLATE_DF} THEN 0
+                     ELSE len(string_split(l.line, ' ')) END) AS BIGINT)
+           AS kept_tokens
+FROM lines l JOIN freq f USING (line)
+GROUP BY 1
+""",
+)
+def h17_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal — the CCNet/RefinedWeb stage
+    that strips nav menus, cookie banners, and footers: a LINE
+    (sentence unit here, from the deterministic prose synthesis
+    shared with h17_sentence_split) repeated across >= 20 documents
+    is boilerplate, and the doc keeps only its other lines' tokens.
+    Differs from span dedup in unit (whole line, not k-gram window)
+    and in policy (cross-doc frequency threshold, not any-duplicate).
+    The synthesis injects the boilerplate a crawl would carry: a
+    per-source navigation header (shared by every doc of that source
+    — 25+ docs at every SF, above threshold) and a global copyright
+    footer (all docs) around each doc's unique content lines, so the
+    detector has real positives AND real negatives to separate and
+    the oracle hash proves it flags exactly the injected lines.
+
+    Plan: one line explode feeds the distinct-doc frequency agg and
+    the per-doc rollup; the join back is an equi-join on the line.
+    100 TB shape: lines hash to xxhash64 keys before the shuffle and
+    the frequency side is heavy-hitter-bounded — boilerplate is BY
+    DEFINITION the head of the frequency distribution, so a count-min
+    sketch (d12) can replace the exact agg without changing policy.
+    """
+    d = parallelized(table(spark, sf_dir, "documents"))
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    term = F.array(F.lit(". "), F.lit("! "), F.lit("? "))
+
+    def piece(tok, i):
+        cyc = F.element_at(term, (F.floor(i / 7.0) % 3 + 1).cast("int"))
+        return F.concat(
+            tok,
+            F.when(i == n - 1, F.lit("."))
+            .when(i % 7 == 6, cyc)
+            .otherwise(F.lit(" ")),
+        )
+
+    prose = F.array_join(F.transform(t, piece), "")
+    page = F.concat(
+        F.lit("Shared navigation menu for "),
+        F.col("source"),
+        F.lit(". "),
+        prose,
+        F.lit(" Global copyright footer."),
+    )
+    lines = d.select(
+        "doc_id", F.explode(F.split(page, "[.!?] ")).alias("line")
+    )
+    freq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    is_bp = F.col("ndocs") >= _BOILERPLATE_DF
+    return (
+        lines.join(freq, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(is_bp, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boilerplate"),
+            F.sum(
+                F.when(is_bp, 0).otherwise(
+                    F.size(F.split(F.col("line"), " "))
+                )
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )

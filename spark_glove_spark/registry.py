@@ -298,6 +298,7 @@ R6_SPILL: tuple[str, ...] = (
     "f10_windowed_dedup",
     "h15_hard_negatives",
     "h17_novelty_score",
+    "h17_boilerplate_lines",
     "h13_minhash_clusters",
     "h13_semantic_dedup",
     "h13_simhash_fingerprints",
