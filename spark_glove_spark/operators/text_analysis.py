@@ -2050,3 +2050,103 @@ def h17_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
     )
+
+
+@query(
+    "h17_chat_template",
+    section="H17,G9,G1",
+    tags=("llm-pipeline",),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+msg AS (
+  SELECT doc_id,
+         '[{"role":"system","content":"You are a helpful assistant."},'
+         || '{"role":"user","content":"'
+         || list_aggregate(toks[1:greatest(len(toks) // 2, 1)],
+                           'string_agg', ' ')
+         || '"},{"role":"assistant","content":"'
+         || list_aggregate(toks[greatest(len(toks) // 2, 1) + 1:len(toks)],
+                           'string_agg', ' ')
+         || '"}]' AS j
+  FROM t WHERE len(toks) >= 2
+),
+parsed AS (
+  SELECT doc_id,
+         json_extract_string(j, '$[1].content') AS user_c,
+         json_extract_string(j, '$[2].content') AS asst_c,
+         CAST(len(json_extract(j, '$')::JSON[]) AS BIGINT) AS n_turns
+  FROM msg
+)
+SELECT doc_id, n_turns,
+       CAST(len(string_split(user_c, ' ')) AS BIGINT) AS user_tokens,
+       CAST(len(string_split(asst_c, ' ')) AS BIGINT) AS asst_tokens,
+       md5('system: You are a helpful assistant.' || chr(10)
+           || 'user: ' || user_c || chr(10)
+           || 'assistant: ' || asst_c) AS flat_md5
+FROM parsed
+""",
+)
+def h17_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template flattening — the SFT-data assembly step: a JSON
+    message array (system/user/assistant, synthesized
+    deterministically by splitting each doc's tokens into a
+    user/assistant pair) is PARSED back through the engine's real
+    JSON stack (from_json with an array<struct> schema) and flattened
+    to the training text "role: content\\n..." form, reported as
+    per-role token counts plus an md5 of the flattened text so the
+    hash covers the exact rendered bytes. The oracle builds the
+    identical JSON and parses it with DuckDB's json_extract — both
+    engines' JSON parse/extract paths are what's actually compared.
+
+    Plan: pure codegen string/JSON expressions, one scan, no shuffle.
+    At 100 TB this is a map-only pass — the same shape real SFT
+    pipelines run over conversation dumps, where from_json's
+    schema-pruned parse beats regex surgery on the raw string.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    half = F.greatest((F.size(toks) / 2).cast("int"), F.lit(1))
+    user_c = F.array_join(F.slice(toks, 1, half), " ")
+    asst_c = F.array_join(
+        F.slice(toks, half + 1, F.size(toks) - half), " "
+    )
+    j = F.concat(
+        F.lit(
+            '[{"role":"system","content":"You are a helpful'
+            ' assistant."},{"role":"user","content":"'
+        ),
+        user_c,
+        F.lit('"},{"role":"assistant","content":"'),
+        asst_c,
+        F.lit('"}]'),
+    )
+    msgs = F.from_json(
+        j, "array<struct<role:string,content:string>>"
+    )
+    flat = F.array_join(
+        F.transform(
+            msgs, lambda m: F.concat(m["role"], F.lit(": "), m["content"])
+        ),
+        "\n",
+    )
+    return (
+        d.where(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            msgs.alias("msgs"),
+            flat.alias("flat"),
+        )
+        .select(
+            "doc_id",
+            F.size("msgs").cast("long").alias("n_turns"),
+            F.size(F.split(F.element_at("msgs", 2)["content"], " "))
+            .cast("long")
+            .alias("user_tokens"),
+            F.size(F.split(F.element_at("msgs", 3)["content"], " "))
+            .cast("long")
+            .alias("asst_tokens"),
+            F.md5("flat").alias("flat_md5"),
+        )
+    )

@@ -299,6 +299,7 @@ R6_SPILL: tuple[str, ...] = (
     "h15_hard_negatives",
     "h17_novelty_score",
     "h17_boilerplate_lines",
+    "h17_chat_template",
     "h13_minhash_clusters",
     "h13_semantic_dedup",
     "h13_simhash_fingerprints",
