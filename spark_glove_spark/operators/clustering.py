@@ -188,3 +188,116 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_PCA_BLOCK = 8  # leading covariance block the oracle hash-checks
+_PCA_DIM = 64
+_PCA_K = 4  # projection components
+
+
+def _pca_cov_oracle() -> str:
+    """Generated oracle: means + the leading 8x8 covariance block as
+    one wide row (population covariance, the numpy default ddof=0)."""
+    cols = []
+    for i in range(_PCA_BLOCK):
+        cols.append(f"round(avg(embedding[{i + 1}]), 6) AS m{i}")
+    for i in range(_PCA_BLOCK):
+        for j in range(i, _PCA_BLOCK):
+            cols.append(
+                f"round(avg(embedding[{i + 1}] * embedding[{j + 1}])"
+                f" - avg(embedding[{i + 1}]) * avg(embedding[{j + 1}]),"
+                f" 6) AS c{i}_{j}"
+            )
+    return "SELECT " + ",\n       ".join(cols) + " FROM embeddings"
+
+
+@query("ml_pca_covariance", section="D2,G8", tags=("ml",), oracle=_pca_cov_oracle())
+def ml_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance — PCA's data pass: per-dimension means
+    and the leading 8x8 block of the population covariance matrix,
+    computed as pure codegen aggregates (avg of products minus
+    product of avgs; one scan, map-side partial aggregation). The
+    full 64x64 matrix follows the identical algebra — the 8x8 block
+    keeps the oracle SQL readable while hash-checking every moving
+    part (element access, cross-moments, centering). ml_pca_project
+    consumes the full matrix driver-side (4096 doubles of bounded
+    state) for the eigendecomposition Spark cannot express.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    el = lambda i: F.element_at("embedding", i + 1)  # noqa: E731
+    aggs = []
+    for i in range(_PCA_BLOCK):
+        aggs.append(F.round(F.avg(el(i)), 6).alias(f"m{i}"))
+    for i in range(_PCA_BLOCK):
+        for j in range(i, _PCA_BLOCK):
+            aggs.append(
+                F.round(
+                    F.avg(el(i) * el(j)) - F.avg(el(i)) * F.avg(el(j)), 6
+                ).alias(f"c{i}_{j}")
+            )
+    return e.agg(*aggs)
+
+
+def pca_components(spark: SparkSession, sf_dir: str, k: int = _PCA_K):
+    """Full-dim PCA fit: ONE distributed aggregation produces the
+    64-vector of means and the 64x64 second-moment matrix (4096
+    aggregate expressions — bounded driver state regardless of n),
+    then numpy eigendecomposes driver-side. Returns (mean, top-k
+    eigenvectors as rows, eigenvalues)."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    el = lambda i: F.element_at("embedding", i + 1)  # noqa: E731
+    aggs = [F.avg(el(i)).alias(f"m{i}") for i in range(_PCA_DIM)]
+    aggs += [
+        F.avg(el(i) * el(j)).alias(f"s{i}_{j}")
+        for i in range(_PCA_DIM)
+        for j in range(i, _PCA_DIM)
+    ]
+    row = e.agg(*aggs).collect()[0]
+    mean = np.array([row[f"m{i}"] for i in range(_PCA_DIM)])
+    cov = np.zeros((_PCA_DIM, _PCA_DIM))
+    for i in range(_PCA_DIM):
+        for j in range(i, _PCA_DIM):
+            c = row[f"s{i}_{j}"] - mean[i] * mean[j]
+            cov[i, j] = cov[j, i] = c
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    # deterministic sign: make each component's largest-|.| entry
+    # positive (eigh's sign is arbitrary)
+    for r in range(comps.shape[0]):
+        m = np.argmax(np.abs(comps[r]))
+        if comps[r][m] < 0:
+            comps[r] = -comps[r]
+    return mean, comps, vals[order]
+
+
+@query("ml_pca_project", section="H15,J5,G8", tags=("ml",))
+def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection — dimensionality reduction for the embedding
+    column (retrieval pre-filtering, OPQ-style rotations, whitening):
+    project every vector onto the top-4 principal components as a
+    pure codegen expression (components are literal arrays; each
+    coordinate is one dot product against the centered vector).
+
+    Rows-only to the driver (eigenvector signs/order are
+    numerically model-specific); tests/test_clustering.py pins the
+    pipeline to a numpy replica (projection equality, component
+    orthonormality, explained-variance ordering)."""
+    mean, comps, _ = pca_components(spark, sf_dir)
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    centered = F.zip_with(
+        "embedding",
+        F.array(*[F.lit(float(v)) for v in mean]),
+        lambda x, m: x - m,
+    )
+    proj = F.array(
+        *[
+            F.round(
+                dot(centered, F.array(*[F.lit(float(v)) for v in comp])), 6
+            )
+            for comp in comps
+        ]
+    )
+    return e.select("vec_id", "label", proj.alias("pc"))

@@ -300,6 +300,8 @@ R6_SPILL: tuple[str, ...] = (
     "h17_novelty_score",
     "h17_boilerplate_lines",
     "h17_chat_template",
+    "ml_pca_covariance",
+    "ml_pca_project",
     "h13_minhash_clusters",
     "h13_semantic_dedup",
     "h13_simhash_fingerprints",

@@ -121,3 +121,47 @@ def test_declared_query_shape(spark):
     assert sum(r["size"] for r in rows) == 500
     for r in rows:
         assert r["mean_sqdist"] >= 0
+
+
+def test_pca_projection_matches_numpy_replica(spark):
+    """ml_pca_project must equal an independent numpy PCA of the same
+    corpus (same sign convention), and the fitted components must be
+    orthonormal with non-increasing explained variance."""
+    import numpy as np
+
+    from spark_glove_spark import api
+    from spark_glove_spark.operators.clustering import pca_components
+
+    sf = "/root/testdata/sf0.001"
+    emb = np.stack(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        ]
+    ).astype(np.float64)
+    mean, comps, vals = pca_components(spark, sf)
+    # orthonormal, variance-ordered
+    assert np.allclose(comps @ comps.T, np.eye(len(comps)), atol=1e-9)
+    assert all(vals[i] >= vals[i + 1] - 1e-12 for i in range(len(vals) - 1))
+    # independent replica
+    c = emb - emb.mean(axis=0)
+    cov = (c.T @ c) / len(emb)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][: len(comps)]
+    ref = v[:, order].T
+    for r in range(ref.shape[0]):
+        m = np.argmax(np.abs(ref[r]))
+        if ref[r][m] < 0:
+            ref[r] = -ref[r]
+    assert np.allclose(comps, ref, atol=1e-6)
+    # declared projection equals the replica's
+    got = {
+        r["vec_id"]: np.array(r["pc"])
+        for r in api.REGISTRY["ml_pca_project"].fn(spark, sf).collect()
+    }
+    ids = sorted(got)
+    proj_ref = np.round(c @ ref.T, 6)
+    for idx, vid in enumerate(ids):
+        assert np.allclose(got[vid], proj_ref[idx], atol=2e-6), vid
