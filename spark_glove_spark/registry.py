@@ -302,6 +302,7 @@ R6_SPILL: tuple[str, ...] = (
     "h17_chat_template",
     "ml_pca_covariance",
     "ml_pca_project",
+    "h16_opq_ann",
     "h13_minhash_clusters",
     "h13_semantic_dedup",
     "h13_simhash_fingerprints",

@@ -151,3 +151,14 @@ def test_lsh_multitable_recall_vs_exact(spark):
     0.48/0.50 for the single-table budget point)."""
     recall = _recall_vs_exact(spark, "h16_lsh_multitable", SF)
     assert recall >= 0.85, recall
+
+
+def test_opq_ann_recall_matches_plain_pq_on_isotropic_fixture(spark):
+    """Parametric OPQ (PCA + eigenvalue allocation, re-rank depth 30)
+    must at least match plain PQ@30's measured floor. On this
+    near-isotropic fixture the rotation is a provable no-op (subspace
+    variances are already balanced), so parity IS the expected
+    result — the test guards the machinery (rotation preserves dots,
+    allocation covers all dims) rather than a lift."""
+    recall = _recall_vs_exact(spark, "h16_opq_ann", SF)
+    assert recall >= 0.4, recall
