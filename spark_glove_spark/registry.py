@@ -303,6 +303,7 @@ R6_SPILL: tuple[str, ...] = (
     "ml_pca_covariance",
     "ml_pca_project",
     "h16_opq_ann",
+    "mm_compressed_text",
     "h13_minhash_clusters",
     "h13_semantic_dedup",
     "h13_simhash_fingerprints",
