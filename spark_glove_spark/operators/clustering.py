@@ -238,13 +238,32 @@ def ml_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.agg(*aggs)
 
 
+# One PCA fit per (session, sf_dir): ml_pca_project, h16_opq_ann, and
+# tests all consume the same eigenbasis — cache it so a sequential
+# sweep pays the moment aggregation once. Deterministic fit ⇒ the
+# cache changes cost, not results (the h5 _FIT_CACHE pattern).
+_PCA_CACHE: dict[tuple[str, str], tuple] = {}
+
+
 def pca_components(spark: SparkSession, sf_dir: str, k: int = _PCA_K):
     """Full-dim PCA fit: ONE distributed aggregation produces the
     64-vector of means and the 64x64 second-moment matrix (4096
     aggregate expressions — bounded driver state regardless of n),
     then numpy eigendecomposes driver-side. Returns (mean, top-k
-    eigenvectors as rows, eigenvalues)."""
+    eigenvectors as rows, eigenvalues).
+
+    Dim scaling caveat: the expression-per-moment form is right for
+    embedding dims up to a few hundred (the codegen'd aggregate stays
+    compilable); at 1000+ dims switch the moment pass to a
+    mapInPandas partial (per-batch X^T X in numpy, one partial row
+    per batch, numpy combine driver-side) — same bounded driver
+    state, no expression blow-up."""
     import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PCA_CACHE:
+        mean, comps_full, vals_full = _PCA_CACHE[key]
+        return mean, comps_full[:k], vals_full[:k]
 
     e = table(spark, sf_dir, "embeddings")
     el = lambda i: F.element_at("embedding", i + 1)  # noqa: E731
@@ -262,7 +281,7 @@ def pca_components(spark: SparkSession, sf_dir: str, k: int = _PCA_K):
             c = row[f"s{i}_{j}"] - mean[i] * mean[j]
             cov[i, j] = cov[j, i] = c
     vals, vecs = np.linalg.eigh(cov)
-    order = np.argsort(vals)[::-1][:k]
+    order = np.argsort(vals)[::-1]
     comps = vecs[:, order].T
     # deterministic sign: make each component's largest-|.| entry
     # positive (eigh's sign is arbitrary)
@@ -270,7 +289,8 @@ def pca_components(spark: SparkSession, sf_dir: str, k: int = _PCA_K):
         m = np.argmax(np.abs(comps[r]))
         if comps[r][m] < 0:
             comps[r] = -comps[r]
-    return mean, comps, vals[order]
+    _PCA_CACHE[key] = (mean, comps, vals[order])
+    return mean, comps[:k], vals[order][:k]
 
 
 @query("ml_pca_project", section="H15,J5,G8", tags=("ml",))
