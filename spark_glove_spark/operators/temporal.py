@@ -643,3 +643,83 @@ def c9_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("value"),
     )
+
+
+@query(
+    "c8_asof_tolerance",
+    section="C8,E3",
+    tags=("temporal",),
+    oracle="""
+SELECT p.event_id, p.user_id,
+       CAST(epoch_ms(p.ts) - epoch_ms((
+           SELECT max(c.ts) FROM events c
+           WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 2 HOUR
+       )) AS BIGINT) AS ms_since_click_2h,
+       CAST(epoch_ms((
+           SELECT min(er.ts) FROM events er
+           WHERE er.event_type = 'error' AND er.user_id = p.user_id
+             AND er.ts >= p.ts AND er.ts < p.ts + INTERVAL 1 HOUR
+       )) - epoch_ms(p.ts) AS BIGINT) AS ms_to_error_1h
+FROM events p WHERE p.event_type = 'purchase'
+""",
+)
+def c8_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8's full semantics matrix — pandas merge_asof's other modes:
+    per purchase, the latest click AT OR BEFORE it but only within a
+    2-hour TOLERANCE (stale state must not match — the difference
+    between "last known price" and "price from last Tuesday"), and
+    the FORWARD as-of: the first error within 1 hour after. NULL when
+    nothing qualifies.
+
+    Plan: both directions ride ONE union + ONE (user_id | ts, kind)
+    sort shuffle — backward = running max of click ts over the
+    preceding frame, forward = running min of error ts over the
+    following frame; tolerance is a post-filter expression. Kind
+    ordering (click 0 < purchase 1 < error 2) makes both boundaries
+    inclusive exactly like the oracle's correlated subqueries, which
+    express the same semantics declaratively (fine at fixture scale;
+    the union-window IS the scale path — one shuffle, state = one
+    timestamp per direction per key).
+    """
+    e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id"
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.lit(2).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    u = clicks.unionByName(purchases).unionByName(errors)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        "user_id",
+        "ts",
+        "kind",
+        "event_id",
+        F.max(F.when(F.col("kind") == 0, F.col("ts"))).over(wb).alias("last_click"),
+        F.min(F.when(F.col("kind") == 2, F.col("ts"))).over(wf).alias("next_error"),
+    ).where(F.col("kind") == 1)
+    since_click = F.unix_millis("ts") - F.unix_millis("last_click")
+    to_error = F.unix_millis("next_error") - F.unix_millis("ts")
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.when(since_click <= 2 * 3600 * 1000, since_click).alias(
+            "ms_since_click_2h"
+        ),
+        F.when(to_error < 3600 * 1000, to_error).alias("ms_to_error_1h"),
+    )

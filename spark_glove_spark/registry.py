@@ -304,6 +304,7 @@ R6_SPILL: tuple[str, ...] = (
     "ml_pca_project",
     "h16_opq_ann",
     "mm_compressed_text",
+    "c8_asof_tolerance",
     "h13_minhash_clusters",
     "h13_semantic_dedup",
     "h13_simhash_fingerprints",
