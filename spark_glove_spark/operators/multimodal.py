@@ -7,12 +7,15 @@ Decoded for real with pure numpy + stdlib — no codec library needed:
 binary PPM/P6 rasters and 8-bit RGB PNG incl. the zlib inflate and
 all five scanline unfilters (``decode_media``/``decode_png``,
 oracle-checked by mm_image_decode), PCM16 RIFF/WAV audio
-(``decode_wav``, mm_audio_decode), and P6 frame streams
-(mm_video_decode). Lossy codecs (JPEG/MP3/H.264) raise
-NotImplementedError — those codecs are not in this container and
-fabricating pixels would be worse than failing; everything
-Spark-side is real and tested either way: the binary schema, the
-mapInPandas batch shapes, partitioning, and the metadata pipeline.
+(``decode_wav``, mm_audio_decode), P6 frame streams
+(mm_video_decode), baseline JPEG (from-spec T.81 codec in
+functions/jpeg.py, oracle-checked by mm_jpeg_decode), and
+gzip/bz2/lzma text payloads (mm_compressed_text). Remaining lossy
+codecs (MP3/H.264) raise NotImplementedError — not in this
+container, and fabricating samples would be worse than failing;
+everything Spark-side is real and tested either way: the binary
+schema, the mapInPandas batch shapes, partitioning, and the
+metadata pipeline.
 
 The fixture media table is synthesized deterministically from the
 ``documents`` fixture (content = UTF-8 bytes of the text, media type
@@ -64,13 +67,21 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_media(content: bytes, media_type: str) -> np.ndarray:
     """Decode a media payload to a numpy array.
 
-    REAL for two raster formats needing no codec library: binary PPM
-    (P6 — header parse + frombuffer) and 8-bit RGB PNG (``decode_png``
-    — stdlib zlib inflate + the full per-scanline unfilter pass).
-    Remaining compressed formats (JPEG/MP3/H.264) still fail loudly:
-    this container has no PIL/torchaudio/pyav, and fabricating pixels
-    would be worse than raising. Real deployments plug the codec of
-    choice into this exact signature."""
+    REAL for three raster formats needing no codec library: binary
+    PPM (P6 — header parse + frombuffer), 8-bit RGB PNG
+    (``decode_png`` — stdlib zlib inflate + the full per-scanline
+    unfilter pass), and baseline JPEG (``functions/jpeg.py`` — a
+    from-spec T.81 decoder: marker walk, Annex-C Huffman decode with
+    byte unstuffing, DC prediction, dequant/dezigzag, orthonormal
+    IDCT, YCbCr→RGB; grayscale and 4:4:4 subsets, everything else
+    raises). Remaining formats (MP3/H.264) still fail loudly: this
+    container has no torchaudio/pyav, and fabricating samples would
+    be worse than raising. Real deployments plug the codec of choice
+    into this exact signature."""
+    if content[:2] == b"\xff\xd8":
+        from spark_glove_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     if content[:2] == b"P6":
         # P6 header: "P6\n<w> <h>\n<maxval>\n" then w*h*3 raw bytes.
         parts = content.split(b"\n", 3)
@@ -742,5 +753,98 @@ def mm_compressed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, codec string, n_chars long, n_tokens long,"
             " content_md5 string"
+        ),
+    )
+
+
+@query(
+    "mm_jpeg_decode",
+    section="J5,G5",
+    tags=("multimodal",),
+    oracle="""
+WITH b AS (SELECT unnest([0, 1, 2, 3]) AS block_id),
+px AS (
+  SELECT d.doc_id AS item_id, b.block_id,
+         CAST((d.doc_id * 37 + b.block_id * 59) % 256 AS DOUBLE)
+             AS block_mean
+  FROM documents d CROSS JOIN b
+)
+SELECT item_id, block_id, block_mean,
+       CAST(sum(block_mean * 64) OVER (PARTITION BY item_id)
+            AS BIGINT) AS image_sum
+FROM px
+""",
+)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode, hash-checked end to end: per item, a 16x16
+    grayscale image of four flat 8x8 blocks (value = closed form of
+    item and block id) is ENCODED to a baseline JFIF JPEG in one
+    Arrow kernel (from-spec T.81 encoder: DCT, quantize, zigzag,
+    Annex-K Huffman, byte stuffing) and DECODED in a separate kernel
+    through ``decode_media``'s production JPEG path (marker walk,
+    Huffman decode, DC prediction, IDCT). Flat blocks are bit-exact
+    through the full pipeline (a constant block has only a DC
+    coefficient, and the all-ones quant table preserves it), so the
+    DuckDB oracle states the expected pixels in closed form — a
+    single wrong bit in either Huffman table, the zigzag, the
+    predictor, or the IDCT flips the hash. Random-content images
+    (where quantization rounding makes closed forms impossible) are
+    covered by the ±1-envelope roundtrip tests in tests/test_jpeg.py.
+
+    100 TB notes: same decode-then-derive discipline as the other
+    media kernels — JPEG bytes never cross a shuffle; the decoded
+    stats do."""
+    import numpy as np
+
+    from spark_glove_spark.functions.jpeg import encode_jpeg
+
+    d = parallelized(table(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                img = np.zeros((16, 16), dtype=np.uint8)
+                for b in range(4):
+                    v = (int(did) * 37 + b * 59) % 256
+                    by, bx = divmod(b, 2)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                payloads.append(encode_jpeg(img))
+            yield pd.DataFrame(
+                {"item_id": pdf["doc_id"], "content": payloads}
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {
+                "item_id": [],
+                "block_id": [],
+                "block_mean": [],
+                "image_sum": [],
+            }
+            for iid, payload in zip(pdf["item_id"], pdf["content"]):
+                img = decode_media(bytes(payload), "image")
+                total = int(img.astype(np.int64).sum())
+                for b in range(4):
+                    by, bx = divmod(b, 2)
+                    blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    rows["item_id"].append(int(iid))
+                    rows["block_id"].append(b)
+                    rows["block_mean"].append(float(blk.mean()))
+                    rows["image_sum"].append(total)
+            yield pd.DataFrame(rows)
+
+    encoded = d.mapInPandas(
+        encode, schema="item_id long, content binary"
+    )
+    return encoded.mapInPandas(
+        decode,
+        schema=(
+            "item_id long, block_id int, block_mean double,"
+            " image_sum long"
         ),
     )

@@ -305,6 +305,7 @@ R6_SPILL: tuple[str, ...] = (
     "h16_opq_ann",
     "mm_compressed_text",
     "c8_asof_tolerance",
+    "mm_jpeg_decode",
     "h13_minhash_clusters",
     "h13_semantic_dedup",
     "h13_simhash_fingerprints",

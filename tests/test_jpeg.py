@@ -1,0 +1,118 @@
+"""Stage-level and end-to-end tests for the from-spec baseline JPEG
+codec (functions/jpeg.py). Strategy: every stage is checked against
+an independent reference (the T.81 spec's own tables, hand-derived
+Huffman codes, numpy DCT algebra), then the full pipeline is pinned
+by flat-block EXACTNESS and a ±1 rounding envelope on random images —
+so an encoder/decoder bug pair would have to be symmetric across two
+formulations AND invisible to the mm_jpeg_decode closed-form oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_glove_spark.functions.jpeg import (
+    ZIGZAG,
+    _build_codes,
+    _decode_magnitude,
+    _encode_magnitude,
+    decode_jpeg,
+    dct2,
+    encode_jpeg,
+    idct2,
+)
+
+
+def test_zigzag_is_the_spec_order():
+    """T.81 Figure A.6: verify the scan visits anti-diagonals with
+    alternating direction (independent re-derivation, not a copy)."""
+    order = []
+    for s in range(15):  # anti-diagonal index
+        rng = range(max(0, s - 7), min(7, s) + 1)
+        diag = [(s - j, j) for j in rng]  # descending row order
+        if s % 2 == 1:  # odd diagonals run up-right: (0,1) before (1,0)
+            diag.reverse()
+        order.extend(r * 8 + c for r, c in diag)
+    assert list(ZIGZAG) == order
+
+
+def test_dct_is_orthonormal():
+    rng = np.random.default_rng(1)
+    b = rng.random((8, 8)) * 255 - 128
+    assert np.allclose(idct2(dct2(b)), b, atol=1e-10)
+    # Parseval: energy is preserved
+    c = dct2(b)
+    assert np.isclose((b * b).sum(), (c * c).sum(), rtol=1e-12)
+    # a constant block has ONLY a DC coefficient
+    c0 = dct2(np.full((8, 8), 57.0))
+    assert np.isclose(c0[0, 0], 8 * 57.0)
+    assert np.allclose(c0.reshape(-1)[1:], 0, atol=1e-10)
+
+
+def test_huffman_codebook_matches_hand_derivation():
+    """Annex C on a tiny table: bits=[0,2,1] means two 2-bit codes
+    (00, 01) then one 3-bit code (100)."""
+    codes = _build_codes([0, 2, 1] + [0] * 13, [7, 8, 9])
+    assert codes == {7: (0b00, 2), 8: (0b01, 2), 9: (0b100, 3)}
+
+
+def test_magnitude_coding_roundtrip():
+    for v in (-255, -128, -1, 0, 1, 77, 255, -1023, 1023):
+        size = int(abs(v)).bit_length()
+        assert _decode_magnitude(_encode_magnitude(v, size), size) == v
+
+
+def test_flat_blocks_are_bit_exact():
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 0, 255, 37, 201
+    assert np.array_equal(decode_jpeg(encode_jpeg(img)), img)
+
+
+def test_random_gray_roundtrip_within_rounding_envelope():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_random_color_roundtrip_within_rounding_envelope():
+    """Color tolerates ±2: the RGB→YCbCr→RGB pair double-rounds (DC
+    quantization rounds Y/Cb/Cr to 1/8ths, the final RGB conversion
+    rounds again), so isolated pixels can land 2 off. Grayscale skips
+    the color transform and stays within ±1."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    diff = np.abs(out.astype(int) - img.astype(int))
+    assert diff.max() <= 2
+    assert (diff > 1).mean() < 0.01  # 2-off pixels are rare outliers
+
+
+def test_byte_stuffing_survives_ff_heavy_streams():
+    """An all-255 image drives the entropy stream toward 0xFF bytes;
+    the stuffing/unstuffing pair must round-trip it."""
+    img = np.full((8, 8), 255, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img)), img)
+
+
+def test_decoder_rejects_out_of_scope_payloads():
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(b"\xff\xd8\xff\xe0JFIF-ish garbage")
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(b"not a jpeg at all")
+    # progressive SOF2 must refuse, not mis-decode
+    img = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    sof = bytes(img).find(b"\xff\xc0")
+    img[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(img))
+
+
+def test_decode_media_routes_jpeg():
+    from spark_glove_spark.operators.multimodal import decode_media
+
+    img = np.full((8, 8), 93, dtype=np.uint8)
+    assert np.array_equal(decode_media(encode_jpeg(img), "image"), img)
