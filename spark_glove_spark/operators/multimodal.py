@@ -848,3 +848,128 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " image_sum long"
         ),
     )
+
+
+def mulaw_encode(pcm: "np.ndarray") -> "np.ndarray":
+    """ITU-T G.711 μ-law compression, the reference integer algorithm
+    (public CCITT code): clamp, bias by 132, segment by MSB position,
+    4-bit mantissa, ones-complement. 16-bit PCM -> 8-bit codes."""
+    x = pcm.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 132
+    exp = np.clip(np.floor(np.log2(mag)).astype(np.int64) - 7, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)) & 0xFF
+
+
+def mulaw_decode(codes: "np.ndarray") -> "np.ndarray":
+    """Inverse G.711 μ-law: 8-bit codes -> 16-bit PCM estimates."""
+    c = (~codes.astype(np.int64)) & 0xFF
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = (((mant << 3) + 132) << exp) - 132
+    return np.where(sign != 0, -mag, mag)
+
+
+@query(
+    "mm_mulaw_audio",
+    section="J5,G5",
+    tags=("multimodal",),
+    oracle="""
+WITH idx AS (SELECT unnest(range(64)) AS i),
+pcm AS (
+  SELECT d.doc_id AS item_id, idx.i,
+         (d.doc_id * 31 + idx.i * 17) % 65536 - 32768 AS s
+  FROM documents d CROSS JOIN idx
+),
+enc AS (
+  SELECT item_id, i, s,
+         CASE WHEN s < 0 THEN 128 ELSE 0 END AS sign,
+         least(abs(s), 32635) + 132 AS mag
+  FROM pcm
+),
+seg AS (
+  SELECT item_id, i, s, sign, mag,
+         CASE WHEN mag >= 16384 THEN 7 WHEN mag >= 8192 THEN 6
+              WHEN mag >= 4096 THEN 5 WHEN mag >= 2048 THEN 4
+              WHEN mag >= 1024 THEN 3 WHEN mag >= 512 THEN 2
+              WHEN mag >= 256 THEN 1 ELSE 0 END AS exp
+  FROM enc
+),
+dec AS (
+  SELECT item_id, i, s,
+         CASE WHEN sign = 128 THEN -1 ELSE 1 END
+         * ((((mag // CAST(pow(2, exp + 3) AS BIGINT)) % 16) * 8 + 132)
+            * CAST(pow(2, exp) AS BIGINT) - 132) AS d
+  FROM seg
+)
+SELECT item_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(d) AS BIGINT) AS decoded_sum,
+       CAST(max(abs(d - s)) AS BIGINT) AS max_abs_err,
+       CAST(min(CASE WHEN i = 0 THEN d END) AS BIGINT) AS first_decoded
+FROM dec GROUP BY 1
+""",
+)
+def mm_mulaw_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy audio codec, hash-checked end to end: per item, 64
+    closed-form 16-bit PCM samples (the synth_wav formula) are
+    companded to 8-bit G.711 μ-law codes in one Arrow kernel — an
+    actual 2x audio compression standard (telephony, WAV format 7) —
+    and expanded back in a second kernel that sees only the opaque
+    byte payload. μ-law is STATELESS (per-sample segment/mantissa
+    math), so the DuckDB oracle replicates synthesize → compress →
+    expand entirely in SQL and the hash covers decoded sums, the
+    worst per-sample quantization error, and the first sample —
+    any bit slip in sign/segment/mantissa handling flips it.
+
+    This, JPEG, and the gzip/bz2/lzma text path make the lossy/lossless
+    codec story concrete; MP3/H.264 remain honestly out of scope."""
+    d = parallelized(table(spark, sf_dir, "documents")).select("doc_id")
+
+    def compress(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                i = np.arange(64, dtype=np.int64)
+                pcm = (int(did) * 31 + i * 17) % 65536 - 32768
+                payloads.append(mulaw_encode(pcm).astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {"item_id": pdf["doc_id"], "content": payloads}
+            )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {
+                "item_id": [],
+                "n_samples": [],
+                "decoded_sum": [],
+                "max_abs_err": [],
+                "first_decoded": [],
+            }
+            for iid, payload in zip(pdf["item_id"], pdf["content"]):
+                codes = np.frombuffer(bytes(payload), dtype=np.uint8)
+                dec = mulaw_decode(codes)
+                i = np.arange(len(codes), dtype=np.int64)
+                pcm = (int(iid) * 31 + i * 17) % 65536 - 32768
+                rows["item_id"].append(int(iid))
+                rows["n_samples"].append(len(codes))
+                rows["decoded_sum"].append(int(dec.sum()))
+                rows["max_abs_err"].append(int(np.abs(dec - pcm).max()))
+                rows["first_decoded"].append(int(dec[0]))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        compress, schema="item_id long, content binary"
+    ).mapInPandas(
+        expand,
+        schema=(
+            "item_id long, n_samples long, decoded_sum long,"
+            " max_abs_err long, first_decoded long"
+        ),
+    )

@@ -306,6 +306,7 @@ R6_SPILL: tuple[str, ...] = (
     "mm_compressed_text",
     "c8_asof_tolerance",
     "mm_jpeg_decode",
+    "mm_mulaw_audio",
     "h13_minhash_clusters",
     "h13_semantic_dedup",
     "h13_simhash_fingerprints",
