@@ -973,3 +973,84 @@ def mm_mulaw_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " max_abs_err long, first_decoded long"
         ),
     )
+
+
+@query(
+    "mm_mjpeg_video",
+    section="J5,G5",
+    tags=("multimodal",),
+    oracle="""
+WITH f AS (SELECT unnest([0, 1, 2]) AS frame_id),
+px AS (
+  SELECT d.doc_id AS item_id, f.frame_id,
+         CAST((d.doc_id * 37 + f.frame_id * 101) % 256 AS DOUBLE)
+             AS frame_mean
+  FROM documents d CROSS JOIN f
+)
+SELECT item_id, frame_id, frame_mean FROM px
+""",
+)
+def mm_mjpeg_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed video path — Motion JPEG: a video payload is a
+    byte stream of concatenated baseline JPEG frames (the actual
+    MJPEG-in-AVI/ MJPEG-over-HTTP wire format), split on SOI/EOI
+    markers and decoded frame-by-frame through the from-spec T.81
+    decoder. Per item, 3 flat 8x8-block frames are encoded into ONE
+    binary column in the first kernel; the second kernel sees only
+    the byte stream, re-finds the frame boundaries, decodes each
+    frame, and reports per-frame means — which the DuckDB oracle
+    states in closed form (flat blocks are bit-exact through JPEG).
+
+    With this, every media class has a REAL compressed decode path
+    (JPEG images, mu-law audio, MJPEG video, DEFLATE/BWT/LZMA text);
+    inter-frame codecs (H.264) remain honestly out of scope.
+    """
+    import numpy as np
+
+    from spark_glove_spark.functions.jpeg import encode_jpeg
+
+    d = parallelized(table(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                frames = []
+                for fr in range(3):
+                    v = (int(did) * 37 + fr * 101) % 256
+                    img = np.full((8, 8), v, dtype=np.uint8)
+                    frames.append(encode_jpeg(img))
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {"item_id": pdf["doc_id"], "content": payloads}
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {"item_id": [], "frame_id": [], "frame_mean": []}
+            for iid, payload in zip(pdf["item_id"], pdf["content"]):
+                blob = bytes(payload)
+                # frame split: scan for EOI (FFD9); SOI follows.
+                start, fid = 0, 0
+                while start < len(blob):
+                    end = blob.find(b"\xff\xd9", start)
+                    if end < 0:
+                        break
+                    frame = blob[start : end + 2]
+                    img = decode_media(frame, "video")
+                    rows["item_id"].append(int(iid))
+                    rows["frame_id"].append(fid)
+                    rows["frame_mean"].append(float(img.mean()))
+                    fid += 1
+                    start = end + 2
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        encode, schema="item_id long, content binary"
+    ).mapInPandas(
+        decode, schema="item_id long, frame_id int, frame_mean double"
+    )

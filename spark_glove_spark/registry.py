@@ -307,6 +307,7 @@ R6_SPILL: tuple[str, ...] = (
     "c8_asof_tolerance",
     "mm_jpeg_decode",
     "mm_mulaw_audio",
+    "mm_mjpeg_video",
     "h13_minhash_clusters",
     "h13_semantic_dedup",
     "h13_simhash_fingerprints",
