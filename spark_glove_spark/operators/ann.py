@@ -746,3 +746,160 @@ def h16_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable sign-LSH: the full ANN pipeline as a hash-matchable query.
+
+
+_PL_PLANES = 4
+_PL_SCALE = 1000  # fixed-point quantization: qv[d] = floor(v*1000 + 0.5)
+
+
+def _pl_coef(j: int, d: int) -> int:
+    """Deterministic LCG hyperplane coefficient in [-1000, 1000].
+
+    Pure int64 arithmetic (no float, no engine RNG) so Spark, DuckDB,
+    and Python compute the identical value — the coefficient IS the
+    formula, replicated verbatim in the oracle SQL."""
+    return ((1103515245 * (j * DIM + d) + 12345) % 2147483648) % 2001 - 1000
+
+
+def _pl_oracle() -> str:
+    weights = " + ".join(
+        f"(CASE j WHEN {j} THEN {2 ** (_PL_PLANES - 1 - j)} ELSE 0 END)"
+        for j in range(_PL_PLANES)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, i - 1 AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_PL_SCALE} + 0.5) AS BIGINT) AS v
+  FROM embeddings, range(1, {DIM + 1}) r(i)
+),
+coef AS (
+  SELECT j, d,
+         ((1103515245 * (j * {DIM} + d) + 12345) % 2147483648) % 2001 - 1000 AS c
+  FROM range({_PL_PLANES}) t(j), range({DIM}) s(d)
+),
+bits AS (
+  SELECT q.vec_id, coef.j,
+         CASE WHEN sum(q.v * coef.c) > 0 THEN 1 ELSE 0 END AS bit
+  FROM q JOIN coef ON q.d = coef.d
+  GROUP BY 1, 2
+),
+bkt AS (
+  SELECT vec_id, sum(bit * ({weights})) AS bucket
+  FROM bits GROUP BY 1
+),
+norm AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY 1),
+cand AS (
+  SELECT p.vec_id AS probe_id, c.vec_id
+  FROM bkt p JOIN bkt c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+  WHERE p.vec_id % 100 = 0
+),
+dots AS (
+  SELECT cand.probe_id, cand.vec_id, sum(qa.v * qb.v) AS num
+  FROM cand
+  JOIN q qa ON qa.vec_id = cand.probe_id
+  JOIN q qb ON qb.vec_id = cand.vec_id AND qb.d = qa.d
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.probe_id, d.vec_id, d.num,
+         round(CAST(d.num AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)), 6)
+           AS cos_q,
+         row_number() OVER (
+           PARTITION BY d.probe_id
+           ORDER BY CAST(d.num AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) DESC,
+                    d.vec_id
+         ) AS rn
+  FROM dots d
+  JOIN norm na ON na.vec_id = d.probe_id
+  JOIN norm nb ON nb.vec_id = d.vec_id
+)
+SELECT probe_id, vec_id, num, cos_q FROM scored WHERE rn <= 3
+"""
+
+
+@query("h16_lsh_portable", section="H16,H15", oracle=_pl_oracle())
+def h16_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16, hash-matchable form: the ENTIRE sign-LSH ANN pipeline —
+
+    hyperplane bucketing, candidate generation, cosine rerank, top-3 —
+    on exact integer arithmetic so the DuckDB oracle replicates every
+    stage bit-for-bit (the h5_glove_fit_micro treatment applied to
+    ANN). Embeddings are fixed-point quantized (floor(v*1000 + 0.5):
+    float32→float64 widening, *1000, +0.5, floor are all IEEE-exact
+    and engine-identical); hyperplane coefficients come from a pure
+    int64 LCG formula (_pl_coef) evaluated identically here, in the
+    oracle SQL, and in Python — so bucket bits are exact integer-dot
+    signs, not float signs that could flip in the last ulp. The rerank
+    cosine num/sqrt(na*nb) divides identical int64s, and ties at the
+    top-3 boundary break on vec_id in both engines.
+
+    The production path (h16_lsh_ann/h16_lsh_multitable) keeps float
+    hyperplanes + multiprobe for recall; this twin exists so the LSH
+    MATH carries a driver hash-match instead of rows-only status.
+    Scale shape is unchanged: bucket equi-join, candidates ∝ bucket
+    collisions, never n^2."""
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
+    )
+    base = e.select("vec_id", qv.alias("qv"))
+    zero = F.lit(0).cast("long")
+    bits = []
+    for j in range(_PL_PLANES):
+        coefs = F.array(*[F.lit(_pl_coef(j, d)).cast("long") for d in range(DIM)])
+        dotj = F.aggregate(
+            F.zip_with(F.col("qv"), coefs, lambda x, y: x * y),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dotj > 0, F.lit(1)).otherwise(F.lit(0)))
+    bucket = sum(
+        (b * F.lit(2 ** (_PL_PLANES - 1 - j)) for j, b in enumerate(bits)),
+        start=F.lit(0),
+    )
+    nn = F.aggregate(
+        F.transform("qv", lambda x: x * x), zero, lambda acc, x: acc + x
+    )
+    tagged = base.select(
+        "vec_id", "qv", bucket.alias("bucket"), nn.alias("nn")
+    )
+    probes = tagged.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("qv").alias("qp"),
+        F.col("bucket").alias("pbucket"),
+        F.col("nn").alias("np"),
+    )
+    num = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qp"), lambda x, y: x * y),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    # rank on the UNROUNDED ratio (as the oracle does) so a boundary
+    # tie between values that only differ below 1e-6 cuts identically
+    cos_raw = num.cast("double") / F.sqrt((F.col("nn") * F.col("np")).cast("double"))
+    scored = (
+        tagged.join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            num.alias("num"),
+            cos_raw.alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "probe_id",
+            "vec_id",
+            "num",
+            F.round("cos_raw", 6).alias("cos_q"),
+        )
+    )

@@ -642,3 +642,143 @@ def h13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash MinHash: the full sketch pipeline as a hash-matchable query.
+
+
+_MH_HASHES = 8  # portable signature width (4 bands x 2 rows)
+_MH_BANDS = 4
+
+
+def _mh_oracle() -> str:
+    """DuckDB twin of h13_minhash_portable — generated from the same
+    (_MH_HASHES, _MH_BANDS) constants so the two encodings cannot
+    drift apart (the f8 MERGE_ORACLE single-source rule)."""
+    mins = ",\n         ".join(
+        f"min(md5('m{i}|' || s)) AS m{i}" for i in range(_MH_HASHES)
+    )
+    rows = _MH_HASHES // _MH_BANDS
+    bands = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+            b=b,
+            cat=" || ".join(f"m{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+  FROM t WHERE len(toks) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+  FROM g
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+b AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM b a JOIN b b2
+    ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+),
+sets AS (SELECT doc_id, list(s) AS ss, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS DOUBLE)
+             / (sa.n + sb.n
+                - len(list_filter(sa.ss, x -> list_contains(sb.ss, x)))),
+             6) AS jaccard
+FROM cand c
+JOIN sets sa ON sa.doc_id = c.doc_a
+JOIN sets sb ON sb.doc_id = c.doc_b
+WHERE round(CAST(len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS DOUBLE)
+            / (sa.n + sb.n
+               - len(list_filter(sa.ss, x -> list_contains(sb.ss, x)))),
+            6) >= 0.5
+"""
+
+
+@query("h13_minhash_portable", section="H13,H11,G7", oracle=_mh_oracle())
+def h13_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H13, hash-matchable form: the ENTIRE MinHash-LSH pipeline —
+
+    signature, banding, candidate join, exact-Jaccard verify — built
+    on engine-portable md5 so the DuckDB oracle replicates every
+    stage bit-for-bit (the h5_glove_fit_micro treatment applied to
+    the dedup sketch). min(md5('m{i}|' || shingle)) is a textbook
+    MinHash under 8 seeded permutations: md5 hex is lowercase
+    [0-9a-f] ASCII, so Spark's UTF8 binary min and DuckDB's varchar
+    min induce the same order. 4 bands x 2 rows; band bucket =
+    md5(concat of the band's mins); candidates = docs sharing any
+    band bucket; verify = exact shingle-set Jaccard >= 0.5 on
+    candidates only.
+
+    The production path (h13_minhash_neardup) keeps xxhash64 — one
+    8-byte long per shingle instead of 8 md5 strings — this twin
+    exists so the sketch MATH has a driver hash-match, not just
+    pytest recall teeth. Same block-then-verify scale shape: no
+    stage ever materializes the n^2 pair space."""
+    sh = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.array_distinct(shingles(tokenize(F.col("text")), 3)).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+    )
+    sh = defer_unpersist(sh.persist())
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"m{i}|"), F.col("s")))).alias(f"m{i}")
+            for i in range(_MH_HASHES)
+        ]
+    )
+    rows = _MH_HASHES // _MH_BANDS
+    buckets = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(*[F.col(f"m{b * rows + r}") for r in range(rows)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("set_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )

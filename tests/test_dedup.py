@@ -289,3 +289,81 @@ def test_span_dedup_multi_finds_injected_long_duplicate(spark, tmp_path):
     assert rows[(3, 8)]["max_span_tokens"] == 20
     assert rows[(3, 8)]["covered_tokens"] == 40
     assert (3, 32) not in rows
+
+
+def test_minhash_portable_matches_ground_truth(spark):
+    """The portable-md5 twin must behave like the production sketch:
+    exact precision (the verify step IS exact Jaccard) and full recall
+    on the planted J≈0.99 pairs — 2-row bands are strictly more
+    permissive than the production 4-row bands, so any pair the
+    production pipeline catches at J≈0.99 the portable one must too."""
+    from spark_glove_spark.operators.dedup import h13_minhash_portable
+
+    sf = "/root/testdata/sf0.001"
+    portable = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in h13_minhash_portable(spark, sf).collect()
+    }
+    production = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardups(
+            spark.read.parquet(f"{sf}/documents.parquet"), threshold=0.5
+        ).collect()
+    }
+    assert set(portable) >= production
+    assert all(j >= 0.5 for j in portable.values())
+
+
+def test_lsh_portable_matches_numpy_replica(spark):
+    """Full numpy replica of the portable LSH pipeline: quantize,
+    LCG hyperplanes, bucket, candidate set, integer dots, top-3 —
+    every returned row (probe, vec, num) must match, and the per-probe
+    neighbor sets must be identical."""
+    import numpy as np
+
+    from spark_glove_spark.operators.ann import (
+        DIM,
+        _PL_PLANES,
+        _PL_SCALE,
+        _pl_coef,
+        h16_lsh_portable,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in rows])
+    emb = np.array([r.embedding for r in rows], dtype=np.float64)
+    qv = np.floor(emb * _PL_SCALE + 0.5).astype(np.int64)
+    coef = np.array(
+        [[_pl_coef(j, d) for d in range(DIM)] for j in range(_PL_PLANES)],
+        dtype=np.int64,
+    )
+    bits = (qv @ coef.T > 0).astype(int)
+    bucket = bits @ (2 ** np.arange(_PL_PLANES - 1, -1, -1))
+    nn = (qv * qv).sum(axis=1)
+
+    expected = {}
+    for pi, pid in enumerate(ids):
+        if pid % 100 != 0:
+            continue
+        cand = [
+            ci
+            for ci in range(len(ids))
+            if bucket[ci] == bucket[pi] and ids[ci] != pid
+        ]
+        scored = sorted(
+            (
+                (
+                    -(qv[pi] @ qv[ci]) / np.sqrt(float(nn[pi] * nn[ci])),
+                    ids[ci],
+                    int(qv[pi] @ qv[ci]),
+                )
+                for ci in cand
+            ),
+        )[:3]
+        expected[int(pid)] = {(v, n) for _, v, n in scored}
+
+    got = {}
+    for r in h16_lsh_portable(spark, sf).collect():
+        got.setdefault(r.probe_id, set()).add((r.vec_id, r.num))
+    assert got == expected

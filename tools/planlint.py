@@ -71,6 +71,7 @@ BNLJ_OK = {
     "h15_knn_classifier",
     "h15_centroid_classifier",
     "h15_hard_negatives",  # broadcast-anchor brute scan, by design
+    "h16_opq_ann",  # broadcast-probe ADC scan, same design as h16_quantized_knn
     "h2_frequent_subsample",
     "h10_tfidf_doc_sim",  # corpus-size scalar broadcast
 }
