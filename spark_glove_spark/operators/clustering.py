@@ -28,11 +28,11 @@ strategy that verifies the GloVe trainer (tests/test_glove_reference).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_glove_spark.functions.vector import dot
-from spark_glove_spark.registry import query
+from spark_glove_spark.registry import defer_unpersist, query
 from spark_glove_spark.sources import parallelized, table
 
 _SAMPLE_CAP = 32_768
@@ -321,3 +321,169 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return e.select("vec_id", "label", proj.alias("pc"))
+
+
+# ---------------------------------------------------------------------------
+# Portable k-means: two unrolled Lloyd iterations as a hash-matchable query
+# (VERDICT r4 item 3 — the h5_glove_fit_micro treatment applied to k-means).
+
+
+_KMP_K = 8
+_KMP_SCALE = 1000
+_KMP_DIM = 64
+
+
+def _kmp_oracle() -> str:
+    cdims = ",\n                 ".join(
+        f"CAST(max(CASE WHEN d = {d} THEN c END) AS BIGINT) AS c_{d}"
+        for d in range(4)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, i - 1 AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_KMP_SCALE} + 0.5) AS BIGINT) AS v
+  FROM embeddings, range(1, {_KMP_DIM + 1}) r(i)
+),
+c0 AS (SELECT vec_id AS cell, d, v AS c FROM q WHERE vec_id < {_KMP_K}),
+d1 AS (
+  SELECT q.vec_id, c0.cell,
+         CAST(sum((q.v - c0.c) * (q.v - c0.c)) AS BIGINT) AS dist
+  FROM q JOIN c0 ON q.d = c0.d GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT a1.cell, q.d,
+         CAST(floor(CAST(sum(q.v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+  FROM a1 JOIN q ON q.vec_id = a1.vec_id GROUP BY 1, 2
+),
+d2 AS (
+  SELECT q.vec_id, c1.cell,
+         CAST(sum((q.v - c1.c) * (q.v - c1.c)) AS BIGINT) AS dist
+  FROM q JOIN c1 ON q.d = c1.d GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, cell, dist FROM (
+    SELECT vec_id, cell, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+c2 AS (
+  SELECT a2.cell, q.d,
+         CAST(floor(CAST(sum(q.v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+  FROM a2 JOIN q ON q.vec_id = a2.vec_id GROUP BY 1, 2
+),
+stats AS (
+  SELECT cell AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(dist) AS BIGINT) AS wcss
+  FROM a2 GROUP BY 1
+),
+cdims AS (
+  SELECT cell AS cluster,
+                 {cdims}
+  FROM c2 GROUP BY 1
+)
+SELECT s.cluster, s.n_members, s.wcss, c_0, c_1, c_2, c_3
+FROM stats s JOIN cdims USING (cluster)
+"""
+
+
+def _kmp_nearest(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Integer-L2 argmin assignment of every base vector to the
+    nearest centroid (ties -> smaller cell id) — shared by both
+    unrolled iterations. cents: (cell, cv array<bigint>), k rows,
+    always broadcast."""
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dists = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "qv", "cell", d2.alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "qv", "cell", "dist")
+    )
+
+
+def _kmp_update(assign: DataFrame) -> DataFrame:
+    """Centroid update: per-cell per-dim mean of the quantized
+    vectors, rounded back to the integer grid with the engine-
+    identical floor(sum/count + 0.5) (sum and count are exact int64
+    < 2^53 in double; the division is a single correctly-rounded
+    IEEE op in both engines, so the rounded centroid is bit-identical
+    here and in the oracle). Returns (cell, cv array<bigint>)."""
+    long_form = assign.select(
+        "cell", F.posexplode("qv").alias("d", "v")
+    )
+    per_dim = long_form.groupBy("cell", "d").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("c")
+    )
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+
+
+@query("ml_kmeans_portable", section="H16,D1", oracle=_kmp_oracle())
+def ml_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means, hash-matchable form: two FULL Lloyd iterations —
+
+    assignment, centroid update, re-assignment, re-update — on exact
+    integer arithmetic so the DuckDB oracle replicates every stage
+    bit-for-bit. Embeddings are fixed-point quantized (floor(v*1000
+    + 0.5), engine-identical); init centroids are the quantized
+    vectors of vec_id < _KMP_K; assignment is integer-L2 argmin with
+    ties on cell id; the updated centroid coordinate is
+    floor(sum/count + 0.5) — exact int64s divided in one correctly-
+    rounded IEEE op, identical across engines, which puts the new
+    centroids back on the integer grid for the next exact-integer
+    assignment. Output: per-cluster member count, integer WCSS (sum
+    of assignment distances), and the first four centroid dims.
+
+    The production path (ml_kmeans) keeps driver-side float centroid
+    literals + convergence detection for real training; this twin
+    exists so the Lloyd MATH (the assign/update alternation itself)
+    carries a driver hash-match instead of rows-only status. Scale
+    shape matches production: assignment broadcasts k tiny centroid
+    rows (no data shuffle), the update is one map-side-combined
+    groupBy producing k*dim rows."""
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(_KMP_SCALE)) + F.lit(0.5)
+        ),
+    )
+    base = defer_unpersist(e.select("vec_id", qv.alias("qv")).persist())
+    cents0 = base.where(F.col("vec_id") < _KMP_K).select(
+        F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
+    )
+    a1 = _kmp_nearest(base, cents0)
+    c1 = _kmp_update(a1)
+    a2 = defer_unpersist(_kmp_nearest(base, c1).persist())
+    c2 = _kmp_update(a2)
+    stats = a2.groupBy(F.col("cell").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("dist").alias("wcss")
+    )
+    dims = c2.select(
+        F.col("cell").alias("cluster"),
+        *[F.element_at("cv", d + 1).alias(f"c_{d}") for d in range(4)],
+    )
+    return stats.join(dims, "cluster").select(
+        "cluster", "n_members", "wcss", "c_0", "c_1", "c_2", "c_3"
+    )

@@ -563,7 +563,7 @@ cnt AS (
     SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(c) AS n_2grams,
+       CAST(sum(c) AS BIGINT) AS n_2grams,
        round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_2gram_frac,
        round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_2gram_frac
 FROM cnt
@@ -1006,7 +1006,7 @@ def h17_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm-pipeline",),
     oracle="""
 WITH stats AS (
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
     FROM documents GROUP BY 1
 ),
 tot AS (SELECT sum(n_chars) AS total_chars, count(*) AS n_sources
@@ -2150,3 +2150,194 @@ def h17_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("flat").alias("flat_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact maximal duplicated spans (VERDICT r4 item 5 — closing the
+# variable-length gap the k-ladder brackets).
+
+
+_SPX_K = 8  # window size: spans >= _SPX_K tokens are recovered EXACTLY
+_SPX_DF_CAP = 32  # gram-occurrence cap bounding the pair join fan-out
+
+
+def _spx_oracle() -> str:
+    k, cap = _SPX_K, _SPX_DF_CAP
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (
+    SELECT doc_id, unnest(range(len(t) - {k - 1})) AS pos, t
+    FROM toks WHERE len(t) >= {k}
+),
+g2 AS (
+    SELECT doc_id, pos,
+           list_aggregate(t[pos + 1:pos + {k}], 'string_agg', ' ') AS g
+    FROM w
+),
+cap AS (SELECT g FROM g2 GROUP BY g HAVING count(*) BETWEEN 2 AND {cap}),
+gc AS (SELECT g2.* FROM g2 JOIN cap USING (g)),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+    FROM gc a JOIN gc b ON a.g = b.g
+    WHERE a.doc_id < b.doc_id
+       OR (a.doc_id = b.doc_id AND a.pos < b.pos)
+),
+lagged AS (
+    SELECT doc_a, doc_b, diag, pos_a, pos_b,
+           lag(pos_a) OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+           ) AS prev
+    FROM pairs
+),
+grp AS (
+    SELECT doc_a, doc_b, diag, pos_a, pos_b,
+           sum(CASE WHEN prev IS NULL OR pos_a > prev + 1
+                    THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+               ROWS UNBOUNDED PRECEDING
+           ) AS gid
+    FROM lagged
+),
+runs AS (
+    SELECT doc_a, doc_b, diag, gid, count(*) AS nwin,
+           min(pos_a) AS sa, min(pos_b) AS sb
+    FROM grp GROUP BY 1, 2, 3, 4
+),
+spans AS (
+    SELECT doc_a AS doc_id, doc_b AS partner_doc,
+           nwin + {k - 1} AS span, sa AS start_pos
+    FROM runs
+    UNION ALL
+    SELECT doc_b, doc_a, nwin + {k - 1}, sb FROM runs
+),
+best AS (
+    SELECT doc_id, partner_doc, span, start_pos,
+           row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY span DESC, partner_doc, start_pos
+           ) AS rn
+    FROM spans
+)
+SELECT doc_id, CAST(partner_doc AS BIGINT) AS partner_doc,
+       CAST(span AS BIGINT) AS max_span_tokens,
+       CAST(start_pos AS BIGINT) AS start_pos
+FROM best WHERE rn = 1
+"""
+
+
+def max_dup_spans(
+    docs: DataFrame, k: int = _SPX_K, df_cap: int = _SPX_DF_CAP
+) -> DataFrame:
+    """EXACT maximal duplicated-span length per document, for spans of
+    at least ``k`` tokens: a duplicated substring of length L >= k
+    produces exactly L - k + 1 consecutive matching k-gram windows on
+    ONE alignment diagonal (pos_a - pos_b constant) between the two
+    occurrences, so the longest consecutive diagonal run r recovers
+    the true length as r + k - 1 — the matching-statistics form of
+    the Lee et al. 2022 suffix-array result, expressed as a gram
+    equi-join plus a gaps-and-islands window. Within-doc repeats
+    (same doc, different positions) participate like cross-doc pairs.
+
+    ``df_cap`` bounds the pair fan-out: grams occurring more than
+    df_cap times corpus-wide are boilerplate-class (handled by
+    h17_boilerplate_lines) and are excluded, so each gram contributes
+    at most df_cap^2 pairs — the same heavy-hitter discipline as the
+    similarity join's prefix filter. Spans whose EVERY window clears
+    the cap are exact; a span crossing an over-cap gram splits into
+    its exact sub-spans."""
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(shingles(tokenize(F.col("text")), k)).alias("pos", "gs"),
+    ).select("doc_id", "pos", F.xxhash64("gs").alias("g"))
+    occ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ"))
+    gc = defer_unpersist(
+        grams.join(
+            occ.where((F.col("n_occ") >= 2) & (F.col("n_occ") <= df_cap)), "g"
+        )
+        .select("doc_id", "pos", "g")
+        .persist()
+    )
+    a = gc.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "g"
+    )
+    b = gc.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "g"
+    )
+    pairs = (
+        a.join(b, "g")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            | ((F.col("doc_a") == F.col("doc_b")) & (F.col("pos_a") < F.col("pos_b")))
+        )
+        .select(
+            "doc_a", "doc_b", "pos_a", "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    wlag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    wcum = wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp = pairs.withColumn("prev", F.lag("pos_a").over(wlag)).withColumn(
+        "gid",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("pos_a") > F.col("prev") + 1), 1
+            ).otherwise(0)
+        ).over(wcum),
+    )
+    runs = grp.groupBy("doc_a", "doc_b", "diag", "gid").agg(
+        F.count(F.lit(1)).alias("nwin"),
+        F.min("pos_a").alias("sa"),
+        F.min("pos_b").alias("sb"),
+    )
+    span = (F.col("nwin") + F.lit(k - 1)).cast("long")
+    spans = runs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("partner_doc"),
+        span.alias("span"),
+        F.col("sa").alias("start_pos"),
+    ).unionByName(
+        runs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("partner_doc"),
+            span.alias("span"),
+            F.col("sb").alias("start_pos"),
+        )
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.col("span").desc(), "partner_doc", "start_pos"
+    )
+    return (
+        spans.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "partner_doc",
+            F.col("span").alias("max_span_tokens"),
+            F.col("start_pos").cast("long").alias("start_pos"),
+        )
+    )
+
+
+@query(
+    "h17_span_dedup_exact",
+    section="H17,H11,H12",
+    tags=("dedup", "llm-pipeline"),
+    oracle=_spx_oracle(),
+)
+def h17_span_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximal duplicated-span length per document (the query
+    form of :func:`max_dup_spans` — see its docstring for the
+    diagonal-run construction and the df_cap exactness contract).
+    Reports, for every document with a duplicated span of >= _SPX_K
+    tokens, the TRUE maximal span length (no ladder bracketing), the
+    partner document containing the other occurrence, and the span's
+    start position. tests/test_dedup.py injects a 100-token duplicate
+    and asserts it is recovered at exactly 100.
+
+    100 TB shape: grams hash to xxhash64 longs before any shuffle;
+    the pair join is bounded by df_cap^2 per gram; the island merge
+    state per (doc_a, doc_b, diag) key is one lag value. The heavy
+    tail (grams over the cap) is excluded deterministically, never
+    sampled."""
+    return max_dup_spans(parallelized(table(spark, sf_dir, "documents")))

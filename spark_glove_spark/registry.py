@@ -145,113 +145,48 @@ def oracle_sql() -> dict[str, str]:
 # keep their original names and sort after the window; they remain fully
 # covered by tools/paritycheck.py and pytest.
 #
-# ROUND-4 ROTATION (VERDICT r3 item 1). Rounds 1+2 recorded the
-# alphabetical A–F/G10 substrate; round 3 recorded the signature
-# surface (GloVe pipeline, dedup/ANN, streaming, UDFs, multimodal,
-# G1–G11). This window rotates in 50 queries that have NEVER had a
-# driver-green CORRECTNESS row: the full TPC-H suite, CDC
-# merge/snapshot-diff, the analytics wave (e6–e9, d10–d18), graph
-# algorithms, the c9 temporal wave, the scale-layout queries
-# (a7/a9/a10/a12), plus this round's new oracle-checked queries
-# (micro GloVe fit, unicode tokenizer, multi-k span dedup) and the
-# champion-list rewrite of h10_tfidf_doc_sim. Everything green in
-# r1–r3 keeps its prior driver record and stays covered by
-# tools/paritycheck.py + pytest.
-#
-# ROUND-5 PLAN (the remaining never-driver-checked set, ~56 after
-# this round's additions): a8/a11/a13/a14, c10/c11, g12–g15,
-# h10_inverted_index, the h13 sketch wave, h15 classifiers/rerank/
-# range-search, h16_ivf/pq, the h17 text-analysis wave, h2/h3
-# variants, i8/i10–i13, j7/j8, ml_kmeans, the mm_* plumbing wave,
-# pipeline_*, skew_salted_join — rows-only ops (marked * in VERDICT)
-# keep their pytest teeth; overflow past 50 rotates into round 6.
+# ROUND-5 ROTATION (VERDICT r4 item 1). Rounds 1+2 recorded the
+# alphabetical A–F/G10 substrate; round 3 the signature surface;
+# round 4 the TPC-H suite, CDC, analytics/graph/temporal waves and
+# layout queries (48 green + d11 rows-only; q12 red on an oracle
+# HUGEINT cast, fixed this round). This window executes the R5 plan
+# pre-committed at r4 HEAD, with three swaps VERDICT r4 mandated:
+# the two unslotted portable twins (h13_minhash_portable,
+# h16_lsh_portable — hash-level driver evidence for the MinHash and
+# LSH math) and the CAST-fixed sql_tpch_q12_shape (red->green
+# conversion) enter; three g-series scalar extensions (g12/g14/g15,
+# whose §2 section G is already driver-green from r3 and which keep
+# full paritycheck+pytest coverage) move to the R6 spill. Everything
+# green in r1–r4 keeps its prior driver record.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # TPC-H relational suite (Q1/Q3/Q11 twins were driver-green as
-    # d1/f-series rows in r1/r2; these 19 are the rest)
-    "sql_tpch_q02_shape",
-    "sql_tpch_q04",
-    "sql_tpch_q05",
-    "sql_tpch_q06",
-    "sql_tpch_q07",
-    "sql_tpch_q08",
-    "sql_tpch_q09_shape",
-    "sql_tpch_q10",
+    # Red->green conversion: r4's one hash-FAIL, oracle CAST fixed
     "sql_tpch_q12_shape",
-    "sql_tpch_q13",
-    "sql_tpch_q14",
-    "sql_tpch_q15",
-    "sql_tpch_q16",
-    "sql_tpch_q17",
-    "sql_tpch_q18",
-    "sql_tpch_q19",
-    "sql_tpch_q20_shape",
-    "sql_tpch_q21_shape",
-    "sql_tpch_q22",
-    # CDC / mutation surface
-    "f8_merge_upsert",
-    "f9_snapshot_diff",
-    # Analytics wave
-    "e6_funnel",
-    "e7_retention_cohorts",
-    "e8_scd2_history",
-    "e9_interval_range_frame",
-    "d10_data_profile",
-    "d11_approx_percentile",
-    "d12_heavy_hitters",
-    "d13_anomaly_zscore",
-    "d14_histogram",
-    "d15_integrity_audit",
-    "d16_regression_agg",
-    "d17_quantile_binning",
-    "d18_percent_change",
-    # Graph algorithms
-    "graph_bfs_distance",
-    "graph_pagerank",
-    "graph_triangle_count",
-    # Temporal wave (C9 extensions)
-    "c9_ewma",
-    "c9_gap_fill",
-    "c9_interpolate",
-    "c9_ohlc_resample",
-    "c9_sessionize",
-    # Scale-layout queries
-    "a7_partitioned_sink_pruning",
-    "a9_bucketed_join",
-    "a10_python_datasource",
-    "a12_dynamic_partition_pruning",
-    # Round-4 additions + the champion-list doc-sim fix
-    "h5_glove_fit_micro",
-    "h1_unicode_tokenize",
-    "h17_span_dedup_multi",
-    "h10_tfidf_doc_sim",
-)
-
-DRIVER_WINDOW = 50
-
-# The concrete round-5 rotation (next 50 never-driver-checked), fixed
-# NOW so the swap is mechanical: replace DRIVER_PRIORITY with R5_PLAN
-# at the start of round 5. tests/test_driver_window.py asserts that
-# prior-round records + DRIVER_PRIORITY + R5_PLAN + R6_SPILL exactly
-# cover the registry, so any new query must be slotted explicitly.
-R5_PLAN: tuple[str, ...] = (
+    # r4's unslotted portable twins — oracle-checked md5/integer-exact
+    # equivalents of the production MinHash and LSH sketch pipelines
+    "h13_minhash_portable",
+    "h16_lsh_portable",
+    # Scale-layout + source-robustness queries
     "a8_zorder_layout",
     "a11_schema_evolution",
     "a13_corrupt_records",
     "a14_compaction",
+    # Join variants
     "c10_bloom_semi_join",
     "c11_fuzzy_join",
-    "g12_listagg",
     "g13_url_functions",
-    "g14_bitwise_agg",
-    "g15_try_semantics",
+    # Text/GloVe variants
     "h2_frequent_subsample",
     "h3_cooccurrence_by_distance",
     "h10_inverted_index",
+    # Dedup wave
     "h13_embedding_neardup",
     "h13_url_dedup",
+    "h13_quality_keep",
+    # Similarity-search wave
     "h15_centroid_classifier",
     "h15_knn_classifier",
     "h15_range_search",
+    # Text-analysis wave
     "h17_bpe_token_count",
     "h17_corpus_stats",
     "h17_domain_mix_weights",
@@ -267,32 +202,44 @@ R5_PLAN: tuple[str, ...] = (
     "h17_stratified_sample",
     "h17_token_chunking",
     "h17_weighted_resample",
-    "h13_quality_keep",
+    # Analytics late additions
     "d19_mad_outliers",
     "e10_attribution",
+    # Streaming wave
     "i8_stream_stream_join",
     "i10_streaming_ohlc",
     "i11_streaming_upsert",
     "i12_python_stream_source",
     "i13_checkpoint_recovery",
+    # UDF surface late additions
     "j7_map_in_arrow",
     "j8_cogrouped_map",
+    # Multimodal plumbing
     "mm_byte_plumbing",
     "mm_frame_sample",
     "mm_resize",
     "mm_video_decode",
+    # Pipelines + skew infrastructure
     "pipeline_curate_corpus",
     "pipeline_training_batches",
     "skew_salted_join",
 )
 
-# Round-6 spill: rows-only sketch/ANN/replica-pinned variants whose
-# driver record is weakest (rows-only) AND whose pytest teeth are
-# strongest — last in line by design — plus oracle-checked late
-# additions that arrived after R5's 50 slots filled. R5 keeps the
-# oracle-checked queries (hash-level driver evidence) and trades its
-# rows-only entries here for the round-4 late additions.
+DRIVER_WINDOW = 50
+
+# Round-6 spill: every registered query not yet driver-green and not
+# in this round's window — the next rotation draws from here.
+# tests/test_driver_window.py asserts prior-round green records +
+# DRIVER_PRIORITY + R6_SPILL exactly cover the registry, so any NEW
+# query must be slotted here explicitly. Composition: rows-only
+# sketch/ANN/replica-pinned variants (strongest pytest teeth, weakest
+# possible driver record — last in line by design), oracle-checked
+# late r4 additions that missed the 50 slots, and the three g-series
+# scalar extensions displaced by this round's mandated swaps.
 R6_SPILL: tuple[str, ...] = (
+    "g12_listagg",
+    "g14_bitwise_agg",
+    "g15_try_semantics",
     "i14_streaming_quality_filter",
     "c9_interval_join_binned",
     "f10_windowed_dedup",
@@ -312,12 +259,16 @@ R6_SPILL: tuple[str, ...] = (
     "h13_semantic_dedup",
     "h13_simhash_fingerprints",
     "h13_simhash_neardup",
+    "h13_simhash_portable",
     "h15_mmr_rerank",
     "h16_ivf_ann",
+    "h16_ivf_portable",
+    "ml_kmeans_portable",
     "h16_pq_ann",
     "h16_lsh_multitable",
     "h17_bpe_segment",
     "h17_bpe_train",
+    "h17_span_dedup_exact",
     "ml_kmeans",
     "mm_feature_extract",
 )

@@ -367,3 +367,62 @@ def test_lsh_portable_matches_numpy_replica(spark):
     for r in h16_lsh_portable(spark, sf).collect():
         got.setdefault(r.probe_id, set()).add((r.vec_id, r.num))
     assert got == expected
+
+
+def test_span_dedup_exact_recovers_full_length(spark, tmp_path):
+    """VERDICT r4 item 5: the diagonal-run query must report the TRUE
+    maximal duplicated span length — an injected 100-token duplicate
+    comes back at exactly 100 (no ladder bracketing), and a shorter
+    23-token duplicate at exactly 23."""
+    from spark_glove_spark.api import queries
+
+    span = " ".join(f"tok{i}" for i in range(100))
+    short = " ".join(f"sho{i}" for i in range(23))
+    filler_a = " ".join(f"aaa{i}" for i in range(20))
+    filler_b = " ".join(f"bbb{i}" for i in range(20))
+    filler_c = " ".join(f"ccc{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler_a} {span}", "en", "src0", 0),
+            (2, f"{span} {filler_b}", "en", "src1", 0),
+            (3, f"{filler_c} {short}", "en", "src2", 0),
+            (4, f"{short} {filler_c}", "en", "src2", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    out = queries()["h17_span_dedup_exact"](spark, sf_dir)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["max_span_tokens"] == 100
+    assert rows[1]["partner_doc"] == 2
+    assert rows[1]["start_pos"] == 20  # after the 20-token filler
+    assert rows[2]["max_span_tokens"] == 100
+    assert rows[2]["start_pos"] == 0
+    # docs 3/4 share BOTH the 23-token span and the 20-token filler;
+    # the maximal one wins
+    assert rows[3]["max_span_tokens"] == 23
+    assert rows[4]["max_span_tokens"] == 23
+    # a doc's span can never exceed its own length; sanity on ordering
+    assert set(rows) == {1, 2, 3, 4}
+
+
+def test_span_dedup_exact_within_doc_repeat(spark, tmp_path):
+    """A substring repeated INSIDE one document is a duplicated span
+    too (Lee et al. count both): 15 tokens repeated back-to-back must
+    be reported with the doc as its own partner."""
+    from spark_glove_spark.api import queries
+
+    rep = " ".join(f"rr{i}" for i in range(15))
+    filler = " ".join(f"ff{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, f"{rep} {filler} {rep}", "en", "src0", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    out = queries()["h17_span_dedup_exact"](spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == 1 and r["partner_doc"] == 1
+    assert r["max_span_tokens"] == 15

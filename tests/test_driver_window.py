@@ -18,7 +18,6 @@ from spark_glove_spark import api
 from spark_glove_spark.registry import (
     DRIVER_PRIORITY,
     DRIVER_WINDOW,
-    R5_PLAN,
     R6_SPILL,
     driver_key,
     original_name,
@@ -77,51 +76,64 @@ def test_oracle_keys_match_query_keys_in_lockstep():
     assert rows_only == set(api.queries()) - set(plain)
 
 
-def test_window_contains_only_never_driver_checked_queries():
-    """VERDICT r3 item 1: the round-4 window must spend all 50 slots
-    on queries with no driver-green row in ANY recorded round, so the
-    cross-round union grows by the full window size."""
+def _driver_checked(records: tuple[str, ...]) -> set[str]:
+    """Queries with a GREEN (or best-possible rows-only) driver record
+    in the given CORRECTNESS files. A red row (hash_match falsy with an
+    oracle present) does NOT count as checked — it must be re-windowed
+    after the fix (VERDICT r4: sql_tpch_q12_shape)."""
     import json
 
     checked: set[str] = set()
-    for rec in ("CORRECTNESS_r01", "CORRECTNESS_r02", "CORRECTNESS_r03"):
+    for rec in records:
         path = os.path.join(REPO, f"{rec}.json")
-        if os.path.exists(path):
-            checked |= {original_name(k) for k in json.load(open(path))}
+        if not os.path.exists(path):
+            continue
+        for k, row in json.load(open(path)).items():
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                checked.add(original_name(k))
+    return checked
+
+
+ALL_RECORDS = ("CORRECTNESS_r01", "CORRECTNESS_r02", "CORRECTNESS_r03", "CORRECTNESS_r04")
+
+
+def test_window_contains_only_never_driver_checked_queries():
+    """VERDICT r3 item 1 / r4 item 1: every window slot goes to a query
+    with no driver-GREEN row in any recorded round, so the cross-round
+    union grows by the full window size (red rows may be re-windowed)."""
+    checked = _driver_checked(ALL_RECORDS)
     stale = [n for n in DRIVER_PRIORITY if n in checked]
     assert not stale, f"window wastes slots on already-checked: {stale}"
 
 
 def test_window_covers_the_rotation_waves():
-    """The rotation must carry every wave VERDICT r3 called out."""
+    """The r5 rotation must carry every swap VERDICT r4 item 1 mandated
+    plus the waves the pre-committed R5 plan promised."""
+    # The three mandated entries lead the window
+    assert DRIVER_PRIORITY[0] == "sql_tpch_q12_shape"  # red->green
+    assert "h13_minhash_portable" in DRIVER_PRIORITY[:3]
+    assert "h16_lsh_portable" in DRIVER_PRIORITY[:3]
     waves = {
-        "tpch": [n for n in DRIVER_PRIORITY if n.startswith("sql_tpch_")],
-        "cdc": [n for n in DRIVER_PRIORITY if n in ("f8_merge_upsert", "f9_snapshot_diff")],
-        "analytics_e": [n for n in DRIVER_PRIORITY if n.startswith("e")],
-        "analytics_d": [n for n in DRIVER_PRIORITY if n.startswith("d1")],
-        "graph": [n for n in DRIVER_PRIORITY if n.startswith("graph_")],
-        "temporal": [n for n in DRIVER_PRIORITY if n.startswith("c9_")],
-        "scale_a": [n for n in DRIVER_PRIORITY if n.startswith("a")],
-        "round4_new": [
-            n
-            for n in DRIVER_PRIORITY
-            if n
-            in (
-                "h5_glove_fit_micro",
-                "h1_unicode_tokenize",
-                "h17_span_dedup_multi",
-                "h10_tfidf_doc_sim",
-            )
-        ],
+        "layout": [n for n in DRIVER_PRIORITY if n.startswith("a")],
+        "dedup": [n for n in DRIVER_PRIORITY if n.startswith("h13_")],
+        "simsearch": [n for n in DRIVER_PRIORITY if n.startswith("h15_")],
+        "text_analysis": [n for n in DRIVER_PRIORITY if n.startswith("h17_")],
+        "streaming": [n for n in DRIVER_PRIORITY if n.startswith("i")],
+        "udf": [n for n in DRIVER_PRIORITY if n.startswith("j")],
+        "multimodal": [n for n in DRIVER_PRIORITY if n.startswith("mm_")],
+        "pipelines": [n for n in DRIVER_PRIORITY if n.startswith("pipeline_")],
     }
-    assert len(waves["tpch"]) == 19
-    assert len(waves["cdc"]) == 2
-    assert len(waves["analytics_e"]) == 4
-    assert len(waves["analytics_d"]) == 9
-    assert len(waves["graph"]) == 3
-    assert len(waves["temporal"]) == 5
-    assert len(waves["scale_a"]) == 4
-    assert len(waves["round4_new"]) == 4
+    assert len(waves["layout"]) == 4
+    assert len(waves["dedup"]) == 4
+    assert len(waves["simsearch"]) == 3
+    assert len(waves["text_analysis"]) == 15
+    assert len(waves["streaming"]) == 5
+    assert len(waves["udf"]) == 2
+    assert len(waves["multimodal"]) == 4
+    assert len(waves["pipelines"]) == 2
+    # The displaced g-series extensions stay covered in the spill
+    for g in ("g12_listagg", "g14_bitwise_agg", "g15_try_semantics"):
+        assert g in R6_SPILL
 
 
 def test_driver_keys_sort_before_every_organic_name():
@@ -133,25 +145,16 @@ def test_driver_keys_sort_before_every_organic_name():
 
 
 def test_rotation_plan_partitions_the_registry():
-    """Prior driver records + the r4 window + R5_PLAN + R6_SPILL must
+    """Prior driver-green records + the r5 window + R6_SPILL must
     cover every registered query with no overlaps among the plans —
     so each future rotation is a mechanical list swap, and any NEW
     query must be slotted into a plan explicitly."""
-    import json
-
-    checked: set[str] = set()
-    for rec in ("CORRECTNESS_r01", "CORRECTNESS_r02", "CORRECTNESS_r03"):
-        path = os.path.join(REPO, f"{rec}.json")
-        if os.path.exists(path):
-            checked |= {original_name(k) for k in json.load(open(path))}
-    window, r5, r6 = set(DRIVER_PRIORITY), set(R5_PLAN), set(R6_SPILL)
-    assert not (window & r5), window & r5
+    checked = _driver_checked(ALL_RECORDS)
+    window, r6 = set(DRIVER_PRIORITY), set(R6_SPILL)
     assert not (window & r6), window & r6
-    assert not (r5 & r6), r5 & r6
-    assert len(R5_PLAN) == 50
-    uncovered = set(api.queries()) - checked - window - r5 - r6
+    uncovered = set(api.queries()) - checked - window - r6
     assert not uncovered, f"queries not slotted in any rotation: {uncovered}"
-    ghost = (r5 | r6) - set(api.queries())
+    ghost = r6 - set(api.queries())
     assert not ghost, f"plan names not registered: {ghost}"
 
 

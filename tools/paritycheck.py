@@ -72,10 +72,42 @@ def driver_shape_problems(df: pd.DataFrame, side: str) -> list[str]:
     return []
 
 
+def dtype_kind_problems(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    """Replicate the driver's dtype-sensitive value hash (VERDICT r4
+    item 2): DuckDB ``sum()`` over integers returns HUGEINT, which
+    pandas materializes as float64/object, so the driver hashes
+    ``14523.0`` against Spark's ``14523`` and reads FAIL even though
+    ``14523.0 == 14523`` — invisible to the equality-normalizing value
+    compare below. Flag any column whose pandas dtype *kind* is
+    integral on one side and float on the other (repr differs ->
+    driver hash differs). Integer-vs-object is flagged too when the
+    object cells are floats."""
+    problems = []
+    INT, FLT = set("iu"), set("f")
+    for c in set(spark_df.columns) & set(oracle_df.columns):
+        sk, ok = spark_df[c].dtype.kind, oracle_df[c].dtype.kind
+        pair = {sk, ok}
+        if pair & INT and pair & FLT:
+            problems.append(
+                f"strict: dtype kind mismatch on '{c}' (spark {spark_df[c].dtype}"
+                f" vs oracle {oracle_df[c].dtype}) — driver hash would differ;"
+                " CAST the oracle aggregate (HUGEINT->BIGINT?)"
+            )
+        elif "O" in pair and pair & (INT | FLT):
+            obj = oracle_df[c] if ok == "O" else spark_df[c]
+            if any(isinstance(v, float) for v in obj.dropna().head(50)):
+                problems.append(
+                    f"strict: object-vs-numeric dtype on '{c}' with float cells"
+                    f" (spark {spark_df[c].dtype} vs oracle {oracle_df[c].dtype})"
+                )
+    return problems
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     problems = []
     problems += driver_shape_problems(spark_df, "spark side")
     problems += driver_shape_problems(oracle_df, "oracle side")
+    problems += dtype_kind_problems(spark_df, oracle_df)
     if problems:
         return problems
     if len(spark_df) != len(oracle_df):
