@@ -261,6 +261,17 @@ def _encode_block(
             bw.write(c, ln)
             run -= 16
         size = _category(v)
+        if size > 10:
+            # Annex K AC tables stop at magnitude category 10. For
+            # 8-bit input the worst-case quantized (Q=1) AC magnitude
+            # is ~1020 (the DCT basis-gain bound, category 10 — pinned
+            # in tests/test_jpeg.py), so this is unreachable on valid
+            # data; guard anyway so an internal error surfaces as a
+            # refusal, not a KeyError (ADVICE r4).
+            raise NotImplementedError(
+                f"jpeg: AC magnitude category {size} > 10 not encodable "
+                "with the Annex K tables"
+            )
         c, ln = ac_codes[(run << 4) | size]
         bw.write(c, ln)
         bw.write(_encode_magnitude(v, size), size)

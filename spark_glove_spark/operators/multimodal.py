@@ -1009,6 +1009,40 @@ def mm_mjpeg_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spark_glove_spark.functions.jpeg import encode_jpeg
 
+    def _next_jpeg_eoi(blob: bytes, start: int) -> int:
+        """Index just past the EOI of the JPEG starting at ``start``,
+        found by WALKING THE MARKER STRUCTURE (skip segments by their
+        length field; unstuff entropy-coded scan data) — a raw FFD9
+        byte pair can legitimately occur inside segment payloads (DQT
+        values, APPn data) or stuffed scan bytes, so a naive
+        ``find(b'\\xff\\xd9')`` may truncate a frame mid-stream
+        (ADVICE r4)."""
+        if blob[start : start + 2] != b"\xff\xd8":
+            raise ValueError("mjpeg: frame does not start with SOI")
+        i = start + 2
+        n = len(blob)
+        while i + 1 < n:
+            if blob[i] != 0xFF:
+                raise ValueError(f"mjpeg: expected marker at byte {i}")
+            marker = blob[i + 1]
+            if marker == 0xD9:  # EOI
+                return i + 2
+            if 0xD0 <= marker <= 0xD8:  # RST/SOI: no length field
+                i += 2
+                continue
+            seg_len = int.from_bytes(blob[i + 2 : i + 4], "big")
+            i += 2 + seg_len
+            if marker == 0xDA:  # SOS: entropy data follows the header
+                while i + 1 < n:
+                    if (
+                        blob[i] == 0xFF
+                        and blob[i + 1] != 0x00  # stuffed FF
+                        and not (0xD0 <= blob[i + 1] <= 0xD7)  # RSTn
+                    ):
+                        break  # a real marker — outer loop handles it
+                    i += 2 if blob[i] == 0xFF else 1
+        raise ValueError("mjpeg: no EOI marker found")
+
     d = parallelized(table(spark, sf_dir, "documents")).select("doc_id")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1034,19 +1068,17 @@ def mm_mjpeg_video(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {"item_id": [], "frame_id": [], "frame_mean": []}
             for iid, payload in zip(pdf["item_id"], pdf["content"]):
                 blob = bytes(payload)
-                # frame split: scan for EOI (FFD9); SOI follows.
+                # frame split: marker-walk to each frame's true EOI
                 start, fid = 0, 0
                 while start < len(blob):
-                    end = blob.find(b"\xff\xd9", start)
-                    if end < 0:
-                        break
-                    frame = blob[start : end + 2]
+                    end = _next_jpeg_eoi(blob, start)
+                    frame = blob[start:end]
                     img = decode_media(frame, "video")
                     rows["item_id"].append(int(iid))
                     rows["frame_id"].append(fid)
                     rows["frame_mean"].append(float(img.mean()))
                     fid += 1
-                    start = end + 2
+                    start = end
             yield pd.DataFrame(rows)
 
     return d.mapInPandas(

@@ -66,6 +66,16 @@ def defer_cleanup(fn: Callable[[], None]) -> None:
     _DEFERRED_CLEANUP.append(fn)
 
 
+# ADVICE r4: deferred cleanups used to run ONLY when the next declared
+# query started, so the last query of a session leaked its session-conf
+# restores / temp-table drops (e.g. a9's legacy bucketed-scan conf).
+# Drain at interpreter exit too — the JVM may already be gone by then,
+# which the per-callback try/except absorbs.
+import atexit  # noqa: E402
+
+atexit.register(lambda: drain_deferred_unpersist())
+
+
 def drain_deferred_unpersist() -> None:
     while _DEFERRED_UNPERSIST:
         df = _DEFERRED_UNPERSIST.pop()

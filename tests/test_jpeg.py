@@ -116,3 +116,23 @@ def test_decode_media_routes_jpeg():
 
     img = np.full((8, 8), 93, dtype=np.uint8)
     assert np.array_equal(decode_media(encode_jpeg(img), "image"), img)
+
+
+def test_worst_case_ac_magnitude_is_category_10():
+    """ADVICE r4 claimed a high-contrast block could reach AC
+    magnitude category 11 and KeyError the encoder. The true 8-bit
+    worst case is the (0,4)-basis-aligned stripe image, whose largest
+    quantized AC coefficient is ~1020 — category 10, still encodable.
+    Pin that the worst case encodes AND roundtrips bit-exactly, and
+    that the encoder's category-10 guard therefore never fires on
+    valid input."""
+    import numpy as np
+
+    from spark_glove_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    # sign pattern of the (u=0, v=4) DCT basis: the max-gain direction
+    n = np.arange(8)
+    basis_row = np.cos((2 * n + 1) * 4 * np.pi / 16)
+    img = np.where(basis_row > 0, 255, 0).astype(np.uint8)[None, :].repeat(8, axis=0)
+    blob = encode_jpeg(img)
+    assert np.array_equal(decode_jpeg(blob), img)
