@@ -8,7 +8,7 @@ matched, not syntax.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_glove_spark.registry import query
@@ -477,4 +477,70 @@ def g15_try_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(
             F.col("n_chars").cast("double"), F.col("n_chars") % 3
         ).alias("mixed_div"),
+    )
+
+
+@query(
+    "g16_json_construct",
+    section="G9,E2,D7",
+    oracle="""
+WITH r AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+),
+top3 AS (
+  SELECT event_type, to_json(list_sort(list(event_id))) AS ids_json
+  FROM r WHERE rn <= 3 GROUP BY 1
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS ksum
+  FROM events GROUP BY 1
+)
+SELECT a.event_type, a.n, a.ksum,
+       to_json({'event_type': a.event_type, 'n': a.n, 'ksum': a.ksum})
+         AS payload,
+       t.ids_json
+FROM agg a JOIN top3 t USING (event_type)
+""",
+)
+def g16_json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 outbound: JSON CONSTRUCTION — ``to_json`` over a struct (the
+    event-summary envelope an export/API sink would emit) and over an
+    array (the compact id-list form). Spark's JSON rendering
+    (``{"k":v}``, no spaces, field order = struct order) matches
+    DuckDB's ``to_json`` byte-for-byte on integer/string fields, so
+    the construction itself is oracle-checked, not just the parse
+    path (g9_json). Integers only in the payload — float rendering is
+    engine-specific and stays out of string-compared JSON.
+
+    100 TB shape: the struct render is per-row codegen; the id-list
+    arrays are bounded to the per-group top-3 BEFORE collect_list
+    (WindowGroupLimit prunes the rest), so no unbounded array ever
+    materializes."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(k).alias("ksum")
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    top3 = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .groupBy("event_type")
+        .agg(
+            F.to_json(F.array_sort(F.collect_list("event_id"))).alias(
+                "ids_json"
+            )
+        )
+    )
+    return agg.join(top3, "event_type").select(
+        "event_type",
+        "n",
+        "ksum",
+        F.to_json(F.struct("event_type", "n", "ksum")).alias("payload"),
+        "ids_json",
     )

@@ -250,6 +250,8 @@ R6_SPILL: tuple[str, ...] = (
     "g12_listagg",
     "g14_bitwise_agg",
     "g15_try_semantics",
+    "g16_json_construct",
+    "i15_stateful_ttl",
     "i14_streaming_quality_filter",
     "c9_interval_join_binned",
     "f10_windowed_dedup",

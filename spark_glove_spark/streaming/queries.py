@@ -788,3 +788,215 @@ def i14_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("total_tokens"),
     )
     return run_stream(agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# i15: per-key state with TTL expiry (VERDICT r4 item 8, adapted).
+# Spark 4's transformWithStateInPandas would provide native TTL value
+# state, but its Python<->JVM state protocol needs google.protobuf,
+# which this environment does not ship (verified: the stream fails at
+# start with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE /
+# ImportError — PLANS.md "Environment limits"). The same TTL semantics
+# are built here on applyInPandasWithState: state carries its
+# last-update wall time, a data invocation resets counters when the
+# key has been idle past the TTL, and ProcessingTimeTimeout reclaims
+# state for keys that never return (the memory-bound half of TTL).
+
+
+_I15_STATE = "n_events long, total_value double, last_ts_ms long, last_wall_ms long"
+_I15_OUT = (
+    "user_id long, n_events long, total_value double, last_ts_ms long, "
+    "emit_wall_ms long"
+)
+
+
+def _ttl_state_kernel(
+    ttl_ms: int, settle_s: float = 0.0, register_timeout: bool = False
+):
+    """Kernel factory: per-user running (count, sum, max ts) that
+    RESETS when the key was idle longer than ``ttl_ms`` of wall time,
+    and — when ``register_timeout`` — is REMOVED via
+    ProcessingTimeTimeout when the key stops arriving entirely.
+    ``settle_s`` sleeps after each invocation so a test can guarantee
+    the TTL elapses between two replayed micro-batches (deterministic
+    expiry without relying on scheduler timing).
+
+    ``register_timeout`` is opt-in because availableNow does NOT stop
+    while processing-time timeouts are pending: the drain spins empty
+    micro-batches (~3/s measured) until every registered timeout has
+    fired and its state is removed — fine for a short test TTL,
+    unbounded for a long production one (where a real always-on
+    trigger is running anyway and the spin is just the normal batch
+    cadence)."""
+    import time as _time
+
+    def kernel(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle past TTL with no new data: reclaim the state slot
+            state.remove()
+            return
+        now_ms = int(_time.time() * 1000)
+        if state.exists:
+            n, total, last_ms, last_wall = state.get
+            if now_ms - last_wall > ttl_ms:
+                n, total, last_ms = 0, 0.0, 0  # TTL reset on revisit
+        else:
+            n, total, last_ms = 0, 0.0, 0
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).max()
+            last_ms = max(last_ms, int(ts_ms))
+        state.update((n, total, last_ms, now_ms))
+        if register_timeout:
+            state.setTimeoutDuration(ttl_ms)
+        if settle_s:
+            _time.sleep(settle_s)
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": n,
+                    "total_value": total,
+                    "last_ts_ms": last_ms,
+                    "emit_wall_ms": now_ms,
+                }
+            ]
+        )
+
+    return kernel
+
+
+def stateful_ttl_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    ttl_ms: int,
+    settle_s: float = 0.0,
+    src_dir: str | None = None,
+    n_batches: int = 4,
+    register_timeout: bool = False,
+) -> DataFrame:
+    """Replay the events table (or a prepared ``src_dir``) as
+    ``n_batches`` micro-batches through the TTL state kernel; returns
+    every per-batch emission (callers pick the final row per user)."""
+    import os
+    import tempfile
+
+    if src_dir is None:
+        e = table(spark, sf_dir, "events")
+        base = tempfile.mkdtemp(prefix="i15_replay_")
+        src_dir = os.path.join(base, "f")
+        e.repartition(n_batches).write.mode("overwrite").parquet(src_dir)
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    updates = sdf.groupBy("user_id").applyInPandasWithState(
+        _ttl_state_kernel(ttl_ms, settle_s, register_timeout),
+        outputStructType=_I15_OUT,
+        stateStructType=_I15_STATE,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if register_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+    if not register_timeout:
+        return run_stream(updates, "update")
+    return _drain_with_timeouts(updates, ttl_ms)
+
+
+def _drain_with_timeouts(updates: DataFrame, ttl_ms: int) -> DataFrame:
+    """Drain a stateful stream whose keys register processing-time
+    timeouts. availableNow does NOT self-terminate here: MicroBatch
+    Execution keeps scheduling empty micro-batches even after every
+    timeout has fired and every state slot is removed (measured: 92+
+    empty batches post-removal). So drain manually: once the source
+    reports no new input for > 3x TTL of wall time, every registered
+    timeout has necessarily fired (timeouts are evaluated each
+    micro-batch, and the spin runs several batches per second), and
+    the query is stopped. Results are already committed to the memory
+    sink per batch, so the stop loses nothing."""
+    import time as _time
+    import uuid as _uuid
+
+    sess = updates.sparkSession
+    prev = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        name = f"sink_{_uuid.uuid4().hex[:12]}"
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        idle_since = None
+        grace_s = 3 * ttl_ms / 1000 + 1.0
+        while q.isActive:
+            q.awaitTermination(0.5)
+            if not q.isActive:
+                break
+            p = q.lastProgress
+            if p is not None and p["numInputRows"] == 0:
+                if idle_since is None:
+                    idle_since = _time.time()
+                elif _time.time() - idle_since > grace_s:
+                    q.stop()
+                    break
+            else:
+                idle_since = None
+        q.awaitTermination()
+        return sess.table(name)
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@query(
+    "i15_stateful_ttl",
+    section="I6,J4",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       max(epoch_ms(ts)) AS last_ts_ms
+FROM events
+GROUP BY 1
+""",
+)
+def i15_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6+TTL: the i6 running per-user state machine under a 1-hour
+    state TTL (never elapses inside a replay, so the final emission
+    per user equals the batch aggregate — the oracle). The EXPIRY
+    paths — reset-on-revisit AND ProcessingTimeTimeout state removal
+    — are driven deterministically in tests/test_streaming.py with a
+    short TTL and a settle sleep; the declared replay keeps NoTimeout
+    because availableNow spins empty micro-batches until every
+    pending processing-time timeout fires (measured 309 epochs before
+    kill at a 1 h TTL — see _ttl_state_kernel). 100 TB shape: state
+    is per-active-key and TTL-bounded — the property that keeps an
+    unbounded keyspace from accumulating unbounded state."""
+    out = stateful_ttl_stream(spark, sf_dir, ttl_ms=3_600_000)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("emit_wall_ms").desc(), F.col("n_events").desc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+            "last_ts_ms",
+        )
+    )

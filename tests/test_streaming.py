@@ -155,3 +155,62 @@ def test_i4_declared_query_is_self_evidencing(spark):
     assert len(row) == 1
     assert row[0]["emitted_windows"] > 0
     assert row[0]["late_probe_rows"] == 0
+
+
+def test_i15_ttl_reset_and_timeout_removal(spark, tmp_path):
+    """i15's TTL machinery, driven deterministically (VERDICT r4 item
+    8 adapted — PLANS.md 'Environment limits'): a 1.2 s settle sleep
+    per invocation guarantees the 700 ms TTL elapses between two
+    replayed micro-batches, so a user revisited after the TTL is
+    RESET (counts restart), and a user that never returns has its
+    state REMOVED by the registered ProcessingTimeTimeout (the drain
+    spins until the timeout fires, then terminates)."""
+    import time
+
+    from spark_glove_spark.streaming.queries import stateful_ttl_stream
+
+    src = str(tmp_path / "f")
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    f1 = spark.createDataFrame(
+        [
+            (1, ts, 10, "click", 1.0, "{}"),
+            (2, ts, 10, "click", 2.0, "{}"),
+            (3, ts, 10, "click", 3.0, "{}"),
+            (4, ts, 20, "view", 5.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    f1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.1)  # distinct mod times -> deterministic file order
+    f2 = spark.createDataFrame(
+        [
+            (5, ts, 10, "click", 10.0, "{}"),
+            (6, ts, 10, "click", 20.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    f2.coalesce(1).write.mode("append").parquet(src)
+
+    out = stateful_ttl_stream(
+        spark,
+        sf_dir="",  # unused with src_dir
+        ttl_ms=700,
+        settle_s=1.2,
+        src_dir=src,
+        register_timeout=True,
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 10: batch1 folds 3 events; batch2 arrives > TTL later ->
+    # RESET, so its emission counts only batch2's 2 events
+    u10 = sorted(by_user[10], key=lambda r: r["emit_wall_ms"])
+    assert [r["n_events"] for r in u10] == [3, 2]
+    assert u10[0]["total_value"] == 6.0
+    assert u10[1]["total_value"] == 30.0
+    # user 20: one batch, then silence -> ProcessingTimeTimeout fired
+    # and removed the state WITHOUT emitting (remove path yields
+    # nothing), so exactly one emission exists
+    assert [r["n_events"] for r in by_user[20]] == [1]

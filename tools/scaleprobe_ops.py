@@ -45,6 +45,10 @@ _REPLICATE = {
     "events": ("event_id", 1_000_000_000),
     "customer": ("c_custkey", 100_000_000),
     "documents": ("doc_id", 10_000_000),
+    # vec_id shift is a multiple of 100 so the `vec_id % 100 == 0`
+    # probe sets of the ANN queries replicate with the corpus (10x
+    # probes x 10x corpus — the stress probes the candidate fan-out)
+    "embeddings": ("vec_id", 10_000_000),
 }
 
 
