@@ -792,3 +792,120 @@ def j8_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_lines long",
         )
     )
+
+
+@query(
+    "a15_csv_roundtrip",
+    section="A2,A3,G4",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       CAST(min(year(o_orderdate)) AS BIGINT) AS first_year,
+       CAST(max(year(o_orderdate)) AS BIGINT) AS last_year
+FROM orders
+GROUP BY 1
+""",
+)
+def a15_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed CSV interchange, full roundtrip: orders (longs, doubles,
+    dates, strings) written as headered CSV with an explicit
+    timestampFormat, read back schema-on-read with the SAME explicit
+    schema + pinned timestampFormat (never inferSchema on a
+    production feed — one extra full scan and type drift; and never
+    an unpinned format — a mismatch NULLs the column silently in
+    PERMISSIVE mode rather than erroring), then aggregated. Matching the
+    oracle computed from the parquet original proves every value
+    class survived text serialization bit-faithfully (doubles via
+    round(2) at the agg edge — the fixture's prices are 2-dp
+    decimals, exact in both directions).
+
+    100 TB: CSV is the interchange edge, not the lake format —
+    splittable and parallel to read, but no column pruning, stats, or
+    compression locality; this query is the documented on/off-ramp,
+    with parquet (a1/a3) as the resident layout."""
+    o = table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="sgs_a15_")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSS"  # both sides pinned: read
+    # nulls (not errors) on format mismatch in PERMISSIVE mode, so an
+    # unpinned format would silently null the whole column
+    (
+        o.select(cols)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", ts_fmt)
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+        )
+        .option("header", "true")
+        .option("timestampFormat", ts_fmt)
+        .csv(out)
+    )
+    return back.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min(F.year("o_orderdate")).cast("long").alias("first_year"),
+        F.max(F.year("o_orderdate")).cast("long").alias("last_year"),
+    )
+
+
+@query(
+    "a16_jsonl_roundtrip",
+    section="A2,A3,G9",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS ksum
+FROM events
+GROUP BY 1
+""",
+)
+def a16_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines interchange, full roundtrip with NESTING: events are
+    written as JSONL with props parsed into a real nested object (not
+    a string), read back schema-on-read with an explicit nested
+    schema, and the nested field aggregated from its STRUCT form —
+    the schema-full path (one parse per row) rather than g9's
+    path-at-a-time extraction. The oracle recomputes from the parquet
+    original, so serialization of longs, doubles, strings, and the
+    nested object all roundtrip provably.
+
+    100 TB: JSONL is the event-ingestion edge (append-friendly,
+    schema-flexible); explicit read schemas keep it one-pass, and the
+    first hop into the lake converts to parquet (a3) for pruning."""
+    e = table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="sgs_a16_")
+    (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.from_json("props", "k long").alias("props"),
+        )
+        .write.mode("overwrite")
+        .json(out)
+    )
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double, "
+        "props struct<k: long>"
+    ).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.sum(F.col("props.k")).alias("ksum"),
+    )

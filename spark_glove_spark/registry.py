@@ -252,6 +252,10 @@ R6_SPILL: tuple[str, ...] = (
     "g15_try_semantics",
     "g16_json_construct",
     "i15_stateful_ttl",
+    "i16_dedup_within_watermark",
+    "a15_csv_roundtrip",
+    "a16_jsonl_roundtrip",
+    "h16_pq_portable",
     "i14_streaming_quality_filter",
     "c9_interval_join_binned",
     "f10_windowed_dedup",

@@ -1000,3 +1000,48 @@ def i15_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_ts_ms",
         )
     )
+
+
+@query(
+    "i16_dedup_within_watermark",
+    section="I5,I4",
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM events
+GROUP BY 1
+""",
+)
+def i16_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5's scale-safe form: ``dropDuplicatesWithinWatermark`` — the
+    dedup state for a key is DROPPED once the watermark passes it,
+    so state size is bounded by the duplicate-arrival horizon instead
+    of growing with every key ever seen (plain dropDuplicates, i5,
+    keeps all keys forever — correct, but unbounded on an infinite
+    stream). The replay appends a file of 50 duplicated events whose
+    timestamps equal their originals, i.e. well inside the 1-hour
+    horizon, so every duplicate is dropped and the aggregate equals
+    the clean batch aggregate — the oracle. At 100 TB/day this is THE
+    production dedup: at-least-once sources (Kafka, retries) duplicate
+    within minutes, never days, so a horizon-bounded state store
+    handles unbounded keyspaces in O(horizon-rate) memory."""
+    import os
+    import tempfile
+
+    e = table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="i16_replay_")
+    e.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "f1"))
+    e.orderBy("event_id").limit(50).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "f2")
+    )
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "*"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_stream(agg, "complete")
