@@ -148,3 +148,113 @@ def h17_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(seg, ",").alias("segments"),
         F.size(seg).alias("n_segments"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable micro BPE: 3 unrolled merge rounds as a hash-matchable query
+# (VERDICT r4 item 3 continued — the h5_glove_fit_micro treatment applied
+# to the BPE trainer).
+
+
+_BPE_MICRO_MERGES = 3
+
+
+def _bpe_micro_oracle() -> str:
+    """DuckDB twin of h17_bpe_train_micro: the full greedy BPE loop —
+    overlapping pair counts, (max count, lexicographic) winner, and
+    GREEDY NON-OVERLAPPING merge application — unrolled for
+    _BPE_MICRO_MERGES rounds in pure SQL. The greedy left-to-right
+    fold (``a a a`` under (a,a) -> ``aa a``) is expressed as
+    gaps-and-islands: candidate positions (sym=l, next=r) that are
+    CONSECUTIVE can only occur when l = r, and the fold keeps every
+    other candidate from each run's start — so
+    ``(pos - island_start) % 2 = 0`` reproduces the fold exactly,
+    for both the l = r and l <> r cases."""
+    parts = [
+        """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM t WHERE word <> '' GROUP BY 1
+),
+w2 AS (
+  SELECT word, freq, unnest(range(0, length(word))) AS pos FROM words
+),
+sym0 AS (SELECT word, freq, pos, word[pos + 1] AS sym FROM w2)"""
+    ]
+    for k in range(_BPE_MICRO_MERGES):
+        parts.append(f""",
+win{k} AS (
+  SELECT s1.sym AS l, s2.sym AS r, CAST(sum(s1.freq) AS BIGINT) AS cnt
+  FROM sym{k} s1
+  JOIN sym{k} s2 ON s2.word = s1.word AND s2.pos = s1.pos + 1
+  GROUP BY 1, 2
+  ORDER BY cnt DESC, l, r
+  LIMIT 1
+),
+cand{k} AS (
+  SELECT s1.word, s1.pos
+  FROM sym{k} s1
+  JOIN sym{k} s2 ON s2.word = s1.word AND s2.pos = s1.pos + 1
+  CROSS JOIN win{k} w
+  WHERE s1.sym = w.l AND s2.sym = w.r
+),
+kept{k} AS (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           pos - min(pos) OVER (
+             PARTITION BY word, pos - rn
+           ) AS run_off
+    FROM (
+      SELECT word, pos,
+             row_number() OVER (PARTITION BY word ORDER BY pos) AS rn
+      FROM cand{k}
+    )
+  ) WHERE run_off % 2 = 0
+),
+sym{k + 1} AS (
+  SELECT s.word, s.freq,
+         row_number() OVER (PARTITION BY s.word ORDER BY s.pos) - 1 AS pos,
+         CASE WHEN kk.pos IS NOT NULL THEN w.l || w.r ELSE s.sym END AS sym
+  FROM sym{k} s
+  CROSS JOIN win{k} w
+  LEFT JOIN kept{k} kk ON kk.word = s.word AND kk.pos = s.pos
+  LEFT JOIN kept{k} kc ON kc.word = s.word AND kc.pos = s.pos - 1
+  WHERE kc.pos IS NULL
+)""")
+    selects = "\nUNION ALL ".join(
+        f'SELECT {k} AS rank, l AS "left", r AS "right", l || r AS merged, '
+        f"cnt AS weighted_count FROM win{k}"
+        for k in range(_BPE_MICRO_MERGES)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+@query(
+    "h17_bpe_train_micro",
+    section="H17,D8,G8",
+    tags=("llm-pipeline", "ml"),
+    oracle=_bpe_micro_oracle(),
+)
+def h17_bpe_train_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training, hash-matchable form: the SAME distributed trainer
+    as h17_bpe_train (:func:`bpe_train` — expression-only pair
+    explode, map-side-combined pair weights, top-1 winner per round,
+    codegen'd greedy merge fold) run for 3 merges, against a DuckDB
+    oracle that unrolls the full loop in pure SQL (_bpe_micro_oracle:
+    overlapping pair counts, deterministic tie-breaks, and the greedy
+    non-overlapping fold via gaps-and-islands parity). This gives the
+    BPE MATH a driver hash record; the 10-merge production query
+    (h17_bpe_train) stays pinned to its pure-Python replica in
+    tests/test_bpe.py."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    merges = bpe_train(words, n_merges=_BPE_MICRO_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, weighted_count long",
+    )

@@ -284,6 +284,7 @@ R6_SPILL: tuple[str, ...] = (
     "h16_lsh_multitable",
     "h17_bpe_segment",
     "h17_bpe_train",
+    "h17_bpe_train_micro",
     "h17_span_dedup_exact",
     "ml_kmeans",
     "mm_feature_extract",
