@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_glove_spark.functions.vector import dot, dot_sql, vec_add, vec_sub
-from spark_glove_spark.registry import query
+from spark_glove_spark.registry import defer_unpersist, query
 from spark_glove_spark.sources import parallelized, table
 
 
@@ -601,3 +601,209 @@ def h15_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable MMR: the greedy diversity re-rank unrolled as a hash-matchable
+# query (VERDICT r4 item 3 continued — the twin treatment applied to MMR).
+
+
+_MMRP_CANDS = 8
+_MMRP_K = 4
+_MMRP_SCALE = 1000  # fixed-point quantization, the ann.py _PL_SCALE value
+_MMRP_WREL = 7  # lambda = 0.7 as integer weights: score = 7*rel - 3*maxsim
+_MMRP_WDIV = 3
+
+
+def _mmrp_oracle() -> str:
+    rounds = []
+    for r in range(2, _MMRP_K + 1):
+        selset = "\n    UNION ALL ".join(
+            f"SELECT probe_id, vec_id FROM sel{i}" for i in range(1, r)
+        )
+        rounds.append(f""",
+selset{r} AS (
+    {selset}
+),
+ms{r} AS (
+  SELECT s.probe_id, s.a AS vec_id, max(s.sim) AS maxsim
+  FROM sim s JOIN selset{r} t
+    ON t.probe_id = s.probe_id AND t.vec_id = s.b
+  GROUP BY 1, 2
+),
+sel{r} AS (
+  SELECT probe_id, vec_id, {r} AS mmr_rank, score FROM (
+    SELECT c.probe_id, c.vec_id,
+           {_MMRP_WREL} * c.rel - {_MMRP_WDIV} * m.maxsim AS score,
+           row_number() OVER (
+             PARTITION BY c.probe_id
+             ORDER BY {_MMRP_WREL} * c.rel - {_MMRP_WDIV} * m.maxsim DESC,
+                      c.vec_id
+           ) AS rn
+    FROM cand c
+    JOIN ms{r} m ON m.probe_id = c.probe_id AND m.vec_id = c.vec_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM selset{r} x
+      WHERE x.probe_id = c.probe_id AND x.vec_id = c.vec_id
+    )
+  ) WHERE rn = 1
+)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT probe_id, vec_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, "
+        f"CAST(score AS BIGINT) AS score FROM sel{r}"
+        for r in range(1, _MMRP_K + 1)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, i - 1 AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_MMRP_SCALE} + 0.5) AS BIGINT) AS v
+  FROM embeddings, range(1, 65) r(i)
+),
+probes AS (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id % 100 = 0),
+rels AS (
+  SELECT p.probe_id, qc.vec_id, CAST(sum(qp.v * qc.v) AS BIGINT) AS rel
+  FROM probes p
+  JOIN q qp ON qp.vec_id = p.probe_id
+  JOIN q qc ON qc.d = qp.d AND qc.vec_id <> p.probe_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT probe_id, vec_id, rel FROM (
+    SELECT probe_id, vec_id, rel,
+           row_number() OVER (
+             PARTITION BY probe_id ORDER BY rel DESC, vec_id) AS rn
+    FROM rels
+  ) WHERE rn <= {_MMRP_CANDS}
+),
+sim AS (
+  SELECT a.probe_id, a.vec_id AS a, b.vec_id AS b,
+         CAST(sum(qa.v * qb.v) AS BIGINT) AS sim
+  FROM cand a
+  JOIN cand b ON b.probe_id = a.probe_id
+  JOIN q qa ON qa.vec_id = a.vec_id
+  JOIN q qb ON qb.vec_id = b.vec_id AND qb.d = qa.d
+  GROUP BY 1, 2, 3
+),
+sel1 AS (
+  SELECT probe_id, vec_id, 1 AS mmr_rank, {_MMRP_WREL} * rel AS score FROM (
+    SELECT probe_id, vec_id, rel,
+           row_number() OVER (
+             PARTITION BY probe_id ORDER BY rel DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+){''.join(rounds)}
+{finals}
+"""
+
+
+@query("h15_mmr_portable", section="H15,E2", oracle=_mmrp_oracle())
+def h15_mmr_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank, hash-matchable form: top-8 candidates by
+    integer-dot relevance, then FOUR greedy selections of
+    ``7*rel - 3*max_sim_to_selected`` (lambda = 0.7 as exact integer
+    weights), each selection unrolled as its own declarative stage —
+    no Python kernel anywhere, and the DuckDB oracle unrolls the
+    identical four stages, so the greedy argmax sequence (including
+    every tie-break: rel desc then vec_id; score desc then vec_id)
+    is hash-checked end to end. Embeddings are fixed-point quantized
+    (the ann.py discipline) so rel and sim are exact int64 dots and
+    the score arithmetic is integer.
+
+    The production path (h15_mmr_rerank) keeps the 30->10 float
+    kernel (sequential greedy in applyInPandas over bounded groups);
+    this twin exists so the MMR MATH carries a driver hash record.
+    Scale shape: everything downstream of the top-8 window touches
+    <= 8 rows per probe — the unrolled joins are constant-size."""
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(_MMRP_SCALE)) + F.lit(0.5)
+        ),
+    )
+    base = defer_unpersist(e.select("vec_id", qv.alias("qv")).persist())
+    zero = F.lit(0).cast("long")
+    probes = base.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
+    )
+    rel = F.aggregate(
+        F.zip_with("qv", "qp", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    scored = (
+        base.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "qv", rel.alias("rel"))
+    )
+    wrel = Window.partitionBy("probe_id").orderBy(F.col("rel").desc(), "vec_id")
+    cand = defer_unpersist(
+        scored.withColumn("rn", F.row_number().over(wrel))
+        .where(F.col("rn") <= _MMRP_CANDS)
+        .drop("rn")
+        .persist()
+    )
+    simdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    sim = (
+        cand.select("probe_id", F.col("vec_id").alias("a"), F.col("qv").alias("qa"))
+        .join(
+            cand.select(
+                F.col("probe_id").alias("pb"),
+                F.col("vec_id").alias("b"),
+                F.col("qv").alias("qb"),
+            ),
+            F.col("probe_id") == F.col("pb"),
+        )
+        .select("probe_id", "a", "b", simdot.alias("sim"))
+    )
+    sim = defer_unpersist(sim.persist())
+    sels = [
+        cand.withColumn("rn", F.row_number().over(wrel))
+        .where(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.lit(1).cast("long").alias("mmr_rank"),
+            (F.col("rel") * _MMRP_WREL).alias("score"),
+        )
+    ]
+    for r in range(2, _MMRP_K + 1):
+        selset = sels[0].select("probe_id", "vec_id")
+        for s in sels[1:]:
+            selset = selset.unionByName(s.select("probe_id", "vec_id"))
+        ms = (
+            sim.join(
+                selset.select(
+                    F.col("probe_id").alias("sp"), F.col("vec_id").alias("sv")
+                ),
+                (F.col("probe_id") == F.col("sp")) & (F.col("b") == F.col("sv")),
+            )
+            .groupBy("probe_id", "a")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        score = F.col("rel") * _MMRP_WREL - F.col("maxsim") * _MMRP_WDIV
+        wsc = Window.partitionBy("probe_id").orderBy(
+            score.desc(), "vec_id"
+        )
+        sel_r = (
+            cand.join(
+                ms,
+                (cand["probe_id"] == ms["probe_id"])
+                & (cand["vec_id"] == ms["a"]),
+            )
+            .drop(ms["probe_id"])
+            .join(selset, ["probe_id", "vec_id"], "left_anti")
+            .withColumn("rn", F.row_number().over(wsc))
+            .where(F.col("rn") == 1)
+            .select(
+                "probe_id",
+                "vec_id",
+                F.lit(r).cast("long").alias("mmr_rank"),
+                score.alias("score"),
+            )
+        )
+        sels.append(sel_r)
+    out = sels[0]
+    for s in sels[1:]:
+        out = out.unionByName(s)
+    return out

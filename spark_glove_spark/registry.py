@@ -277,6 +277,7 @@ R6_SPILL: tuple[str, ...] = (
     "h13_simhash_neardup",
     "h13_simhash_portable",
     "h15_mmr_rerank",
+    "h15_mmr_portable",
     "h16_ivf_ann",
     "h16_ivf_portable",
     "ml_kmeans_portable",
