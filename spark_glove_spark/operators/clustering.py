@@ -474,8 +474,10 @@ def ml_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
     )
     a1 = _kmp_nearest(base, cents0)
-    c1 = _kmp_update(a1)
-    a2 = defer_unpersist(_kmp_nearest(base, c1).persist())
+    # k-row centroid frames: localCheckpoint flattens the unrolled
+    # iteration lineage (planlint) at negligible materialization cost
+    c1 = _kmp_update(a1).localCheckpoint(eager=True)
+    a2 = _kmp_nearest(base, c1).localCheckpoint(eager=True)
     c2 = _kmp_update(a2)
     stats = a2.groupBy(F.col("cell").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_members"), F.sum("dist").alias("wcss")

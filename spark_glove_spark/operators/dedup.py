@@ -652,10 +652,14 @@ _MH_HASHES = 8  # portable signature width (4 bands x 2 rows)
 _MH_BANDS = 4
 
 
-def _mh_oracle() -> str:
-    """DuckDB twin of h13_minhash_portable — generated from the same
-    (_MH_HASHES, _MH_BANDS) constants so the two encodings cannot
-    drift apart (the f8 MERGE_ORACLE single-source rule)."""
+def mh_pair_ctes(src: str) -> str:
+    """The portable-MinHash pipeline as a reusable CTE chain reading
+    (doc_id, text) from CTE/table ``src`` and ending at ``mh_pairs``
+    (doc_a, doc_b, jaccard >= 0.5) — generated from the same
+    (_MH_HASHES, _MH_BANDS) constants as the Spark body so the two
+    encodings cannot drift apart (the f8 MERGE_ORACLE single-source
+    rule). Shared by the standalone twin's oracle and the
+    pipeline_sketch_dedup funnel oracle."""
     mins = ",\n         ".join(
         f"min(md5('m{i}|' || s)) AS m{i}" for i in range(_MH_HASHES)
     )
@@ -667,8 +671,7 @@ def _mh_oracle() -> str:
         )
         for b in range(_MH_BANDS)
     )
-    return f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
 g AS (
   SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
   FROM t WHERE len(toks) >= 3
@@ -690,44 +693,38 @@ cand AS (
   FROM b a JOIN b b2
     ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
 ),
-sets AS (SELECT doc_id, list(s) AS ss, count(*) AS n FROM sh GROUP BY doc_id)
-SELECT c.doc_a, c.doc_b,
-       round(CAST(len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS DOUBLE)
-             / (sa.n + sb.n
-                - len(list_filter(sa.ss, x -> list_contains(sb.ss, x)))),
-             6) AS jaccard
-FROM cand c
-JOIN sets sa ON sa.doc_id = c.doc_a
-JOIN sets sb ON sb.doc_id = c.doc_b
-WHERE round(CAST(len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS DOUBLE)
-            / (sa.n + sb.n
-               - len(list_filter(sa.ss, x -> list_contains(sb.ss, x)))),
-            6) >= 0.5
+sets AS (SELECT doc_id, list(s) AS ss, count(*) AS n FROM sh GROUP BY doc_id),
+mh_pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS DOUBLE)
+               / (sa.n + sb.n
+                  - len(list_filter(sa.ss, x -> list_contains(sb.ss, x)))),
+               6) AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+  WHERE round(CAST(len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS DOUBLE)
+              / (sa.n + sb.n
+                 - len(list_filter(sa.ss, x -> list_contains(sb.ss, x)))),
+              6) >= 0.5
+)"""
+
+
+def _mh_oracle() -> str:
+    """DuckDB twin of h13_minhash_portable (see :func:`mh_pair_ctes`)."""
+    return f"""
+WITH {mh_pair_ctes('documents')}
+SELECT doc_a, doc_b, jaccard FROM mh_pairs
 """
 
 
-@query("h13_minhash_portable", section="H13,H11,G7", oracle=_mh_oracle())
-def h13_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H13, hash-matchable form: the ENTIRE MinHash-LSH pipeline —
-
-    signature, banding, candidate join, exact-Jaccard verify — built
-    on engine-portable md5 so the DuckDB oracle replicates every
-    stage bit-for-bit (the h5_glove_fit_micro treatment applied to
-    the dedup sketch). min(md5('m{i}|' || shingle)) is a textbook
-    MinHash under 8 seeded permutations: md5 hex is lowercase
-    [0-9a-f] ASCII, so Spark's UTF8 binary min and DuckDB's varchar
-    min induce the same order. 4 bands x 2 rows; band bucket =
-    md5(concat of the band's mins); candidates = docs sharing any
-    band bucket; verify = exact shingle-set Jaccard >= 0.5 on
-    candidates only.
-
-    The production path (h13_minhash_neardup) keeps xxhash64 — one
-    8-byte long per shingle instead of 8 md5 strings — this twin
-    exists so the sketch MATH has a driver hash-match, not just
-    pytest recall teeth. Same block-then-verify scale shape: no
-    stage ever materializes the n^2 pair space."""
+def portable_minhash_pairs(docs: DataFrame) -> DataFrame:
+    """The h13_minhash_portable pipeline body over an arbitrary
+    (doc_id, text) frame — shared with pipeline_sketch_dedup so the
+    cascade composes the IDENTICAL stages the standalone twin
+    hash-checks. Returns (doc_a, doc_b, jaccard) pairs at J >= 0.5."""
     sh = (
-        table(spark, sf_dir, "documents")
+        docs
         .select(
             "doc_id",
             F.array_distinct(shingles(tokenize(F.col("text")), 3)).alias("shingles"),
@@ -782,6 +779,29 @@ def h13_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.5)
     )
+
+
+@query("h13_minhash_portable", section="H13,H11,G7", oracle=_mh_oracle())
+def h13_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H13, hash-matchable form: the ENTIRE MinHash-LSH pipeline —
+
+    signature, banding, candidate join, exact-Jaccard verify — built
+    on engine-portable md5 so the DuckDB oracle replicates every
+    stage bit-for-bit (the h5_glove_fit_micro treatment applied to
+    the dedup sketch). min(md5('m{i}|' || shingle)) is a textbook
+    MinHash under 8 seeded permutations: md5 hex is lowercase
+    [0-9a-f] ASCII, so Spark's UTF8 binary min and DuckDB's varchar
+    min induce the same order. 4 bands x 2 rows; band bucket =
+    md5(concat of the band's mins); candidates = docs sharing any
+    band bucket; verify = exact shingle-set Jaccard >= 0.5 on
+    candidates only. Body shared via :func:`portable_minhash_pairs`.
+
+    The production path (h13_minhash_neardup) keeps xxhash64 — one
+    8-byte long per shingle instead of 8 md5 strings — this twin
+    exists so the sketch MATH has a driver hash-match, not just
+    pytest recall teeth. Same block-then-verify scale shape: no
+    stage ever materializes the n^2 pair space."""
+    return portable_minhash_pairs(table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -1007,6 +1027,7 @@ def h13_semdedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         dists.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "qv", F.col("cent_id").alias("cluster"), nn.alias("nn"))
+        .localCheckpoint(eager=True)  # both pair sides read it (planlint)
     )
     a = assign.select(
         "cluster",

@@ -735,11 +735,15 @@ def h15_mmr_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "vec_id", "qv", rel.alias("rel"))
     )
     wrel = Window.partitionBy("probe_id").orderBy(F.col("rel").desc(), "vec_id")
-    cand = defer_unpersist(
+    # localCheckpoint (not persist): the 4 unrolled selection rounds
+    # each re-reference cand/sim/sel lineage, and the PRINTED plan
+    # re-expands persisted subtrees per consumer — checkpointing the
+    # bounded frames (<= 8 rows/probe) keeps the plan flat (planlint)
+    cand = (
         scored.withColumn("rn", F.row_number().over(wrel))
         .where(F.col("rn") <= _MMRP_CANDS)
         .drop("rn")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     simdot = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y), zero, lambda a, x: a + x
@@ -756,7 +760,7 @@ def h15_mmr_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("probe_id", "a", "b", simdot.alias("sim"))
     )
-    sim = defer_unpersist(sim.persist())
+    sim = sim.localCheckpoint(eager=True)
     sels = [
         cand.withColumn("rn", F.row_number().over(wrel))
         .where(F.col("rn") == 1)
@@ -802,7 +806,7 @@ def h15_mmr_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 score.alias("score"),
             )
         )
-        sels.append(sel_r)
+        sels.append(sel_r.localCheckpoint(eager=True))
     out = sels[0]
     for s in sels[1:]:
         out = out.unionByName(s)

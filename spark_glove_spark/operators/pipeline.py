@@ -264,3 +264,84 @@ def pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def _sketch_funnel_oracle() -> str:
+    from spark_glove_spark.operators.dedup import mh_pair_ctes
+
+    return f"""
+WITH base AS (SELECT doc_id, source, text FROM documents),
+s1 AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM base
+  ) WHERE rn = 1
+),
+{mh_pair_ctes('s1')},
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM mh_pairs),
+s2 AS (
+  SELECT s1.* FROM s1 LEFT JOIN drops USING (doc_id)
+  WHERE drops.doc_id IS NULL
+),
+a0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM base GROUP BY 1),
+a1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_after_exact FROM s1 GROUP BY 1),
+a2 AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_after_minhash,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+           AS tokens_kept
+  FROM s2 GROUP BY 1
+)
+SELECT a0.source, a0.n_docs, a1.n_after_exact, a2.n_after_minhash, a2.tokens_kept
+FROM a0 JOIN a1 USING (source) JOIN a2 USING (source)
+"""
+
+
+@query(
+    "pipeline_sketch_dedup",
+    section="H12,H13,F5,D1",
+    tags=("llm-pipeline", "dedup"),
+    oracle=_sketch_funnel_oracle(),
+)
+def pipeline_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH-based dedup cascade — exact content dedup, then
+    MinHash-LSH near-dup dedup — composed end to end and fully
+    hash-checked, because the near-dup stage is the PORTABLE twin
+    pipeline (:func:`~spark_glove_spark.operators.dedup.
+    portable_minhash_pairs`): at 100 TB you don't run the exact
+    similarity join of pipeline_curate_corpus on the raw corpus, you
+    run exactly this — cheap exact pass first (hash shuffle), then
+    banded-sketch candidates + verify on the survivors. Drop policy
+    is lower-id dominance per verified pair (the oracle-friendly,
+    non-transitive rule; graph.py's CC gives the transitive variant).
+    Output: the per-source audit (docs in, after exact, after
+    near-dup, kept token volume) a curation run ships downstream.
+
+    Plan: one documents scan feeds the exact window; the survivor set
+    feeds the twin's shingle/signature stages; the audit is three
+    map-side-combined aggregates joined on source."""
+    from spark_glove_spark.operators.dedup import portable_minhash_pairs
+
+    base = defer_unpersist(
+        parallelized(table(spark, sf_dir, "documents"))
+        .select("doc_id", "source", "text")
+        .persist()
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    s1 = defer_unpersist(
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .persist()
+    )
+    pairs = portable_minhash_pairs(s1.select("doc_id", "text"))
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    s2 = s1.join(drops, "doc_id", "left_anti")
+    a0 = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    a1 = s1.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_exact"))
+    a2 = s2.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_minhash"),
+        F.sum(F.size(tokenize(F.col("text")))).cast("long").alias("tokens_kept"),
+    )
+    return a0.join(a1, "source").join(a2, "source").select(
+        "source", "n_docs", "n_after_exact", "n_after_minhash", "tokens_kept"
+    )

@@ -2251,12 +2251,14 @@ def max_dup_spans(
         F.posexplode(shingles(tokenize(F.col("text")), k)).alias("pos", "gs"),
     ).select("doc_id", "pos", F.xxhash64("gs").alias("g"))
     occ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ"))
-    gc = defer_unpersist(
+    # localCheckpoint: both pair sides re-expand the persisted subtree
+    # in the printed plan (planlint); the capped gram stream is small
+    gc = (
         grams.join(
             occ.where((F.col("n_occ") >= 2) & (F.col("n_occ") <= df_cap)), "g"
         )
         .select("doc_id", "pos", "g")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     a = gc.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "g"

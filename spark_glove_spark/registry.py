@@ -275,6 +275,7 @@ R6_SPILL: tuple[str, ...] = (
     "h13_semantic_dedup",
     "h13_semdedup_portable",
     "a17_orc_roundtrip",
+    "pipeline_sketch_dedup",
     "h13_simhash_fingerprints",
     "h13_simhash_neardup",
     "h13_simhash_portable",

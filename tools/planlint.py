@@ -74,6 +74,14 @@ BNLJ_OK = {
     "h16_opq_ann",  # broadcast-probe ADC scan, same design as h16_quantized_knn
     "h2_frequent_subsample",
     "h10_tfidf_doc_sim",  # corpus-size scalar broadcast
+    # r5 portable twins: broadcast-centroid/probe cross joins against
+    # k tiny rows are the documented assignment/ADC design (same
+    # family as the h15/h16 entries above)
+    "h13_semdedup_portable",
+    "ml_kmeans_portable",
+    "h15_mmr_portable",
+    "h16_ivf_portable",
+    "h16_pq_portable",
 }
 PYTHON_OK = {"j1_scalar_udf", "j6_udtf"}  # Python IS the J1/J6 contract
 MAX_EXCHANGES = 8
