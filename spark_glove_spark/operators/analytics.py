@@ -1101,3 +1101,59 @@ def e10_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return credit("first_touch", "first_touch").unionByName(
         credit("last_touch", "last_touch")
     )
+
+
+@query(
+    "d20_entropy",
+    section="D1,G5",
+    oracle="""
+WITH k AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 16 AS bucket
+  FROM events
+),
+cnt AS (SELECT event_type, bucket, count(*) AS c FROM k GROUP BY 1, 2),
+tot AS (SELECT event_type, sum(c) AS n FROM cnt GROUP BY 1)
+SELECT cnt.event_type,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
+         AS entropy_nats,
+       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+             / ln(count(*)), 6) AS normalized
+FROM cnt JOIN tot ON tot.event_type = cnt.event_type
+GROUP BY 1
+""",
+)
+def d20_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per group — the distribution-shape profiling
+    statistic (data-drift monitors, feature audits, label-balance
+    checks all reduce to it): H = -sum p*ln(p) over the value-bucket
+    distribution of each event type, plus the log-cardinality-
+    normalized form in [0, 1]. Two map-side-combined aggregates (the
+    bucket counts, then the entropy fold over <= 16 rows per group);
+    the float sum spans at most n_buckets terms so round(6) is
+    deterministic across engines' summation orders.
+
+    100 TB: the bucket-count aggregate is the only corpus-sized pass;
+    entropy itself folds over the tiny per-group histogram — the same
+    shape as d14_histogram with a log-weighted reduce on top."""
+    e = table(spark, sf_dir, "events")
+    bucket = (
+        F.get_json_object("props", "$.k").cast("long") % 16
+    ).alias("bucket")
+    cnt = e.select("event_type", bucket).groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy("event_type").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        cnt.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.round(
+                -F.sum(p * F.log(p)) / F.log(F.count(F.lit(1)).cast("double")), 6
+            ).alias("normalized"),
+        )
+    )

@@ -252,3 +252,100 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt
     return visited.select("word", F.col("dist").cast("long").alias("dist"))
+
+
+_LP_SEEDS = 5
+_LP_ROUNDS = 2
+
+
+def _lp_oracle() -> str:
+    rounds = []
+    for r in range(1, _LP_ROUNDS + 1):
+        rounds.append(f""",
+n{r} AS (
+  SELECT und.u, l.label, count(*) AS c
+  FROM und JOIN l{r - 1} l ON l.u = und.v
+  WHERE und.u NOT IN (SELECT u FROM l{r - 1})
+  GROUP BY 1, 2
+),
+a{r} AS (
+  SELECT u, label, {r} AS round_assigned FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+    FROM n{r}
+  ) WHERE rn = 1
+),
+l{r} AS (SELECT * FROM l{r - 1} UNION ALL SELECT * FROM a{r})""")
+    return (
+        _EDGE_CTE
+        + f""",
+und AS (SELECT s AS u, t2 AS v FROM e UNION ALL SELECT t2, s FROM e),
+verts AS (SELECT DISTINCT u FROM und),
+seeds AS (SELECT u, u AS label FROM verts ORDER BY u LIMIT {_LP_SEEDS}),
+l0 AS (SELECT u, label, 0 AS round_assigned FROM seeds)"""
+        + "".join(rounds)
+        + f"""
+SELECT u AS word, label, CAST(round_assigned AS BIGINT) AS round_assigned
+FROM l{_LP_ROUNDS}
+"""
+    )
+
+
+@query(
+    "graph_label_prop",
+    section="H3,C2,E2",
+    tags=("graph",),
+    oracle=_lp_oracle(),
+)
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised LABEL PROPAGATION over the co-occurrence graph
+    (Zhu & Ghahramani 2002 / Raghavan et al. 2007 — public), the
+    weak-labeling primitive a curation pipeline uses to spread a few
+    human labels across a similarity graph: the 5 lexicographically
+    smallest vertices seed their own label; each round, every still-
+    unlabeled vertex adopts the MAJORITY label among its labeled
+    neighbors (ties -> smallest label); 2 rounds unrolled so the
+    DuckDB oracle replays the propagation exactly (the same unrolled
+    treatment as PageRank's chained CTEs). Output: every labeled
+    vertex with its community label and the round it was absorbed.
+
+    Scale shape: per-round state is vertex-sized, each round is one
+    edge-list equi-join plus one map-side-combined majority count —
+    the canonical message-passing round, same as PageRank; rounds
+    localCheckpoint (iterative-plan caveat, PLANS.md)."""
+    docs = table(spark, sf_dir, "documents")
+    edges = top_cooccurrence_edges(docs)
+    und = defer_unpersist(
+        edges.select(F.col("s").alias("u"), F.col("t").alias("v"))
+        .unionByName(edges.select(F.col("t").alias("u"), F.col("s").alias("v")))
+        .persist()
+    )
+    verts = und.select("u").distinct()
+    labels = (
+        verts.orderBy("u")
+        .limit(_LP_SEEDS)
+        .select(
+            "u", F.col("u").alias("label"), F.lit(0).cast("long").alias("round_assigned")
+        )
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    for r in range(1, _LP_ROUNDS + 1):
+        neigh = (
+            und.join(
+                labels.select(F.col("u").alias("lv"), F.col("label")),
+                F.col("v") == F.col("lv"),
+            )
+            .join(labels.select("u"), "u", "left_anti")
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        wmaj = Window.partitionBy("u").orderBy(F.col("c").desc(), "label")
+        newly = (
+            neigh.withColumn("rn", F.row_number().over(wmaj))
+            .where(F.col("rn") == 1)
+            .select("u", "label", F.lit(r).cast("long").alias("round_assigned"))
+        )
+        labels = labels.unionByName(newly).localCheckpoint(eager=True)
+    return labels.select(F.col("u").alias("word"), "label", "round_assigned")

@@ -1229,3 +1229,43 @@ def e9_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.sum("revenue").over(w), 2).alias("trailing_7d"),
     )
+
+
+@query(
+    "c13_lateral_topk",
+    section="C4,E2",
+    oracle="""
+SELECT n.n_name AS nation, t.c_name AS name, t.bal
+FROM nation n,
+LATERAL (
+  SELECT c_name, round(c_acctbal, 2) AS bal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 3
+) t
+""",
+)
+def c13_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the SQL:2016 spelling of
+    top-k-per-group: for each nation, its 3 highest-balance customers
+    via a per-row correlated derived table. Catalyst DECORRELATES
+    this into the same window/WindowGroupLimit plan as e2 (run
+    ``.explain`` — no nested-loop re-execution per outer row), which
+    is the point: users write the lateral form, the engine runs the
+    bounded-heap form. DuckDB executes the identical SQL text, so the
+    oracle doubles as a cross-engine semantics check of LATERAL
+    itself."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("sgs_nation_c13")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("sgs_cust_c13")
+    return spark.sql("""
+SELECT n.n_name AS nation, t.c_name AS name, t.bal
+FROM sgs_nation_c13 n,
+LATERAL (
+  SELECT c_name, round(c_acctbal, 2) AS bal
+  FROM sgs_cust_c13 c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 3
+) t
+""")

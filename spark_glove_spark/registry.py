@@ -276,6 +276,9 @@ R6_SPILL: tuple[str, ...] = (
     "h13_semdedup_portable",
     "a17_orc_roundtrip",
     "pipeline_sketch_dedup",
+    "c13_lateral_topk",
+    "d20_entropy",
+    "graph_label_prop",
     "h13_simhash_fingerprints",
     "h13_simhash_neardup",
     "h13_simhash_portable",
