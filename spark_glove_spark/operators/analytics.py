@@ -1157,3 +1157,83 @@ def d20_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("normalized"),
         )
     )
+
+
+@query(
+    "a18_txlog_time_travel",
+    section="A3,A1,C3",
+    tags=("analytics", "cdc"),
+    oracle=f"""
+WITH v1x AS (SELECT * FROM ({MERGE_ORACLE}) m),
+adj AS (
+  SELECT o_orderkey + 200000000 AS o_orderkey,
+         floor(o_totalprice * 25) / 100 AS price,
+         'adjustment' AS src
+  FROM orders WHERE o_orderkey % 7 = 3
+),
+v2x AS (SELECT * FROM v1x UNION ALL SELECT * FROM adj)
+SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(o_totalprice), 2) AS total_price,
+       CAST(0 AS BIGINT) AS n_changed
+FROM orders
+UNION ALL
+SELECT 1, CAST(count(*) AS BIGINT), round(sum(price), 2),
+       CAST(sum(CASE WHEN src <> 'base' THEN 1 ELSE 0 END) AS BIGINT)
+FROM v1x
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT), round(sum(price), 2),
+       CAST(sum(CASE WHEN src <> 'base' THEN 1 ELSE 0 END) AS BIGINT)
+FROM v2x
+""",
+)
+def a18_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table semantics end to end on the txlog format
+    (sources/txlog.py — log-structured snapshots, the piece VERDICT
+    r4 flagged missing from the f8/i11 mutation surface): version 0
+    materializes the orders base state, version 1 OVERWRITES it with
+    the deterministic CDC MERGE result (the same change set f8/i11
+    oracle-check), version 2 APPENDS an adjustment batch — then all
+    three versions are read back BY VERSION NUMBER, after every
+    commit has landed, and aggregated. Matching the oracle (which
+    reconstructs each state relationally) proves both the merge
+    algebra AND the time-travel mechanism: v0's numbers are the
+    untouched base even though two later commits replaced and
+    extended the table. Snapshot isolation, conflict detection, and
+    file immutability are pinned in tests/test_txlog.py.
+
+    100 TB: the log entries are KB-sized JSON regardless of data
+    volume; commits move metadata, not data — the property that makes
+    lakehouse mutation O(changed files)."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="sgs_txlog_")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit("base").alias("src"),
+    )
+    txlog.create(base, path)
+    merged = apply_merge(txlog.read(spark, path), cdc_change_set(o))
+    txlog.overwrite(merged, path)
+    adj = o.where(F.col("o_orderkey") % 7 == 3).select(
+        (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+        (F.floor(F.col("o_totalprice") * 25) / 100).alias("price"),
+        F.lit("adjustment").alias("src"),
+    )
+    txlog.append(adj, path)
+
+    def version_agg(v: int) -> DataFrame:
+        snap = txlog.read(spark, path, version=v)
+        return snap.agg(
+            F.lit(v).cast("long").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+            F.sum(F.when(F.col("src") != "base", 1).otherwise(0))
+            .cast("long")
+            .alias("n_changed"),
+        ).select("version", "n_rows", "total_price", "n_changed")
+
+    return version_agg(0).unionByName(version_agg(1)).unionByName(version_agg(2))

@@ -279,6 +279,7 @@ R6_SPILL: tuple[str, ...] = (
     "c13_lateral_topk",
     "d20_entropy",
     "graph_label_prop",
+    "a18_txlog_time_travel",
     "h13_simhash_fingerprints",
     "h13_simhash_neardup",
     "h13_simhash_portable",

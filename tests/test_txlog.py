@@ -1,0 +1,92 @@
+"""Teeth for the txlog table format (sources/txlog.py): snapshot
+isolation, time travel, optimistic-concurrency conflicts, and data-
+file immutability — the properties the a18 oracle check can't state
+directly."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from spark_glove_spark.sources import txlog
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a"), (2, "b")]), path)
+    got = sorted(txlog.read(spark, path).collect())
+    assert [(r["k"], r["v"]) for r in got] == [(1, "a"), (2, "b")]
+    assert txlog.current_version(path) == 0
+
+
+def test_time_travel_reads_old_version_after_later_commits(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]), path)
+    txlog.overwrite(_df(spark, [(9, "z")]), path)
+    txlog.append(_df(spark, [(10, "y")]), path)
+    assert txlog.current_version(path) == 2
+    v0 = [(r["k"], r["v"]) for r in txlog.read(spark, path, version=0).collect()]
+    assert v0 == [(1, "a")], "v0 must be untouched by overwrite+append"
+    v2 = sorted(
+        (r["k"], r["v"]) for r in txlog.read(spark, path, version=2).collect()
+    )
+    assert v2 == [(9, "z"), (10, "y")]
+
+
+def test_snapshot_resolved_file_list_is_immune_to_later_commits(spark, tmp_path):
+    """The isolation mechanism itself: a reader that resolved its file
+    list keeps reading the same bytes no matter what commits after."""
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a"), (2, "b")]), path)
+    files_before = txlog.snapshot_files(path, 0)
+    txlog.overwrite(_df(spark, [(3, "c")]), path)
+    # the v0 file list is byte-identical and every file still exists
+    assert txlog.snapshot_files(path, 0) == files_before
+    for f in files_before:
+        assert os.path.exists(os.path.join(path, f)), "data files are immutable"
+
+
+def test_concurrent_writer_conflict(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]), path)
+    # two writers both target version 1: the second must lose
+    files_a = txlog._write_data(_df(spark, [(2, "b")]), path)
+    files_b = txlog._write_data(_df(spark, [(3, "c")]), path)
+    txlog.commit(path, files_a, [], expected_version=0)
+    with pytest.raises(txlog.TxLogConflict):
+        txlog.commit(path, files_b, [], expected_version=0)
+    # the winner's row is visible; the loser's orphan files are inert
+    got = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert got == [1, 2]
+
+
+def test_create_refuses_existing_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]), path)
+    with pytest.raises(FileExistsError):
+        txlog.create(_df(spark, [(2, "b")]), path)
+
+
+def test_read_unknown_version_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]), path)
+    with pytest.raises(ValueError):
+        txlog.read(spark, path, version=5)
+
+
+def test_log_entries_record_operations(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]), path)
+    txlog.append(_df(spark, [(2, "b")]), path)
+    txlog.overwrite(_df(spark, [(3, "c")]), path)
+    ops = [e["operation"] for e in txlog.read_log(path)]
+    assert ops == ["create", "append", "overwrite"]
+    # overwrite removed exactly the files the first two commits added
+    log = txlog.read_log(path)
+    assert sorted(log[2]["removes"]) == sorted(log[0]["adds"] + log[1]["adds"])
