@@ -280,6 +280,7 @@ R6_SPILL: tuple[str, ...] = (
     "d20_entropy",
     "graph_label_prop",
     "a18_txlog_time_travel",
+    "i17_streaming_txlog_sink",
     "h13_simhash_fingerprints",
     "h13_simhash_neardup",
     "h13_simhash_portable",

@@ -1045,3 +1045,84 @@ def i16_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return run_stream(agg, "complete")
+
+
+@query(
+    "i17_streaming_txlog_sink",
+    section="A6,I1,A3",
+    tags=("streaming", "cdc"),
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total
+FROM events
+GROUP BY 1
+""",
+)
+def i17_streaming_txlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sink onto the VERSIONED table format: each
+    micro-batch lands as one txlog commit (foreachBatch ->
+    txlog.append), so the table's history IS the stream's batch
+    history — any prefix of the stream is readable by version number
+    afterwards, and a crashed writer leaves a clean last-committed
+    version instead of torn files (the commit is one atomic
+    O_EXCL JSON write AFTER the batch's parquet lands). The final
+    snapshot must equal the batch aggregate — the oracle. Version
+    monotonicity and per-version prefix sums are pinned in
+    tests/test_txlog.py-style assertions inside this query's replay
+    (n_versions == n_batches is asserted here, not oracle-compared,
+    because file slicing is an execution detail).
+
+    Production shape: this is Structured Streaming's Delta sink
+    pattern — transactional per-epoch appends; idempotent restart
+    needs the epoch id recorded in the commit (txlog's 'operation'
+    field carries it here)."""
+    import os
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    e = table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="i17_replay_")
+    src = os.path.join(base, "f")
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tbl = os.path.join(base, "table")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.select("event_id", "event_type", "value")
+        if txlog.current_version(tbl) < 0:
+            txlog.create(rows, tbl)
+        else:
+            files = txlog._write_data(rows, tbl)
+            txlog.commit(
+                tbl,
+                files,
+                [],
+                expected_version=txlog.current_version(tbl),
+                operation=f"epoch-{epoch_id}",
+            )
+
+    run_stream_foreach_batch(sdf, sink, "append")
+    n_versions = txlog.current_version(tbl) + 1
+    assert n_versions == 4, f"expected 4 micro-batch commits, got {n_versions}"
+    # prefix property: every version's row count is non-decreasing
+    counts = [
+        txlog.read(spark, tbl, version=v).count() for v in range(n_versions)
+    ]
+    assert counts == sorted(counts) and counts[-1] == e.count()
+    return (
+        txlog.read(spark, tbl)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
