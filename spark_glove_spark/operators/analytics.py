@@ -1237,3 +1237,42 @@ def a18_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_rows", "total_price", "n_changed")
 
     return version_agg(0).unionByName(version_agg(1)).unionByName(version_agg(2))
+
+
+@query(
+    "d21_correlation",
+    section="D2,G5",
+    oracle="""
+SELECT event_type,
+       round(corr(value, k), 6) AS corr_value_k,
+       round(covar_samp(value, k), 6) AS covar_value_k,
+       round(stddev_samp(value), 6) AS sd_value,
+       round(stddev_samp(k), 6) AS sd_k
+FROM (
+  SELECT event_type, value,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+  FROM events
+)
+GROUP BY 1
+""",
+)
+def d21_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / sample covariance / sample stddev per
+    group — the feature-relationship profile (drift detection and
+    feature selection both start here). All four are single-pass
+    map-side-combinable moment aggregates (sum, sum of squares, sum
+    of cross-products merge like sums), so the 100 TB cost is one
+    scan + one tiny-keyed shuffle; round(6) absorbs the engines'
+    summation-order ulps on the ~2k-term moment sums."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double").alias("k")
+    return (
+        e.select("event_type", "value", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", "k"), 6).alias("corr_value_k"),
+            F.round(F.covar_samp("value", "k"), 6).alias("covar_value_k"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+            F.round(F.stddev_samp("k"), 6).alias("sd_k"),
+        )
+    )

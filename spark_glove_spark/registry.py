@@ -281,6 +281,8 @@ R6_SPILL: tuple[str, ...] = (
     "graph_label_prop",
     "a18_txlog_time_travel",
     "i17_streaming_txlog_sink",
+    "j9_arrow_udf",
+    "d21_correlation",
     "h13_simhash_fingerprints",
     "h13_simhash_neardup",
     "h13_simhash_portable",
