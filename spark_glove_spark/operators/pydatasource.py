@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_glove_spark.registry import query
+from spark_glove_spark.sources import table
 
 _N = 50_000
 _PARTS = 8
@@ -206,6 +207,151 @@ def i12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 50k rows; processAllAvailable() keeps triggering until the
     # reader reports caught-up (empty batch, unchanged offset), i.e.
     # the real end of the sequence.
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+def _register_txlog_stream(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class TxLogStreamReader(SimpleDataSourceStreamReader):
+        """Change-data feed over a txlog table (sources/txlog.py):
+        the stream OFFSET is the last consumed table VERSION, each
+        micro-batch delivers the rows ADDED by the next committed
+        version, and replay (readBetweenOffsets) re-reads the same
+        versions' immutable files — txlog commits being atomic and
+        numbered is exactly what makes the source exactly-once. The
+        feed is append-only by contract: a version that REMOVES files
+        (overwrite/compaction) is not representable as pure row-adds,
+        so the reader refuses it rather than silently re-emitting.
+        Files are read driver-side with pyarrow (simple-reader
+        variant — right for the control-rate feeds this exhibits; a
+        high-volume CDF implements partition planning instead)."""
+
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+
+        def initialOffset(self):
+            return {"version": -1}
+
+        def _version_rows(self, v: int):
+            import os
+
+            import pyarrow.parquet as pq
+
+            from spark_glove_spark.sources import txlog
+
+            entry = txlog.read_log(self.path, v)[v]
+            if entry["removes"]:
+                raise ValueError(
+                    f"txlog stream: version {v} removes files "
+                    "(append-only feed cannot represent it)"
+                )
+            rows = []
+            for rel in entry["adds"]:
+                t = pq.read_table(
+                    os.path.join(self.path, rel),
+                    columns=["event_id", "event_type", "value"],
+                )
+                rows.extend(
+                    zip(
+                        t.column("event_id").to_pylist(),
+                        t.column("event_type").to_pylist(),
+                        t.column("value").to_pylist(),
+                    )
+                )
+            rows.sort()
+            return rows
+
+        def read(self, start):
+            from spark_glove_spark.sources import txlog
+
+            nxt = start["version"] + 1
+            if nxt > txlog.current_version(self.path):
+                return iter([]), start  # caught up
+            return iter(self._version_rows(nxt)), {"version": nxt}
+
+        def readBetweenOffsets(self, start, end):
+            rows = []
+            for v in range(start["version"] + 1, end["version"] + 1):
+                rows.extend(self._version_rows(v))
+            return iter(rows)
+
+        def commit(self, end) -> None:
+            pass
+
+    class TxLogStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "txlog_stream"
+
+        def schema(self) -> str:
+            return "event_id BIGINT, event_type STRING, value DOUBLE"
+
+        def simpleStreamReader(self, schema):  # noqa: D102 — API hook
+            return TxLogStreamReader(self.options)
+
+    spark.dataSource.register(TxLogStreamSource)
+
+
+@query(
+    "i18_txlog_stream_source",
+    section="A5,I1,A1",
+    tags=("streaming", "source", "cdc"),
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total
+FROM events
+GROUP BY 1
+""",
+)
+def i18_txlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The txlog table as a streaming SOURCE — the change-data-feed
+    half of the format (i17 is the sink half): four committed
+    versions (create + three appends, each a deterministic quarter of
+    events) are consumed version-per-micro-batch through a custom
+    ``SimpleDataSourceStreamReader`` whose offsets ARE the table
+    versions, feeding a complete-mode aggregate. The final table
+    hash-matches the batch aggregate over all events, proving the
+    version slicing delivers every committed row exactly once across
+    micro-batch boundaries. Together i17+i18 close the loop: stream
+    in -> versioned table -> stream out, all on the engine's own
+    log-structured format."""
+    import tempfile
+    import uuid
+
+    from spark_glove_spark.sources import txlog
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="sgs_i18_") + "/t"
+    txlog.create(e.where(F.col("event_id") % 4 == 0), path)
+    for m in (1, 2, 3):
+        txlog.append(e.where(F.col("event_id") % 4 == m), path)
+
+    _register_txlog_stream(spark)
+    src = spark.readStream.format("txlog_stream").option("path", path).load()
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
     name = f"sink_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

@@ -283,6 +283,7 @@ R6_SPILL: tuple[str, ...] = (
     "i17_streaming_txlog_sink",
     "j9_arrow_udf",
     "d21_correlation",
+    "i18_txlog_stream_source",
     "h13_simhash_fingerprints",
     "h13_simhash_neardup",
     "h13_simhash_portable",
