@@ -304,23 +304,25 @@ def _decode_stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 
 def _byte_stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Feature extraction over binary payloads — the Arrow batch shape
-    a real decoder would use (bytes in, fixed-width features out)."""
+    a real decoder would use (bytes in, fixed-width features out).
+    Features are EXACT integer moments (sum, sum of squares) rather
+    than pre-divided floats: same information (mean = sum/n,
+    var = sumsq/n - mean^2), but int64-exact on both engines, which
+    upgraded mm_feature_extract from rows-only to hash-checked
+    (round-half float means were the only obstacle)."""
     for pdf in batches:
         if pdf.empty:
             continue
         feats = []
         for item_id, content in zip(pdf["item_id"], pdf["content"]):
             b = bytes(content)
-            n = len(b)
-            arr = np.frombuffer(b, dtype=np.uint8)
-            mean = float(arr.mean()) if n else 0.0
-            var = float(arr.var()) if n else 0.0
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
             feats.append(
                 {
                     "item_id": int(item_id),
-                    "n_bytes": n,
-                    "byte_mean": round(mean, 6),
-                    "byte_var": round(var, 6),
+                    "n_bytes": len(b),
+                    "sum_bytes": int(arr.sum()),
+                    "sum_sq_bytes": int((arr * arr).sum()),
                     "head_hex": b[:4].hex(),
                 }
             )
@@ -354,15 +356,44 @@ def mm_byte_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_feature_extract", section="J5")
+@query(
+    "mm_feature_extract",
+    section="J5",
+    oracle="""
+WITH w2 AS (
+  SELECT doc_id, text, unnest(range(0, length(text))) AS i FROM documents
+),
+b AS (SELECT doc_id, CAST(unicode(text[i + 1:i + 1]) AS BIGINT) AS o FROM w2),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bytes,
+         CAST(sum(o) AS BIGINT) AS sum_bytes,
+         CAST(sum(o * o) AS BIGINT) AS sum_sq_bytes
+  FROM b GROUP BY 1
+)
+SELECT d.doc_id AS item_id,
+       coalesce(agg.n_bytes, 0) AS n_bytes,
+       coalesce(agg.sum_bytes, 0) AS sum_bytes,
+       coalesce(agg.sum_sq_bytes, 0) AS sum_sq_bytes,
+       lower(hex(encode(substring(d.text, 1, 4)))) AS head_hex
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (byte
-    moments stand in for codec features; same batch shape). Rows-only:
-    deterministic, row count == documents count."""
+    moments stand in for codec features; same batch shape). The
+    features are exact integer moments, so this is fully
+    hash-checked: the oracle recomputes byte sums from the SOURCE
+    text via code points (the fixture corpus is pure ASCII, where
+    UTF-8 bytes == code points — the payloads are encode(text)) and
+    the hex head from the same prefix bytes. The Python kernel sees
+    only the binary column, exactly as it would for real media."""
     m = media_table(spark, sf_dir)
     return m.select("item_id", "content").mapInPandas(
         _byte_stats_kernel,
-        schema="item_id long, n_bytes long, byte_mean double, byte_var double, head_hex string",
+        schema=(
+            "item_id long, n_bytes long, sum_bytes long, "
+            "sum_sq_bytes long, head_hex string"
+        ),
     )
 
 
