@@ -284,6 +284,7 @@ R6_SPILL: tuple[str, ...] = (
     "j9_arrow_udf",
     "d21_correlation",
     "i18_txlog_stream_source",
+    "a19_txlog_file_skipping",
     "h13_simhash_fingerprints",
     "h13_simhash_neardup",
     "h13_simhash_portable",

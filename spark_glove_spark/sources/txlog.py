@@ -104,15 +104,58 @@ def snapshot_files(path: str, version: int | None = None) -> list[str]:
     return sorted(active)
 
 
-def _write_data(df: DataFrame, path: str) -> list[str]:
+def snapshot_stats(path: str, version: int | None = None) -> dict[str, dict]:
+    """Per-file column stats ({relpath: {col: [min, max]}}) of the
+    active snapshot — the file-skipping index. Files committed by a
+    pre-stats writer simply have no entry (never skipped)."""
+    stats: dict[str, dict] = {}
+    active: set[str] = set()
+    for entry in read_log(path, version):
+        active -= set(entry["removes"])
+        active |= set(entry["adds"])
+        stats.update(entry.get("stats", {}))
+    return {f: stats.get(f, {}) for f in sorted(active)}
+
+
+def _file_stats(abs_path: str) -> dict[str, list]:
+    """min/max per column from the parquet FOOTER (row-group stats) —
+    metadata-only, no data read. Only orderable primitive columns are
+    recorded; a column without stats is never used to skip."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    out: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for c in range(g.num_columns):
+            col = g.column(c)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                continue  # undecoded binary stats: not orderable here
+            name = col.path_in_schema
+            if name in out:
+                out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
+            else:
+                out[name] = [lo, hi]
+    return out
+
+
+def _write_data(df: DataFrame, path: str) -> tuple[list[str], dict[str, dict]]:
     """Write ``df`` as a fresh immutable file group under the table
-    root; returns the new files' table-relative paths."""
+    root; returns the new files' table-relative paths and their
+    footer-derived column stats (the file-skipping index the commit
+    records — Delta's add-action stats / Iceberg's manifest metrics,
+    reduced to min/max)."""
     sub = f"data-{uuid.uuid4().hex[:12]}"
     df.write.parquet(os.path.join(path, sub))
-    return sorted(
+    files = sorted(
         os.path.relpath(p, path)
         for p in glob.glob(os.path.join(path, sub, "*.parquet"))
     )
+    return files, {f: _file_stats(os.path.join(path, f)) for f in files}
 
 
 def commit(
@@ -121,6 +164,7 @@ def commit(
     removes: list[str],
     expected_version: int,
     operation: str = "commit",
+    stats: dict[str, dict] | None = None,
 ) -> int:
     """Atomically claim version ``expected_version + 1``. Raises
     :class:`TxLogConflict` if another writer already has — the caller
@@ -138,6 +182,7 @@ def commit(
             "operation": operation,
             "adds": adds,
             "removes": removes,
+            "stats": stats or {},
             "timestamp": time.time(),
         }
     )
@@ -157,15 +202,19 @@ def create(df: DataFrame, path: str) -> int:
     os.makedirs(path, exist_ok=True)
     if current_version(path) >= 0:
         raise FileExistsError(f"txlog table already exists at {path}")
-    files = _write_data(df, path)
-    return commit(path, files, [], expected_version=-1, operation="create")
+    files, stats = _write_data(df, path)
+    return commit(
+        path, files, [], expected_version=-1, operation="create", stats=stats
+    )
 
 
 def append(df: DataFrame, path: str) -> int:
     """Add ``df``'s rows as a new version (old files stay active)."""
     base = current_version(path)
-    files = _write_data(df, path)
-    return commit(path, files, [], expected_version=base, operation="append")
+    files, stats = _write_data(df, path)
+    return commit(
+        path, files, [], expected_version=base, operation="append", stats=stats
+    )
 
 
 def overwrite(df: DataFrame, path: str) -> int:
@@ -173,15 +222,58 @@ def overwrite(df: DataFrame, path: str) -> int:
     replaced files remain on disk for time travel."""
     base = current_version(path)
     old = snapshot_files(path, base)
-    files = _write_data(df, path)
-    return commit(path, files, old, expected_version=base, operation="overwrite")
+    files, stats = _write_data(df, path)
+    return commit(
+        path, files, old, expected_version=base, operation="overwrite", stats=stats
+    )
 
 
-def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def prune_files(
+    path: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """File skipping: the snapshot's files whose [min, max] for
+    ``column`` intersects [lo, hi] (files without stats for the
+    column are conservatively kept). Returns (kept_files,
+    n_total_files) — the skipped count is the scale win: at 100 TB a
+    selective predicate turns the scan from every-file to
+    a-handful-of-files BEFORE Spark plans anything, on metadata
+    alone."""
+    stats = snapshot_stats(path, version)
+    kept = []
+    for f, cols in stats.items():
+        mm = cols.get(column)
+        if mm is not None and (mm[1] < lo or mm[0] > hi):
+            continue
+        kept.append(f)
+    return kept, len(stats)
+
+
+def read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    predicate: tuple[str, object, object] | None = None,
+) -> DataFrame:
     """Read a snapshot (latest by default; any version for time
     travel). The file list is resolved HERE, once — everything after
-    is immutable-file reads, which is the isolation guarantee."""
-    files = snapshot_files(path, version)
+    is immutable-file reads, which is the isolation guarantee.
+    ``predicate=(column, lo, hi)`` applies stats-based file skipping
+    AND the residual row filter (skipping is a superset cut; the
+    filter makes it exact)."""
+    if predicate is None:
+        files = snapshot_files(path, version)
+    else:
+        files, _ = prune_files(path, *predicate, version=version)
     if not files:
         raise ValueError(f"version has no data files at {path}")
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    if predicate is not None:
+        from pyspark.sql import functions as F
+
+        col, lo, hi = predicate
+        df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
+    return df

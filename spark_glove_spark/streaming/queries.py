@@ -1101,13 +1101,14 @@ def i17_streaming_txlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         if txlog.current_version(tbl) < 0:
             txlog.create(rows, tbl)
         else:
-            files = txlog._write_data(rows, tbl)
+            files, stats = txlog._write_data(rows, tbl)
             txlog.commit(
                 tbl,
                 files,
                 [],
                 expected_version=txlog.current_version(tbl),
                 operation=f"epoch-{epoch_id}",
+                stats=stats,
             )
 
     run_stream_foreach_batch(sdf, sink, "append")

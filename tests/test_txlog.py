@@ -56,9 +56,9 @@ def test_concurrent_writer_conflict(spark, tmp_path):
     path = str(tmp_path / "t")
     txlog.create(_df(spark, [(1, "a")]), path)
     # two writers both target version 1: the second must lose
-    files_a = txlog._write_data(_df(spark, [(2, "b")]), path)
-    files_b = txlog._write_data(_df(spark, [(3, "c")]), path)
-    txlog.commit(path, files_a, [], expected_version=0)
+    files_a, stats_a = txlog._write_data(_df(spark, [(2, "b")]), path)
+    files_b, _stats_b = txlog._write_data(_df(spark, [(3, "c")]), path)
+    txlog.commit(path, files_a, [], expected_version=0, stats=stats_a)
     with pytest.raises(txlog.TxLogConflict):
         txlog.commit(path, files_b, [], expected_version=0)
     # the winner's row is visible; the loser's orphan files are inert
@@ -90,3 +90,41 @@ def test_log_entries_record_operations(spark, tmp_path):
     # overwrite removed exactly the files the first two commits added
     log = txlog.read_log(path)
     assert sorted(log[2]["removes"]) == sorted(log[0]["adds"] + log[1]["adds"])
+
+
+def test_file_skipping_prunes_by_footer_stats(spark, tmp_path):
+    """The data-skipping index: three appends with disjoint key ranges
+    -> a range predicate keeps exactly one file group, and the
+    predicate read returns the same rows as a full-scan filter."""
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(i, "a") for i in range(0, 10)]).coalesce(1), path)
+    txlog.append(_df(spark, [(i, "b") for i in range(100, 110)]).coalesce(1), path)
+    txlog.append(_df(spark, [(i, "c") for i in range(200, 210)]).coalesce(1), path)
+    kept, total = txlog.prune_files(path, "k", 100, 109)
+    assert total == 3 and len(kept) == 1, (kept, total)
+    got = sorted(
+        r["k"] for r in txlog.read(spark, path, predicate=("k", 100, 109)).collect()
+    )
+    assert got == list(range(100, 110))
+    # stats survive log replay at any version
+    st = txlog.snapshot_stats(path)
+    assert all("k" in cols for cols in st.values())
+    mins = sorted(cols["k"][0] for cols in st.values())
+    assert mins == [0, 100, 200]
+
+
+def test_file_skipping_keeps_statless_files(spark, tmp_path):
+    """A file with no recorded stats for the predicate column is
+    conservatively KEPT (correctness before pruning)."""
+    import json
+    import os
+
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]).coalesce(1), path)
+    # simulate a pre-stats writer: strip stats from the log entry
+    f = os.path.join(path, "_txlog", "00000000.json")
+    entry = json.load(open(f))
+    entry["stats"] = {}
+    open(f, "w").write(json.dumps(entry))
+    kept, total = txlog.prune_files(path, "k", 1000, 2000)
+    assert (len(kept), total) == (1, 1), "statless file must not be skipped"
