@@ -252,6 +252,24 @@ def prune_files(
     return kept, len(stats)
 
 
+def optimize(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """OPTIMIZE / compaction: rewrite the current snapshot's files
+    into ``target_files`` larger ones as a NEW version (adds the
+    compacted group, removes the small files from the ACTIVE set —
+    the bytes stay on disk, so every prior version still time-
+    travels). Data is unchanged by construction: the new files are a
+    coalesce of the snapshot read. Concurrent appends conflict-detect
+    like any commit and the caller retries — compaction is just a
+    commit."""
+    base = current_version(path)
+    old = snapshot_files(path, base)
+    df = read(spark, path, version=base).coalesce(target_files)
+    files, stats = _write_data(df, path)
+    return commit(
+        path, files, old, expected_version=base, operation="optimize", stats=stats
+    )
+
+
 def read(
     spark: SparkSession,
     path: str,

@@ -128,3 +128,21 @@ def test_file_skipping_keeps_statless_files(spark, tmp_path):
     open(f, "w").write(json.dumps(entry))
     kept, total = txlog.prune_files(path, "k", 1000, 2000)
     assert (len(kept), total) == (1, 1), "statless file must not be skipped"
+
+
+def test_optimize_compacts_files_and_preserves_data_and_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]).coalesce(1), path)
+    txlog.append(_df(spark, [(2, "b")]).coalesce(1), path)
+    txlog.append(_df(spark, [(3, "c")]).coalesce(1), path)
+    assert len(txlog.snapshot_files(path)) == 3
+    v = txlog.optimize(spark, path)
+    assert v == 3 and len(txlog.snapshot_files(path)) == 1
+    got = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert got == [1, 2, 3], "OPTIMIZE must not change data"
+    # pre-compaction versions still time-travel
+    assert sorted(r["k"] for r in txlog.read(spark, path, version=1).collect()) == [1, 2]
+    # compacted file carries merged stats for skipping
+    st = txlog.snapshot_stats(path)
+    (cols,) = st.values()
+    assert cols["k"] == [1, 3]
