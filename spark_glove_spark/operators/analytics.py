@@ -1287,7 +1287,8 @@ SELECT o_orderpriority AS priority,
        CAST(count(*) AS BIGINT) AS n,
        round(sum(o_totalprice), 2) AS total
 FROM orders
-WHERE o_orderkey BETWEEN 2000 AND 3999
+WHERE o_orderkey <= (SELECT CAST(floor(max(o_orderkey) / 8.0) AS BIGINT)
+                     FROM orders)
 GROUP BY 1
 """,
 )
@@ -1315,11 +1316,15 @@ def a19_txlog_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = tempfile.mkdtemp(prefix="sgs_a19_") + "/t"
     txlog.create(o.repartitionByRange(8, "o_orderkey"), path)
-    kept, total = txlog.prune_files(path, "o_orderkey", 2000, 3999)
+    # band = the bottom eighth of the key space, derived from the data
+    # so the prune ratio holds at every SF (a fixed band emptied out at
+    # sf0.001); one bounded scalar to the driver
+    hi = int(o.agg(F.floor(F.max("o_orderkey") / 8.0)).collect()[0][0])
+    kept, total = txlog.prune_files(path, "o_orderkey", 0, hi)
     assert 0 < len(kept) < total, (
         f"file skipping must prune: kept {len(kept)} of {total}"
     )
-    snap = txlog.read(spark, path, predicate=("o_orderkey", 2000, 3999))
+    snap = txlog.read(spark, path, predicate=("o_orderkey", 0, hi))
     return snap.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
