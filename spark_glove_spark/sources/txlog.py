@@ -252,6 +252,33 @@ def prune_files(
     return kept, len(stats)
 
 
+def vacuum(path: str, keep_versions: int = 2) -> list[str]:
+    """Physically delete data files not referenced by any of the last
+    ``keep_versions`` snapshots — the storage-reclamation step that
+    deliberately TRADES old-version time travel for space (Delta's
+    VACUUM retention semantics). Files referenced by any retained
+    snapshot survive; reads of vacuumed versions fail loudly at scan
+    time (the file is gone), newer versions are untouched. Returns
+    the deleted relative paths. ``keep_versions >= 1`` always — the
+    current snapshot can never be vacuumed away."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    latest = current_version(path)
+    cutoff = max(0, latest - keep_versions + 1)
+    keep: set[str] = set()
+    for v in range(cutoff, latest + 1):
+        keep |= set(snapshot_files(path, v))
+    ever: set[str] = set()
+    for entry in read_log(path):
+        ever |= set(entry["adds"])
+    doomed = sorted(ever - keep)
+    for rel in doomed:
+        p = os.path.join(path, rel)
+        if os.path.exists(p):
+            os.remove(p)
+    return doomed
+
+
 def optimize(spark: SparkSession, path: str, target_files: int = 1) -> int:
     """OPTIMIZE / compaction: rewrite the current snapshot's files
     into ``target_files`` larger ones as a NEW version (adds the

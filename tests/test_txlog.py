@@ -146,3 +146,64 @@ def test_optimize_compacts_files_and_preserves_data_and_history(spark, tmp_path)
     st = txlog.snapshot_stats(path)
     (cols,) = st.values()
     assert cols["k"] == [1, 3]
+
+
+def test_vacuum_reclaims_old_files_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]).coalesce(1), path)       # v0
+    txlog.overwrite(_df(spark, [(2, "b")]).coalesce(1), path)    # v1
+    txlog.overwrite(_df(spark, [(3, "c")]).coalesce(1), path)    # v2
+    deleted = txlog.vacuum(path, keep_versions=2)
+    assert deleted == txlog.read_log(path)[0]["adds"], (
+        "only v0's (otherwise-unreferenced) files are reclaimed"
+    )
+    # retained versions still read
+    assert [r["k"] for r in txlog.read(spark, path, version=1).collect()] == [2]
+    assert [r["k"] for r in txlog.read(spark, path).collect()] == [3]
+    # the vacuumed version fails at SCAN time (file genuinely gone)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        txlog.read(spark, path, version=0).collect()
+
+
+def test_vacuum_keeps_files_shared_with_retained_versions(spark, tmp_path):
+    """Append-only history: v0's files are part of EVERY later
+    snapshot, so even keep_versions=1 must not delete them."""
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]).coalesce(1), path)
+    txlog.append(_df(spark, [(2, "b")]).coalesce(1), path)
+    assert txlog.vacuum(path, keep_versions=1) == []
+    assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 2]
+
+
+def test_txlog_model_random_histories(spark, tmp_path):
+    """Model check: a random mixed history of appends/overwrites/
+    optimizes must read back, AT EVERY VERSION, exactly what a plain
+    Python model says that version held (seeded sequences — a
+    deterministic mini-stateful-test without per-example Spark
+    session cost)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        path = str(tmp_path / f"m{trial}")
+        nxt = iter(range(1, 1000))
+        first = [(next(nxt), "x") for _ in range(rng.randint(1, 3))]
+        txlog.create(_df(spark, first).coalesce(1), path)
+        model = {0: sorted(k for k, _ in first)}
+        for v in range(1, 5):
+            op = rng.choice(["append", "overwrite", "optimize"])
+            rows = [(next(nxt), "x") for _ in range(rng.randint(1, 3))]
+            if op == "append":
+                txlog.append(_df(spark, rows).coalesce(1), path)
+                model[v] = sorted(model[v - 1] + [k for k, _ in rows])
+            elif op == "overwrite":
+                txlog.overwrite(_df(spark, rows).coalesce(1), path)
+                model[v] = sorted(k for k, _ in rows)
+            else:
+                txlog.optimize(spark, path)
+                model[v] = model[v - 1]
+        for v, expect in model.items():
+            got = sorted(r["k"] for r in txlog.read(spark, path, version=v).collect())
+            assert got == expect, (trial, v, got, expect)
