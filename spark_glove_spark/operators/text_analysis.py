@@ -2343,3 +2343,146 @@ def h17_span_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail (grams over the cap) is excluded deterministically, never
     sampled."""
     return max_dup_spans(parallelized(table(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (the windowed form of h17_rolling_fingerprint's
+# recurrence, as that docstring promises).
+
+
+_CDC_WIN = 4  # rolling window (tokens)
+_CDC_MASK = 16  # boundary when window-hash % _CDC_MASK == 0 (~16-token chunks)
+_CDC_P = 1_000_000_007
+
+
+def _cdc_oracle() -> str:
+    w, m, p = _CDC_WIN, _CDC_MASK, _CDC_P
+    terms = " + ".join(
+        f"coalesce(lag(v, {w - 1 - j}) OVER wpos, 0) * {31 ** j}"
+        for j in range(w)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(range(0, len(toks))) AS pos, toks
+  FROM t WHERE len(toks) > 0
+),
+tok AS (
+  SELECT doc_id, pos, toks[pos + 1] AS tk,
+         ('0x' || substr(md5(toks[pos + 1]), 1, 8))::BIGINT AS v
+  FROM pos
+),
+h AS (
+  SELECT doc_id, pos, tk,
+         ({terms}) % {p} AS wh
+  FROM tok
+  WINDOW wpos AS (PARTITION BY doc_id ORDER BY pos)
+),
+b AS (
+  SELECT doc_id, pos, tk,
+         CASE WHEN pos >= {w - 1} AND wh % {m} = 0 THEN 1 ELSE 0 END AS bnd
+  FROM h
+),
+cid AS (
+  SELECT doc_id, pos, tk,
+         coalesce(sum(bnd) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS chunk_id
+  FROM b
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         md5(string_agg(tk, ' ' ORDER BY pos)) AS key
+  FROM cid GROUP BY 1, 2
+),
+nd AS (SELECT key, count(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY 1)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(max(c.n_tokens) AS BIGINT) AS max_chunk_tokens
+FROM chunks c JOIN nd ON nd.key = c.key
+GROUP BY 1
+"""
+
+
+@query(
+    "h17_cdc_chunking",
+    section="H17,H12,G7",
+    tags=("dedup", "llm-pipeline"),
+    oracle=_cdc_oracle(),
+)
+def h17_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup (the FastCDC /
+    Rabin-boundary idea, public; the windowed form of
+    h17_rolling_fingerprint's recurrence, as promised there): a
+    4-token rolling polynomial hash over engine-portable md5 token
+    values cuts a chunk boundary wherever hash % 16 == 0, so chunk
+    boundaries depend only on LOCAL content — an insertion early in a
+    document shifts at most one chunk, and identical passages chunk
+    identically wherever they appear (the property fixed-stride
+    chunking lacks, and the reason dedup at chunk level survives
+    edits). Chunks are then content-hashed and any chunk occurring in
+    more than one document is flagged. Output per doc: chunk count,
+    cross-doc duplicated-chunk count, max chunk length — all
+    hash-checked, boundaries included, against the DuckDB twin.
+
+    100 TB shape: one explode + two windows per doc (hash, chunk id),
+    then a chunk-key groupBy — shuffle keys are 16-byte md5 chunk
+    keys, volume ∝ corpus/expected-chunk-size; no pair structure
+    anywhere."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tk")
+    ).withColumn(
+        "v",
+        F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("long"),
+    )
+    wpos = Window.partitionBy("doc_id").orderBy("pos")
+    # h_i = sum_j 31^j * v_{i-(W-1-j)}: j=0 is the OLDEST window token
+    # (weight 1), j=W-1 the current token (weight 31^(W-1)) — the same
+    # orientation the generated oracle SQL uses
+    wh = sum(
+        (
+            F.coalesce(F.lag("v", _CDC_WIN - 1 - j).over(wpos), F.lit(0))
+            * F.lit(31 ** j).cast("long")
+            for j in range(1, _CDC_WIN)
+        ),
+        start=F.coalesce(F.lag("v", _CDC_WIN - 1).over(wpos), F.lit(0)),
+    ) % _CDC_P
+    b = tok.withColumn(
+        "bnd",
+        F.when(
+            (F.col("pos") >= _CDC_WIN - 1) & (wh % _CDC_MASK == 0), 1
+        ).otherwise(0),
+    )
+    wprev = wpos.rowsBetween(Window.unboundedPreceding, -1)
+    cid = b.withColumn(
+        "chunk_id", F.coalesce(F.sum("bnd").over(wprev), F.lit(0))
+    )
+    chunks = cid.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tk"))),
+                    lambda s: s["tk"],
+                ),
+            )
+        ).alias("key"),
+    )
+    nd = chunks.groupBy("key").agg(F.countDistinct("doc_id").alias("ndocs"))
+    return (
+        chunks.join(nd, "key")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.max("n_tokens").alias("max_chunk_tokens"),
+        )
+    )

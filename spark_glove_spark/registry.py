@@ -298,6 +298,7 @@ R6_SPILL: tuple[str, ...] = (
     "h17_bpe_segment",
     "h17_bpe_train",
     "h17_bpe_train_micro",
+    "h17_cdc_chunking",
     "h17_span_dedup_exact",
     "ml_kmeans",
     "mm_feature_extract",

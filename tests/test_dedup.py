@@ -426,3 +426,30 @@ def test_span_dedup_exact_within_doc_repeat(spark, tmp_path):
     r = out[0]
     assert r["doc_id"] == 1 and r["partner_doc"] == 1
     assert r["max_span_tokens"] == 15
+
+
+def test_cdc_chunking_survives_prefix_insertion(spark, tmp_path):
+    """The content-defined property: the SAME passage must produce
+    duplicated chunks even when one copy is shifted by an inserted
+    prefix (fixed-stride chunking would misalign every boundary).
+    Construct two docs sharing a long passage, one with 7 extra
+    leading tokens, and require cross-doc duplicate chunks on both."""
+    from spark_glove_spark.api import queries
+
+    passage = " ".join(f"pp{i}" for i in range(120))
+    prefix = " ".join(f"zz{i}" for i in range(7))
+    docs = spark.createDataFrame(
+        [
+            (1, passage, "en", "s0", 0),
+            (2, f"{prefix} {passage}", "en", "s1", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    rows = {r["doc_id"]: r for r in queries()["h17_cdc_chunking"](spark, sf_dir).collect()}
+    assert rows[1]["n_dup_chunks"] >= 1, "shared passage must yield shared chunks"
+    assert rows[2]["n_dup_chunks"] >= 1
+    # and the duplicated chunks are the interior ones: not ALL of doc
+    # 2's chunks can match (its first chunk starts inside the prefix)
+    assert rows[2]["n_dup_chunks"] < rows[2]["n_chunks"]
