@@ -51,10 +51,45 @@ _text = st.text(
     max_size=60,
 )
 
+# --- Unicode-version agreement filter (VERDICT r5 item 1) -----------------
+# The engine's \p{L}\p{N} resolve against the JVM's Unicode tables
+# (Java 17 = Unicode 13.0); the Python reference uses CPython 3.11's
+# unicodedata (14.0). Code points assigned between the two versions
+# (Hypothesis found U+16A70, Tangsa, live) are letters to Python but
+# UNASSIGNED to the JVM, so the two classifiers legitimately disagree.
+# The property is therefore restricted BY DESIGN to code points both
+# versions classify identically for membership in L* ∪ N*; membership
+# is probed live against the very JVM under test (java.lang.Character
+# .getType via py4j — the same tables java.util.regex \p{L} uses) and
+# cached per code point. The divergence itself is pinned by
+# test_unicode_version_skew_is_documented below and documented in
+# unicode_tokens' docstring.
+_JVM_LN_TYPES = frozenset({
+    1, 2, 3, 4, 5,  # Lu Ll Lt Lm Lo (java.lang.Character type constants)
+    9, 10, 11,      # Nd Nl No
+})
+_agree_cache: dict[str, bool] = {}
+
+
+def _unicode_versions_agree(spark, ch: str) -> bool:
+    hit = _agree_cache.get(ch)
+    if hit is None:
+        jvm_ln = (
+            int(spark._jvm.java.lang.Character.getType(ord(ch)))
+            in _JVM_LN_TYPES
+        )
+        py_ln = unicodedata.category(ch)[0] in ("L", "N")
+        hit = _agree_cache[ch] = jvm_ln == py_ln
+    return hit
+
 
 @given(st.lists(_text, min_size=1, max_size=40))
 @settings(**SETTINGS)
 def test_unicode_tokens_match_unicodedata_reference(spark, cases):
+    cases = [
+        "".join(ch for ch in s if _unicode_versions_agree(spark, ch))
+        for s in cases
+    ]
     df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i int, s string")
     got = {
         r["i"]: r["toks"]
@@ -64,6 +99,26 @@ def test_unicode_tokens_match_unicodedata_reference(spark, cases):
     }
     for i, s in enumerate(cases):
         assert got[i] == _py_unicode_tokens(s), repr(s)
+
+
+def test_unicode_version_skew_is_documented(spark):
+    """Pin the known JVM-vs-Python Unicode-version divergence: U+16A70
+    (TANGSA LETTER, added in Unicode 14.0) is a letter to CPython 3.11
+    but unassigned to Java 17's Unicode 13.0 tables, so the engine
+    tokenizer drops it. If a future JVM closes the gap this test fails
+    loudly and the docstring caveat in unicode_tokens can be retired."""
+    ch = "\U00016A70"
+    assert _py_unicode_tokens(f"a {ch} b") == ["a", ch, "b"]
+    df = spark.createDataFrame([(f"a {ch} b",)], "s string")
+    toks = df.select(unicode_tokens(F.col("s")).alias("t")).head()["t"]
+    if toks == ["a", ch, "b"]:  # JVM caught up to Unicode >= 14
+        assert _unicode_versions_agree.__module__  # keep import refs
+        raise AssertionError(
+            "JVM now classifies U+16A70 as a letter — retire the "
+            "unicode_tokens version-skew caveat"
+        )
+    assert toks == ["a", "b"]
+    assert not _unicode_versions_agree(spark, ch)
 
 
 _host_label = st.text(
