@@ -1321,11 +1321,61 @@ def a19_txlog_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.001); one bounded scalar to the driver
     hi = int(o.agg(F.floor(F.max("o_orderkey") / 8.0)).collect()[0][0])
     kept, total = txlog.prune_files(path, "o_orderkey", 0, hi)
-    assert 0 < len(kept) < total, (
-        f"file skipping must prune: kept {len(kept)} of {total}"
-    )
+    # load-bearing invariant — explicit raise so it survives python -O
+    # (ADVICE r5: bare assert is stripped under optimized mode)
+    if not (0 < len(kept) < total):
+        raise AssertionError(
+            f"file skipping must prune: kept {len(kept)} of {total}"
+        )
     snap = txlog.read(spark, path, predicate=("o_orderkey", 0, hi))
     return snap.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "a20_txlog_string_skipping",
+    section="A1,A3,B2,B3",
+    tags=("analytics",),
+    oracle="""
+SELECT substr(p_name, 1, 1) AS letter,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(p_retailprice), 2) AS total
+FROM part
+WHERE p_name >= 'a' AND p_name <= 'g'
+GROUP BY 1
+""",
+)
+def a20_txlog_string_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-KEY file skipping on the txlog format (VERDICT r5 item
+    3: string keys — URLs, domains, names, ISO dates — are the most
+    common partition-key family in practice, and the r5 stats writer
+    dropped every bytes-typed footer bound, so skipping never fired
+    on them). Parts land range-partitioned by name into 8 file
+    groups; each commit records the parquet-footer min/max STRINGS in
+    the log; a lexicographic band read prunes non-intersecting files
+    on metadata alone (asserted in-body: strict subset kept) and the
+    residual filter makes the cut exact — the oracle compares against
+    a plain full-scan filter. Temporal keys ride the same path as
+    ISO-8601 strings (tests/test_txlog.py pins both)."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    p = table(spark, sf_dir, "part").select("p_name", "p_retailprice")
+    path = tempfile.mkdtemp(prefix="sgs_a20_") + "/t"
+    txlog.create(p.repartitionByRange(8, "p_name"), path)
+    kept, total = txlog.prune_files(path, "p_name", "a", "g")
+    # load-bearing invariant — explicit raise so it survives python -O
+    if not (0 < len(kept) < total):
+        raise AssertionError(
+            f"string-key skipping must prune: kept {len(kept)} of {total}"
+        )
+    snap = txlog.read(spark, path, predicate=("p_name", "a", "g"))
+    return snap.groupBy(
+        F.substring("p_name", 1, 1).alias("letter")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("p_retailprice"), 2).alias("total"),
     )

@@ -1113,12 +1113,16 @@ def i17_streaming_txlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_stream_foreach_batch(sdf, sink, "append")
     n_versions = txlog.current_version(tbl) + 1
-    assert n_versions == 4, f"expected 4 micro-batch commits, got {n_versions}"
+    # load-bearing invariants — explicit raises so they survive
+    # python -O (ADVICE r5: bare assert is stripped under -O)
+    if n_versions != 4:
+        raise AssertionError(f"expected 4 micro-batch commits, got {n_versions}")
     # prefix property: every version's row count is non-decreasing
     counts = [
         txlog.read(spark, tbl, version=v).count() for v in range(n_versions)
     ]
-    assert counts == sorted(counts) and counts[-1] == e.count()
+    if not (counts == sorted(counts) and counts[-1] == e.count()):
+        raise AssertionError(f"non-monotone version prefix: {counts}")
     return (
         txlog.read(spark, tbl)
         .groupBy("event_type")
