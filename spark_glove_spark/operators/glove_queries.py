@@ -201,3 +201,35 @@ def h6_model_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("vector", F.lit(0.0), lambda acc, v: acc + v * v)
     )
     return back.select("word", F.round(norm, 4).alias("vector_norm"))
+
+
+@query(
+    "h6_export_portable",
+    section="H6,A3,H5",
+    oracle=_micro_fit_oracle(),
+)
+def h6_export_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 with a REAL hash-match (VERDICT r5 item 4 — the last
+    rows-only family without hash-level evidence): the exact export
+    machinery of h6_model_export_roundtrip (model vectors -> parquet
+    sink -> fresh source read) applied to the grid-init dim-2
+    micro-fit whose final vectors h5_glove_fit_micro's DuckDB oracle
+    reproduces CTE-by-CTE. The parquet round-trip is a value identity,
+    so hash-matching the RE-READ copy against the training oracle
+    certifies both halves at once: the export lost nothing, and what
+    it preserved is the bit-exact training result. The production-
+    shaped export (dim 8, seeded-RNG init) stays covered by
+    h6_model_export_roundtrip's norm check + pytest round-trip
+    teeth."""
+    model = Glove(
+        dim=2, window=2, min_count=5, iterations=3, eta=0.2, init="grid"
+    ).fit(table(spark, sf_dir, "documents"))
+    out = tempfile.mkdtemp(prefix="sgs_h6p_") + "/model"
+    model.vectors.write.parquet(out)
+    back = spark.read.parquet(out)
+    return back.select(
+        "word",
+        "id",
+        F.round(F.element_at("vector", 1), 6).alias("v0"),
+        F.round(F.element_at("vector", 2), 6).alias("v1"),
+    )

@@ -155,153 +155,112 @@ def oracle_sql() -> dict[str, str]:
 # keep their original names and sort after the window; they remain fully
 # covered by tools/paritycheck.py and pytest.
 #
-# ROUND-5 ROTATION (VERDICT r4 item 1). Rounds 1+2 recorded the
+# ROUND-6 ROTATION (VERDICT r5 item 2). Rounds 1+2 recorded the
 # alphabetical A–F/G10 substrate; round 3 the signature surface;
-# round 4 the TPC-H suite, CDC, analytics/graph/temporal waves and
-# layout queries (48 green + d11 rows-only; q12 red on an oracle
-# HUGEINT cast, fixed this round). This window executes the R5 plan
-# pre-committed at r4 HEAD, with three swaps VERDICT r4 mandated:
-# the two unslotted portable twins (h13_minhash_portable,
-# h16_lsh_portable — hash-level driver evidence for the MinHash and
-# LSH math) and the CAST-fixed sql_tpch_q12_shape (red->green
-# conversion) enter; three g-series scalar extensions (g12/g14/g15,
-# whose §2 section G is already driver-green from r3 and which keep
-# full paritycheck+pytest coverage) move to the R6 spill. Everything
-# green in r1–r4 keeps its prior driver record.
+# round 4 the TPC-H/CDC/analytics waves; round 5 the pre-committed
+# R5 plan (50/50 full green — the q12 red->green conversion plus the
+# MinHash/LSH portable twins). This window drains the R6 spill: the
+# r5 oracle-checked wave leads (txlog time-travel/file-skipping and
+# its streaming sink/source, exact span dedup, CDC chunking, the
+# portable twins, format roundtrips, TTL/watermark streaming), then
+# the displaced g-series, joins, analytics/ML, text and multimodal
+# waves. Three NEW r6 oracle-checked queries enter: the string-key
+# txlog skipping query (VERDICT r5 item 3) and the last two portable
+# twins (OPQ rotation + model export — VERDICT r5 item 4). The spill
+# was 55 names against 50 slots; with the 3 entries, 8 names defer
+# to the pre-committed R7_REMAINDER below — all eight are rows-only
+# PRODUCTION sketch variants whose math already carries driver-green
+# or window-slotted oracle-checked twins, so deferring them loses
+# the least evidence (they'd record only weaker rows-only rows).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Red->green conversion: r4's one hash-FAIL, oracle CAST fixed
-    "sql_tpch_q12_shape",
-    # r4's unslotted portable twins — oracle-checked md5/integer-exact
-    # equivalents of the production MinHash and LSH sketch pipelines
-    "h13_minhash_portable",
-    "h16_lsh_portable",
-    # Scale-layout + source-robustness queries
-    "a8_zorder_layout",
-    "a11_schema_evolution",
-    "a13_corrupt_records",
-    "a14_compaction",
-    # Join variants
-    "c10_bloom_semi_join",
-    "c11_fuzzy_join",
-    "g13_url_functions",
-    # Text/GloVe variants
-    "h2_frequent_subsample",
-    "h3_cooccurrence_by_distance",
-    "h10_inverted_index",
-    # Dedup wave
-    "h13_embedding_neardup",
-    "h13_url_dedup",
-    "h13_quality_keep",
-    # Similarity-search wave
-    "h15_centroid_classifier",
-    "h15_knn_classifier",
-    "h15_range_search",
-    # Text-analysis wave
-    "h17_bpe_token_count",
-    "h17_corpus_stats",
-    "h17_domain_mix_weights",
-    "h17_dsir_weights",
-    "h17_language_id",
-    "h17_lm_quality_score",
-    "h17_quality_classifier",
-    "h17_quality_score",
-    "h17_repetition_score",
-    "h17_rolling_fingerprint",
-    "h17_sentence_split",
-    "h17_span_dedup",
-    "h17_stratified_sample",
-    "h17_token_chunking",
-    "h17_weighted_resample",
-    # Analytics late additions
-    "d19_mad_outliers",
-    "e10_attribution",
-    # Streaming wave
-    "i8_stream_stream_join",
-    "i10_streaming_ohlc",
-    "i11_streaming_upsert",
-    "i12_python_stream_source",
-    "i13_checkpoint_recovery",
-    # UDF surface late additions
-    "j7_map_in_arrow",
-    "j8_cogrouped_map",
-    # Multimodal plumbing
-    "mm_byte_plumbing",
-    "mm_frame_sample",
-    "mm_resize",
-    "mm_video_decode",
-    # Pipelines + skew infrastructure
-    "pipeline_curate_corpus",
-    "pipeline_training_batches",
-    "skew_salted_join",
-)
-
-DRIVER_WINDOW = 50
-
-# Round-6 spill: every registered query not yet driver-green and not
-# in this round's window — the next rotation draws from here.
-# tests/test_driver_window.py asserts prior-round green records +
-# DRIVER_PRIORITY + R6_SPILL exactly cover the registry, so any NEW
-# query must be slotted here explicitly. Composition: rows-only
-# sketch/ANN/replica-pinned variants (strongest pytest teeth, weakest
-# possible driver record — last in line by design), oracle-checked
-# late r4 additions that missed the 50 slots, and the three g-series
-# scalar extensions displaced by this round's mandated swaps.
-R6_SPILL: tuple[str, ...] = (
+    # Lakehouse txlog wave (r5's from-scratch table format + r6 string
+    # stats — all oracle-checked)
+    "a18_txlog_time_travel",
+    "a19_txlog_file_skipping",
+    "a20_txlog_string_skipping",
+    "i17_streaming_txlog_sink",
+    "i18_txlog_stream_source",
+    # Exact variable-length dedup + chunking + cascade
+    "h17_span_dedup_exact",
+    "h17_cdc_chunking",
+    "pipeline_sketch_dedup",
+    # Portable twins: hash-level driver evidence for every sketch
+    # family's math (incl. the two NEW r6 twins: OPQ rotation, export)
+    "h13_semdedup_portable",
+    "h13_simhash_portable",
+    "h15_mmr_portable",
+    "h16_ivf_portable",
+    "h16_pq_portable",
+    "h16_opq_portable",
+    "ml_kmeans_portable",
+    "h17_bpe_train_micro",
+    "h6_export_portable",
+    # Source/sink format roundtrips
+    "a15_csv_roundtrip",
+    "a16_jsonl_roundtrip",
+    "a17_orc_roundtrip",
+    # Streaming late additions
+    "i14_streaming_quality_filter",
+    "i15_stateful_ttl",
+    "i16_dedup_within_watermark",
+    # Scalar-function extensions displaced by the r5 mandated swaps
     "g12_listagg",
     "g14_bitwise_agg",
     "g15_try_semantics",
     "g16_json_construct",
-    "i15_stateful_ttl",
-    "i16_dedup_within_watermark",
-    "a15_csv_roundtrip",
-    "a16_jsonl_roundtrip",
-    "h16_pq_portable",
-    "i14_streaming_quality_filter",
+    # Join/temporal variants
+    "c8_asof_tolerance",
     "c9_interval_join_binned",
+    "c13_lateral_topk",
     "f10_windowed_dedup",
+    # Analytics / ML / graph
+    "d20_entropy",
+    "d21_correlation",
+    "ml_pca_covariance",
+    "ml_pca_project",
+    "ml_kmeans",
+    "graph_label_prop",
+    # Text-analysis late additions
     "h15_hard_negatives",
     "h17_novelty_score",
     "h17_boilerplate_lines",
     "h17_chat_template",
-    "ml_pca_covariance",
-    "ml_pca_project",
+    "h17_bpe_train",
+    # Production sketch paths kept in-window (rows-only, recall teeth)
+    "h13_minhash_clusters",
     "h16_opq_ann",
+    # Multimodal codecs
     "mm_compressed_text",
-    "c8_asof_tolerance",
     "mm_jpeg_decode",
     "mm_mulaw_audio",
     "mm_mjpeg_video",
-    "h13_minhash_clusters",
-    "h13_semantic_dedup",
-    "h13_semdedup_portable",
-    "a17_orc_roundtrip",
-    "pipeline_sketch_dedup",
-    "c13_lateral_topk",
-    "d20_entropy",
-    "graph_label_prop",
-    "a18_txlog_time_travel",
-    "i17_streaming_txlog_sink",
+    "mm_feature_extract",
+    # UDF ladder completion
     "j9_arrow_udf",
-    "d21_correlation",
-    "i18_txlog_stream_source",
-    "a19_txlog_file_skipping",
+)
+
+DRIVER_WINDOW = 50
+
+# Round-7 remainder, pre-committed at r6 HEAD (VERDICT r5 item 2:
+# declare the overflow explicitly instead of letting the partition
+# guard force it implicitly). Exactly the eight rows-only PRODUCTION
+# sketch variants deferred from the r6 window — each one's underlying
+# math already has an oracle-checked twin that is driver-green or in
+# this round's window (semdedup/simhash/mmr/ivf/pq portable twins,
+# lsh_portable green r5, bpe_token_count + bpe_train_micro), so the
+# driver record these eight would produce (rows-only) adds the least
+# new evidence in the registry. tests/test_driver_window.py asserts
+# prior-round greens + DRIVER_PRIORITY + R7_REMAINDER exactly cover
+# the registry, so any NEW query must be slotted explicitly.
+R7_REMAINDER: tuple[str, ...] = (
+    "h13_semantic_dedup",
     "h13_simhash_fingerprints",
     "h13_simhash_neardup",
-    "h13_simhash_portable",
     "h15_mmr_rerank",
-    "h15_mmr_portable",
     "h16_ivf_ann",
-    "h16_ivf_portable",
-    "ml_kmeans_portable",
     "h16_pq_ann",
     "h16_lsh_multitable",
     "h17_bpe_segment",
-    "h17_bpe_train",
-    "h17_bpe_train_micro",
-    "h17_cdc_chunking",
-    "h17_span_dedup_exact",
-    "ml_kmeans",
-    "mm_feature_extract",
 )
 
 

@@ -18,7 +18,7 @@ from spark_glove_spark import api
 from spark_glove_spark.registry import (
     DRIVER_PRIORITY,
     DRIVER_WINDOW,
-    R6_SPILL,
+    R7_REMAINDER,
     driver_key,
     original_name,
 )
@@ -94,7 +94,13 @@ def _driver_checked(records: tuple[str, ...]) -> set[str]:
     return checked
 
 
-ALL_RECORDS = ("CORRECTNESS_r01", "CORRECTNESS_r02", "CORRECTNESS_r03", "CORRECTNESS_r04")
+ALL_RECORDS = (
+    "CORRECTNESS_r01",
+    "CORRECTNESS_r02",
+    "CORRECTNESS_r03",
+    "CORRECTNESS_r04",
+    "CORRECTNESS_r05",
+)
 
 
 def test_window_contains_only_never_driver_checked_queries():
@@ -107,33 +113,41 @@ def test_window_contains_only_never_driver_checked_queries():
 
 
 def test_window_covers_the_rotation_waves():
-    """The r5 rotation must carry every swap VERDICT r4 item 1 mandated
-    plus the waves the pre-committed R5 plan promised."""
-    # The three mandated entries lead the window
-    assert DRIVER_PRIORITY[0] == "sql_tpch_q12_shape"  # red->green
-    assert "h13_minhash_portable" in DRIVER_PRIORITY[:3]
-    assert "h16_lsh_portable" in DRIVER_PRIORITY[:3]
-    waves = {
-        "layout": [n for n in DRIVER_PRIORITY if n.startswith("a")],
-        "dedup": [n for n in DRIVER_PRIORITY if n.startswith("h13_")],
-        "simsearch": [n for n in DRIVER_PRIORITY if n.startswith("h15_")],
-        "text_analysis": [n for n in DRIVER_PRIORITY if n.startswith("h17_")],
-        "streaming": [n for n in DRIVER_PRIORITY if n.startswith("i")],
-        "udf": [n for n in DRIVER_PRIORITY if n.startswith("j")],
-        "multimodal": [n for n in DRIVER_PRIORITY if n.startswith("mm_")],
-        "pipelines": [n for n in DRIVER_PRIORITY if n.startswith("pipeline_")],
-    }
-    assert len(waves["layout"]) == 4
-    assert len(waves["dedup"]) == 4
-    assert len(waves["simsearch"]) == 3
-    assert len(waves["text_analysis"]) == 15
-    assert len(waves["streaming"]) == 5
-    assert len(waves["udf"]) == 2
-    assert len(waves["multimodal"]) == 4
-    assert len(waves["pipelines"]) == 2
-    # The displaced g-series extensions stay covered in the spill
-    for g in ("g12_listagg", "g14_bitwise_agg", "g15_try_semantics"):
-        assert g in R6_SPILL
+    """The r6 rotation must carry the VERDICT r5 mandates: the txlog
+    wave and r5 oracle-checked additions lead, the three NEW r6
+    oracle-checked queries (string-key skipping + the last two
+    portable twins) are slotted, and the 8-name overflow is exactly
+    the pre-committed rows-only R7 remainder."""
+    # txlog wave leads the window (strongest r5 conversions)
+    assert DRIVER_PRIORITY[0] == "a18_txlog_time_travel"
+    assert "a19_txlog_file_skipping" in DRIVER_PRIORITY[:5]
+    assert "i17_streaming_txlog_sink" in DRIVER_PRIORITY[:5]
+    assert "i18_txlog_stream_source" in DRIVER_PRIORITY[:5]
+    # the three NEW r6 oracle-checked queries are in-window
+    assert "a20_txlog_string_skipping" in DRIVER_PRIORITY  # VERDICT item 3
+    assert "h16_opq_portable" in DRIVER_PRIORITY  # VERDICT item 4
+    assert "h6_export_portable" in DRIVER_PRIORITY  # VERDICT item 4
+    # the r5 exact-dedup + chunking wave is in-window
+    for n in ("h17_span_dedup_exact", "h17_cdc_chunking", "pipeline_sketch_dedup"):
+        assert n in DRIVER_PRIORITY
+    # every portable twin is in-window
+    twins = [n for n in DRIVER_PRIORITY if n.endswith("_portable")]
+    assert len(twins) == 8, twins
+    assert "h17_bpe_train_micro" in DRIVER_PRIORITY
+    # the displaced g-series finally gets its driver records
+    for g in ("g12_listagg", "g14_bitwise_agg", "g15_try_semantics",
+              "g16_json_construct"):
+        assert g in DRIVER_PRIORITY
+    # the remainder is exactly the 8 rows-only production variants
+    # whose math has oracle-checked twins elsewhere
+    assert len(R7_REMAINDER) == 8
+    from spark_glove_spark.registry import REGISTRY
+
+    for n in R7_REMAINDER:
+        assert REGISTRY[n].oracle is None, (
+            f"{n} is oracle-checked — it must not be deferred behind "
+            "rows-only variants"
+        )
 
 
 def test_driver_keys_sort_before_every_organic_name():
@@ -145,16 +159,16 @@ def test_driver_keys_sort_before_every_organic_name():
 
 
 def test_rotation_plan_partitions_the_registry():
-    """Prior driver-green records + the r5 window + R6_SPILL must
+    """Prior driver-green records + the r6 window + R7_REMAINDER must
     cover every registered query with no overlaps among the plans —
     so each future rotation is a mechanical list swap, and any NEW
     query must be slotted into a plan explicitly."""
     checked = _driver_checked(ALL_RECORDS)
-    window, r6 = set(DRIVER_PRIORITY), set(R6_SPILL)
-    assert not (window & r6), window & r6
-    uncovered = set(api.queries()) - checked - window - r6
+    window, r7 = set(DRIVER_PRIORITY), set(R7_REMAINDER)
+    assert not (window & r7), window & r7
+    uncovered = set(api.queries()) - checked - window - r7
     assert not uncovered, f"queries not slotted in any rotation: {uncovered}"
-    ghost = r6 - set(api.queries())
+    ghost = r7 - set(api.queries())
     assert not ghost, f"plan names not registered: {ghost}"
 
 
