@@ -89,11 +89,17 @@ def main() -> None:
         # artifacts (plan-equality cache hits across reps before the
         # deferred-unpersist hygiene landed), so its honest cold time
         # deserves the same repetition as the cheap queries.
+        # glove_fit joins the min-of-3 club in r6 (VERDICT r5 item 7):
+        # the r5 driver run recorded 7.04 s against a 4.7-5.7 s noise
+        # band while the closing min-of-3 at the same HEAD reproduced
+        # 5.00 s — a second rep is not enough to shed a neighbor burst
+        # on the one entry that dominates the total.
         reps = (
             3
             if (
                 BASELINE_SEC.get(name, 99.0) < 2.5
                 or name == "h13_minhash_neardup"
+                or name == "glove_fit_d50_w10_it5"
             )
             else 2
         )
