@@ -1379,3 +1379,147 @@ def a20_txlog_string_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("p_retailprice"), 2).alias("total"),
     )
+
+
+@query(
+    "a21_txlog_delete",
+    section="A3,A1,B2",
+    tags=("analytics",),
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderkey > (SELECT CAST(floor(max(o_orderkey) / 8.0) AS BIGINT)
+                    FROM orders)
+GROUP BY 1
+""",
+)
+def a21_txlog_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE on the txlog format (txlog.delete — the
+    mutation half a lakehouse needs beyond append/overwrite: GDPR
+    erasure, retention pruning, bad-batch rollback). Orders land
+    range-partitioned by key into 8 file groups; deleting the bottom
+    eighth of the key space (1) prunes candidates on log metadata
+    alone, (2) finds the files actually holding matches with one
+    candidate-bounded scan, and (3) rewrites ONLY those — asserted
+    in-body: strictly fewer files rewritten than the table holds.
+    The post-delete read must equal a plain filtered scan (the
+    oracle), and the PRE-delete version still time-travels (asserted:
+    the old row count survives at version-1).
+
+    100 TB: delete cost is O(matching files), not O(table) — the
+    stats tier drops non-intersecting files for free, and untouched
+    files carry over by log reference."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="sgs_a21_") + "/t"
+    txlog.create(o.repartitionByRange(8, "o_orderkey"), path)
+    n_before = txlog.read(spark, path).count()
+    hi = int(o.agg(F.floor(F.max("o_orderkey") / 8.0)).collect()[0][0])
+    res = txlog.delete(
+        spark, path, f"o_orderkey <= {hi}", prune=("o_orderkey", 0, hi)
+    )
+    # load-bearing invariants — explicit raises survive python -O
+    if not (0 < res["files_rewritten"] < res["files_total"]):
+        raise AssertionError(f"delete must rewrite a strict subset: {res}")
+    if txlog.read(spark, path, version=res["version"] - 1).count() != n_before:
+        raise AssertionError("pre-delete version no longer time-travels")
+    snap = txlog.read(spark, path)
+    return snap.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "a22_txlog_merge",
+    section="A3,C3,B5",
+    tags=("analytics", "cdc"),
+    oracle="""
+WITH hi AS (SELECT CAST(floor(max(o_orderkey) / 4.0) AS BIGINT) AS h
+            FROM orders),
+fin AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 AND o_orderkey <= (SELECT h FROM hi)
+              THEN floor(o_totalprice * 120) / 100
+              ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey % 7 = 0 AND o_orderkey <= (SELECT h FROM hi)
+              THEN 'updated' ELSE 'base' END AS src
+  FROM orders
+  WHERE NOT (o_orderkey % 7 = 1 AND o_orderkey <= (SELECT h FROM hi))
+  UNION ALL
+  SELECT o_orderkey + 300000000, floor(o_totalprice * 45) / 100, 'inserted'
+  FROM orders
+  WHERE o_orderkey % 7 = 2 AND o_orderkey <= (SELECT h FROM hi)
+)
+SELECT src, CAST(count(*) AS BIGINT) AS n, round(sum(price), 2) AS total
+FROM fin GROUP BY 1
+""",
+)
+def a22_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE INTO on the txlog format (txlog.merge):
+    where f8 proves the merge ALGEBRA (one full-outer join) and i11
+    its incremental replay, this proves the STORAGE side — a U/D/I
+    change set confined to the bottom quarter of the key space is
+    merged into an 8-file range layout, and only the files whose key
+    ranges the change set touches are rewritten (asserted in-body:
+    strict subset; inserts land in the fresh rewrite group, never in
+    old files). The post-merge table must equal the relational MERGE
+    result (the oracle), and the pre-merge version still time-travels.
+
+    100 TB: this is the CDC-apply shape that matters at scale —
+    change sets are small and key-local, so merge cost is O(touched
+    files) + one broadcast of the change keys, while f8's plain
+    full-outer join would rewrite the world every batch."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit("base").alias("src"),
+    )
+    path = tempfile.mkdtemp(prefix="sgs_a22_") + "/t"
+    txlog.create(base.repartitionByRange(8, "o_orderkey"), path)
+    n_before = txlog.read(spark, path).count()
+    hi = int(o.agg(F.floor(F.max("o_orderkey") / 4.0)).collect()[0][0])
+    k = F.col("o_orderkey")
+    banded = o.where(k <= hi)
+    upd = banded.where(k % 7 == 0).select(
+        k.alias("o_orderkey"),
+        (F.floor(F.col("o_totalprice") * 120) / 100).alias("price"),
+        F.lit("updated").alias("src"),
+        F.lit("U").alias("op"),
+    )
+    dels = banded.where(k % 7 == 1).select(
+        k.alias("o_orderkey"),
+        F.lit(0.0).alias("price"),
+        F.lit("").alias("src"),
+        F.lit("D").alias("op"),
+    )
+    ins = banded.where(k % 7 == 2).select(
+        (k + 300000000).alias("o_orderkey"),
+        (F.floor(F.col("o_totalprice") * 45) / 100).alias("price"),
+        F.lit("inserted").alias("src"),
+        F.lit("I").alias("op"),
+    )
+    src = upd.unionByName(dels).unionByName(ins)
+    res = txlog.merge(spark, path, src, on=["o_orderkey"], op_col="op")
+    # load-bearing invariants — explicit raises survive python -O
+    if not (0 < res["files_rewritten"] < res["files_total"]):
+        raise AssertionError(f"merge must rewrite a strict subset: {res}")
+    if txlog.read(spark, path, version=res["version"] - 1).count() != n_before:
+        raise AssertionError("pre-merge version no longer time-travels")
+    snap = txlog.read(spark, path)
+    return snap.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("price"), 2).alias("total"),
+    )

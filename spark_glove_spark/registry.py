@@ -263,6 +263,15 @@ R7_REMAINDER: tuple[str, ...] = (
     "h17_bpe_segment",
 )
 
+# Queries ADDED in round 6 after the window was fixed — oracle-checked
+# and slotted AHEAD of the rows-only remainder in the r7 window (the
+# same discipline r5 applied to its additions via R6_SPILL). The
+# partition guard counts them as explicitly slotted.
+R7_WAVE: tuple[str, ...] = (
+    "a21_txlog_delete",
+    "a22_txlog_merge",
+)
+
 
 def driver_key(rank: int, name: str) -> str:
     """Stable driver-facing key for priority slot ``rank`` (0-based)."""

@@ -468,3 +468,197 @@ def read(
         col, lo, hi = predicate
         df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
     return df
+
+
+def _read_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
+    """Read an explicit file subset of a snapshot, tagging every row
+    with its TABLE-RELATIVE source file in ``_txfile`` (normalized
+    from ``input_file_name()``'s absolute URI) — the copy-on-write
+    primitive: mutations read only candidate files and must know
+    which file each row came from."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    root = os.path.abspath(path)
+    # input_file_name() yields file:///abs/path (scheme + empty
+    # authority + absolute path) — strip "file://" and the table root
+    # so the tag matches the log's relative paths.
+    rel = F.regexp_replace(
+        F.regexp_replace(F.input_file_name(), "^file://", ""),
+        "^" + root.rstrip("/") + "/",
+        "",
+    )
+    return df.withColumn("_txfile", rel)
+
+
+def delete(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    prune: tuple[str, object, object] | None = None,
+) -> dict:
+    """Copy-on-write DELETE: remove the rows matching the SQL
+    ``condition``, rewriting ONLY the files that contain at least one
+    match. Three-tier cost model, the Delta/Iceberg DELETE shape:
+
+    1. ``prune=(column, lo, hi)`` cuts the candidate set on log
+       metadata alone (file skipping — zero data reads). The caller
+       supplies the band implied by the condition; it must be a
+       SUPERSET cut (rows matching ``condition`` outside the band
+       would survive in never-read files).
+    2. One scan of the candidates finds which files ACTUALLY hold
+       matches (a file-name aggregate — bytes read ∝ candidates).
+    3. Only matched files are rewritten (their surviving rows land in
+       a fresh compacted group); untouched files stay active in the
+       new version. Files whose every row matches are dropped without
+       a rewrite.
+
+    Old files stay on disk, so every prior version still time-travels
+    and the delete is undone by reading ``version - 1``. A delete
+    matching nothing commits nothing and returns the current version
+    (no-op — no version burn, documented difference from Delta).
+    Returns ``{"version", "files_rewritten", "files_total",
+    "rows_deleted"}``."""
+    from pyspark.sql import functions as F
+
+    base = current_version(path)
+    all_files = snapshot_files(path, base)
+    if prune is not None:
+        candidates, _ = prune_files(path, *prune, version=base)
+    else:
+        candidates = all_files
+    if not candidates:
+        return {
+            "version": base,
+            "files_rewritten": 0,
+            "files_total": len(all_files),
+            "rows_deleted": 0,
+        }
+    tagged = _read_files(spark, path, candidates)
+    cond = F.expr(condition)
+    # One bounded collect: per-file match counts (≤ |candidates| rows
+    # of metadata — file lists are already driver-sized in this format).
+    per_file = (
+        tagged.groupBy("_txfile")
+        .agg(
+            F.sum(F.when(cond, 1).otherwise(0)).alias("n_match"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .where(F.col("n_match") > 0)
+        .collect()
+    )
+    touched = sorted(r["_txfile"] for r in per_file)
+    n_deleted = sum(r["n_match"] for r in per_file)
+    if not touched:
+        return {
+            "version": base,
+            "files_rewritten": 0,
+            "files_total": len(all_files),
+            "rows_deleted": 0,
+        }
+    survivors = (
+        tagged.where(F.col("_txfile").isin(touched))
+        .where(~cond)
+        .drop("_txfile")
+    )
+    adds: list[str] = []
+    stats: dict[str, dict] = {}
+    if any(r["n_match"] < r["n_rows"] for r in per_file):
+        # rewrite N touched files into ≤ N — a delete must not explode
+        # the file count to the cluster's parallelism
+        adds, stats = _write_data(survivors.coalesce(len(touched)), path)
+    v = commit(
+        path, adds, touched, expected_version=base, operation="delete",
+        stats=stats,
+    )
+    return {
+        "version": v,
+        "files_rewritten": len(touched),
+        "files_total": len(all_files),
+        "rows_deleted": int(n_deleted),
+    }
+
+
+def merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    op_col: str | None = None,
+) -> dict:
+    """Copy-on-write MERGE INTO (the Delta ``whenMatchedUpdateAll /
+    whenNotMatchedInsertAll`` shape, plus deletes via ``op_col``):
+    source rows REPLACE matched target rows and INSERT unmatched
+    ones; rows whose ``op_col`` value is ``'D'`` instead DELETE their
+    match (and insert nothing). Column contract: ``source`` carries
+    the target's columns (plus ``op_col``); each source key appears
+    at most once.
+
+    Execution — touched-file rewrite, never a full-table pass:
+
+    1. The source's distinct keys are broadcast against the tagged
+       target scan; ONE file-name aggregate finds the files holding
+       matches (the CDC pattern: the change set is the small side —
+       for a corpus-sized source drop the broadcast and let AQE pick).
+    2. Only those files rewrite: their unmatched rows survive
+       verbatim, matched rows are dropped (replaced or deleted), and
+       ALL non-delete source rows land in the same fresh file group
+       (updates + inserts together — inserts never touch old files).
+    3. Untouched files stay active; one commit publishes the swap.
+
+    Prior versions still time-travel (old files are immutable).
+    Returns ``{"version", "files_rewritten", "files_total",
+    "rows_upserted", "rows_deleted"}``."""
+    from pyspark.sql import functions as F
+
+    base = current_version(path)
+    all_files = snapshot_files(path, base)
+    tagged = _read_files(spark, path, all_files)
+    target_cols = [c for c in tagged.columns if c != "_txfile"]
+    keys = source.select(*on).distinct()
+    touched = sorted(
+        r["_txfile"]
+        for r in tagged.join(F.broadcast(keys), on, "left_semi")
+        .select("_txfile")
+        .distinct()
+        .collect()
+    )
+    if op_col is not None:
+        upserts = source.where(F.col(op_col) != "D").select(*target_cols)
+        n_deleted = source.where(F.col(op_col) == "D").join(
+            tagged.select(*on), on, "left_semi"
+        ).count()
+    else:
+        upserts = source.select(*target_cols)
+        n_deleted = 0
+    n_upserts = upserts.count()
+    if not touched and n_upserts == 0:
+        return {
+            "version": base,
+            "files_rewritten": 0,
+            "files_total": len(all_files),
+            "rows_upserted": 0,
+            "rows_deleted": 0,
+        }
+    survivors = (
+        tagged.where(F.col("_txfile").isin(touched))
+        .join(F.broadcast(keys), on, "left_anti")
+        .drop("_txfile")
+        if touched
+        else spark.createDataFrame([], tagged.drop("_txfile").schema)
+    )
+    # rewrite group sized to the touched files (≥1 for pure inserts) —
+    # a merge must not explode the file count to the cluster parallelism
+    new_rows = survivors.unionByName(upserts).coalesce(max(len(touched), 1))
+    adds, stats = _write_data(new_rows, path)
+    v = commit(
+        path, adds, touched, expected_version=base, operation="merge",
+        stats=stats,
+    )
+    return {
+        "version": v,
+        "files_rewritten": len(touched),
+        "files_total": len(all_files),
+        "rows_upserted": int(n_upserts),
+        "rows_deleted": int(n_deleted),
+    }

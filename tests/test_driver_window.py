@@ -19,6 +19,7 @@ from spark_glove_spark.registry import (
     DRIVER_PRIORITY,
     DRIVER_WINDOW,
     R7_REMAINDER,
+    R7_WAVE,
     driver_key,
     original_name,
 )
@@ -164,12 +165,21 @@ def test_rotation_plan_partitions_the_registry():
     so each future rotation is a mechanical list swap, and any NEW
     query must be slotted into a plan explicitly."""
     checked = _driver_checked(ALL_RECORDS)
-    window, r7 = set(DRIVER_PRIORITY), set(R7_REMAINDER)
+    window = set(DRIVER_PRIORITY)
+    r7 = set(R7_REMAINDER) | set(R7_WAVE)
     assert not (window & r7), window & r7
+    assert not (set(R7_REMAINDER) & set(R7_WAVE))
     uncovered = set(api.queries()) - checked - window - r7
     assert not uncovered, f"queries not slotted in any rotation: {uncovered}"
     ghost = r7 - set(api.queries())
     assert not ghost, f"plan names not registered: {ghost}"
+    # r6 additions must be oracle-checked (new work ships with an
+    # oracle; rows-only is reserved for nondeterministic-by-contract
+    # sketches, which all predate this round)
+    from spark_glove_spark.registry import REGISTRY
+
+    for n in R7_WAVE:
+        assert REGISTRY[n].oracle is not None, f"{n} must ship an oracle"
 
 
 def test_original_name_roundtrip():

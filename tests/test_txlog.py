@@ -359,3 +359,113 @@ def test_txlog_model_random_histories(spark, tmp_path):
         for v, expect in model.items():
             got = sorted(r["k"] for r in txlog.read(spark, path, version=v).collect())
             assert got == expect, (trial, v, got, expect)
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write mutations (round 6): delete / merge
+
+
+def _kv(spark, n=100, parts=4):
+    df = spark.range(n).selectExpr("id AS k", "CAST(id * 2 AS STRING) AS v")
+    return df.repartitionByRange(parts, "k")
+
+
+def test_delete_rewrites_only_matching_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    res = txlog.delete(spark, path, "k >= 10 AND k < 20", prune=("k", 10, 19))
+    assert res["rows_deleted"] == 10
+    assert 0 < res["files_rewritten"] < res["files_total"]
+    got = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert got == [k for k in range(100) if not (10 <= k < 20)]
+    # time travel: the pre-delete version is intact
+    assert txlog.read(spark, path, version=res["version"] - 1).count() == 100
+
+
+def test_delete_without_prune_band_scans_all_but_rewrites_matched_only(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    res = txlog.delete(spark, path, "k % 50 = 3")  # keys 3 and 53
+    assert res["rows_deleted"] == 2
+    assert 0 < res["files_rewritten"] < res["files_total"]
+    assert txlog.read(spark, path).count() == 98
+
+
+def test_delete_entire_file_drops_without_rewrite(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # two files with disjoint known ranges
+    txlog.create(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), path)
+    txlog.append(_df(spark, [(10, "c"), (11, "d")]).coalesce(1), path)
+    before = set(txlog.snapshot_files(path))
+    res = txlog.delete(spark, path, "k >= 10")
+    after = set(txlog.snapshot_files(path))
+    assert res["rows_deleted"] == 2 and res["files_rewritten"] == 1
+    # the fully-matched file was removed and NOTHING was added
+    assert after < before
+    assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 2]
+
+
+def test_delete_matching_nothing_is_a_noop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    v0 = txlog.current_version(path)
+    res = txlog.delete(spark, path, "k > 1000000")
+    assert res["version"] == v0 and res["rows_deleted"] == 0
+    assert txlog.current_version(path) == v0  # no version burn
+
+
+def test_merge_upsert_delete_semantics(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    src = spark.createDataFrame(
+        [(0, "UPD", "U"), (1, "UPD", "U"), (200, "NEW", "I"), (50, "", "D")],
+        "k long, v string, op string",
+    )
+    res = txlog.merge(spark, path, src, on=["k"], op_col="op")
+    assert 0 < res["files_rewritten"] < res["files_total"]
+    assert res["rows_upserted"] == 3 and res["rows_deleted"] == 1
+    rows = {r["k"]: r["v"] for r in txlog.read(spark, path).collect()}
+    assert rows[0] == "UPD" and rows[1] == "UPD" and rows[200] == "NEW"
+    assert 50 not in rows and rows[99] == "198"
+    assert len(rows) == 100  # 100 - 1 delete + 1 insert
+    # time travel: the pre-merge version is intact
+    old = {r["k"]: r["v"] for r in
+           txlog.read(spark, path, version=res["version"] - 1).collect()}
+    assert old[0] == "0" and 50 in old and 200 not in old
+
+
+def test_merge_pure_upsert_without_op_col(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    src = spark.createDataFrame([(5, "X"), (500, "Y")], "k long, v string")
+    res = txlog.merge(spark, path, src, on=["k"])
+    assert res["rows_upserted"] == 2 and res["rows_deleted"] == 0
+    rows = {r["k"]: r["v"] for r in txlog.read(spark, path).collect()}
+    assert rows[5] == "X" and rows[500] == "Y" and len(rows) == 101
+
+
+def test_merge_inserts_only_touch_no_old_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    before = set(txlog.snapshot_files(path))
+    src = spark.createDataFrame([(1000, "N")], "k long, v string")
+    res = txlog.merge(spark, path, src, on=["k"])
+    assert res["files_rewritten"] == 0
+    after = set(txlog.snapshot_files(path))
+    assert before < after and len(after - before) == 1
+
+
+def test_mutations_keep_file_count_bounded(spark, tmp_path):
+    """A delete/merge rewriting N files must add at most N (not the
+    cluster's default parallelism)."""
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    n0 = len(txlog.snapshot_files(path))
+    txlog.delete(spark, path, "k % 10 = 0")  # touches every file
+    assert len(txlog.snapshot_files(path)) <= n0
+    src = spark.createDataFrame([(k, "U2", "U") for k in range(0, 99, 7)],
+                                "k long, v string, op string")
+    txlog.merge(spark, path, src, on=["k"], op_col="op")
+    assert len(txlog.snapshot_files(path)) <= n0
