@@ -1523,3 +1523,89 @@ def a22_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("price"), 2).alias("total"),
     )
+
+
+@query(
+    "a23_txlog_zorder_optimize",
+    section="A3,A1,F1,B2",
+    tags=("analytics",),
+    oracle="""
+WITH b AS (
+  SELECT o_orderpriority, o_totalprice, CAST(o_custkey AS BIGINT) AS ck,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS days
+  FROM orders
+),
+mm AS (SELECT min(ck) + (max(ck) - min(ck)) // 4 AS hc,
+              min(days) + (max(days) - min(days)) // 4 AS hd FROM b)
+SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM b, mm WHERE ck <= hc AND days <= hd
+GROUP BY 1
+""",
+)
+def a23_txlog_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY on the txlog format: orders land
+    hash-shuffled (both dimensions spread across every file, so the
+    stats tier can prune NOTHING), then one Z-order compaction
+    re-clusters the table on the Morton interleave of (o_custkey,
+    days-since-epoch) — and the SAME footer-stats index suddenly
+    prunes selectively on EITHER column (asserted in-body: a quarter
+    band on each dim keeps a strict subset of files, where pre-
+    optimize both kept everything). The banded 2-D read must equal
+    the plain filtered scan (the oracle), and the pre-optimize
+    version still time-travels. Where a8_zorder_layout proves the key
+    math and envelope tightness, this drives the full write→stats→
+    prune loop through the table format end to end.
+
+    100 TB: Z-order is the data-layout lever for multi-dimension
+    workloads — one clustering pass makes every future selective read
+    skip on any clustered column, paid once at OPTIMIZE time."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days"),
+    )
+    path = tempfile.mkdtemp(prefix="sgs_a23_") + "/t"
+    txlog.create(o.repartition(8), path)
+    # quarter bands anchored at each dimension's MIN (a zero-anchored
+    # band can miss the data range entirely — the fixture's dates
+    # start years after the 1992 epoch)
+    b = o.agg(
+        F.min("ck").alias("lc"), F.max("ck").alias("xc"),
+        F.min("days").alias("ld"), F.max("days").alias("xd"),
+    ).collect()[0]
+    lc, hc = int(b["lc"]), int(b["lc"] + (b["xc"] - b["lc"]) // 4)
+    ld, hd = int(b["ld"]), int(b["ld"] + (b["xd"] - b["ld"]) // 4)
+    kc0, t0 = txlog.prune_files(path, "ck", lc, hc)
+    kd0, _ = txlog.prune_files(path, "days", ld, hd)
+    v0 = txlog.current_version(path)
+    txlog.optimize(spark, path, target_files=16, zorder_by=("ck", "days"))
+    kc1, t1 = txlog.prune_files(path, "ck", lc, hc)
+    kd1, _ = txlog.prune_files(path, "days", ld, hd)
+    # load-bearing invariants — explicit raises survive python -O:
+    # hash-shuffled layout prunes nothing, Z-ordered prunes BOTH dims
+    if not (len(kc0) == len(kd0) == t0):
+        raise AssertionError(
+            f"hash layout unexpectedly pruned: {len(kc0)}/{len(kd0)} of {t0}"
+        )
+    if not (len(kc1) < t1 and len(kd1) < t1):
+        raise AssertionError(
+            f"zorder must prune both dims: ck {len(kc1)}, days {len(kd1)} "
+            f"of {t1}"
+        )
+    if txlog.read(spark, path, version=v0).count() != o.count():
+        raise AssertionError("pre-optimize version no longer time-travels")
+    snap = txlog.read(spark, path, predicate=("ck", lc, hc)).where(
+        F.col("days") <= hd
+    )
+    return snap.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -270,6 +270,7 @@ R7_REMAINDER: tuple[str, ...] = (
 R7_WAVE: tuple[str, ...] = (
     "a21_txlog_delete",
     "a22_txlog_merge",
+    "a23_txlog_zorder_optimize",
 )
 
 

@@ -469,3 +469,25 @@ def test_mutations_keep_file_count_bounded(spark, tmp_path):
                                 "k long, v string, op string")
     txlog.merge(spark, path, src, on=["k"], op_col="op")
     assert len(txlog.snapshot_files(path)) <= n0
+
+
+def test_zorder_optimize_prunes_both_dims_and_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # y is a modular permutation of x: the dims are INDEPENDENT, the
+    # worst case for any single-column sort — and hash-shuffled files
+    # make the stats tier useless before the Z-order pass
+    df = spark.range(8000).selectExpr(
+        "id AS x", "CAST((id * 7919) % 8000 AS LONG) AS y", "id * 2 AS v"
+    )
+    txlog.create(df.repartition(8), path)
+    kx0, t0 = txlog.prune_files(path, "x", 0, 999)
+    ky0, _ = txlog.prune_files(path, "y", 0, 999)
+    assert len(kx0) == len(ky0) == t0  # hash layout: nothing prunes
+    txlog.optimize(spark, path, target_files=16, zorder_by=("x", "y"))
+    kx1, t1 = txlog.prune_files(path, "x", 0, 999)
+    ky1, _ = txlog.prune_files(path, "y", 0, 999)
+    assert len(kx1) < t1 and len(ky1) < t1  # both dims prune
+    got = sorted(r["v"] for r in txlog.read(spark, path).collect())
+    assert got == [i * 2 for i in range(8000)]  # data unchanged
+    # prior version still time-travels
+    assert txlog.read(spark, path, version=0).count() == 8000

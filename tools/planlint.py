@@ -82,6 +82,7 @@ BNLJ_OK = {
     "h15_mmr_portable",
     "h16_ivf_portable",
     "h16_pq_portable",
+    "h16_opq_portable",  # r6 twin: same broadcast-probe ADC crossJoin as pq
 }
 PYTHON_OK = {"j1_scalar_udf", "j6_udtf"}  # Python IS the J1/J6 contract
 MAX_EXCHANGES = 8
