@@ -1609,3 +1609,64 @@ def a23_txlog_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "a24_txlog_schema_evolution",
+    section="A3,A1,B4",
+    tags=("analytics",),
+    oracle="""
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+            ELSE 'legacy' END AS channel,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+""",
+)
+def a24_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE schema evolution on the txlog format (where
+    a11_schema_evolution proves the raw-parquet mergeSchema read,
+    this proves the MANAGED-table form: the schema lives in the log,
+    evolves per version, and time-travels): even-key orders land as
+    the v0 two-column table, odd keys append WITH a new ``channel``
+    column under ``merge_schema=True``, and the latest read yields
+    old rows as null channel ('legacy' via coalesce) against new
+    rows' real values — matching the relational reconstruction (the
+    oracle). Asserted in-body: the un-opted append raises, and
+    version 0 still reads with the ORIGINAL column set (schema time
+    travel — columns added later do not exist in older snapshots).
+
+    100 TB: schema changes are one log entry — no data rewrite; old
+    files are never touched and read as null in the new column, which
+    is exactly Delta/Iceberg's additive-evolution contract."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="sgs_a24_") + "/t"
+    txlog.create(
+        o.where(k % 2 == 0).select("o_orderkey", "o_totalprice"), path
+    )
+    evolved = o.where(k % 2 == 1).select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("channel")
+    )
+    # load-bearing invariants — explicit raises survive python -O
+    try:
+        txlog.append(evolved, path)
+        raise AssertionError("un-opted schema change must raise")
+    except ValueError:
+        pass
+    txlog.append(evolved, path, merge_schema=True)
+    if txlog.read(spark, path, version=0).columns != [
+        "o_orderkey", "o_totalprice",
+    ]:
+        raise AssertionError("version 0 must keep the original schema")
+    snap = txlog.read(spark, path)
+    return snap.groupBy(
+        F.coalesce("channel", F.lit("legacy")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

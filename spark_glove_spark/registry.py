@@ -271,6 +271,7 @@ R7_WAVE: tuple[str, ...] = (
     "a21_txlog_delete",
     "a22_txlog_merge",
     "a23_txlog_zorder_optimize",
+    "a24_txlog_schema_evolution",
 )
 
 

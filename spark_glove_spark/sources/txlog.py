@@ -167,12 +167,18 @@ def read_log(path: str, version: int | None = None) -> list[dict]:
     return [_read_entry(path, k) for k in range(v + 1)]
 
 
-def _resolve(path: str, version: int | None = None) -> tuple[int, set[str], dict]:
-    """(version, active file set, per-file stats) of a snapshot.
+def _resolve(
+    path: str, version: int | None = None
+) -> tuple[int, set[str], dict, str | None]:
+    """(version, active file set, per-file stats, schema JSON) of a
+    snapshot.
 
     Starts from the newest checkpoint ≤ the target version and
     replays only the tail entries — O(CHECKPOINT_INTERVAL) JSON reads
-    for the common latest-snapshot case regardless of table age."""
+    for the common latest-snapshot case regardless of table age. The
+    schema is the newest one recorded at or before the version —
+    schema evolution time-travels with the data (reading an old
+    version yields the columns that existed THEN)."""
     latest = current_version(path)
     if latest < 0:
         raise FileNotFoundError(f"no transaction log at {path}")
@@ -181,6 +187,7 @@ def _resolve(path: str, version: int | None = None) -> tuple[int, set[str], dict
         raise ValueError(f"version {v} not in log (latest {latest})")
     active: set[str] = set()
     stats: dict[str, dict] = {}
+    schema: str | None = None
     start = 0
     for cv in reversed(checkpoint_versions(path)):
         if cv <= v:
@@ -188,6 +195,7 @@ def _resolve(path: str, version: int | None = None) -> tuple[int, set[str], dict
                 cp = json.load(f)
             active = set(cp["active"])
             stats = dict(cp["stats"])
+            schema = cp.get("schema")
             start = cv + 1
             break
     for k in range(start, v + 1):
@@ -195,14 +203,15 @@ def _resolve(path: str, version: int | None = None) -> tuple[int, set[str], dict
         active -= set(entry["removes"])
         active |= set(entry["adds"])
         stats.update(entry.get("stats", {}))
-    return v, active, stats
+        schema = entry.get("schema", schema)
+    return v, active, stats, schema
 
 
 def snapshot_files(path: str, version: int | None = None) -> list[str]:
     """Active data-file set (relative paths) of ``version`` — replay
     from the newest checkpoint, which makes every snapshot
     reproducible in O(tail) metadata reads."""
-    _, active, _ = _resolve(path, version)
+    _, active, _, _ = _resolve(path, version)
     return sorted(active)
 
 
@@ -210,8 +219,22 @@ def snapshot_stats(path: str, version: int | None = None) -> dict[str, dict]:
     """Per-file column stats ({relpath: {col: [min, max]}}) of the
     active snapshot — the file-skipping index. Files committed by a
     pre-stats writer simply have no entry (never skipped)."""
-    _, active, stats = _resolve(path, version)
+    _, active, stats, _ = _resolve(path, version)
     return {f: stats.get(f, {}) for f in sorted(active)}
+
+
+def snapshot_schema(path: str, version: int | None = None):
+    """The :class:`pyspark.sql.types.StructType` recorded for the
+    snapshot, or None for tables written by a pre-schema writer
+    (their reads fall back to parquet self-description). Time travel
+    returns the schema AS OF that version — columns added later do
+    not exist in older snapshots."""
+    _, _, _, schema = _resolve(path, version)
+    if schema is None:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(schema))
 
 
 def _json_stat(value):
@@ -280,12 +303,13 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
     (default latest). Idempotent — republishing an existing
     checkpoint is a no-op (checkpoints are pure functions of the
     immutable log prefix, so any winner wrote the same bytes)."""
-    v, active, stats = _resolve(path, version)
+    v, active, stats, schema = _resolve(path, version)
     payload = json.dumps(
         {
             "version": v,
             "active": sorted(active),
             "stats": {f: stats[f] for f in sorted(active) if f in stats},
+            "schema": schema,
         }
     )
     BACKEND.publish(_checkpoint_file(path, v), payload)
@@ -299,12 +323,16 @@ def commit(
     expected_version: int,
     operation: str = "commit",
     stats: dict[str, dict] | None = None,
+    schema: str | None = None,
 ) -> int:
     """Atomically publish version ``expected_version + 1``. Raises
     :class:`TxLogConflict` if another writer already has — the caller
     re-resolves the snapshot and retries (optimistic loop). The entry
     becomes visible fully-written or not at all (temp + fsync + link),
-    so a mid-commit crash leaves the log exactly as it was."""
+    so a mid-commit crash leaves the log exactly as it was.
+    ``schema`` (a StructType JSON string) records the table schema AS
+    OF this version; omitted, the snapshot keeps the newest earlier
+    one."""
     os.makedirs(_log_dir(path), exist_ok=True)
     if current_version(path) != expected_version:
         raise TxLogConflict(
@@ -312,16 +340,17 @@ def commit(
             f"{current_version(path)}"
         )
     v = expected_version + 1
-    entry = json.dumps(
-        {
-            "version": v,
-            "operation": operation,
-            "adds": adds,
-            "removes": removes,
-            "stats": stats or {},
-            "timestamp": time.time(),
-        }
-    )
+    body = {
+        "version": v,
+        "operation": operation,
+        "adds": adds,
+        "removes": removes,
+        "stats": stats or {},
+        "timestamp": time.time(),
+    }
+    if schema is not None:
+        body["schema"] = schema
+    entry = json.dumps(body)
     if not BACKEND.publish(_version_file(path, v), entry):
         raise TxLogConflict(f"version {v} already committed")
     if v > 0 and v % CHECKPOINT_INTERVAL == 0:
@@ -334,6 +363,46 @@ def commit(
     return v
 
 
+def _evolved_schema(df: DataFrame, path: str, merge_schema: bool) -> str:
+    """Validate ``df``'s schema against the table's and return the
+    post-commit schema JSON. Rules (Delta's additive evolution):
+
+    * identical column set -> unchanged;
+    * same-name columns must keep their exact type — type changes
+      always raise (no silent widening/corruption);
+    * NEW df columns (and df-side omissions) require
+      ``merge_schema=True``; the recorded schema becomes table
+      columns + new columns, and readers fill either side's missing
+      columns with null via the explicit-schema scan.
+    """
+    current = snapshot_schema(path)
+    if current is None:
+        return df.schema.json()
+    cur = {f.name: f for f in current.fields}
+    new_fields = []
+    for f in df.schema.fields:
+        if f.name in cur:
+            if f.dataType != cur[f.name].dataType:
+                raise ValueError(
+                    f"type change for column {f.name!r}: "
+                    f"{cur[f.name].dataType} -> {f.dataType}"
+                )
+        else:
+            new_fields.append(f)
+    if (new_fields or len(df.schema.fields) < len(current.fields)) and (
+        not merge_schema
+    ):
+        missing = [n for n in cur if n not in df.columns]
+        raise ValueError(
+            "schema mismatch (pass merge_schema=True for additive "
+            f"evolution): new columns {[f.name for f in new_fields]}, "
+            f"missing columns {missing}"
+        )
+    from pyspark.sql.types import StructType
+
+    return StructType(list(current.fields) + new_fields).json()
+
+
 def create(df: DataFrame, path: str) -> int:
     """Materialize ``df`` as version 0 of a new txlog table."""
     os.makedirs(path, exist_ok=True)
@@ -341,27 +410,47 @@ def create(df: DataFrame, path: str) -> int:
         raise FileExistsError(f"txlog table already exists at {path}")
     files, stats = _write_data(df, path)
     return commit(
-        path, files, [], expected_version=-1, operation="create", stats=stats
+        path, files, [], expected_version=-1, operation="create", stats=stats,
+        schema=df.schema.json(),
     )
 
 
-def append(df: DataFrame, path: str) -> int:
-    """Add ``df``'s rows as a new version (old files stay active)."""
+def append(df: DataFrame, path: str, merge_schema: bool = False) -> int:
+    """Add ``df``'s rows as a new version (old files stay active).
+    ``merge_schema=True`` permits ADDITIVE schema evolution: new df
+    columns join the table schema (old files read as null there), and
+    a df omitting existing columns writes nulls for them. Type
+    changes always raise."""
     base = current_version(path)
+    schema = _evolved_schema(df, path, merge_schema)
     files, stats = _write_data(df, path)
     return commit(
-        path, files, [], expected_version=base, operation="append", stats=stats
+        path, files, [], expected_version=base, operation="append",
+        stats=stats, schema=schema,
     )
 
 
 def overwrite(df: DataFrame, path: str) -> int:
     """Replace the table contents with ``df`` as a new version; the
-    replaced files remain on disk for time travel."""
+    replaced files remain on disk for time travel. Overwrite REPLACES
+    the schema too (there are no old active files to reconcile) —
+    but a same-name type change still raises, because older versions'
+    time travel must keep resolving against a coherent history."""
     base = current_version(path)
     old = snapshot_files(path, base)
+    current = snapshot_schema(path)
+    if current is not None:
+        cur = {f.name: f.dataType for f in current.fields}
+        for f in df.schema.fields:
+            if f.name in cur and f.dataType != cur[f.name]:
+                raise ValueError(
+                    f"type change for column {f.name!r}: "
+                    f"{cur[f.name]} -> {f.dataType}"
+                )
     files, stats = _write_data(df, path)
     return commit(
-        path, files, old, expected_version=base, operation="overwrite", stats=stats
+        path, files, old, expected_version=base, operation="overwrite",
+        stats=stats, schema=df.schema.json(),
     )
 
 
@@ -500,19 +589,35 @@ def read(
     AND the residual row filter (skipping is a superset cut; the
     filter makes it exact). A predicate that legitimately prunes
     every file returns an EMPTY DataFrame with the snapshot's schema
-    (read from one snapshot file's footer) — only a snapshot with no
-    files at all is an error."""
-    all_files = snapshot_files(path, version)
+    — only a snapshot with no files at all is an error.
+
+    The scan uses the schema RECORDED for the snapshot (pre-schema
+    tables fall back to parquet self-description): after additive
+    evolution, files written before a column existed read as null
+    there, and time travel to an old version yields the old column
+    set."""
+    _, active, _, schema_json = _resolve(path, version)
+    all_files = sorted(active)
     if not all_files:
         raise ValueError(f"version has no data files at {path}")
     if predicate is None:
         files = all_files
     else:
         files, _ = prune_files(path, *predicate, version=version)
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromJson(json.loads(schema_json))
+        reader = spark.read.schema(st)
+    else:
+        st = None
+        reader = spark.read
     if not files:
-        schema = spark.read.parquet(os.path.join(path, all_files[0])).schema
+        schema = st or spark.read.parquet(
+            os.path.join(path, all_files[0])
+        ).schema
         return spark.createDataFrame([], schema)
-    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    df = reader.parquet(*[os.path.join(path, f) for f in files])
     if predicate is not None:
         from pyspark.sql import functions as F
 
@@ -529,7 +634,9 @@ def _read_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
     which file each row came from."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    st = snapshot_schema(path)
+    reader = spark.read.schema(st) if st is not None else spark.read
+    df = reader.parquet(*[os.path.join(path, f) for f in files])
     root = os.path.abspath(path)
     # input_file_name() yields file:///abs/path (scheme + empty
     # authority + absolute path) — strip "file://" and the table root

@@ -491,3 +491,56 @@ def test_zorder_optimize_prunes_both_dims_and_preserves_data(spark, tmp_path):
     assert got == [i * 2 for i in range(8000)]  # data unchanged
     # prior version still time-travels
     assert txlog.read(spark, path, version=0).count() == 8000
+
+
+def test_schema_evolution_additive_append_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), path)
+    evolved = spark.createDataFrame(
+        [(3, "c", "web")], "k long, v string, channel string"
+    )
+    # additive evolution requires the explicit opt-in
+    with pytest.raises(ValueError, match="merge_schema"):
+        txlog.append(evolved, path)
+    txlog.append(evolved.coalesce(1), path, merge_schema=True)
+    rows = {r["k"]: (r["v"], r["channel"])
+            for r in txlog.read(spark, path).collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", "web")}
+    # schema time travel: version 0 has the OLD column set
+    assert txlog.read(spark, path, version=0).columns == ["k", "v"]
+    assert [f.name for f in txlog.snapshot_schema(path).fields] == [
+        "k", "v", "channel"
+    ]
+    # a later subset append fills the evolved column with null
+    txlog.append(_df(spark, [(4, "d")]).coalesce(1), path, merge_schema=True)
+    rows = {r["k"]: r["channel"] for r in txlog.read(spark, path).collect()}
+    assert rows[4] is None and len(rows) == 4
+
+
+def test_schema_type_change_always_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]), path)
+    bad = spark.createDataFrame([(2, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="type change"):
+        txlog.append(bad, path, merge_schema=True)
+    with pytest.raises(ValueError, match="type change"):
+        txlog.overwrite(bad, path)
+
+
+def test_schema_survives_checkpoint_resolution(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(0, "x")]).coalesce(1), path)
+    evolved = spark.createDataFrame(
+        [(1, "y", 9)], "k long, v string, extra long"
+    )
+    txlog.append(evolved.coalesce(1), path, merge_schema=True)
+    # push past a checkpoint boundary so resolution uses the
+    # checkpoint's recorded schema, not the entry that introduced it
+    for i in range(2, 13):
+        txlog.append(_df(spark, [(i, "z")]).coalesce(1), path,
+                     merge_schema=True)
+    assert txlog.checkpoint_versions(path)  # a checkpoint exists
+    names = [f.name for f in txlog.snapshot_schema(path).fields]
+    assert names == ["k", "v", "extra"]
+    rows = {r["k"]: r["extra"] for r in txlog.read(spark, path).collect()}
+    assert rows[1] == 9 and rows[12] is None
