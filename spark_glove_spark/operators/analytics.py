@@ -1670,3 +1670,97 @@ def a24_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "a25_txlog_change_feed",
+    section="A3,A1,C3,F4",
+    tags=("analytics", "cdc"),
+    oracle="""
+WITH b AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+mm AS (SELECT CAST(floor(max(k) / 8.0) AS BIGINT) AS h8,
+              CAST(floor(max(k) / 4.0) AS BIGINT) AS h4 FROM b),
+u AS (
+  SELECT 1 AS v, 'insert' AS t, floor(price * 25) / 100 AS p
+  FROM b WHERE k % 7 = 3
+  UNION ALL
+  SELECT 2, 'delete', price FROM b, mm WHERE k <= h8
+  UNION ALL
+  SELECT 3, 'delete', price FROM b, mm
+  WHERE k > h8 AND k <= h4 AND k % 7 IN (0, 1)
+  UNION ALL
+  SELECT 3, 'insert', floor(price * 120) / 100 FROM b, mm
+  WHERE k > h8 AND k <= h4 AND k % 7 = 0
+  UNION ALL
+  SELECT 3, 'insert', floor(price * 45) / 100 FROM b, mm
+  WHERE k > h8 AND k <= h4 AND k % 7 = 2
+)
+SELECT v AS commit_version, t AS change_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(p), 2) AS total
+FROM u GROUP BY 1, 2
+""",
+)
+def a25_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE FEED computed from the table history
+    (txlog.changes — Iceberg's changelog scan; updates appear as
+    delete(old)+insert(new)): a four-commit history (create → append
+    adjustments → banded copy-on-write DELETE → banded U/D/I MERGE)
+    is diffed back into per-commit net changes, and the feed's
+    (version, change_type) aggregates must match the relational
+    reconstruction of exactly what each commit did (the oracle).
+    The diff runs exceptAll over each commit's TOUCHED files only, so
+    rows merely rewritten by copy-on-write (survivors sharing a file
+    with deleted/updated rows) must cancel to zero — which is
+    precisely what hash-matching the oracle proves. The v0 bulk
+    create is excluded by the exclusive-start range, and an OPTIMIZE
+    tail commit is asserted in-body to emit nothing (layout-only).
+
+    100 TB: this is the generic CDC recovery path when only the table
+    history exists — cost bounded by touched files per commit; live
+    pipelines should prefer the version-offset stream (i18)."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.select(k.alias("k"), F.col("o_totalprice").alias("price"))
+    path = tempfile.mkdtemp(prefix="sgs_a25_") + "/t"
+    txlog.create(base.repartitionByRange(8, "k"), path)  # v0
+    h8 = int(base.agg(F.floor(F.max("k") / 8.0)).collect()[0][0])
+    h4 = int(base.agg(F.floor(F.max("k") / 4.0)).collect()[0][0])
+    adj = base.where(F.col("k") % 7 == 3).select(
+        (F.col("k") + 200000000).alias("k"),
+        (F.floor(F.col("price") * 25) / 100).alias("price"),
+    )
+    txlog.append(adj, path)  # v1: inserts only
+    txlog.delete(spark, path, f"k <= {h8}", prune=("k", 0, h8))  # v2
+    band = base.where((F.col("k") > h8) & (F.col("k") <= h4))
+    src = (
+        band.where(F.col("k") % 7 == 0)
+        .select("k", (F.floor(F.col("price") * 120) / 100).alias("price"),
+                F.lit("U").alias("op"))
+        .unionByName(
+            band.where(F.col("k") % 7 == 1)
+            .select("k", F.lit(0.0).alias("price"), F.lit("D").alias("op"))
+        )
+        .unionByName(
+            band.where(F.col("k") % 7 == 2)
+            .select((F.col("k") + 300000000).alias("k"),
+                    (F.floor(F.col("price") * 45) / 100).alias("price"),
+                    F.lit("I").alias("op"))
+        )
+    )
+    txlog.merge(spark, path, src, on=["k"], op_col="op")  # v3
+    txlog.optimize(spark, path)  # v4 — must contribute NOTHING
+    feed = txlog.changes(spark, path, 0)
+    # load-bearing invariant — explicit raise survives python -O
+    if feed.where(F.col("_commit_version") == 4).limit(1).count() != 0:
+        raise AssertionError("optimize must emit no row changes")
+    return feed.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("price"), 2).alias("total"),
+    )

@@ -272,6 +272,7 @@ R7_WAVE: tuple[str, ...] = (
     "a22_txlog_merge",
     "a23_txlog_zorder_optimize",
     "a24_txlog_schema_evolution",
+    "a25_txlog_change_feed",
 )
 
 

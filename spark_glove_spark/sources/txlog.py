@@ -576,11 +576,29 @@ def optimize(
     )
 
 
+def version_at_timestamp(path: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution: the newest version whose commit
+    time is <= ``ts`` (unix seconds). Raises if the table didn't
+    exist yet at ``ts``. Commit timestamps are written by the single
+    winning writer per version, so they are non-decreasing on any
+    well-behaved clock; resolution walks the log newest-first and
+    stops at the first qualifying entry — O(versions-after-ts)
+    metadata reads, typically one."""
+    latest = current_version(path)
+    if latest < 0:
+        raise FileNotFoundError(f"no transaction log at {path}")
+    for v in range(latest, -1, -1):
+        if _read_entry(path, v).get("timestamp", 0.0) <= ts:
+            return v
+    raise ValueError(f"table did not exist at timestamp {ts}")
+
+
 def read(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     predicate: tuple[str, object, object] | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Read a snapshot (latest by default; any version for time
     travel). The file list is resolved HERE, once — everything after
@@ -595,7 +613,13 @@ def read(
     tables fall back to parquet self-description): after additive
     evolution, files written before a column existed read as null
     there, and time travel to an old version yields the old column
-    set."""
+    set. ``timestamp`` (unix seconds) resolves TIMESTAMP AS OF via
+    :func:`version_at_timestamp`; mutually exclusive with
+    ``version``."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass either version or timestamp, not both")
+        version = version_at_timestamp(path, timestamp)
     _, active, _, schema_json = _resolve(path, version)
     all_files = sorted(active)
     if not all_files:
@@ -820,3 +844,86 @@ def merge(
         "rows_upserted": int(n_upserts),
         "rows_deleted": int(n_deleted),
     }
+
+
+def changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between snapshots — Iceberg's computed
+    changelog (Delta's CDF without write-time change files): for each
+    commit in ``(from_version, to_version]`` (exclusive start, like a
+    stream offset), emit the NET row changes with ``_change_type``
+    ('insert' | 'delete') and ``_commit_version`` columns. An update
+    appears as delete(old row) + insert(new row) — the standard
+    changelog encoding a downstream MERGE re-applies directly.
+
+    Computation per commit: read the entry's ADDED files and REMOVED
+    files (only the touched files — never the whole table) with the
+    schema as of that version, then take multiset differences
+    (``exceptAll`` both ways) so rows merely REWRITTEN into new files
+    (compaction survivors, copy-on-write carry-over) cancel out.
+    'optimize' commits are skipped outright — layout-only, zero net
+    change by construction. Appends short-circuit (no removes: every
+    added row is an insert, no diff runs).
+
+    100 TB: cost is bounded by each commit's touched files, and the
+    exceptAll shuffle only runs for commits that actually removed
+    files. For key-based pipelines the upstream change set (i18 +
+    merge) is cheaper; this is the generic recovery path when only
+    the table history exists."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    latest = current_version(path)
+    to_v = latest if to_version is None else to_version
+    if not (-1 <= from_version <= to_v <= latest):
+        raise ValueError(
+            f"bad change range ({from_version}, {to_v}] at latest {latest}"
+        )
+
+    def _rel(files: list[str], schema_json: str | None):
+        if not files:
+            return None
+        if schema_json is not None:
+            reader = spark.read.schema(
+                StructType.fromJson(json.loads(schema_json))
+            )
+        else:
+            reader = spark.read
+        return reader.parquet(*[os.path.join(path, f) for f in files])
+
+    out = None
+    for v in range(from_version + 1, to_v + 1):
+        entry = _read_entry(path, v)
+        if entry.get("operation") == "optimize":
+            continue
+        _, _, _, schema_json = _resolve(path, v)
+        added = _rel(entry["adds"], schema_json)
+        removed = _rel(entry["removes"], schema_json)
+        if added is None and removed is None:
+            continue
+        if removed is None:
+            ins, dels = added, None
+        elif added is None:
+            ins, dels = None, removed
+        else:
+            ins = added.exceptAll(removed)
+            dels = removed.exceptAll(added)
+        step = None
+        if ins is not None:
+            step = ins.withColumn("_change_type", F.lit("insert"))
+        if dels is not None:
+            d = dels.withColumn("_change_type", F.lit("delete"))
+            step = d if step is None else step.unionByName(
+                d, allowMissingColumns=True
+            )
+        step = step.withColumn("_commit_version", F.lit(v).cast("long"))
+        out = step if out is None else out.unionByName(
+            step, allowMissingColumns=True
+        )
+    if out is None:
+        raise ValueError("empty change range (or all-optimize commits)")
+    return out

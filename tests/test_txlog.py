@@ -544,3 +544,51 @@ def test_schema_survives_checkpoint_resolution(spark, tmp_path):
     assert names == ["k", "v", "extra"]
     rows = {r["k"]: r["extra"] for r in txlog.read(spark, path).collect()}
     assert rows[1] == 9 and rows[12] is None
+
+
+def test_timestamp_as_of_resolution(spark, tmp_path):
+    import time as _time
+
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]).coalesce(1), path)
+    t_mid = _time.time()
+    txlog.append(_df(spark, [(2, "b")]).coalesce(1), path)
+    assert txlog.version_at_timestamp(path, t_mid) == 0
+    assert txlog.read(spark, path, timestamp=t_mid).count() == 1
+    assert txlog.read(spark, path, timestamp=_time.time()).count() == 2
+    with pytest.raises(ValueError, match="did not exist"):
+        txlog.version_at_timestamp(path, 0.0)
+    with pytest.raises(ValueError, match="not both"):
+        txlog.read(spark, path, version=0, timestamp=t_mid)
+
+
+def test_change_feed_net_changes_per_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(20).selectExpr("id AS k", "id * 2 AS v")
+    txlog.create(df.repartitionByRange(2, "k"), path)  # v0
+    txlog.append(
+        spark.range(20, 25).selectExpr("id AS k", "id * 2 AS v"), path
+    )  # v1
+    txlog.delete(spark, path, "k < 3")  # v2
+    src = spark.createDataFrame(
+        [(5, -5, "U"), (100, 1, "I"), (7, 0, "D")], "k long, v long, op string"
+    )
+    txlog.merge(spark, path, src, on=["k"], op_col="op")  # v3
+    txlog.optimize(spark, path)  # v4: layout-only
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in txlog.changes(spark, path, 0).collect()
+    )
+    v1 = [(k, v) for c, t, k, v in rows if c == 1]
+    assert v1 == [(k, 2 * k) for k in range(20, 25)]
+    assert [(k, v) for c, t, k, v in rows if c == 2] == [(0, 0), (1, 2), (2, 4)]
+    assert [(t, k, v) for c, t, k, v in rows if c == 3] == [
+        ("delete", 5, 10), ("delete", 7, 14),
+        ("insert", 5, -5), ("insert", 100, 1),
+    ]
+    assert not [r for r in rows if r[0] == 4]  # optimize emits nothing
+    # sub-range: only v2's changes
+    assert {r["_commit_version"]
+            for r in txlog.changes(spark, path, 1, 2).collect()} == {2}
+    with pytest.raises(ValueError, match="bad change range"):
+        txlog.changes(spark, path, 3, 99)
