@@ -43,6 +43,10 @@ DEFAULT_QUERIES = [
 # table -> (surrogate key, per-copy shift)
 _REPLICATE = {
     "events": ("event_id", 1_000_000_000),
+    # orders shift is a multiple of 56 (= 8*7) so the %7 change-set
+    # classes and the %2 split of the txlog queries replicate with the
+    # table — every copy contributes the same U/D/I mix
+    "orders": ("o_orderkey", 560_000_000),
     "customer": ("c_custkey", 100_000_000),
     "documents": ("doc_id", 10_000_000),
     # vec_id shift is a multiple of 100 so the `vec_id % 100 == 0`
@@ -53,7 +57,7 @@ _REPLICATE = {
 
 
 def build_10x(spark, sf_dir: str) -> str:
-    out = f"/tmp/scaleprobe10x_{os.path.basename(sf_dir.rstrip('/'))}"
+    out = f"/tmp/scaleprobe10xv2_{os.path.basename(sf_dir.rstrip('/'))}"
     marker = os.path.join(out, "_done")
     if os.path.exists(marker):
         return out
