@@ -592,3 +592,64 @@ def test_change_feed_net_changes_per_commit(spark, tmp_path):
             for r in txlog.changes(spark, path, 1, 2).collect()} == {2}
     with pytest.raises(ValueError, match="bad change range"):
         txlog.changes(spark, path, 3, 99)
+
+
+def test_txlog_model_random_histories_with_mutations(spark, tmp_path):
+    """Model check over the FULL op surface (append/overwrite/optimize
+    + round-6 delete/merge): every version must read back exactly the
+    key->value map a plain Python model says it held — values too, so
+    a merge that updates in place is distinguished from one that
+    drops/duplicates."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(3):
+        path = str(tmp_path / f"mm{trial}")
+        nxt = iter(range(1, 10000))
+        first = {next(nxt): "x" for _ in range(rng.randint(2, 4))}
+        txlog.create(
+            _df(spark, sorted(first.items())).coalesce(1), path
+        )
+        model = {0: dict(first)}
+        v = 0
+        while v < 7:
+            cur = dict(model[v])
+            op = rng.choice(
+                ["append", "overwrite", "optimize", "delete", "merge"]
+            )
+            if op == "append":
+                rows = {next(nxt): "x" for _ in range(rng.randint(1, 3))}
+                txlog.append(_df(spark, sorted(rows.items())).coalesce(1), path)
+                cur.update(rows)
+            elif op == "overwrite":
+                rows = {next(nxt): "x" for _ in range(rng.randint(1, 3))}
+                txlog.overwrite(
+                    _df(spark, sorted(rows.items())).coalesce(1), path
+                )
+                cur = rows
+            elif op == "optimize":
+                txlog.optimize(spark, path)
+            elif op == "delete":
+                if len(cur) < 2:
+                    continue  # keep the table non-empty
+                doomed = rng.choice(sorted(cur))
+                res = txlog.delete(spark, path, f"k = {doomed}")
+                assert res["rows_deleted"] == 1
+                del cur[doomed]
+            else:  # merge: update one existing key + insert one new
+                upd = rng.choice(sorted(cur))
+                new = next(nxt)
+                src = spark.createDataFrame(
+                    [(upd, f"u{v}"), (new, f"i{v}")], "k long, v string"
+                )
+                txlog.merge(spark, path, src, on=["k"])
+                cur[upd] = f"u{v}"
+                cur[new] = f"i{v}"
+            v += 1
+            model[v] = cur
+        for v, expect in model.items():
+            got = {
+                r["k"]: r["v"]
+                for r in txlog.read(spark, path, version=v).collect()
+            }
+            assert got == expect, (trial, v, got, expect)
