@@ -1764,3 +1764,86 @@ def a25_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("price"), 2).alias("total"),
     )
+
+
+@query(
+    "a26_txlog_bloom_lookup",
+    section="A1,A3,B2",
+    tags=("analytics",),
+    oracle="""
+WITH probes AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 13 = 0
+    AND o_orderkey > (SELECT CAST(floor(max(o_orderkey) / 2.0) AS BIGINT)
+                      FROM orders)
+  ORDER BY o_orderkey LIMIT 5
+)
+SELECT o.o_orderkey, o.o_orderpriority AS priority,
+       round(o.o_totalprice, 2) AS total
+FROM orders o JOIN probes USING (o_orderkey)
+""",
+)
+def a26_txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER point-lookup skipping on the txlog format: orders
+    land HASH-distributed by key into 8 files — the layout where
+    min/max stats are provably useless (asserted in-body: the band
+    tier keeps every file for a point probe, because every file spans
+    the whole key range) — with ``bloom_columns=("o_orderkey",)``
+    declared at create. Five deterministic point lookups then consult
+    the per-file membership sketch and each touches a strict subset
+    of files (asserted per probe); the union of the point reads must
+    equal a plain key-join against the same probe set (the oracle).
+    ~8 bits/value, k=3 -> ~3% false positives — a false positive only
+    costs reading one extra file, never correctness.
+
+    100 TB: this is the Delta/Iceberg bloom index story — range stats
+    answer bands, blooms answer equality on high-cardinality keys
+    (user_id, order_id, URL hash), the dominant lookup shape for
+    serving and debugging jobs over a lake table."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="sgs_a26_") + "/t"
+    txlog.create(
+        o.repartition(8, "o_orderkey"), path, bloom_columns=("o_orderkey",)
+    )
+    # mid-range probes: a probe at the global minimum would fall below
+    # most files' min and the BAND tier would prune it (the in-body
+    # assertion found exactly that on the first cut) — mid-range keys
+    # sit inside every hash-distributed file's [min, max], isolating
+    # the bloom tier as the only thing that can prune
+    mid = int(o.agg(F.floor(F.max("o_orderkey") / 2.0)).collect()[0][0])
+    probes = [
+        int(r[0])
+        for r in o.where(
+            (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") > mid)
+        )
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(5)
+        .collect()
+    ]
+    out = None
+    for key in probes:
+        band, total = txlog.prune_files(path, "o_orderkey", key, key)
+        kept, _ = txlog.prune_files_point(path, "o_orderkey", key)
+        # load-bearing invariants — explicit raises survive python -O
+        if len(band) != total:
+            raise AssertionError(
+                f"hash layout should defeat band stats: {len(band)}/{total}"
+            )
+        if not (0 < len(kept) < total):
+            raise AssertionError(
+                f"bloom must prune the point probe: {len(kept)}/{total}"
+            )
+        hit = txlog.read(spark, path, point=("o_orderkey", key))
+        out = hit if out is None else out.unionByName(hit)
+    return out.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round("o_totalprice", 2).alias("total"),
+    )

@@ -273,6 +273,7 @@ R7_WAVE: tuple[str, ...] = (
     "a23_txlog_zorder_optimize",
     "a24_txlog_schema_evolution",
     "a25_txlog_change_feed",
+    "a26_txlog_bloom_lookup",
 )
 
 

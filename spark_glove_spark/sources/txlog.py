@@ -283,19 +283,104 @@ def _file_stats(abs_path: str) -> dict[str, list]:
     return out
 
 
-def _write_data(df: DataFrame, path: str) -> tuple[list[str], dict[str, dict]]:
+_BLOOM_K = 3  # hash functions; with ~8 bits/value -> fp ≈ 3%
+_BLOOM_KEY = "__bloom__"  # reserved stats slot (not a column name)
+
+
+def _bloom_hashes(value, m: int) -> list[int]:
+    """k deterministic bit positions for ``value`` in an m-bit bloom.
+    blake2b with per-hash salts — stable across runs, sessions, and
+    machines, which is what makes the filter a durable log artifact
+    (unlike Python's salted ``hash``)."""
+    import hashlib
+
+    b = value.encode() if isinstance(value, str) else str(value).encode()
+    return [
+        int.from_bytes(
+            hashlib.blake2b(
+                b, digest_size=8, salt=f"txb{i}".encode()
+            ).digest(),
+            "big",
+        )
+        % m
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _file_blooms(abs_path: str, cols: tuple[str, ...]) -> dict:
+    """Per-column bloom filters over a data file's values — the
+    POINT-LOOKUP skipping index min/max stats cannot provide on
+    hash-distributed keys (every file spans the full range, so range
+    stats never prune; a membership sketch does). ~8 bits/value,
+    k=3 -> ~3% false positives; a false positive only costs reading
+    one extra file, never correctness. This reference implementation
+    reads the column back via pyarrow; a production writer computes
+    the same bitset inline while writing the file."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(abs_path, columns=list(cols))
+    out = {}
+    for c in cols:
+        vals = [v for v in tbl.column(c).to_pylist() if v is not None]
+        if not vals:
+            continue
+        m = max(64, 8 * len(vals))
+        bits = bytearray((m + 7) // 8)
+        for v in vals:
+            for h in _bloom_hashes(v, m):
+                bits[h >> 3] |= 1 << (h & 7)
+        out[c] = {"m": m, "k": _BLOOM_K,
+                  "b64": base64.b64encode(bytes(bits)).decode()}
+    return out
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[h >> 3] & (1 << (h & 7)) for h in _bloom_hashes(value, bloom["m"])
+    )
+
+
+def table_properties(path: str) -> dict:
+    """Immutable table properties recorded at create time (currently
+    ``bloom_columns``)."""
+    return _read_entry(path, 0).get("properties", {})
+
+
+def _bloom_cols(path: str) -> tuple[str, ...]:
+    return tuple(table_properties(path).get("bloom_columns", ()))
+
+
+def _write_data(
+    df: DataFrame, path: str, bloom_cols: tuple[str, ...] = ()
+) -> tuple[list[str], dict[str, dict]]:
     """Write ``df`` as a fresh immutable file group under the table
     root; returns the new files' table-relative paths and their
     footer-derived column stats (the file-skipping index the commit
     records — Delta's add-action stats / Iceberg's manifest metrics,
-    reduced to min/max)."""
+    reduced to min/max), plus per-column bloom filters under the
+    reserved ``__bloom__`` slot for the table's bloom columns."""
     sub = f"data-{uuid.uuid4().hex[:12]}"
     df.write.parquet(os.path.join(path, sub))
     files = sorted(
         os.path.relpath(p, path)
         for p in glob.glob(os.path.join(path, sub, "*.parquet"))
     )
-    return files, {f: _file_stats(os.path.join(path, f)) for f in files}
+    stats = {}
+    present = tuple(c for c in bloom_cols if c in df.columns)
+    for f in files:
+        abs_path = os.path.join(path, f)
+        st = _file_stats(abs_path)
+        if present:
+            bl = _file_blooms(abs_path, present)
+            if bl:
+                st[_BLOOM_KEY] = bl
+        stats[f] = st
+    return files, stats
 
 
 def write_checkpoint(path: str, version: int | None = None) -> int:
@@ -324,6 +409,7 @@ def commit(
     operation: str = "commit",
     stats: dict[str, dict] | None = None,
     schema: str | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Atomically publish version ``expected_version + 1``. Raises
     :class:`TxLogConflict` if another writer already has — the caller
@@ -350,6 +436,8 @@ def commit(
     }
     if schema is not None:
         body["schema"] = schema
+    if properties is not None:
+        body["properties"] = properties
     entry = json.dumps(body)
     if not BACKEND.publish(_version_file(path, v), entry):
         raise TxLogConflict(f"version {v} already committed")
@@ -403,15 +491,23 @@ def _evolved_schema(df: DataFrame, path: str, merge_schema: bool) -> str:
     return StructType(list(current.fields) + new_fields).json()
 
 
-def create(df: DataFrame, path: str) -> int:
-    """Materialize ``df`` as version 0 of a new txlog table."""
+def create(
+    df: DataFrame, path: str, bloom_columns: tuple[str, ...] = ()
+) -> int:
+    """Materialize ``df`` as version 0 of a new txlog table.
+    ``bloom_columns`` is an immutable table property: every writer
+    (append, delete/merge rewrites, optimize) records a per-file
+    bloom filter for those columns, giving point lookups a skipping
+    index that works on hash-distributed keys where min/max stats
+    never prune."""
     os.makedirs(path, exist_ok=True)
     if current_version(path) >= 0:
         raise FileExistsError(f"txlog table already exists at {path}")
-    files, stats = _write_data(df, path)
+    files, stats = _write_data(df, path, tuple(bloom_columns))
+    props = {"bloom_columns": list(bloom_columns)} if bloom_columns else None
     return commit(
         path, files, [], expected_version=-1, operation="create", stats=stats,
-        schema=df.schema.json(),
+        schema=df.schema.json(), properties=props,
     )
 
 
@@ -423,7 +519,7 @@ def append(df: DataFrame, path: str, merge_schema: bool = False) -> int:
     changes always raise."""
     base = current_version(path)
     schema = _evolved_schema(df, path, merge_schema)
-    files, stats = _write_data(df, path)
+    files, stats = _write_data(df, path, _bloom_cols(path))
     return commit(
         path, files, [], expected_version=base, operation="append",
         stats=stats, schema=schema,
@@ -447,7 +543,7 @@ def overwrite(df: DataFrame, path: str) -> int:
                     f"type change for column {f.name!r}: "
                     f"{cur[f.name]} -> {f.dataType}"
                 )
-    files, stats = _write_data(df, path)
+    files, stats = _write_data(df, path, _bloom_cols(path))
     return commit(
         path, files, old, expected_version=base, operation="overwrite",
         stats=stats, schema=df.schema.json(),
@@ -474,6 +570,35 @@ def prune_files(
     for f, cols in stats.items():
         mm = cols.get(column)
         if mm is not None and (mm[1] < lo or mm[0] > hi):
+            continue
+        kept.append(f)
+    return kept, len(stats)
+
+
+def prune_files_point(
+    path: str,
+    column: str,
+    value,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """POINT-LOOKUP file skipping: the snapshot's files that may
+    contain ``column == value``, cut by BOTH stats tiers — the
+    min/max band first (free), then the per-file bloom filter when
+    the table declared ``column`` in ``bloom_columns`` at create.
+    On a hash-distributed key the band tier keeps everything (every
+    file spans the full range) and the bloom tier does the real
+    work: ~3% false positives means a point read touches ~1 file
+    plus fp x (n_files - 1), instead of all of them. Files without
+    stats or blooms are conservatively kept — skipping is never
+    allowed to cost correctness."""
+    stats = snapshot_stats(path, version)
+    kept = []
+    for f, cols in stats.items():
+        mm = cols.get(column)
+        if mm is not None and (mm[1] < value or mm[0] > value):
+            continue
+        bloom = cols.get(_BLOOM_KEY, {}).get(column)
+        if bloom is not None and not _bloom_maybe_contains(bloom, value):
             continue
         kept.append(f)
     return kept, len(stats)
@@ -570,7 +695,7 @@ def optimize(
             .sortWithinPartitions("_zv")
             .drop("_zx", "_zy", "_zv", "mnx", "mxx", "mny", "mxy")
         )
-    files, stats = _write_data(df, path)
+    files, stats = _write_data(df, path, _bloom_cols(path))
     return commit(
         path, files, old, expected_version=base, operation="optimize", stats=stats
     )
@@ -599,6 +724,7 @@ def read(
     version: int | None = None,
     predicate: tuple[str, object, object] | None = None,
     timestamp: float | None = None,
+    point: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Read a snapshot (latest by default; any version for time
     travel). The file list is resolved HERE, once — everything after
@@ -615,16 +741,22 @@ def read(
     there, and time travel to an old version yields the old column
     set. ``timestamp`` (unix seconds) resolves TIMESTAMP AS OF via
     :func:`version_at_timestamp`; mutually exclusive with
-    ``version``."""
+    ``version``. ``point=(column, value)`` is the point-lookup form:
+    band + bloom file skipping (:func:`prune_files_point`) plus the
+    exact equality filter."""
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass either version or timestamp, not both")
         version = version_at_timestamp(path, timestamp)
+    if predicate is not None and point is not None:
+        raise ValueError("pass either predicate or point, not both")
     _, active, _, schema_json = _resolve(path, version)
     all_files = sorted(active)
     if not all_files:
         raise ValueError(f"version has no data files at {path}")
-    if predicate is None:
+    if point is not None:
+        files, _ = prune_files_point(path, *point, version=version)
+    elif predicate is None:
         files = all_files
     else:
         files, _ = prune_files(path, *predicate, version=version)
@@ -642,11 +774,14 @@ def read(
         ).schema
         return spark.createDataFrame([], schema)
     df = reader.parquet(*[os.path.join(path, f) for f in files])
-    if predicate is not None:
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if predicate is not None:
         col, lo, hi = predicate
         df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
+    elif point is not None:
+        col, value = point
+        df = df.where(F.col(col) == value)
     return df
 
 
@@ -748,7 +883,9 @@ def delete(
     if any(r["n_match"] < r["n_rows"] for r in per_file):
         # rewrite N touched files into ≤ N — a delete must not explode
         # the file count to the cluster's parallelism
-        adds, stats = _write_data(survivors.coalesce(len(touched)), path)
+        adds, stats = _write_data(
+            survivors.coalesce(len(touched)), path, _bloom_cols(path)
+        )
     v = commit(
         path, adds, touched, expected_version=base, operation="delete",
         stats=stats,
@@ -832,7 +969,7 @@ def merge(
     # rewrite group sized to the touched files (≥1 for pure inserts) —
     # a merge must not explode the file count to the cluster parallelism
     new_rows = survivors.unionByName(upserts).coalesce(max(len(touched), 1))
-    adds, stats = _write_data(new_rows, path)
+    adds, stats = _write_data(new_rows, path, _bloom_cols(path))
     v = commit(
         path, adds, touched, expected_version=base, operation="merge",
         stats=stats,

@@ -653,3 +653,61 @@ def test_txlog_model_random_histories_with_mutations(spark, tmp_path):
                 for r in txlog.read(spark, path, version=v).collect()
             }
             assert got == expect, (trial, v, got, expect)
+
+
+def test_bloom_point_lookup_prunes_hash_distributed_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(4000).selectExpr("id AS k", "id * 3 AS v")
+    txlog.create(df.repartition(8, "k"), path, bloom_columns=("k",))
+    # band stats are useless on this layout for a mid-range probe
+    band, total = txlog.prune_files(path, "k", 2111, 2111)
+    assert len(band) == total == 8
+    kept, _ = txlog.prune_files_point(path, "k", 2111)
+    assert 1 <= len(kept) < total
+    rows = txlog.read(spark, path, point=("k", 2111)).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(2111, 6333)]
+    # absent key: bloom says no everywhere (modulo fp), read is empty
+    assert txlog.read(spark, path, point=("k", 10**9)).count() == 0
+
+
+def test_bloom_property_survives_rewrites_and_appends(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(1000).selectExpr("id AS k", "id AS v")
+    txlog.create(df.repartition(4, "k"), path, bloom_columns=("k",))
+    assert txlog.table_properties(path) == {"bloom_columns": ["k"]}
+    txlog.append(
+        spark.range(1000, 2000).selectExpr("id AS k", "id AS v")
+        .repartition(4, "k"),
+        path,
+    )
+    txlog.delete(spark, path, "k = 500")
+    src = spark.createDataFrame([(600, -1)], "k long, v long")
+    txlog.merge(spark, path, src, on=["k"])
+    # every active file (original, appended, rewritten) carries a bloom
+    stats = txlog.snapshot_stats(path)
+    assert stats and all("__bloom__" in st for st in stats.values())
+    # and point reads stay correct through the mutations
+    assert txlog.read(spark, path, point=("k", 500)).count() == 0
+    assert [
+        r["v"] for r in txlog.read(spark, path, point=("k", 600)).collect()
+    ] == [-1]
+    assert [
+        r["v"] for r in txlog.read(spark, path, point=("k", 1500)).collect()
+    ] == [1500]
+
+
+def test_bloom_false_positive_rate_is_sane(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(
+        spark.range(2000).selectExpr("id AS k", "id AS v").coalesce(1),
+        path,
+        bloom_columns=("k",),
+    )
+    # probe 500 keys that are NOT in the table; the single file's
+    # bloom should reject the vast majority (~3% fp design point)
+    fp = sum(
+        1
+        for probe in range(10_000, 10_500)
+        if txlog.prune_files_point(path, "k", probe)[0]
+    )
+    assert fp <= 40, fp  # 8% ceiling on a ~3% design point
