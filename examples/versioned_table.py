@@ -1,10 +1,12 @@
 """Lakehouse-style table walkthrough on the txlog format: versioned
-writes, time travel, file skipping, compaction, a streaming sink, and
+writes, time travel, file skipping, compaction, copy-on-write
+mutations, schema evolution, a change feed, bloom point lookups, and
 conflict detection —
 
-    create → CDC merge (overwrite) → append → read any version →
-    predicate read with stats-based file skipping → OPTIMIZE →
-    concurrent-writer conflict demo
+    create → CDC merge (overwrite) → read any version → predicate
+    read with stats-based file skipping → OPTIMIZE → COW DELETE →
+    MERGE INTO → additive schema evolution → row-level change feed →
+    bloom point lookup → concurrent-writer conflict demo
 
     python examples/versioned_table.py [sf_dir]
 """
@@ -66,6 +68,47 @@ def main() -> None:
         f"v{v2}: OPTIMIZE -> {len(txlog.snapshot_files(path))} file(s); "
         f"v0 still readable: {txlog.read(spark, path, version=0).count()} rows"
     )
+
+    # copy-on-write DELETE: only files holding matches rewrite
+    res = txlog.delete(
+        spark, path, "o_orderkey % 1000 = 7"
+    )
+    print(
+        f"v{res['version']}: DELETE removed {res['rows_deleted']} rows, "
+        f"rewrote {res['files_rewritten']}/{res['files_total']} files"
+    )
+
+    # MERGE INTO: upsert two rows, delete one — touched files only
+    src = spark.createDataFrame(
+        [(3, 1.0, "upsert", "U"), (999999999, 2.0, "new", "I"),
+         (5, 0.0, "", "D")],
+        "o_orderkey long, price double, src string, op string",
+    )
+    res = txlog.merge(spark, path, src, on=["o_orderkey"], op_col="op")
+    print(
+        f"v{res['version']}: MERGE upserted {res['rows_upserted']}, "
+        f"deleted {res['rows_deleted']}, rewrote "
+        f"{res['files_rewritten']}/{res['files_total']} files"
+    )
+
+    # additive schema evolution: one log entry, zero data rewrite
+    tagged = txlog.read(spark, path).limit(3).withColumn(
+        "channel", F.lit("backfill")
+    )
+    v = txlog.append(tagged, path, merge_schema=True)
+    cols = [f.name for f in txlog.snapshot_schema(path).fields]
+    print(f"v{v}: schema evolved to {cols}; v0 columns unchanged: "
+          f"{txlog.read(spark, path, version=0).columns}")
+
+    # row-level change feed: net changes per commit, computed from
+    # each commit's touched files only
+    feed = txlog.changes(spark, path, v - 3, v)
+    print("change feed (last 3 commits):")
+    for r in (
+        feed.groupBy("_commit_version", "_change_type").count()
+        .orderBy("_commit_version", "_change_type").collect()
+    ):
+        print(f"  v{r[0]} {r[1]}: {r[2]} rows")
 
     # optimistic concurrency: a stale writer loses cleanly
     files, stats = txlog._write_data(

@@ -57,6 +57,31 @@ log-structured idea):
   therefore ISO strings. Writers drop footer stats for oversized
   values (parquet's max_statistics_size), which is the safe
   direction: a file without stats is never skipped.
+
+Round-6 surface on top of that substrate:
+
+* **Copy-on-write mutations** — :func:`delete` (stats-band candidate
+  pruning → matched-file discovery → rewrite ONLY those) and
+  :func:`merge` (Delta's whenMatchedUpdateAll/whenNotMatchedInsertAll
+  plus deletes via an op column; change keys broadcast, touched files
+  rewrite). Cost is O(touched files), never O(table).
+* **OPTIMIZE ... ZORDER BY** — compaction clustered on a Morton
+  interleave of two normalized dimensions, so the stats tier prunes
+  on EITHER column afterwards.
+* **Additive schema evolution** — the schema rides the log per
+  version (``append(merge_schema=True)``); reads scan with the
+  recorded schema, so pre-evolution files yield null for new columns
+  and time travel returns the column set as of the version. Type
+  changes always raise.
+* **TIMESTAMP AS OF** — :func:`version_at_timestamp` /
+  ``read(timestamp=...)``.
+* **Row-level change feed** — :func:`changes` computes per-commit net
+  row changes from each commit's touched files only (exceptAll both
+  ways; updates surface as delete+insert; optimize commits skip).
+* **Bloom point-lookup skipping** — ``create(bloom_columns=...)``
+  makes every writer record per-file bloom filters; equality probes
+  (:func:`prune_files_point`, ``read(point=...)``) prune
+  hash-distributed layouts where min/max bands keep everything.
 """
 
 from __future__ import annotations
