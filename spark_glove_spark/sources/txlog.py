@@ -1089,3 +1089,35 @@ def changes(
     if out is None:
         raise ValueError("empty change range (or all-optimize commits)")
     return out
+
+
+def append_with_retry(
+    df: DataFrame, path: str, max_retries: int = 10,
+    merge_schema: bool = False,
+) -> int:
+    """Contention-safe append: an append has no read-set (it only adds
+    files), so losing the version race never invalidates the work —
+    the data files are already on disk and only the claimed version
+    number was stale. Retry therefore re-commits the SAME files
+    against the new head instead of rewriting data (the cheap half of
+    the Delta conflict protocol; operations with a read-set — delete/
+    merge/optimize — must re-resolve and redo instead, because the
+    files they rewrote may have changed under them).
+
+    Raises :class:`TxLogConflict` only after ``max_retries`` straight
+    losses — under k concurrent writers a round loses at most k-1
+    times, so the default absorbs realistic bursts."""
+    schema = _evolved_schema(df, path, merge_schema)
+    files, stats = _write_data(df, path, _bloom_cols(path))
+    for _ in range(max_retries + 1):
+        base = current_version(path)
+        try:
+            return commit(
+                path, files, [], expected_version=base, operation="append",
+                stats=stats, schema=schema,
+            )
+        except TxLogConflict:
+            continue
+    raise TxLogConflict(
+        f"append lost the version race {max_retries + 1} times at {path}"
+    )

@@ -711,3 +711,37 @@ def test_bloom_false_positive_rate_is_sane(spark, tmp_path):
         if txlog.prune_files_point(path, "k", probe)[0]
     )
     assert fp <= 40, fp  # 8% ceiling on a ~3% design point
+
+
+def test_append_with_retry_under_concurrent_writers(spark, tmp_path):
+    """Four threads x three appends each, all racing: every append
+    must land (no lost updates), versions must be contiguous, and the
+    final table must hold exactly the union of all batches."""
+    import threading
+
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(0, "seed")]).coalesce(1), path)
+    errors = []
+
+    def writer(tid: int) -> None:
+        try:
+            for j in range(3):
+                base = 1000 * tid + j
+                txlog.append_with_retry(
+                    _df(spark, [(base, f"w{tid}")]).coalesce(1), path
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert txlog.current_version(path) == 12  # create + 12 appends
+    got = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert got == sorted([0] + [1000 * t + j for t in range(4) for j in range(3)])
+    # every version is a parseable, contiguous entry
+    ops = [e["operation"] for e in txlog.read_log(path)]
+    assert ops == ["create"] + ["append"] * 12
