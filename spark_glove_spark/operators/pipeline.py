@@ -345,3 +345,119 @@ def pipeline_sketch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a0.join(a1, "source").join(a2, "source").select(
         "source", "n_docs", "n_after_exact", "n_after_minhash", "tokens_kept"
     )
+
+
+@query(
+    "pipeline_cdc_replication",
+    section="A3,C3,F4",
+    tags=("pipeline", "cdc"),
+    oracle="""
+WITH b AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+mm AS (SELECT CAST(floor(max(k) / 8.0) AS BIGINT) AS h8,
+              CAST(floor(max(k) / 4.0) AS BIGINT) AS h4 FROM b),
+fin AS (
+  SELECT k,
+         CASE WHEN k % 7 = 0 AND k > h8 AND k <= h4
+              THEN floor(price * 120) / 100 ELSE price END AS p
+  FROM b, mm
+  WHERE k > h8 AND NOT (k % 7 = 1 AND k > h8 AND k <= h4)
+  UNION ALL
+  SELECT k + 200000000, floor(price * 25) / 100 FROM b WHERE k % 7 = 3
+  UNION ALL
+  SELECT k + 300000000, floor(price * 45) / 100 FROM b, mm
+  WHERE k % 7 = 2 AND k > h8 AND k <= h4
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+       round(sum(p), 2) AS total
+FROM fin
+""",
+)
+def pipeline_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table REPLICATION over the change feed — the capstone the
+    changelog exists for: a source txlog table mutates through the
+    a25 history (create → append adjustments → banded COW delete →
+    banded U/D/I merge), a REPLICA table is seeded from the source's
+    version 0, and each commit's net changes (txlog.changes) are
+    re-applied to the replica as one MERGE per version (per key:
+    insert row wins as an upsert, a delete-only key becomes a D op —
+    the standard changelog-to-upsert collapse). The replica must then
+    EQUAL the source bit-for-bit: asserted in-body by symmetric
+    exceptAll emptiness, and hash-matched against the relational
+    reconstruction of the final state (the oracle).
+
+    100 TB: this is cross-region/lake replication without locks —
+    only touched-file diffs cross the wire, appends ship verbatim,
+    compactions ship nothing, and the replica converges per version
+    with exactly-once semantics from the version numbers themselves."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.select(k.alias("k"), F.col("o_totalprice").alias("price"))
+    src_path = tempfile.mkdtemp(prefix="sgs_cdcr_") + "/src"
+    txlog.create(base.repartitionByRange(8, "k"), src_path)  # v0
+    h8 = int(base.agg(F.floor(F.max("k") / 8.0)).collect()[0][0])
+    h4 = int(base.agg(F.floor(F.max("k") / 4.0)).collect()[0][0])
+    adj = base.where(F.col("k") % 7 == 3).select(
+        (F.col("k") + 200000000).alias("k"),
+        (F.floor(F.col("price") * 25) / 100).alias("price"),
+    )
+    txlog.append(adj, src_path)  # v1
+    txlog.delete(spark, src_path, f"k <= {h8}", prune=("k", 0, h8))  # v2
+    band = base.where((F.col("k") > h8) & (F.col("k") <= h4))
+    ch_src = (
+        band.where(F.col("k") % 7 == 0)
+        .select("k", (F.floor(F.col("price") * 120) / 100).alias("price"),
+                F.lit("U").alias("op"))
+        .unionByName(
+            band.where(F.col("k") % 7 == 1)
+            .select("k", F.lit(0.0).alias("price"), F.lit("D").alias("op"))
+        )
+        .unionByName(
+            band.where(F.col("k") % 7 == 2)
+            .select((F.col("k") + 300000000).alias("k"),
+                    (F.floor(F.col("price") * 45) / 100).alias("price"),
+                    F.lit("I").alias("op"))
+        )
+    )
+    txlog.merge(spark, src_path, ch_src, on=["k"], op_col="op")  # v3
+
+    # --- replica: seed from v0, then replay the change feed ---
+    rep_path = tempfile.mkdtemp(prefix="sgs_cdcr_") + "/replica"
+    txlog.create(txlog.read(spark, src_path, version=0), rep_path)
+    latest = txlog.current_version(src_path)
+    for v in range(1, latest + 1):
+        ch = txlog.changes(spark, src_path, v - 1, v)
+        # changelog -> upsert collapse: per key, an insert row wins as
+        # an upsert; a delete-only key becomes a D op. (At most one
+        # insert per key per version, so first(ignorenulls) is exact.)
+        apply_set = ch.groupBy("k").agg(
+            F.first(
+                F.when(F.col("_change_type") == "insert", F.col("price")),
+                ignorenulls=True,
+            ).alias("ins_price"),
+        ).select(
+            "k",
+            F.coalesce("ins_price", F.lit(0.0)).alias("price"),
+            F.when(F.col("ins_price").isNotNull(), F.lit("U"))
+            .otherwise(F.lit("D"))
+            .alias("op"),
+        )
+        txlog.merge(spark, rep_path, apply_set, on=["k"], op_col="op")
+
+    src_final = txlog.read(spark, src_path)
+    rep_final = txlog.read(spark, rep_path)
+    # load-bearing invariant — explicit raises survive python -O:
+    # bit-for-bit convergence, both directions
+    if src_final.exceptAll(rep_final).limit(1).count() != 0:
+        raise AssertionError("replica is missing source rows")
+    if rep_final.exceptAll(src_final).limit(1).count() != 0:
+        raise AssertionError("replica has rows the source lacks")
+    return rep_final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("k").alias("n_keys"),
+        F.round(F.sum("price"), 2).alias("total"),
+    )

@@ -274,6 +274,7 @@ R7_WAVE: tuple[str, ...] = (
     "a24_txlog_schema_evolution",
     "a25_txlog_change_feed",
     "a26_txlog_bloom_lookup",
+    "pipeline_cdc_replication",
 )
 
 
