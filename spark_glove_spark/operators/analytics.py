@@ -1847,3 +1847,65 @@ def a26_txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.round("o_totalprice", 2).alias("total"),
     )
+
+
+@query(
+    "a27_txlog_update",
+    section="A3,A1,B2,B5",
+    tags=("analytics",),
+    oracle="""
+WITH mm AS (SELECT CAST(floor(max(o_orderkey) / 8.0) AS BIGINT) AS h8
+            FROM orders)
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(CASE WHEN o_orderkey <= (SELECT h8 FROM mm)
+                      THEN floor(o_totalprice * 105) / 100
+                      ELSE o_totalprice END), 2) AS total
+FROM orders GROUP BY 1
+""",
+)
+def a27_txlog_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE on the txlog format (txlog.update —
+    completing the DML triad with a21's DELETE and a22's MERGE): a
+    banded SET expression (5% price adjustment, floor-cent math so
+    both engines agree bitwise) applies to the bottom eighth of the
+    key space through the same three-tier cost model as DELETE —
+    stats-band candidate pruning, matched-file discovery, strict-
+    subset rewrite (asserted in-body). Unmatched rows in touched
+    files rewrite verbatim, row count is invariant, and the
+    pre-update version still time-travels (asserted). The post-update
+    table must equal the relational CASE expression over the base
+    table (the oracle).
+
+    100 TB: UPDATE cost is O(matching files); the SET expression runs
+    inside codegen during the rewrite — no row-at-a-time path."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="sgs_a27_") + "/t"
+    txlog.create(o.repartitionByRange(8, "o_orderkey"), path)
+    n_before = txlog.read(spark, path).count()
+    h8 = int(o.agg(F.floor(F.max("o_orderkey") / 8.0)).collect()[0][0])
+    res = txlog.update(
+        spark,
+        path,
+        f"o_orderkey <= {h8}",
+        {"o_totalprice": "floor(o_totalprice * 105) / 100"},
+        prune=("o_orderkey", 0, h8),
+    )
+    # load-bearing invariants — explicit raises survive python -O
+    if not (0 < res["files_rewritten"] < res["files_total"]):
+        raise AssertionError(f"update must rewrite a strict subset: {res}")
+    snap = txlog.read(spark, path)
+    if snap.count() != n_before:
+        raise AssertionError("update must not change the row count")
+    if txlog.read(spark, path, version=res["version"] - 1).count() != n_before:
+        raise AssertionError("pre-update version no longer time-travels")
+    return snap.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -275,6 +275,7 @@ R7_WAVE: tuple[str, ...] = (
     "a25_txlog_change_feed",
     "a26_txlog_bloom_lookup",
     "pipeline_cdc_replication",
+    "a27_txlog_update",
 )
 
 

@@ -1121,3 +1121,77 @@ def append_with_retry(
     raise TxLogConflict(
         f"append lost the version race {max_retries + 1} times at {path}"
     )
+
+
+def update(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    prune: tuple[str, object, object] | None = None,
+) -> dict:
+    """Copy-on-write UPDATE: apply ``set_exprs`` (column -> SQL
+    expression over the row's current values) to the rows matching
+    ``condition``, rewriting only the files that contain at least one
+    match — same three-tier cost model as :func:`delete` (stats-band
+    candidate pruning, matched-file discovery, touched-file rewrite).
+    Unmatched rows in touched files are rewritten verbatim; untouched
+    files carry over by log reference; prior versions still
+    time-travel. An update matching nothing commits nothing.
+    Returns ``{"version", "files_rewritten", "files_total",
+    "rows_updated"}``."""
+    from pyspark.sql import functions as F
+
+    base = current_version(path)
+    all_files = snapshot_files(path, base)
+    if prune is not None:
+        candidates, _ = prune_files(path, *prune, version=base)
+    else:
+        candidates = all_files
+    noop = {
+        "version": base,
+        "files_rewritten": 0,
+        "files_total": len(all_files),
+        "rows_updated": 0,
+    }
+    if not candidates:
+        return noop
+    tagged = _read_files(spark, path, candidates)
+    bad = [c for c in set_exprs if c not in tagged.columns]
+    if bad:
+        raise ValueError(f"SET targets unknown columns: {bad}")
+    cond = F.expr(condition)
+    per_file = (
+        tagged.groupBy("_txfile")
+        .agg(F.sum(F.when(cond, 1).otherwise(0)).alias("n_match"))
+        .where(F.col("n_match") > 0)
+        .collect()
+    )
+    touched = sorted(r["_txfile"] for r in per_file)
+    n_updated = sum(r["n_match"] for r in per_file)
+    if not touched:
+        return noop
+    rewritten = tagged.where(F.col("_txfile").isin(touched)).select(
+        *[
+            (
+                F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+            )
+            for c in tagged.columns
+            if c != "_txfile"
+        ]
+    )
+    adds, stats = _write_data(
+        rewritten.coalesce(len(touched)), path, _bloom_cols(path)
+    )
+    v = commit(
+        path, adds, touched, expected_version=base, operation="update",
+        stats=stats,
+    )
+    return {
+        "version": v,
+        "files_rewritten": len(touched),
+        "files_total": len(all_files),
+        "rows_updated": int(n_updated),
+    }

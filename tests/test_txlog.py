@@ -745,3 +745,26 @@ def test_append_with_retry_under_concurrent_writers(spark, tmp_path):
     # every version is a parseable, contiguous entry
     ops = [e["operation"] for e in txlog.read_log(path)]
     assert ops == ["create"] + ["append"] * 12
+
+
+def test_update_rewrites_only_matching_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    txlog.create(df.repartitionByRange(4, "k"), path)
+    res = txlog.update(
+        spark, path, "k >= 10 AND k < 20", {"v": "v * 2 + 1"},
+        prune=("k", 10, 19),
+    )
+    assert res["rows_updated"] == 10
+    assert 0 < res["files_rewritten"] < res["files_total"]
+    rows = {r["k"]: r["v"] for r in txlog.read(spark, path).collect()}
+    assert rows[15] == 31.0 and rows[5] == 5.0 and len(rows) == 100
+    # pre-update version time-travels with the OLD values
+    old = {r["k"]: r["v"]
+           for r in txlog.read(spark, path, version=0).collect()}
+    assert old[15] == 15.0
+    # unknown SET target raises; no-match update is a no-op
+    with pytest.raises(ValueError, match="unknown columns"):
+        txlog.update(spark, path, "k = 1", {"nope": "1"})
+    r2 = txlog.update(spark, path, "k > 1000000000", {"v": "0"})
+    assert r2["rows_updated"] == 0 and r2["version"] == res["version"]
