@@ -824,10 +824,12 @@ def _read_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
     root = os.path.abspath(path)
     # input_file_name() yields file:///abs/path (scheme + empty
     # authority + absolute path) — strip "file://" and the table root
-    # so the tag matches the log's relative paths.
+    # so the tag matches the log's relative paths. \Q..\E quotes the
+    # root so regex metacharacters in a table path (e.g. "+") can't
+    # corrupt the match.
     rel = F.regexp_replace(
         F.regexp_replace(F.input_file_name(), "^file://", ""),
-        "^" + root.rstrip("/") + "/",
+        "^\\Q" + root.rstrip("/") + "/\\E",
         "",
     )
     return df.withColumn("_txfile", rel)
@@ -877,7 +879,12 @@ def delete(
             "rows_deleted": 0,
         }
     tagged = _read_files(spark, path, candidates)
-    cond = F.expr(condition)
+    # NULL-condition rows must SURVIVE: SQL three-valued logic makes
+    # ``NOT cond`` NULL (not true) when cond is NULL, so a bare
+    # ``where(~cond)`` would silently drop rows the match counter
+    # (when(cond, 1).otherwise(0) -> 0) says were never deleted —
+    # coalesce to false pins both sides to "a NULL match is no match".
+    cond = F.coalesce(F.expr(condition), F.lit(False))
     # One bounded collect: per-file match counts (≤ |candidates| rows
     # of metadata — file lists are already driver-sized in this format).
     per_file = (

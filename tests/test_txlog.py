@@ -768,3 +768,18 @@ def test_update_rewrites_only_matching_files(spark, tmp_path):
         txlog.update(spark, path, "k = 1", {"nope": "1"})
     r2 = txlog.update(spark, path, "k > 1000000000", {"v": "0"})
     assert r2["rows_updated"] == 0 and r2["version"] == res["version"]
+
+
+def test_delete_null_condition_rows_survive(spark, tmp_path):
+    """SQL three-valued logic: a row where the DELETE condition
+    evaluates NULL is NOT a match and must survive the rewrite
+    (a bare where(~cond) silently dropped it before the r6 review)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 10.0), (4, None)], "k long, v double"
+    )
+    txlog.create(df.coalesce(1), path)
+    res = txlog.delete(spark, path, "v < 5")
+    assert res["rows_deleted"] == 1  # only k=1; NULLs are not matches
+    got = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert got == [2, 3, 4]
