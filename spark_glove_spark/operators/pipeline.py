@@ -461,3 +461,138 @@ def pipeline_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("k").alias("n_keys"),
         F.round(F.sum("price"), 2).alias("total"),
     )
+
+
+@query(
+    "pipeline_incremental_agg",
+    section="D1,A3,F4",
+    tags=("pipeline", "cdc"),
+    oracle="""
+WITH b AS (SELECT o_orderkey AS k, o_totalprice AS price,
+                  o_orderpriority AS grp FROM orders),
+mm AS (SELECT CAST(floor(max(k) / 8.0) AS BIGINT) AS h8,
+              CAST(floor(max(k) / 4.0) AS BIGINT) AS h4 FROM b),
+fin AS (
+  SELECT grp,
+         CASE WHEN k % 7 = 0 AND k > h8 AND k <= h4
+              THEN floor(price * 120) / 100 ELSE price END AS p
+  FROM b, mm
+  WHERE k > h8 AND NOT (k % 7 = 1 AND k > h8 AND k <= h4)
+  UNION ALL
+  SELECT 'ADJ', floor(price * 25) / 100 FROM b WHERE k % 7 = 3
+  UNION ALL
+  SELECT grp, floor(price * 45) / 100 FROM b, mm
+  WHERE k % 7 = 2 AND k > h8 AND k <= h4
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n, round(sum(p), 2) AS total
+FROM fin GROUP BY 1
+""",
+)
+def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance over the change feed
+    — the view is ``SELECT grp, count(*), sum(price) GROUP BY grp``
+    and each commit's net changes update it WITHOUT rescanning the
+    table: inserts add (+1, +price), deletes retract (-1, -price),
+    and an update (delete+insert in the changelog encoding) nets to
+    the value delta. The maintained view is asserted in-body to EQUAL
+    the full recompute over the final snapshot after drifting through
+    a create/append/COW-delete/merge history, and hash-matches the
+    relational reconstruction (the oracle). Counts going to zero drop
+    the group — the classic retraction subtlety.
+
+    100 TB: per-commit maintenance cost is O(touched files) for the
+    diff + O(|groups in the delta|) for the view update, vs a full
+    scan per refresh; this is the lakehouse form of incremental view
+    maintenance (Delta MVs / Materialize-style delta queries), built
+    from exactly the changes() primitive."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.select(
+        k.alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("grp"),
+    )
+    path = tempfile.mkdtemp(prefix="sgs_iagg_") + "/t"
+    txlog.create(base.repartitionByRange(8, "k"), path)  # v0
+    h8 = int(base.agg(F.floor(F.max("k") / 8.0)).collect()[0][0])
+    h4 = int(base.agg(F.floor(F.max("k") / 4.0)).collect()[0][0])
+    adj = base.where(F.col("k") % 7 == 3).select(
+        (F.col("k") + 200000000).alias("k"),
+        (F.floor(F.col("price") * 25) / 100).alias("price"),
+        F.lit("ADJ").alias("grp"),
+    )
+    txlog.append(adj, path)  # v1
+    txlog.delete(spark, path, f"k <= {h8}", prune=("k", 0, h8))  # v2
+    band = base.where((F.col("k") > h8) & (F.col("k") <= h4))
+    src = (
+        band.where(F.col("k") % 7 == 0)
+        .select("k", (F.floor(F.col("price") * 120) / 100).alias("price"),
+                "grp", F.lit("U").alias("op"))
+        .unionByName(
+            band.where(F.col("k") % 7 == 1)
+            .select("k", F.lit(0.0).alias("price"), "grp",
+                    F.lit("D").alias("op"))
+        )
+        .unionByName(
+            band.where(F.col("k") % 7 == 2)
+            .select((F.col("k") + 300000000).alias("k"),
+                    (F.floor(F.col("price") * 45) / 100).alias("price"),
+                    "grp", F.lit("I").alias("op"))
+        )
+    )
+    txlog.merge(spark, path, src, on=["k"], op_col="op")  # v3
+
+    # --- view seeded from v0, then maintained per commit ---
+    view = (
+        txlog.read(spark, path, version=0)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("price").alias("total"))
+        .localCheckpoint(eager=True)
+    )
+    latest = txlog.current_version(path)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    for v in range(1, latest + 1):
+        delta = (
+            txlog.changes(spark, path, v - 1, v)
+            .groupBy("grp")
+            .agg(
+                F.sum(sign).alias("dn"),
+                F.sum(sign * F.col("price")).alias("dtotal"),
+            )
+        )
+        view = (
+            view.join(delta, "grp", "full_outer")
+            .select(
+                "grp",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+                .alias("n"),
+                (
+                    F.coalesce("total", F.lit(0.0))
+                    + F.coalesce("dtotal", F.lit(0.0))
+                ).alias("total"),
+            )
+            .where(F.col("n") > 0)  # retraction to zero drops the group
+            .localCheckpoint(eager=True)
+        )
+
+    # load-bearing invariant — explicit raise survives python -O:
+    # the maintained view equals the full recompute over the snapshot
+    full = (
+        txlog.read(spark, path)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("price").alias("total"))
+    )
+    a = {r["grp"]: (r["n"], round(r["total"], 2)) for r in view.collect()}
+    b = {r["grp"]: (r["n"], round(r["total"], 2)) for r in full.collect()}
+    if a != b:
+        raise AssertionError(f"incremental view diverged: {a} != {b}")
+    return view.select(
+        "grp", F.col("n").cast("long").alias("n"),
+        F.round("total", 2).alias("total"),
+    )

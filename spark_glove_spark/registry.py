@@ -276,6 +276,7 @@ R7_WAVE: tuple[str, ...] = (
     "a26_txlog_bloom_lookup",
     "pipeline_cdc_replication",
     "a27_txlog_update",
+    "pipeline_incremental_agg",
 )
 
 
