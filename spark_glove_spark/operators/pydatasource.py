@@ -368,3 +368,207 @@ def i18_txlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def _register_txlog_cdf_stream(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class TxLogCdfStreamReader(SimpleDataSourceStreamReader):
+        """SIGNED change-data feed over a txlog table — the streaming
+        form that CAN represent mutations (the plain txlog_stream
+        refuses file-removing versions): each micro-batch emits every
+        row of the version's ADDED files with sign +1 and every row
+        of its REMOVED files with sign -1, uncancelled. Copy-on-write
+        survivor rows therefore appear as a (+1, -1) pair that nets
+        to ZERO in any additive aggregate — so a downstream
+        sum(sign)/sum(sign*x) view is maintained correctly without
+        the exceptAll cancellation the batch changes() performs
+        (cancellation is a per-version barrier; additive consumers
+        don't need it). 'optimize' versions are skipped outright:
+        layout-only, they would net zero at the cost of re-reading
+        the table twice. Replay re-reads the same immutable files, so
+        exactly-once follows from the version numbering."""
+
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+
+        def initialOffset(self):
+            return {"version": -1}
+
+        def _version_rows(self, v: int):
+            import os
+
+            import pyarrow.parquet as pq
+
+            from spark_glove_spark.sources import txlog
+
+            entry = txlog.read_log(self.path, v)[v]
+            if entry.get("operation") == "optimize":
+                return []
+            rows = []
+            for sign, rels in ((1, entry["adds"]), (-1, entry["removes"])):
+                for rel in rels:
+                    t = pq.read_table(
+                        os.path.join(self.path, rel),
+                        columns=["k", "price", "grp"],
+                    )
+                    rows.extend(
+                        zip(
+                            t.column("k").to_pylist(),
+                            t.column("price").to_pylist(),
+                            t.column("grp").to_pylist(),
+                            [sign] * t.num_rows,
+                            [v] * t.num_rows,
+                        )
+                    )
+            rows.sort()
+            return rows
+
+        def read(self, start):
+            from spark_glove_spark.sources import txlog
+
+            nxt = start["version"] + 1
+            if nxt > txlog.current_version(self.path):
+                return iter([]), start  # caught up
+            return iter(self._version_rows(nxt)), {"version": nxt}
+
+        def readBetweenOffsets(self, start, end):
+            rows = []
+            for v in range(start["version"] + 1, end["version"] + 1):
+                rows.extend(self._version_rows(v))
+            return iter(rows)
+
+        def commit(self, end) -> None:
+            pass
+
+    class TxLogCdfStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "txlog_cdf_stream"
+
+        def schema(self) -> str:
+            return (
+                "k BIGINT, price DOUBLE, grp STRING, "
+                "sign INT, version BIGINT"
+            )
+
+        def simpleStreamReader(self, schema):  # noqa: D102 — API hook
+            return TxLogCdfStreamReader(self.options)
+
+    spark.dataSource.register(TxLogCdfStreamSource)
+
+
+@query(
+    "i19_streaming_incremental_agg",
+    section="A5,I1,D1,F4",
+    tags=("streaming", "source", "cdc"),
+    oracle="""
+WITH b AS (SELECT o_orderkey AS k, o_totalprice AS price,
+                  o_orderpriority AS grp FROM orders),
+mm AS (SELECT CAST(floor(max(k) / 8.0) AS BIGINT) AS h8,
+              CAST(floor(max(k) / 4.0) AS BIGINT) AS h4 FROM b),
+fin AS (
+  SELECT grp,
+         CASE WHEN k % 7 = 0 AND k > h8 AND k <= h4
+              THEN floor(price * 120) / 100 ELSE price END AS p
+  FROM b, mm
+  WHERE k > h8 AND NOT (k % 7 = 1 AND k > h8 AND k <= h4)
+  UNION ALL
+  SELECT 'ADJ', floor(price * 25) / 100 FROM b WHERE k % 7 = 3
+  UNION ALL
+  SELECT grp, floor(price * 45) / 100 FROM b, mm
+  WHERE k % 7 = 2 AND k > h8 AND k <= h4
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n, round(sum(p), 2) AS total
+FROM fin GROUP BY 1
+""",
+)
+def i19_streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING materialized-view maintenance over a MUTATING table —
+    pipeline_incremental_agg's always-on twin: the orders table
+    drifts through the same create/append/COW-delete/merge history,
+    and a complete-mode streaming aggregate over the SIGNED change
+    feed (txlog_cdf_stream: +1 per added-file row, -1 per
+    removed-file row, one version per micro-batch) maintains
+    count = sum(sign) and total = sum(sign * price) per group. COW
+    survivor rows arrive as (+1, -1) pairs that net to zero, so no
+    diff/cancellation step exists anywhere in the pipeline — the
+    additive algebra absorbs rewrites. The final view hash-matches
+    the relational reconstruction of the table's end state (the
+    oracle), proving exactly-once delivery of every add AND remove
+    across micro-batch boundaries."""
+    import tempfile
+    import uuid
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.select(
+        k.alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("grp"),
+    )
+    path = tempfile.mkdtemp(prefix="sgs_i19_") + "/t"
+    txlog.create(base.repartitionByRange(8, "k"), path)  # v0
+    h8 = int(base.agg(F.floor(F.max("k") / 8.0)).collect()[0][0])
+    h4 = int(base.agg(F.floor(F.max("k") / 4.0)).collect()[0][0])
+    adj = base.where(F.col("k") % 7 == 3).select(
+        (F.col("k") + 200000000).alias("k"),
+        (F.floor(F.col("price") * 25) / 100).alias("price"),
+        F.lit("ADJ").alias("grp"),
+    )
+    txlog.append(adj, path)  # v1
+    txlog.delete(spark, path, f"k <= {h8}", prune=("k", 0, h8))  # v2
+    band = base.where((F.col("k") > h8) & (F.col("k") <= h4))
+    src = (
+        band.where(F.col("k") % 7 == 0)
+        .select("k", (F.floor(F.col("price") * 120) / 100).alias("price"),
+                "grp", F.lit("U").alias("op"))
+        .unionByName(
+            band.where(F.col("k") % 7 == 1)
+            .select("k", F.lit(0.0).alias("price"), "grp",
+                    F.lit("D").alias("op"))
+        )
+        .unionByName(
+            band.where(F.col("k") % 7 == 2)
+            .select((F.col("k") + 300000000).alias("k"),
+                    (F.floor(F.col("price") * 45) / 100).alias("price"),
+                    "grp", F.lit("I").alias("op"))
+        )
+    )
+    txlog.merge(spark, path, src, on=["k"], op_col="op")  # v3
+    txlog.optimize(spark, path)  # v4 — skipped by the feed
+
+    _register_txlog_cdf_stream(spark)
+    feed = spark.readStream.format("txlog_cdf_stream").option(
+        "path", path
+    ).load()
+    view = (
+        feed.groupBy("grp")
+        .agg(
+            F.sum("sign").alias("n"),
+            F.round(F.sum(F.col("sign") * F.col("price")), 2).alias("total"),
+        )
+        .where(F.col("n") > 0)
+        .select("grp", F.col("n").cast("long").alias("n"), "total")
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            view.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

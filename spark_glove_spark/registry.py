@@ -277,6 +277,7 @@ R7_WAVE: tuple[str, ...] = (
     "pipeline_cdc_replication",
     "a27_txlog_update",
     "pipeline_incremental_agg",
+    "i19_streaming_incremental_agg",
 )
 
 
