@@ -82,6 +82,12 @@ Round-6 surface on top of that substrate:
   makes every writer record per-file bloom filters; equality probes
   (:func:`prune_files_point`, ``read(point=...)``) prune
   hash-distributed layouts where min/max bands keep everything.
+* **UPDATE** — :func:`update` (SET expressions over matching rows,
+  same three-tier COW cost model as delete), **RESTORE** —
+  :func:`restore` (roll back to any version as a forward, metadata-
+  only commit; the undone history stays time-travelable), and
+  **contention-safe appends** — :func:`append_with_retry` (appends
+  have no read-set, so a lost race re-commits the same files).
 """
 
 from __future__ import annotations
@@ -1202,3 +1208,33 @@ def update(
         "files_total": len(all_files),
         "rows_updated": int(n_updated),
     }
+
+
+def restore(path: str, version: int) -> int:
+    """RESTORE the table to an earlier ``version`` — as a FORWARD
+    commit (Delta's RESTORE): the new head's active file set, stats,
+    and schema become exactly those of the target snapshot, while the
+    history in between stays intact and time-travelable (an undo that
+    is itself undoable). Pure metadata: no data file is read, written,
+    or deleted — the commit lists the file-set delta between the
+    current head and the target. Restoring to a snapshot whose files
+    were VACUUMed raises at the first read, like any vacuumed
+    time-travel read; vacuum respects the restored head as the
+    current snapshot thereafter."""
+    base = current_version(path)
+    if not (0 <= version <= base):
+        raise ValueError(f"cannot restore to {version} (latest {base})")
+    if version == base:
+        return base
+    _, cur, _, _ = _resolve(path, base)
+    _, target, target_stats, target_schema = _resolve(path, version)
+    return commit(
+        path,
+        adds=sorted(target - cur),
+        removes=sorted(cur - target),
+        expected_version=base,
+        operation="restore",
+        stats={f: target_stats[f] for f in sorted(target - cur)
+               if f in target_stats},
+        schema=target_schema,
+    )

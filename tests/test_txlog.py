@@ -783,3 +783,33 @@ def test_delete_null_condition_rows_survive(spark, tmp_path):
     assert res["rows_deleted"] == 1  # only k=1; NULLs are not matches
     got = sorted(r["k"] for r in txlog.read(spark, path).collect())
     assert got == [2, 3, 4]
+
+
+def test_restore_rolls_back_as_a_forward_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark, 20, 2), path)                      # v0
+    txlog.delete(spark, path, "k < 5")                          # v1
+    evolved = spark.createDataFrame(
+        [(100, "x", "web")], "k long, v string, channel string"
+    )
+    txlog.append(evolved.coalesce(1), path, merge_schema=True)  # v2
+    v = txlog.restore(path, 0)                                  # v3
+    assert v == 3 and txlog.current_version(path) == 3
+    # head now equals v0 exactly — data AND schema
+    got = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert got == list(range(20))
+    assert txlog.read(spark, path).columns == ["k", "v"]
+    # the undone history is still time-travelable (undo is undoable)
+    assert txlog.read(spark, path, version=2).count() == 16
+    assert "channel" in txlog.read(spark, path, version=2).columns
+    # restore emits a change feed like any commit: net changes v2->v3
+    ch = txlog.changes(spark, path, 2, 3)
+    counts = {r["_change_type"]: 1 for r in ch.collect()}  # presence only
+    assert "insert" in counts and "delete" in counts
+    # stats survive: file skipping still works on the restored head
+    kept, total = txlog.prune_files(path, "k", 0, 9)
+    assert 0 < len(kept) <= total
+    # restoring to the current head is a no-op
+    assert txlog.restore(path, 3) == 3
+    with pytest.raises(ValueError, match="cannot restore"):
+        txlog.restore(path, 99)
