@@ -655,7 +655,15 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     ever: set[str] = set()
     for entry in read_log(path):
         ever |= set(entry["adds"])
-    doomed = sorted(ever - keep)
+    # Shallow clones reference files OUTSIDE this table root via
+    # "../" paths (see :func:`clone`) — vacuum must never reach
+    # through a clone into its source table, so out-of-root
+    # references are excluded from deletion unconditionally.
+    root = os.path.abspath(path)
+    doomed = sorted(
+        rel for rel in ever - keep
+        if os.path.abspath(os.path.join(path, rel)).startswith(root + os.sep)
+    )
     for rel in doomed:
         p = os.path.join(path, rel)
         if os.path.exists(p):
@@ -827,18 +835,20 @@ def _read_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
     st = snapshot_schema(path)
     reader = spark.read.schema(st) if st is not None else spark.read
     df = reader.parquet(*[os.path.join(path, f) for f in files])
-    root = os.path.abspath(path)
     # input_file_name() yields file:///abs/path (scheme + empty
-    # authority + absolute path) — strip "file://" and the table root
-    # so the tag matches the log's relative paths. \Q..\E quotes the
-    # root so regex metacharacters in a table path (e.g. "+") can't
-    # corrupt the match.
-    rel = F.regexp_replace(
-        F.regexp_replace(F.input_file_name(), "^file://", ""),
-        "^\\Q" + root.rstrip("/") + "/\\E",
-        "",
-    )
-    return df.withColumn("_txfile", rel)
+    # authority + absolute path). Map the absolute path back to the
+    # snapshot's EXACT relative key via a literal map — exact for any
+    # path shape, including a shallow clone's out-of-root "../src/…"
+    # references, where a strip-the-root regex could never recover
+    # the stored key (found live: a clone's DELETE removed abs paths
+    # that matched nothing in the active set, silently duplicating
+    # survivors).
+    pairs = []
+    for f in files:
+        pairs.append(F.lit(os.path.abspath(os.path.join(path, f))))
+        pairs.append(F.lit(f))
+    abs_col = F.regexp_replace(F.input_file_name(), "^file://", "")
+    return df.withColumn("_txfile", F.element_at(F.create_map(*pairs), abs_col))
 
 
 def delete(
@@ -1237,4 +1247,46 @@ def restore(path: str, version: int) -> int:
         stats={f: target_stats[f] for f in sorted(target - cur)
                if f in target_stats},
         schema=target_schema,
+    )
+
+
+def clone(src_path: str, dst_path: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (Delta's zero-copy dev/test sandbox): create a
+    new table whose version 0 REFERENCES the source snapshot's data
+    files by relative out-of-root paths — no bytes are copied. Stats,
+    schema, and table properties carry over, so file skipping, bloom
+    lookups, and schema resolution work immediately. The clone then
+    evolves independently: mutations rewrite into files LOCAL to the
+    clone, and the source never sees them.
+
+    Aliasing contract (same as Delta's shallow clones, documented not
+    hidden): the clone's vacuum never deletes through the reference
+    (out-of-root paths are excluded unconditionally), but a vacuum on
+    the SOURCE can delete files the clone still references — clone
+    from tables whose retention outlives the sandbox, or OPTIMIZE the
+    clone (which localizes every referenced row) to cut the tie."""
+    base = current_version(src_path)
+    if base < 0:
+        raise FileNotFoundError(f"no transaction log at {src_path}")
+    _, active, stats, schema = _resolve(src_path, version)
+    os.makedirs(dst_path, exist_ok=True)
+    if current_version(dst_path) >= 0:
+        raise FileExistsError(f"txlog table already exists at {dst_path}")
+    src_abs = os.path.abspath(src_path)
+    dst_abs = os.path.abspath(dst_path)
+    refs = {
+        f: os.path.relpath(os.path.join(src_abs, f), dst_abs)
+        for f in sorted(active)
+    }
+    props = dict(table_properties(src_path))
+    props["cloned_from"] = src_abs
+    return commit(
+        dst_path,
+        adds=sorted(refs.values()),
+        removes=[],
+        expected_version=-1,
+        operation="clone",
+        stats={refs[f]: stats[f] for f in sorted(active) if f in stats},
+        schema=schema,
+        properties=props,
     )

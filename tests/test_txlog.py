@@ -813,3 +813,54 @@ def test_restore_rolls_back_as_a_forward_commit(spark, tmp_path):
     assert txlog.restore(path, 3) == 3
     with pytest.raises(ValueError, match="cannot restore"):
         txlog.restore(path, 99)
+
+
+def test_shallow_clone_zero_copy_and_independent_evolution(spark, tmp_path):
+    import glob as _glob
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "sandbox")
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    txlog.create(df.repartitionByRange(4, "k"), src, bloom_columns=("k",))
+    assert txlog.clone(src, dst) == 0
+    # zero copy: the clone holds NO data files of its own
+    assert not _glob.glob(os.path.join(dst, "data-*", "*.parquet"))
+    assert txlog.read(spark, dst).count() == 100
+    # stats, blooms, and properties carried over
+    kept, total = txlog.prune_files(dst, "k", 0, 24)
+    assert 0 < len(kept) < total
+    kp, _ = txlog.prune_files_point(dst, "k", 50)
+    assert 0 < len(kp) < total
+    assert txlog.table_properties(dst)["bloom_columns"] == ["k"]
+    # mutations on the clone never touch the source
+    txlog.delete(spark, dst, "k < 10")
+    src2 = spark.createDataFrame([(50, -1), (500, 5)], "k long, v long")
+    txlog.merge(spark, dst, src2, on=["k"])
+    rows = {r["k"]: r["v"] for r in txlog.read(spark, dst).collect()}
+    assert rows[50] == -1 and rows[500] == 5 and len(rows) == 91
+    assert txlog.read(spark, src).count() == 100
+    assert {r["k"]: r["v"] for r in txlog.read(spark, src).collect()}[50] == 100
+    # the clone's vacuum must not reach through the reference
+    doomed = txlog.vacuum(dst, keep_versions=1)
+    assert all(".." not in d for d in doomed)
+    assert txlog.read(spark, src).count() == 100
+    # OPTIMIZE localizes every referenced row — the tie is cut
+    txlog.optimize(spark, dst)
+    assert all(
+        ".." not in f for f in txlog.snapshot_files(dst)
+    )
+    assert txlog.read(spark, dst).count() == 91
+
+
+def test_clone_refuses_existing_destination(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    txlog.create(_df(spark, [(1, "a")]), src)
+    txlog.create(_df(spark, [(2, "b")]), dst)
+    with pytest.raises(FileExistsError):
+        txlog.clone(src, dst)
+    # cloning a time-travel version pins that snapshot
+    txlog.append(_df(spark, [(3, "c")]), src)
+    dst2 = str(tmp_path / "dst2")
+    txlog.clone(src, dst2, version=0)
+    assert txlog.read(spark, dst2).count() == 1
