@@ -377,9 +377,30 @@ def _bloom_maybe_contains(bloom: dict, value) -> bool:
 
 
 def table_properties(path: str) -> dict:
-    """Immutable table properties recorded at create time (currently
-    ``bloom_columns``)."""
+    """Immutable table properties recorded at create time
+    (``bloom_columns``, ``check_constraints``, ``cloned_from``)."""
     return _read_entry(path, 0).get("properties", {})
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+    """Validate CHECK constraints against the rows about to land.
+    Standard SQL semantics: a row violates only when the expression
+    is FALSE — NULL passes. Raises with the constraint name and one
+    offending row; runs BEFORE any data is written so a rejected
+    write leaves neither files nor a version behind."""
+    from pyspark.sql import functions as F
+
+    for name, expr in constraints.items():
+        bad = (
+            df.where(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {name!r} violated ({expr}); "
+                f"example row: {bad[0].asDict()}"
+            )
 
 
 def _bloom_cols(path: str) -> tuple[str, ...]:
@@ -523,19 +544,33 @@ def _evolved_schema(df: DataFrame, path: str, merge_schema: bool) -> str:
 
 
 def create(
-    df: DataFrame, path: str, bloom_columns: tuple[str, ...] = ()
+    df: DataFrame,
+    path: str,
+    bloom_columns: tuple[str, ...] = (),
+    check_constraints: dict[str, str] | None = None,
 ) -> int:
     """Materialize ``df`` as version 0 of a new txlog table.
     ``bloom_columns`` is an immutable table property: every writer
     (append, delete/merge rewrites, optimize) records a per-file
     bloom filter for those columns, giving point lookups a skipping
     index that works on hash-distributed keys where min/max stats
-    never prune."""
+    never prune. ``check_constraints`` ({name: SQL boolean expr}) is
+    likewise an immutable table property: every writer (create,
+    append, merge upserts, update rewrites) validates the landing
+    rows first and refuses the whole commit on the first violation —
+    the Delta CHECK-constraint contract."""
     os.makedirs(path, exist_ok=True)
     if current_version(path) >= 0:
         raise FileExistsError(f"txlog table already exists at {path}")
+    if check_constraints:
+        _enforce_constraints(df, check_constraints)
     files, stats = _write_data(df, path, tuple(bloom_columns))
-    props = {"bloom_columns": list(bloom_columns)} if bloom_columns else None
+    props = {}
+    if bloom_columns:
+        props["bloom_columns"] = list(bloom_columns)
+    if check_constraints:
+        props["check_constraints"] = dict(check_constraints)
+    props = props or None
     return commit(
         path, files, [], expected_version=-1, operation="create", stats=stats,
         schema=df.schema.json(), properties=props,
@@ -550,6 +585,7 @@ def append(df: DataFrame, path: str, merge_schema: bool = False) -> int:
     changes always raise."""
     base = current_version(path)
     schema = _evolved_schema(df, path, merge_schema)
+    _enforce_constraints(df, table_properties(path).get("check_constraints", {}))
     files, stats = _write_data(df, path, _bloom_cols(path))
     return commit(
         path, files, [], expected_version=base, operation="append",
@@ -574,6 +610,7 @@ def overwrite(df: DataFrame, path: str) -> int:
                     f"type change for column {f.name!r}: "
                     f"{cur[f.name]} -> {f.dataType}"
                 )
+    _enforce_constraints(df, table_properties(path).get("check_constraints", {}))
     files, stats = _write_data(df, path, _bloom_cols(path))
     return commit(
         path, files, old, expected_version=base, operation="overwrite",
@@ -1014,6 +1051,9 @@ def merge(
         if touched
         else spark.createDataFrame([], tagged.drop("_txfile").schema)
     )
+    _enforce_constraints(
+        upserts, table_properties(path).get("check_constraints", {})
+    )
     # rewrite group sized to the touched files (≥1 for pure inserts) —
     # a merge must not explode the file count to the cluster parallelism
     new_rows = survivors.unionByName(upserts).coalesce(max(len(touched), 1))
@@ -1131,6 +1171,7 @@ def append_with_retry(
     losses — under k concurrent writers a round loses at most k-1
     times, so the default absorbs realistic bursts."""
     schema = _evolved_schema(df, path, merge_schema)
+    _enforce_constraints(df, table_properties(path).get("check_constraints", {}))
     files, stats = _write_data(df, path, _bloom_cols(path))
     for _ in range(max_retries + 1):
         base = current_version(path)
@@ -1204,6 +1245,12 @@ def update(
             for c in tagged.columns
             if c != "_txfile"
         ]
+    )
+    # validate the WHOLE rewrite frame: re-applying ``cond`` to the
+    # post-update rows would mis-select (the SET may falsify it), and
+    # survivors re-validating is free correctness
+    _enforce_constraints(
+        rewritten, table_properties(path).get("check_constraints", {})
     )
     adds, stats = _write_data(
         rewritten.coalesce(len(touched)), path, _bloom_cols(path)

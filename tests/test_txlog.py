@@ -864,3 +864,36 @@ def test_clone_refuses_existing_destination(spark, tmp_path):
     dst2 = str(tmp_path / "dst2")
     txlog.clone(src, dst2, version=0)
     assert txlog.read(spark, dst2).count() == 1
+
+
+def test_check_constraints_enforced_by_every_writer(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(10).selectExpr("id AS k", "CAST(id + 1 AS DOUBLE) AS v")
+    txlog.create(
+        df.coalesce(1), path, check_constraints={"v_positive": "v > 0"}
+    )
+    v0 = txlog.current_version(path)
+    bad = spark.createDataFrame([(100, -1.0)], "k long, v double")
+    # append refuses BEFORE committing anything
+    with pytest.raises(ValueError, match="v_positive"):
+        txlog.append(bad, path)
+    with pytest.raises(ValueError, match="v_positive"):
+        txlog.append_with_retry(bad, path)
+    with pytest.raises(ValueError, match="v_positive"):
+        txlog.overwrite(bad, path)
+    # merge upserts are validated
+    with pytest.raises(ValueError, match="v_positive"):
+        txlog.merge(spark, path, bad, on=["k"])
+    # update SET results are validated
+    with pytest.raises(ValueError, match="v_positive"):
+        txlog.update(spark, path, "k < 3", {"v": "v - 100"})
+    assert txlog.current_version(path) == v0  # nothing committed
+    # NULL passes (standard SQL CHECK), valid writes land
+    ok = spark.createDataFrame([(200, None), (201, 5.0)], "k long, v double")
+    txlog.append(ok.coalesce(1), path)
+    assert txlog.read(spark, path).count() == 12
+    # a violating CREATE never materializes a table
+    bad_path = str(tmp_path / "bad")
+    with pytest.raises(ValueError, match="v_positive"):
+        txlog.create(bad, bad_path, check_constraints={"v_positive": "v > 0"})
+    assert txlog.current_version(bad_path) == -1
