@@ -88,6 +88,13 @@ Round-6 surface on top of that substrate:
   only commit; the undone history stays time-travelable), and
   **contention-safe appends** — :func:`append_with_retry` (appends
   have no read-set, so a lost race re-commits the same files).
+* **Shallow CLONE** — :func:`clone` (zero-copy sandbox referencing
+  the source snapshot's files out-of-root; stats/blooms/schema/
+  properties carry over, mutations stay local, vacuum never reaches
+  through the reference, OPTIMIZE localizes and cuts the tie).
+* **CHECK constraints** — ``create(check_constraints=...)``; every
+  writer validates landing rows first and refuses the whole commit
+  on the first violation (NULL passes, only FALSE violates).
 """
 
 from __future__ import annotations
