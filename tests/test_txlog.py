@@ -612,10 +612,11 @@ def test_txlog_model_random_histories_with_mutations(spark, tmp_path):
         )
         model = {0: dict(first)}
         v = 0
-        while v < 7:
+        while v < 9:
             cur = dict(model[v])
             op = rng.choice(
-                ["append", "overwrite", "optimize", "delete", "merge"]
+                ["append", "overwrite", "optimize", "delete", "merge",
+                 "update", "restore"]
             )
             if op == "append":
                 rows = {next(nxt): "x" for _ in range(rng.randint(1, 3))}
@@ -636,7 +637,7 @@ def test_txlog_model_random_histories_with_mutations(spark, tmp_path):
                 res = txlog.delete(spark, path, f"k = {doomed}")
                 assert res["rows_deleted"] == 1
                 del cur[doomed]
-            else:  # merge: update one existing key + insert one new
+            elif op == "merge":  # update one existing key + insert one new
                 upd = rng.choice(sorted(cur))
                 new = next(nxt)
                 src = spark.createDataFrame(
@@ -645,6 +646,19 @@ def test_txlog_model_random_histories_with_mutations(spark, tmp_path):
                 txlog.merge(spark, path, src, on=["k"])
                 cur[upd] = f"u{v}"
                 cur[new] = f"i{v}"
+            elif op == "update":
+                target = rng.choice(sorted(cur))
+                res = txlog.update(
+                    spark, path, f"k = {target}", {"v": f"'U{v}'"}
+                )
+                assert res["rows_updated"] == 1
+                cur[target] = f"U{v}"
+            else:  # restore to a random earlier version
+                target_v = rng.randint(0, v)
+                txlog.restore(path, target_v)
+                if target_v == v:
+                    continue  # no-op restore burns no version
+                cur = dict(model[target_v])
             v += 1
             model[v] = cur
         for v, expect in model.items():
