@@ -719,7 +719,7 @@ def optimize(
     spark: SparkSession,
     path: str,
     target_files: int = 1,
-    zorder_by: tuple[str, str] | None = None,
+    zorder_by: tuple[str, ...] | None = None,
 ) -> int:
     """OPTIMIZE / compaction: rewrite the current snapshot's files
     into ``target_files`` larger ones as a NEW version (adds the
@@ -730,18 +730,19 @@ def optimize(
     like any commit and the caller retries — compaction is just a
     commit.
 
-    ``zorder_by=(colx, coly)`` additionally CLUSTERS the rewrite on
-    the Morton interleave of the two (numeric) columns — Delta's
+    ``zorder_by=(col, ...)`` additionally CLUSTERS the rewrite on the
+    Morton interleave of the n (numeric) columns — Delta's
     ``OPTIMIZE ... ZORDER BY``: each dimension is min/max-normalized
-    to 16 bits (one tiny broadcast aggregate; without normalization a
-    narrow column contributes no high bits and the key degenerates to
-    a single-dim sort — a8_zorder_layout measures this), interleaved
-    in pure codegen, then ``repartitionByRange(zv).
-    sortWithinPartitions(zv)`` so every rewritten file's FOOTER
-    min/max envelope is tight on BOTH columns. The payoff is in this
-    module's own stats tier: after a Z-order optimize,
-    :func:`prune_files` fires selectively on EITHER column — 2-D data
-    skipping from the same 1-D stats index."""
+    to b = min(16, 63//n) bits (one tiny broadcast aggregate; without
+    normalization a narrow column contributes no high bits and the
+    key degenerates to a single-dim sort — a8_zorder_layout measures
+    this), interleaved in pure codegen (dim d owns bit positions
+    i·n + d), then ``repartitionByRange(zv).sortWithinPartitions(zv)``
+    so every rewritten file's FOOTER min/max envelope is tight on ALL
+    clustered columns. The payoff is in this module's own stats tier:
+    after a Z-order optimize, :func:`prune_files` fires selectively
+    on ANY clustered column — n-D data skipping from the same 1-D
+    stats index."""
     base = current_version(path)
     old = snapshot_files(path, base)
     df = read(spark, path, version=base)
@@ -750,33 +751,46 @@ def optimize(
     else:
         from pyspark.sql import functions as F
 
-        cx, cy = zorder_by
-        df = df.withColumn("_zx", F.col(cx).cast("bigint")).withColumn(
-            "_zy", F.col(cy).cast("bigint")
-        )
+        n = len(zorder_by)
+        if n < 2:
+            raise ValueError("zorder_by needs at least two columns")
+        b = min(16, 63 // n)
+        scale = (1 << b) - 1
+        tmp = [f"_z{d}" for d in range(n)]
+        for c, t in zip(zorder_by, tmp):
+            df = df.withColumn(t, F.col(c).cast("bigint"))
         bounds = df.agg(
-            F.min("_zx").alias("mnx"),
-            F.max("_zx").alias("mxx"),
-            F.min("_zy").alias("mny"),
-            F.max("_zy").alias("mxy"),
+            *[
+                f
+                for d, t in enumerate(tmp)
+                for f in (
+                    F.min(t).alias(f"_mn{d}"),
+                    F.max(t).alias(f"_mx{d}"),
+                )
+            ]
+        )
+        terms = " + ".join(
+            f"shiftleft(shiftright(((_z{d} - _mn{d}) * {scale})"
+            f" div greatest(1L, _mx{d} - _mn{d}), i) & 1, {n} * i + {d})"
+            for d in range(n)
         )
         df = (
             df.crossJoin(F.broadcast(bounds))
             .withColumn(
                 "_zv",
                 F.expr(
-                    "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
-                    " + shiftleft(shiftright("
-                    "((_zx - mnx) * 65535) div greatest(1L, mxx - mnx), i) & 1,"
-                    " 2 * i)"
-                    " + shiftleft(shiftright("
-                    "((_zy - mny) * 65535) div greatest(1L, mxy - mny), i) & 1,"
-                    " 2 * i + 1))"
+                    f"aggregate(sequence(0, {b - 1}), 0L,"
+                    f" (acc, i) -> acc + {terms})"
                 ),
             )
             .repartitionByRange(target_files, "_zv")
             .sortWithinPartitions("_zv")
-            .drop("_zx", "_zy", "_zv", "mnx", "mxx", "mny", "mxy")
+            .drop(
+                "_zv",
+                *tmp,
+                *[f"_mn{d}" for d in range(n)],
+                *[f"_mx{d}" for d in range(n)],
+            )
         )
     files, stats = _write_data(df, path, _bloom_cols(path))
     return commit(
@@ -1344,3 +1358,43 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> int:
         schema=schema,
         properties=props,
     )
+
+
+def history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per commit — version, operation,
+    commit timestamp, files added/removed, and whether a checkpoint
+    exists at that version. Metadata only (log entries are KB-sized);
+    newest first, like Delta's DESCRIBE HISTORY."""
+    cps = set(checkpoint_versions(path))
+    rows = [
+        (
+            e["version"],
+            e.get("operation", "commit"),
+            float(e.get("timestamp", 0.0)),
+            len(e["adds"]),
+            len(e["removes"]),
+            e["version"] in cps,
+        )
+        for e in read_log(path)
+    ]
+    return spark.createDataFrame(
+        sorted(rows, reverse=True),
+        "version LONG, operation STRING, timestamp DOUBLE, "
+        "n_added LONG, n_removed LONG, checkpointed BOOLEAN",
+    )
+
+
+def register_view(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Register a snapshot as a temp view so plain ``spark.sql`` works
+    over the table (``SELECT … FROM name``). The file list is resolved
+    NOW — the view is a stable snapshot, unaffected by later commits
+    (re-register to advance), which is exactly the isolation contract
+    :func:`read` gives programmatic readers."""
+    df = read(spark, path, version=version)
+    df.createOrReplaceTempView(name)
+    return df

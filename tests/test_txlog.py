@@ -911,3 +911,41 @@ def test_check_constraints_enforced_by_every_writer(spark, tmp_path):
     with pytest.raises(ValueError, match="v_positive"):
         txlog.create(bad, bad_path, check_constraints={"v_positive": "v > 0"})
     assert txlog.current_version(bad_path) == -1
+
+
+def test_history_and_sql_view(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark, 50, 2), path)
+    txlog.delete(spark, path, "k < 10")
+    txlog.optimize(spark, path)
+    h = txlog.history(spark, path).collect()
+    assert [r["version"] for r in h] == [2, 1, 0]  # newest first
+    assert [r["operation"] for r in h] == ["optimize", "delete", "create"]
+    assert all(r["n_added"] >= 0 and r["timestamp"] > 0 for r in h)
+    # SQL over a registered snapshot; later commits don't move the view
+    txlog.register_view(spark, path, "t_now")
+    txlog.register_view(spark, path, "t_v0", version=0)
+    assert spark.sql("SELECT count(*) AS n FROM t_now").collect()[0]["n"] == 40
+    assert spark.sql("SELECT count(*) AS n FROM t_v0").collect()[0]["n"] == 50
+    txlog.append(_df(spark, [(999, "z")]).coalesce(1), path)
+    assert spark.sql("SELECT count(*) AS n FROM t_now").collect()[0]["n"] == 40
+    spark.catalog.dropTempView("t_now")
+    spark.catalog.dropTempView("t_v0")
+
+
+def test_zorder_three_columns_prunes_all_dims(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # three mutually-permuted dims — no single sort helps the others
+    df = spark.range(8000).selectExpr(
+        "id AS x",
+        "CAST((id * 7919) % 8000 AS LONG) AS y",
+        "CAST((id * 104729) % 8000 AS LONG) AS z",
+        "id AS v",
+    )
+    txlog.create(df.repartition(8), path)
+    txlog.optimize(spark, path, target_files=27, zorder_by=("x", "y", "z"))
+    for col in ("x", "y", "z"):
+        kept, total = txlog.prune_files(path, col, 0, 999)
+        assert 0 < len(kept) < total, (col, len(kept), total)
+    got = sorted(r["v"] for r in txlog.read(spark, path).collect())
+    assert got == list(range(8000))
