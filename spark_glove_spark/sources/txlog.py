@@ -679,7 +679,7 @@ def prune_files_point(
     return kept, len(stats)
 
 
-def vacuum(path: str, keep_versions: int = 2) -> list[str]:
+def vacuum(path: str, keep_versions: int = 2, dry_run: bool = False) -> list[str]:
     """Physically delete data files not referenced by any of the last
     ``keep_versions`` snapshots — the storage-reclamation step that
     deliberately TRADES old-version time travel for space (Delta's
@@ -688,7 +688,9 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     time (the file is gone), newer versions are untouched. Returns
     the deleted relative paths. ``keep_versions >= 1`` always — the
     current snapshot can never be vacuumed away. Requires the full
-    log prefix (it must enumerate every file ever added)."""
+    log prefix (it must enumerate every file ever added).
+    ``dry_run=True`` returns what WOULD be deleted without touching
+    disk — the audit step before an irreversible reclamation."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     latest = current_version(path)
@@ -708,6 +710,8 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
         rel for rel in ever - keep
         if os.path.abspath(os.path.join(path, rel)).startswith(root + os.sep)
     )
+    if dry_run:
+        return doomed
     for rel in doomed:
         p = os.path.join(path, rel)
         if os.path.exists(p):
@@ -822,6 +826,7 @@ def read(
     predicate: tuple[str, object, object] | None = None,
     timestamp: float | None = None,
     point: tuple[str, object] | None = None,
+    predicates: list[tuple[str, object, object]] | None = None,
 ) -> DataFrame:
     """Read a snapshot (latest by default; any version for time
     travel). The file list is resolved HERE, once — everything after
@@ -845,14 +850,28 @@ def read(
         if version is not None:
             raise ValueError("pass either version or timestamp, not both")
         version = version_at_timestamp(path, timestamp)
-    if predicate is not None and point is not None:
-        raise ValueError("pass either predicate or point, not both")
+    if sum(x is not None for x in (predicate, point, predicates)) > 1:
+        raise ValueError(
+            "pass at most one of predicate / predicates / point"
+        )
+    if predicates is not None and len(predicates) == 1:
+        predicate, predicates = predicates[0], None
     _, active, _, schema_json = _resolve(path, version)
     all_files = sorted(active)
     if not all_files:
         raise ValueError(f"version has no data files at {path}")
     if point is not None:
         files, _ = prune_files_point(path, *point, version=version)
+    elif predicates is not None:
+        # conjunction of bands: the kept set is the INTERSECTION of
+        # each band's kept set — every band is a superset cut, so the
+        # intersection is too (a file pruned by ANY band cannot hold
+        # a row satisfying the conjunction)
+        kept: set[str] | None = None
+        for pred in predicates:
+            ks, _ = prune_files(path, *pred, version=version)
+            kept = set(ks) if kept is None else (kept & set(ks))
+        files = sorted(kept or set())
     elif predicate is None:
         files = all_files
     else:
@@ -876,6 +895,9 @@ def read(
     if predicate is not None:
         col, lo, hi = predicate
         df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
+    elif predicates is not None:
+        for col, lo, hi in predicates:
+            df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
     elif point is not None:
         col, value = point
         df = df.where(F.col(col) == value)

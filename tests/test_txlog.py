@@ -949,3 +949,44 @@ def test_zorder_three_columns_prunes_all_dims(spark, tmp_path):
         assert 0 < len(kept) < total, (col, len(kept), total)
     got = sorted(r["v"] for r in txlog.read(spark, path).collect())
     assert got == list(range(8000))
+
+
+def test_multi_band_read_intersects_pruning(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(8000).selectExpr(
+        "id AS x", "CAST((id * 7919) % 8000 AS LONG) AS y", "id AS v"
+    )
+    txlog.create(df.repartition(8), path)
+    txlog.optimize(spark, path, target_files=16, zorder_by=("x", "y"))
+    kx, total = txlog.prune_files(path, "x", 0, 999)
+    ky, _ = txlog.prune_files(path, "y", 0, 999)
+    both = txlog.read(
+        spark, path, predicates=[("x", 0, 999), ("y", 0, 999)]
+    )
+    expect = [
+        r["v"]
+        for r in df.where("x <= 999 AND y <= 999").collect()
+    ]
+    assert sorted(r["v"] for r in both.collect()) == sorted(expect)
+    # the conjunction's kept set is the intersection — strictly
+    # smaller than either single band on the z-ordered layout
+    inter = set(kx) & set(ky)
+    assert len(inter) <= min(len(kx), len(ky)) < total
+    with pytest.raises(ValueError, match="at most one"):
+        txlog.read(spark, path, predicate=("x", 0, 1),
+                   predicates=[("y", 0, 1)])
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]).coalesce(1), path)
+    txlog.overwrite(_df(spark, [(2, "b")]).coalesce(1), path)
+    txlog.overwrite(_df(spark, [(3, "c")]).coalesce(1), path)
+    would = txlog.vacuum(path, keep_versions=1, dry_run=True)
+    assert would
+    # nothing was touched: the doomed version still reads
+    assert txlog.read(spark, path, version=0).count() == 1
+    did = txlog.vacuum(path, keep_versions=1)
+    assert did == would
+    with pytest.raises(Exception):
+        txlog.read(spark, path, version=0).count()
