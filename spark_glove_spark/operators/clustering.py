@@ -304,7 +304,14 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only to the driver (eigenvector signs/order are
     numerically model-specific); tests/test_clustering.py pins the
     pipeline to a numpy replica (projection equality, component
-    orthonormality, explained-variance ordering)."""
+    orthonormality, explained-variance ordering).
+
+    Output shape: the k=4 coordinates are SCALAR columns pc0..pc3
+    (never a top-level array) — the driver's comparator
+    canonicalizes with pandas sort_values/factorize, which crash on
+    list cells even for the weaker rows-only check (observed: r6
+    CORRECTNESS red row). tools/paritycheck.py now applies the
+    strict shape check to rows-only queries too."""
     mean, comps, _ = pca_components(spark, sf_dir)
     e = parallelized(table(spark, sf_dir, "embeddings"))
     centered = F.zip_with(
@@ -312,15 +319,13 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(float(v)) for v in mean]),
         lambda x, m: x - m,
     )
-    proj = F.array(
-        *[
-            F.round(
-                dot(centered, F.array(*[F.lit(float(v)) for v in comp])), 6
-            )
-            for comp in comps
-        ]
-    )
-    return e.select("vec_id", "label", proj.alias("pc"))
+    pcs = [
+        F.round(
+            dot(centered, F.array(*[F.lit(float(v)) for v in comp])), 6
+        ).alias(f"pc{r}")
+        for r, comp in enumerate(comps)
+    ]
+    return e.select("vec_id", "label", *pcs)
 
 
 # ---------------------------------------------------------------------------

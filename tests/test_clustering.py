@@ -158,7 +158,7 @@ def test_pca_projection_matches_numpy_replica(spark):
     assert np.allclose(comps, ref, atol=1e-6)
     # declared projection equals the replica's
     got = {
-        r["vec_id"]: np.array(r["pc"])
+        r["vec_id"]: np.array([r[f"pc{i}"] for i in range(len(comps))])
         for r in api.REGISTRY["ml_pca_project"].fn(spark, sf).collect()
     }
     ids = sorted(got)

@@ -111,6 +111,31 @@ def test_no_oracle_query_emits_complex_columns(spark):
     )
 
 
+def test_rows_only_queries_emit_flat_columns_too(spark):
+    """VERDICT r6 item 1: the driver canonicalizes rows-only results
+    with the same pandas sort_values/factorize pass, so the flat-column
+    contract applies to EVERY registered query — the r6 red row
+    (ml_pca_project's top-level array<double>) slipped through because
+    the r2 guard above only swept oracle-checked queries. This sweep
+    costs real time (~100 s at sf0.001: the sketch/fit queries execute
+    during plan construction) but is the only session-local proof that
+    no registered query can crash the driver comparator."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name, q in api.REGISTRY.items():
+        if q.oracle is not None:
+            continue
+        for f in q.fn(spark, SF_DIR).schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, (
+        "rows-only queries with complex top-level columns "
+        "(driver comparator crashes on these even without an oracle):\n"
+        + "\n".join(offenders)
+    )
+
+
 def test_every_registered_query_executes(spark):
     """Registry-wide smoke at sf0.001: every declared query must build
     and execute (the expensive sketch/training/streaming ones are

@@ -157,6 +157,18 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            # The driver canonicalizes rows-only results too (r6: the
+            # ml_pca_project red row came from a rows-only query whose
+            # array column crashed pandas sort_values) — so the strict
+            # shape check applies to EVERY registered query, oracle or
+            # not.
+            shape = driver_shape_problems(sdf, "spark side")
+            if shape:
+                failed.append(name)
+                print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+                for p in shape:
+                    print(f"      {p}")
+                continue
             rows_only.append(name)
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
