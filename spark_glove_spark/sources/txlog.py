@@ -104,7 +104,7 @@ import json
 import os
 import time
 import uuid
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -133,17 +133,32 @@ class LocalFSCommitBackend:
         if ``target`` already exists (another writer won)."""
         d = os.path.dirname(target)
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
         try:
-            os.link(tmp, target)
+            with open(tmp, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                return False
+            # fsync the DIRECTORY too: link(2) updates the directory
+            # entry, and without this a power loss after publish could
+            # roll back the entry itself — the payload would be durable
+            # but the committed name not, violating "a published commit
+            # never vanishes". (Entries are still never TORN: the link
+            # only exists once the fsync'd payload does.)
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
             return True
-        except FileExistsError:
-            return False
         finally:
-            os.unlink(tmp)
+            # unlink the temp even when the payload write itself raised
+            # (ENOSPC etc.) — a leaked .tmp would otherwise accumulate
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def list_committed(self, log_dir: str) -> list[str]:
         """Filenames currently published in the log directory."""
@@ -325,14 +340,48 @@ _BLOOM_K = 3  # hash functions; with ~8 bits/value -> fp ≈ 3%
 _BLOOM_KEY = "__bloom__"  # reserved stats slot (not a column name)
 
 
+def _bloom_canon(value) -> bytes:
+    """Canonical byte form of a value for bloom hashing — applied at
+    BOTH write and probe time, so a probe whose Python type differs
+    from the stored values (int 5 vs stored double 5.0, a date vs a
+    midnight datetime, bytes vs their UTF-8 string) still lands on
+    the same bits. Without this, ``str(value)`` made "5" and "5.0"
+    distinct and a typed point probe silently skipped files that DO
+    contain matches."""
+    if isinstance(value, bool):
+        return b"\x01" if value else b"\x00"
+    if isinstance(value, float):
+        if value.is_integer() and abs(value) < 2**63:
+            return str(int(value)).encode()
+        return repr(value).encode()
+    if isinstance(value, int):
+        return str(value).encode()
+    if isinstance(value, str):
+        return value.encode()
+    if isinstance(value, bytes):
+        try:
+            return value.decode("utf-8").encode()
+        except UnicodeDecodeError:
+            return value
+    if isinstance(value, datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(timezone.utc).replace(tzinfo=None)
+        return value.isoformat().encode()
+    if isinstance(value, date):
+        return datetime(value.year, value.month, value.day).isoformat().encode()
+    return str(value).encode()
+
+
 def _bloom_hashes(value, m: int) -> list[int]:
     """k deterministic bit positions for ``value`` in an m-bit bloom.
     blake2b with per-hash salts — stable across runs, sessions, and
     machines, which is what makes the filter a durable log artifact
-    (unlike Python's salted ``hash``)."""
+    (unlike Python's salted ``hash``). Values are canonicalized by
+    :func:`_bloom_canon` so equal-valued probes of a different Python
+    type cannot skip a file that holds matches."""
     import hashlib
 
-    b = value.encode() if isinstance(value, str) else str(value).encode()
+    b = _bloom_canon(value)
     return [
         int.from_bytes(
             hashlib.blake2b(
@@ -854,6 +903,11 @@ def read(
         raise ValueError(
             "pass at most one of predicate / predicates / point"
         )
+    if predicates is not None and len(predicates) == 0:
+        # the empty conjunction is vacuously TRUE — it must keep every
+        # file, not prune them all (the fold below would otherwise
+        # leave `kept` at None and return an empty table)
+        predicates = None
     if predicates is not None and len(predicates) == 1:
         predicate, predicates = predicates[0], None
     _, active, _, schema_json = _resolve(path, version)
@@ -1071,6 +1125,22 @@ def merge(
         .collect()
     )
     if op_col is not None:
+        # Validate ops BEFORE any filtering: `op != 'D'` is NULL-unsafe,
+        # so a NULL-op row would be excluded from the upsert set while
+        # its key still anti-joins its target match away — a silent
+        # DELETE on a malformed change set. Reject such rows loudly.
+        bad = (
+            source.where(
+                F.col(op_col).isNull() | ~F.col(op_col).isin("U", "D", "I")
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"merge: {op_col!r} must be one of 'U'/'D'/'I' and non-null;"
+                f" offending row: {bad[0].asDict()}"
+            )
         upserts = source.where(F.col(op_col) != "D").select(*target_cols)
         n_deleted = source.where(F.col(op_col) == "D").join(
             tagged.select(*on), on, "left_semi"
@@ -1213,11 +1283,18 @@ def append_with_retry(
     Raises :class:`TxLogConflict` only after ``max_retries`` straight
     losses — under k concurrent writers a round loses at most k-1
     times, so the default absorbs realistic bursts."""
-    schema = _evolved_schema(df, path, merge_schema)
     _enforce_constraints(df, table_properties(path).get("check_constraints", {}))
     files, stats = _write_data(df, path, _bloom_cols(path))
     for _ in range(max_retries + 1):
         base = current_version(path)
+        # The evolved schema must be recomputed against EACH head we
+        # target: after losing the race to a concurrent schema-evolving
+        # append, re-committing a schema snapshot taken before the loop
+        # would publish the stale column set at a LATER version, and
+        # newest-schema-wins resolution would silently drop the
+        # concurrently added column. Type conflicts are also re-checked
+        # against the new head here.
+        schema = _evolved_schema(df, path, merge_schema)
         try:
             return commit(
                 path, files, [], expected_version=base, operation="append",

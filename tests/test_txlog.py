@@ -990,3 +990,106 @@ def test_vacuum_dry_run_deletes_nothing(spark, tmp_path):
     assert did == would
     with pytest.raises(Exception):
         txlog.read(spark, path, version=0).count()
+
+
+# --- ADVICE r6 regression teeth ------------------------------------------
+
+
+def test_merge_rejects_null_or_unknown_op(spark, tmp_path):
+    """A NULL op row must raise, not act as a silent DELETE: before the
+    guard, `op != 'D'` (NULL-unsafe) dropped the row from the upserts
+    while its key still anti-joined the target match away."""
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    src = spark.createDataFrame(
+        [(0, "UPD", None), (1, "UPD", "U")], "k long, v string, op string"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        txlog.merge(spark, path, src, on=["k"], op_col="op")
+    # nothing committed, nothing lost
+    assert txlog.current_version(path) == 0
+    assert txlog.read(spark, path).count() == 100
+    bad = spark.createDataFrame([(0, "X", "Z")], "k long, v string, op string")
+    with pytest.raises(ValueError, match="'U'/'D'/'I'"):
+        txlog.merge(spark, path, bad, on=["k"], op_col="op")
+
+
+def test_append_retry_recomputes_schema_against_new_head(spark, tmp_path):
+    """Losing the version race to a concurrent schema-EVOLVING append
+    must not re-commit the pre-race schema at a later version (newest-
+    schema-wins resolution would silently drop the new column)."""
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]), path)
+    real_commit = txlog.commit
+    state = {"raced": False}
+
+    def racing_commit(p, adds, removes, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # concurrent writer lands a schema-evolving append first
+            wide = spark.createDataFrame(
+                [(7, "w", 1.5)], "k long, v string, extra double"
+            )
+            txlog.append(wide, path, merge_schema=True)
+            raise txlog.TxLogConflict("simulated race loss")
+        return real_commit(p, adds, removes, **kw)
+
+    txlog.commit = racing_commit
+    try:
+        txlog.append_with_retry(_df(spark, [(2, "b")]), path, merge_schema=True)
+    finally:
+        txlog.commit = real_commit
+    got = txlog.read(spark, path)
+    assert "extra" in got.columns, "concurrent column dropped by stale retry"
+    rows = {r["k"]: (r["v"], r["extra"]) for r in got.collect()}
+    assert rows[7] == ("w", 1.5) and rows[2] == ("b", None)
+
+
+def test_bloom_point_probe_is_type_insensitive(spark, tmp_path):
+    """A point probe whose Python type differs from the stored column
+    type (int 5 vs stored double 5.0) must not skip files that contain
+    matches — canonicalized hashing at both write and probe time."""
+    path = str(tmp_path / "t")
+    df = spark.range(50).selectExpr(
+        "CAST(id AS DOUBLE) AS d", "CAST(id AS STRING) AS v"
+    ).repartitionByRange(4, "d")
+    txlog.create(df, path, bloom_columns=("d",))
+    kept, total = txlog.prune_files_point(path, "d", 5)  # int probe
+    assert kept, "int probe against double column skipped every file"
+    got = txlog.read(spark, path, point=("d", 5)).collect()
+    assert len(got) == 1 and got[0]["v"] == "5"
+
+
+def test_read_with_empty_predicates_keeps_all_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    assert txlog.read(spark, path, predicates=[]).count() == 100
+
+
+def test_publish_cleans_tmp_on_write_failure(tmp_path):
+    """A payload write that raises (ENOSPC-style) must not leak the
+    temp file; a successful publish leaves no temp either."""
+    import os as _os
+
+    d = str(tmp_path / "log")
+    _os.makedirs(d)
+    b = txlog.LocalFSCommitBackend()
+    real_fsync = _os.fsync
+    calls = {"n": 0}
+
+    def failing_fsync(fd):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError(28, "No space left on device")
+        return real_fsync(fd)
+
+    _os.fsync = failing_fsync
+    try:
+        with pytest.raises(OSError):
+            b.publish(_os.path.join(d, "00000000.json"), "{}")
+    finally:
+        _os.fsync = real_fsync
+    assert not glob.glob(_os.path.join(d, ".tmp-*")), "leaked temp file"
+    assert not _os.path.exists(_os.path.join(d, "00000000.json"))
+    assert b.publish(_os.path.join(d, "00000000.json"), "{}") is True
+    assert not glob.glob(_os.path.join(d, ".tmp-*"))
