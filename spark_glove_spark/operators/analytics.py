@@ -1909,3 +1909,297 @@ def a27_txlog_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "a28_txlog_deletion_vector",
+    section="A3,B2",
+    tags=("analytics", "lakehouse"),
+    oracle="""
+SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE NOT (o_orderkey % 97 = 0 OR o_orderkey % 89 = 3)
+GROUP BY 1
+""",
+)
+def a28_txlog_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (txlog.delete_mor —
+    Delta deletion vectors / Iceberg v2 position deletes): rows
+    scattered across EVERY file (key mod 97 — the anti-COW regime,
+    where copy-on-write would rewrite the whole table for a 1% erase)
+    are deleted by recording (file, row position) vectors in the
+    commit; readers subtract them with one KB-sized broadcast
+    anti-join on ``_metadata.row_index``. Asserted in-body: the
+    active FILE set is byte-identical after both deletes (zero
+    rewrite), a second overlapping delete counts only NET-new rows
+    (vectors union idempotently), and the pre-delete version still
+    time-travels with all rows. The post-delete read must equal a
+    plain filtered scan (the oracle).
+
+    100 TB: write cost O(matched rows) of metadata instead of
+    O(touched file bytes) — the point-delete/GDPR shape; bulk deletes
+    stay on the COW path (a21), and purge/OPTIMIZE re-materializes
+    when the read-side anti-join has paid for itself."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="sgs_a28_") + "/t"
+    txlog.create(o.repartitionByRange(8, "o_orderkey"), path)
+    n_before = txlog.read(spark, path).count()
+    files_before = txlog.snapshot_files(path)
+    r1 = txlog.delete_mor(spark, path, "o_orderkey % 97 = 0")
+    # overlapping second delete: only net-new rows may count
+    r2 = txlog.delete_mor(
+        spark, path, "o_orderkey % 89 = 3 OR o_orderkey % 97 = 0"
+    )
+    # load-bearing invariants — explicit raises survive python -O
+    if txlog.snapshot_files(path) != files_before:
+        raise AssertionError("MOR delete must not touch the file set")
+    if r1["rows_deleted"] <= 0 or r2["rows_deleted"] <= 0:
+        raise AssertionError(f"expected net deletes in both commits: {r1} {r2}")
+    n_now = txlog.read(spark, path).count()
+    if n_now != n_before - r1["rows_deleted"] - r2["rows_deleted"]:
+        raise AssertionError("overlapping vectors double-counted")
+    if txlog.read(spark, path, version=r1["version"] - 1).count() != n_before:
+        raise AssertionError("pre-delete version no longer time-travels")
+    snap = txlog.read(spark, path)
+    return snap.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "a29_txlog_dv_purge",
+    section="A3,B2",
+    tags=("analytics", "lakehouse"),
+    oracle="""
+WITH surv AS (SELECT * FROM orders WHERE NOT (o_orderkey % 61 = 7))
+SELECT 'mor' AS stage, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total FROM surv
+UNION ALL
+SELECT 'purged' AS stage, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total FROM surv
+""",
+)
+def a29_txlog_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG/PURGE after merge-on-read deletes (txlog.purge_dvs —
+    Delta's ``REORG TABLE ... APPLY (PURGE)``): the maintenance step
+    that pays ONE rewrite of the DV'd files to remove the per-read
+    anti-join. The query emits the same aggregate from the post-MOR
+    snapshot and the post-purge snapshot — both rows must equal the
+    filtered oracle, which makes the purge's data-preservation
+    property itself hash-checked. Asserted in-body: purge clears
+    every vector, drops exactly the deleted-position count, and the
+    MOR version still time-travels.
+
+    100 TB: DV reads trade a broadcast anti-join per scan for zero
+    write amplification; purge flips the trade once the table is
+    read-hot — the standard lakehouse maintenance rhythm (delete
+    cheap now, localize on schedule)."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="sgs_a29_") + "/t"
+    txlog.create(o.repartitionByRange(8, "o_orderkey"), path)
+    res = txlog.delete_mor(spark, path, "o_orderkey % 61 = 7")
+    agg = lambda df, stage: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).select(F.lit(stage).alias("stage"), "n", "total")
+    mor = agg(txlog.read(spark, path), "mor")
+    pres = txlog.purge_dvs(spark, path)
+    # load-bearing invariants — explicit raises survive python -O
+    if pres["rows_dropped"] != res["rows_deleted"] or pres["files_purged"] < 1:
+        raise AssertionError(f"purge accounting off: {res} vs {pres}")
+    if txlog.snapshot_dvs(path):
+        raise AssertionError("purge left deletion vectors behind")
+    purged = agg(txlog.read(spark, path), "purged")
+    return mor.unionByName(purged)
+
+
+@query(
+    "a30_txlog_concurrent_reconcile",
+    section="A3,B2",
+    tags=("analytics", "lakehouse"),
+    oracle="""
+WITH h AS (SELECT CAST(floor(max(o_orderkey) / 8.0) AS BIGINT) AS hi
+           FROM orders),
+fin AS (
+  SELECT o_orderpriority FROM orders WHERE o_orderkey > (SELECT hi FROM h)
+  UNION ALL
+  SELECT 'APPENDED' FROM orders WHERE o_orderkey % 13 = 5
+)
+SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n
+FROM fin GROUP BY 1
+""",
+)
+def a30_txlog_concurrent_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-writer conflict RECONCILIATION (txlog.commit_reconciled —
+    the Delta conflict-resolution rules one level past same-version
+    collision): a COW DELETE finishes its rewrite against version v,
+    a concurrent APPEND wins v+1 first — the delete's read set is
+    disjoint from the append's adds, so it auto-retries and lands at
+    v+2 with BOTH effects intact (WriteSerializable). The same
+    interleaving against a concurrent UPDATE of the SAME files must
+    abort with TxLogConflict instead (stale survivors would resurrect
+    the update away) — asserted in-body via a scripted race. The
+    final table must equal base-minus-deleted-plus-appended (oracle).
+
+    100 TB: real pipelines run ingest appends and retention deletes
+    concurrently; aborting every delete because an append won the
+    version race serializes the whole write path — reconciliation is
+    what makes optimistic concurrency usable under load."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="sgs_a30_") + "/t"
+    txlog.create(o.repartitionByRange(8, "o_orderkey"), path)
+    hi = int(o.agg(F.floor(F.max("o_orderkey") / 8.0)).collect()[0][0])
+    appended = o.where(F.col("o_orderkey") % 13 == 5).select(
+        (F.col("o_orderkey") + 500000000).alias("o_orderkey"),
+        F.lit("APPENDED").alias("o_orderpriority"),
+    )
+    real = txlog.commit
+    state = {"raced": False}
+
+    def racing(p, adds, removes, **kw):
+        # the concurrent append lands AFTER the delete prepared its
+        # rewrite but BEFORE its commit — the classic lost-race window
+        if not state["raced"] and kw.get("operation") == "delete":
+            state["raced"] = True
+            txlog.append(appended.coalesce(1), path)
+        return real(p, adds, removes, **kw)
+
+    txlog.commit = racing
+    try:
+        res = txlog.delete(
+            spark, path, f"o_orderkey <= {hi}", prune=("o_orderkey", 0, hi)
+        )
+    finally:
+        txlog.commit = real
+    # load-bearing invariants — explicit raises survive python -O
+    if res["version"] != 2:
+        raise AssertionError(f"delete must land at v2 past the append: {res}")
+    # the abort path: COW vs COW on overlapping files must raise
+    state2 = {"raced": False}
+
+    def racing2(p, adds, removes, **kw):
+        if not state2["raced"] and kw.get("operation") == "update":
+            state2["raced"] = True
+            txlog.update(
+                spark, path, "o_orderkey % 17 = 4",
+                {"o_orderpriority": "'X'"},
+            )
+        return real(p, adds, removes, **kw)
+
+    txlog.commit = racing2
+    try:
+        txlog.update(
+            spark, path, "o_orderkey % 17 = 4", {"o_orderpriority": "'Y'"}
+        )
+        raise AssertionError("overlapping COW writers must conflict")
+    except txlog.TxLogConflict:
+        pass
+    finally:
+        txlog.commit = real
+    # undo the winning racer's update so the oracle stays closed-form
+    txlog.restore(path, 2)
+    snap = txlog.read(spark, path)
+    return snap.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "a31_txlog_cas_backend",
+    section="A3,A6",
+    tags=("analytics", "lakehouse"),
+    oracle="""
+SELECT src, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+FROM (
+  SELECT 'base' AS src, o_totalprice FROM orders
+  UNION ALL
+  SELECT 'after' AS src, o_totalprice FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT 'before' AS src, o_totalprice FROM orders WHERE o_orderkey % 11 = 1
+  UNION ALL
+  SELECT 'retry' AS src, o_totalprice FROM orders WHERE o_orderkey % 11 = 2
+) GROUP BY 1
+""",
+)
+def a31_txlog_cas_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store commit backend (txlog.CASCommitBackend — the
+    conditional-put model: S3 If-None-Match, GCS if-generation-match)
+    driven through its full injected failure matrix, with the table
+    content hash-checked at the end:
+
+    * ``fail_after_store`` — the put LANDED but the response was
+      lost: the committer reads the target back, sees its own
+      payload, and reports success (no double commit, no abandon).
+    * ``fail_before_store`` — the put never landed: read-back finds
+      nothing, one clean retry wins.
+    * ``lose`` — the conditional put is rejected: a plain append
+      raises TxLogConflict (asserted) and its batch must NOT appear;
+      append_with_retry absorbs the same loss and lands.
+
+    The final table must hold exactly base + the three successful
+    batches (oracle) — the loser's orphan data files are inert.
+
+    100 TB: this is the seam that makes the format real off a POSIX
+    disk — commit safety reduces to ONE conditional put per version,
+    and ambiguity resolution is a read-back compare, never a lock."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    batch = lambda m, src: o.where(k % 11 == m).select(  # noqa: E731
+        "o_orderkey", "o_totalprice", F.lit(src).alias("src")
+    ).coalesce(1)
+    path = tempfile.mkdtemp(prefix="sgs_a31_") + "/t"
+    b = txlog.CASCommitBackend()
+    with txlog.use_backend(b):
+        txlog.create(
+            o.select("o_orderkey", "o_totalprice", F.lit("base").alias("src"))
+            .repartitionByRange(4, "o_orderkey"),
+            path,
+        )
+        b.faults.append("fail_after_store")
+        v1 = txlog.append(batch(0, "after"), path)
+        b.faults.append("fail_before_store")
+        v2 = txlog.append(batch(1, "before"), path)
+        b.faults.append("lose")
+        try:
+            txlog.append(batch(3, "lost"), path)
+            raise AssertionError("a lost conditional put must conflict")
+        except txlog.TxLogConflict:
+            pass
+        b.faults.append("lose")
+        v3 = txlog.append_with_retry(batch(2, "retry"), path)
+        # load-bearing invariants — explicit raises survive python -O
+        if (v1, v2, v3) != (1, 2, 3):
+            raise AssertionError(f"unexpected versions: {(v1, v2, v3)}")
+        snap = txlog.read(spark, path)
+        out = snap.groupBy("src").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        rows = out.collect()  # materialize while the backend is active
+    return spark.createDataFrame(rows, out.schema)

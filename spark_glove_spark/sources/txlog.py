@@ -116,6 +116,14 @@ class TxLogConflict(RuntimeError):
     """Another writer committed the version this writer targeted."""
 
 
+class CommitAmbiguous(RuntimeError):
+    """A publish may or may not have been applied (timeout / lost
+    response after the store accepted the write). The committer must
+    read the target back and compare payloads before deciding —
+    blindly retrying could double-commit, blindly failing could
+    abandon a commit that IS visible to every other reader."""
+
+
 class LocalFSCommitBackend:
     """Exactly-one-winner commit publication on a POSIX filesystem.
 
@@ -166,8 +174,92 @@ class LocalFSCommitBackend:
             return []
         return os.listdir(log_dir)
 
+    def read_committed(self, target: str) -> str | None:
+        """Payload published at ``target``, or None if absent — the
+        read-back step of ambiguity resolution."""
+        try:
+            with open(target) as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+
+class CASCommitBackend(LocalFSCommitBackend):
+    """Conditional-put commit backend — the OBJECT-STORE model
+    (S3 ``If-None-Match: *``, GCS ``if-generation-match: 0``, ADLS
+    ETag create). Exactly-one-winner comes from the store's own
+    conditional write, modeled here as check-then-write under a
+    process-wide lock (the lock stands in for the store's internal
+    serialization; payloads still land on the local filesystem so
+    readers/Spark/DuckDB see them normally).
+
+    What this adds over the POSIX backend is the FAILURE MODEL a real
+    store exhibits, injectable per call via ``faults`` (a FIFO of
+    fault names consumed one per publish):
+
+    * ``"lose"`` — the conditional put is rejected (another writer's
+      object already exists): clean loss, returns False.
+    * ``"fail_before_store"`` — the connection dies before the store
+      applies the write: raises :class:`CommitAmbiguous`; nothing is
+      visible.
+    * ``"fail_after_store"`` — the store applied the write but the
+      RESPONSE was lost: raises :class:`CommitAmbiguous`; the object
+      IS visible to everyone else.
+
+    :func:`commit` resolves ambiguity by reading the target back and
+    comparing payloads — the standard commit-protocol answer
+    (Delta's S3 LogStore does the same dance). Model-checked in
+    tests/test_txlog.py."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self.faults: list[str] = []
+        self.puts = 0
+
+    def publish(self, target: str, payload: str) -> bool:
+        with self._lock:
+            fault = self.faults.pop(0) if self.faults else None
+            if fault == "fail_before_store":
+                raise CommitAmbiguous(
+                    "connection lost before the store applied the put"
+                )
+            if os.path.exists(target) or fault == "lose":
+                return False
+            tmp = target + f".cas-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, target)
+            self.puts += 1
+            if fault == "fail_after_store":
+                raise CommitAmbiguous(
+                    "response lost after the store applied the put"
+                )
+            return True
+
 
 BACKEND = LocalFSCommitBackend()
+
+
+def use_backend(backend):
+    """Context manager: run commits through ``backend`` (e.g. a
+    :class:`CASCommitBackend`) and restore the default on exit."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        global BACKEND
+        prev = BACKEND
+        BACKEND = backend
+        try:
+            yield backend
+        finally:
+            BACKEND = prev
+
+    return _cm()
 
 
 def _log_dir(path: str) -> str:
@@ -222,16 +314,23 @@ def read_log(path: str, version: int | None = None) -> list[dict]:
 
 def _resolve(
     path: str, version: int | None = None
-) -> tuple[int, set[str], dict, str | None]:
-    """(version, active file set, per-file stats, schema JSON) of a
-    snapshot.
+) -> tuple[int, set[str], dict, str | None, dict[str, list[int]]]:
+    """(version, active file set, per-file stats, schema JSON,
+    deletion vectors) of a snapshot.
 
     Starts from the newest checkpoint ≤ the target version and
     replays only the tail entries — O(CHECKPOINT_INTERVAL) JSON reads
     for the common latest-snapshot case regardless of table age. The
     schema is the newest one recorded at or before the version —
     schema evolution time-travels with the data (reading an old
-    version yields the columns that existed THEN)."""
+    version yields the columns that existed THEN).
+
+    Deletion vectors ({relpath: sorted row positions}) are the
+    merge-on-read DELETE state: an entry's ``dvs`` field records the
+    positions newly deleted from still-active files, and replay
+    UNIONS them per file. Removing a file (COW rewrite, optimize,
+    purge) drops its vector — the rewrite already materialized the
+    survivors, so the vector must not outlive the file."""
     latest = current_version(path)
     if latest < 0:
         raise FileNotFoundError(f"no transaction log at {path}")
@@ -241,6 +340,7 @@ def _resolve(
     active: set[str] = set()
     stats: dict[str, dict] = {}
     schema: str | None = None
+    dvs: dict[str, list[int]] = {}
     start = 0
     for cv in reversed(checkpoint_versions(path)):
         if cv <= v:
@@ -249,22 +349,35 @@ def _resolve(
             active = set(cp["active"])
             stats = dict(cp["stats"])
             schema = cp.get("schema")
+            dvs = {f: list(p) for f, p in cp.get("dvs", {}).items()}
             start = cv + 1
             break
     for k in range(start, v + 1):
         entry = _read_entry(path, k)
         active -= set(entry["removes"])
+        for f in entry["removes"]:
+            dvs.pop(f, None)
         active |= set(entry["adds"])
         stats.update(entry.get("stats", {}))
         schema = entry.get("schema", schema)
-    return v, active, stats, schema
+        for f, pos in entry.get("dvs", {}).items():
+            dvs[f] = sorted(set(dvs.get(f, [])) | set(pos))
+        # dv_reset ASSIGNS a file's vector outright (restore needs to
+        # shrink/clear vectors, which union replay cannot express);
+        # an empty list clears it.
+        for f, pos in entry.get("dv_reset", {}).items():
+            if pos:
+                dvs[f] = sorted(set(pos))
+            else:
+                dvs.pop(f, None)
+    return v, active, stats, schema, dvs
 
 
 def snapshot_files(path: str, version: int | None = None) -> list[str]:
     """Active data-file set (relative paths) of ``version`` — replay
     from the newest checkpoint, which makes every snapshot
     reproducible in O(tail) metadata reads."""
-    _, active, _, _ = _resolve(path, version)
+    _, active, _, _, _ = _resolve(path, version)
     return sorted(active)
 
 
@@ -272,7 +385,7 @@ def snapshot_stats(path: str, version: int | None = None) -> dict[str, dict]:
     """Per-file column stats ({relpath: {col: [min, max]}}) of the
     active snapshot — the file-skipping index. Files committed by a
     pre-stats writer simply have no entry (never skipped)."""
-    _, active, stats, _ = _resolve(path, version)
+    _, active, stats, _, _ = _resolve(path, version)
     return {f: stats.get(f, {}) for f in sorted(active)}
 
 
@@ -282,7 +395,7 @@ def snapshot_schema(path: str, version: int | None = None):
     (their reads fall back to parquet self-description). Time travel
     returns the schema AS OF that version — columns added later do
     not exist in older snapshots."""
-    _, _, _, schema = _resolve(path, version)
+    _, _, _, schema, _ = _resolve(path, version)
     if schema is None:
         return None
     from pyspark.sql.types import StructType
@@ -496,17 +609,25 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
     (default latest). Idempotent — republishing an existing
     checkpoint is a no-op (checkpoints are pure functions of the
     immutable log prefix, so any winner wrote the same bytes)."""
-    v, active, stats, schema = _resolve(path, version)
+    v, active, stats, schema, dvs = _resolve(path, version)
     payload = json.dumps(
         {
             "version": v,
             "active": sorted(active),
             "stats": {f: stats[f] for f in sorted(active) if f in stats},
             "schema": schema,
+            "dvs": {f: dvs[f] for f in sorted(dvs) if f in active},
         }
     )
     BACKEND.publish(_checkpoint_file(path, v), payload)
     return v
+
+
+def snapshot_dvs(path: str, version: int | None = None) -> dict[str, list[int]]:
+    """Deletion vectors of the snapshot: {relpath: sorted deleted row
+    positions} for active files carrying merge-on-read deletes."""
+    _, active, _, _, dvs = _resolve(path, version)
+    return {f: dvs[f] for f in sorted(dvs) if f in active}
 
 
 def commit(
@@ -518,6 +639,8 @@ def commit(
     stats: dict[str, dict] | None = None,
     schema: str | None = None,
     properties: dict | None = None,
+    dvs: dict[str, list[int]] | None = None,
+    dv_reset: dict[str, list[int]] | None = None,
 ) -> int:
     """Atomically publish version ``expected_version + 1``. Raises
     :class:`TxLogConflict` if another writer already has — the caller
@@ -546,8 +669,29 @@ def commit(
         body["schema"] = schema
     if properties is not None:
         body["properties"] = properties
+    if dvs:
+        body["dvs"] = {f: sorted(int(p) for p in ps) for f, ps in dvs.items()}
+    if dv_reset is not None:
+        body["dv_reset"] = {
+            f: sorted(int(p) for p in ps) for f, ps in dv_reset.items()
+        }
     entry = json.dumps(body)
-    if not BACKEND.publish(_version_file(path, v), entry):
+    target = _version_file(path, v)
+    try:
+        won = BACKEND.publish(target, entry)
+    except CommitAmbiguous:
+        # The put may or may not have landed (lost response). Read the
+        # target back: our exact payload there means WE won (success —
+        # the commit is visible to everyone; failing here would abandon
+        # a live commit); someone else's payload means we lost; absence
+        # means the put never applied — one clean retry is safe because
+        # the conditional put still guarantees exactly-one-winner.
+        existing = BACKEND.read_committed(target)
+        if existing is None:
+            won = BACKEND.publish(target, entry)
+        else:
+            won = existing == entry
+    if not won:
         raise TxLogConflict(f"version {v} already committed")
     if v > 0 and v % CHECKPOINT_INTERVAL == 0:
         # Best-effort: a crash here only costs the next reader a
@@ -846,8 +990,9 @@ def optimize(
             )
         )
     files, stats = _write_data(df, path, _bloom_cols(path))
-    return commit(
-        path, files, old, expected_version=base, operation="optimize", stats=stats
+    return commit_reconciled(
+        path, files, old, base=base, read_files=set(old),
+        operation="optimize", stats=stats,
     )
 
 
@@ -910,7 +1055,7 @@ def read(
         predicates = None
     if predicates is not None and len(predicates) == 1:
         predicate, predicates = predicates[0], None
-    _, active, _, schema_json = _resolve(path, version)
+    _, active, _, schema_json, dvs = _resolve(path, version)
     all_files = sorted(active)
     if not all_files:
         raise ValueError(f"version has no data files at {path}")
@@ -946,6 +1091,9 @@ def read(
     df = reader.parquet(*[os.path.join(path, f) for f in files])
     from pyspark.sql import functions as F
 
+    df = _subtract_dvs(
+        spark, df, path, files, {f: p for f, p in dvs.items() if f in set(files)}
+    )
     if predicate is not None:
         col, lo, hi = predicate
         df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
@@ -956,6 +1104,50 @@ def read(
         col, value = point
         df = df.where(F.col(col) == value)
     return df
+
+
+def _subtract_dvs(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    files: list[str],
+    dvs: dict[str, list[int]],
+) -> DataFrame:
+    """Apply deletion vectors to a raw file scan: drop the rows whose
+    (source file, file-relative row position) appears in ``dvs``.
+    Positions come from the scan's ``_metadata.row_index`` (stable —
+    data files are immutable), the file identity from
+    ``_metadata.file_path`` mapped back to the snapshot's relative
+    key. The cut is a broadcast anti-join against the (file, pos)
+    pairs — DV cardinality is bounded by design (point/small deletes;
+    bulk deletes take the copy-on-write path), so the broadcast side
+    stays KB-sized. No-op when ``dvs`` is empty: the scan plan is
+    untouched."""
+    if not dvs:
+        return df
+    from pyspark.sql import functions as F
+
+    pairs = []
+    for f in files:
+        if f in dvs:
+            pairs.append(F.lit(os.path.abspath(os.path.join(path, f))))
+            pairs.append(F.lit(f))
+    cols = df.columns
+    tagged = df.select(
+        "*",
+        F.element_at(
+            F.create_map(*pairs),
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+        ).alias("_dvfile"),
+        F.col("_metadata.row_index").alias("_dvpos"),
+    )
+    dead = spark.createDataFrame(
+        [(f, int(p)) for f, ps in dvs.items() for p in ps],
+        "_dvfile string, _dvpos long",
+    )
+    return tagged.join(
+        F.broadcast(dead), ["_dvfile", "_dvpos"], "left_anti"
+    ).select(*cols)
 
 
 def _read_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
@@ -982,7 +1174,22 @@ def _read_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
         pairs.append(F.lit(os.path.abspath(os.path.join(path, f))))
         pairs.append(F.lit(f))
     abs_col = F.regexp_replace(F.input_file_name(), "^file://", "")
-    return df.withColumn("_txfile", F.element_at(F.create_map(*pairs), abs_col))
+    df = df.select(
+        "*",
+        F.element_at(F.create_map(*pairs), abs_col).alias("_txfile"),
+        F.col("_metadata.row_index").alias("_txpos"),
+    )
+    # Apply the snapshot's deletion vectors: a COW rewrite that read
+    # through a file's DV would otherwise RESURRECT merge-on-read
+    # deleted rows (the rewrite drops the vector with the file).
+    dvs = snapshot_dvs(path)
+    dead = [
+        (f, int(p)) for f, ps in dvs.items() if f in set(files) for p in ps
+    ]
+    if dead:
+        dead_df = spark.createDataFrame(dead, "_txfile string, _txpos long")
+        df = df.join(F.broadcast(dead_df), ["_txfile", "_txpos"], "left_anti")
+    return df.drop("_txpos")
 
 
 def delete(
@@ -1068,15 +1275,199 @@ def delete(
         adds, stats = _write_data(
             survivors.coalesce(len(touched)), path, _bloom_cols(path)
         )
-    v = commit(
-        path, adds, touched, expected_version=base, operation="delete",
-        stats=stats,
+    v = commit_reconciled(
+        path, adds, touched, base=base, read_files=set(candidates),
+        operation="delete", stats=stats,
     )
     return {
         "version": v,
         "files_rewritten": len(touched),
         "files_total": len(all_files),
         "rows_deleted": int(n_deleted),
+    }
+
+
+def _reconcile_base(path: str, base: int, read_files: set[str]) -> int:
+    """Conflict DETECTION one level past same-version collision (the
+    Delta conflict-resolution rules, reduced to this format's ops):
+    after losing the version race, decide whether the finished work is
+    still valid against the new head.
+
+    Reconcilable: every intervening commit only ADDED files (appends,
+    and COW rewrites of files outside our read set) — our scan never
+    saw those files, so our adds/removes/vectors are untouched
+    (WriteSerializable: concurrently appended rows that would have
+    matched our predicate are NOT retroactively affected — same as
+    Delta's default level, documented not hidden).
+
+    Non-reconcilable (raises): an intervening commit REMOVED a file we
+    read (our survivors/match counts are stale — concurrentDeleteRead)
+    or touched a deletion vector on a file we read (rows vanished
+    under our scan; a COW rewrite would resurrect them). The caller
+    must re-resolve and redo the operation."""
+    head = current_version(path)
+    for v in range(base + 1, head + 1):
+        entry = _read_entry(path, v)
+        stale = set(entry["removes"]) & read_files
+        if stale:
+            raise TxLogConflict(
+                f"non-reconcilable: version {v} removed files this "
+                f"operation read: {sorted(stale)[:3]}..."
+            )
+        dv_touched = (
+            set(entry.get("dvs", {})) | set(entry.get("dv_reset", {}))
+        ) & read_files
+        if dv_touched:
+            raise TxLogConflict(
+                f"non-reconcilable: version {v} changed deletion vectors "
+                f"on files this operation read: {sorted(dv_touched)[:3]}..."
+            )
+    return head
+
+
+def commit_reconciled(
+    path: str,
+    adds: list[str],
+    removes: list[str],
+    base: int,
+    read_files: set[str],
+    max_retries: int = 10,
+    **kw,
+) -> int:
+    """Commit with automatic conflict reconciliation: on losing the
+    version race, re-validate via :func:`_reconcile_base` and retry at
+    the new head — so a COW delete/update/merge or a DV delete only
+    aborts when a concurrent writer actually invalidated its read set,
+    not merely because someone appended first."""
+    for _ in range(max_retries + 1):
+        try:
+            return commit(
+                path, adds, removes, expected_version=base, **kw
+            )
+        except TxLogConflict:
+            base = _reconcile_base(path, base, read_files)
+    raise TxLogConflict(
+        f"lost the version race {max_retries + 1} times at {path}"
+    )
+
+
+def delete_mor(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    prune: tuple[str, object, object] | None = None,
+) -> dict:
+    """Merge-on-read DELETE via deletion vectors — the alternative to
+    copy-on-write for POINT and small deletes (Delta deletion vectors /
+    Iceberg v2 position deletes): instead of rewriting every touched
+    file, record the deleted row POSITIONS per file in the commit
+    entry, and have readers subtract them (one broadcast anti-join on
+    (file, position) — :func:`_subtract_dvs`). Write cost becomes
+    O(matched rows) metadata instead of O(touched file bytes); read
+    cost gains a KB-sized broadcast until :func:`purge_dvs` or any COW
+    rewrite of the file re-materializes the survivors.
+
+    Positions are ``_metadata.row_index`` values — file-relative and
+    stable because data files are immutable. Vectors on the same file
+    UNION across commits (double-deleting a position is idempotent).
+    Two concurrent DV deletes racing on the same file would therefore
+    merge correctly, but :func:`_reconcile_base` still aborts the
+    loser conservatively so its reported delete COUNT is re-derived
+    against the winner's vector — the caller retries the whole
+    operation and never double-counts.
+
+    This implementation inlines positions in the JSON entry — right
+    for the point-delete regime it targets (GDPR row erasure, bad-doc
+    takedowns). A bulk delete should use :func:`delete` (COW); a
+    production writer would spill large vectors to roaring-bitmap
+    sidecar files written executor-side, same log semantics.
+
+    Returns ``{"version", "rows_deleted", "files_touched",
+    "files_total"}``."""
+    from pyspark.sql import functions as F
+
+    base = current_version(path)
+    all_files = snapshot_files(path, base)
+    if prune is not None:
+        candidates, _ = prune_files(path, *prune, version=base)
+    else:
+        candidates = all_files
+    if not candidates:
+        return {"version": base, "rows_deleted": 0, "files_touched": 0,
+                "files_total": len(all_files)}
+    st = snapshot_schema(path)
+    reader = spark.read.schema(st) if st is not None else spark.read
+    scan = reader.parquet(*[os.path.join(path, f) for f in candidates])
+    pairs = []
+    for f in candidates:
+        pairs.append(F.lit(os.path.abspath(os.path.join(path, f))))
+        pairs.append(F.lit(f))
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+    matched = scan.where(cond).select(
+        F.element_at(
+            F.create_map(*pairs),
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+        ).alias("f"),
+        F.col("_metadata.row_index").alias("p"),
+    )
+    # one bounded collect: per-file position lists (DV deletes are the
+    # small-match regime by contract — see docstring)
+    rows = (
+        matched.groupBy("f")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .collect()
+    )
+    # subtract positions already dead in the CURRENT vectors so the
+    # count reported (and the entry delta) reflects NET new deletes
+    cur = snapshot_dvs(path, base)
+    dvs: dict[str, list[int]] = {}
+    n_deleted = 0
+    for r in rows:
+        fresh = sorted(set(int(p) for p in r["ps"]) - set(cur.get(r["f"], [])))
+        if fresh:
+            dvs[r["f"]] = fresh
+            n_deleted += len(fresh)
+    if not dvs:
+        return {"version": base, "rows_deleted": 0, "files_touched": 0,
+                "files_total": len(all_files)}
+    v = commit_reconciled(
+        path, [], [], base=base, read_files=set(candidates),
+        operation="delete_mor", dvs=dvs,
+    )
+    return {
+        "version": v,
+        "rows_deleted": int(n_deleted),
+        "files_touched": len(dvs),
+        "files_total": len(all_files),
+    }
+
+
+def purge_dvs(spark: SparkSession, path: str) -> dict:
+    """Re-materialize every file carrying a deletion vector into clean
+    survivor files (Delta's ``REORG TABLE ... APPLY (PURGE)``) — the
+    maintenance step that pays the rewrite ONCE to remove the per-read
+    anti-join. Reads the DV'd files with vectors applied, writes the
+    survivors as a fresh group, and commits adds+removes; the removes
+    drop the vectors by replay rule. Purging a table without vectors
+    is a no-op (no version burn). Data is unchanged by construction —
+    a read before and after hash-matches."""
+    base = current_version(path)
+    dvs = snapshot_dvs(path, base)
+    if not dvs:
+        return {"version": base, "files_purged": 0, "rows_dropped": 0}
+    doomed = sorted(dvs)
+    survivors = _read_files(spark, path, doomed).drop("_txfile")
+    adds, stats = _write_data(
+        survivors.coalesce(len(doomed)), path, _bloom_cols(path)
+    )
+    v = commit_reconciled(
+        path, adds, doomed, base=base, read_files=set(doomed),
+        operation="purge", stats=stats,
+    )
+    return {
+        "version": v,
+        "files_purged": len(doomed),
+        "rows_dropped": sum(len(p) for p in dvs.values()),
     }
 
 
@@ -1171,9 +1562,9 @@ def merge(
     # a merge must not explode the file count to the cluster parallelism
     new_rows = survivors.unionByName(upserts).coalesce(max(len(touched), 1))
     adds, stats = _write_data(new_rows, path, _bloom_cols(path))
-    v = commit(
-        path, adds, touched, expected_version=base, operation="merge",
-        stats=stats,
+    v = commit_reconciled(
+        path, adds, touched, base=base, read_files=set(all_files),
+        operation="merge", stats=stats,
     )
     return {
         "version": v,
@@ -1198,14 +1589,21 @@ def changes(
     appears as delete(old row) + insert(new row) — the standard
     changelog encoding a downstream MERGE re-applies directly.
 
-    Computation per commit: read the entry's ADDED files and REMOVED
-    files (only the touched files — never the whole table) with the
-    schema as of that version, then take multiset differences
-    (``exceptAll`` both ways) so rows merely REWRITTEN into new files
-    (compaction survivors, copy-on-write carry-over) cancel out.
-    'optimize' commits are skipped outright — layout-only, zero net
-    change by construction. Appends short-circuit (no removes: every
-    added row is an insert, no diff runs).
+    Computation per commit: the BEFORE state (the entry's removed
+    files plus DV-touched files, with the PRE-commit deletion vectors
+    applied) and the AFTER state (added files plus DV-touched files,
+    with the commit's vectors applied) are read — only the touched
+    files, never the whole table — with the schema as of that
+    version, then diffed with multiset differences (``exceptAll``
+    both ways) so rows merely REWRITTEN into new files (compaction
+    survivors, copy-on-write carry-over, purge re-materialization)
+    cancel out. Applying vectors on BOTH sides is what keeps DV
+    semantics exact: a delete_mor commit nets to just its newly
+    deleted rows, and a later purge nets to ZERO (already-dead rows
+    never re-report as deletes). 'optimize' commits are skipped
+    outright — layout-only, zero net change by construction. Appends
+    short-circuit (no removes, no vectors: every added row is an
+    insert, no diff runs).
 
     100 TB: cost is bounded by each commit's touched files, and the
     exceptAll shuffle only runs for commits that actually removed
@@ -1222,7 +1620,7 @@ def changes(
             f"bad change range ({from_version}, {to_v}] at latest {latest}"
         )
 
-    def _rel(files: list[str], schema_json: str | None):
+    def _rel(files: list[str], schema_json: str | None, dvs: dict):
         if not files:
             return None
         if schema_json is not None:
@@ -1231,16 +1629,35 @@ def changes(
             )
         else:
             reader = spark.read
-        return reader.parquet(*[os.path.join(path, f) for f in files])
+        df = reader.parquet(*[os.path.join(path, f) for f in files])
+        fset = set(files)
+        return _subtract_dvs(
+            spark, df, path, files,
+            {f: p for f, p in dvs.items() if f in fset},
+        )
 
     out = None
     for v in range(from_version + 1, to_v + 1):
         entry = _read_entry(path, v)
         if entry.get("operation") == "optimize":
             continue
-        _, _, _, schema_json = _resolve(path, v)
-        added = _rel(entry["adds"], schema_json)
-        removed = _rel(entry["removes"], schema_json)
+        _, _, _, schema_json, dvs_v = _resolve(path, v)
+        dv_delta = sorted(
+            set(entry.get("dvs", {})) | set(entry.get("dv_reset", {}))
+        )
+        if v > 0 and (entry["removes"] or dv_delta):
+            _, prev_active, _, _, dvs_prev = _resolve(path, v - 1)
+        else:
+            prev_active, dvs_prev = set(), {}
+        before_files = sorted(
+            set(entry["removes"])
+            | {f for f in dv_delta if f in prev_active}
+        )
+        after_files = sorted(
+            set(entry["adds"]) | {f for f in dv_delta if f in prev_active}
+        )
+        added = _rel(after_files, schema_json, dvs_v)
+        removed = _rel(before_files, schema_json, dvs_prev)
         if added is None and removed is None:
             continue
         if removed is None:
@@ -1375,9 +1792,9 @@ def update(
     adds, stats = _write_data(
         rewritten.coalesce(len(touched)), path, _bloom_cols(path)
     )
-    v = commit(
-        path, adds, touched, expected_version=base, operation="update",
-        stats=stats,
+    v = commit_reconciled(
+        path, adds, touched, base=base, read_files=set(candidates),
+        operation="update", stats=stats,
     )
     return {
         "version": v,
@@ -1403,8 +1820,15 @@ def restore(path: str, version: int) -> int:
         raise ValueError(f"cannot restore to {version} (latest {base})")
     if version == base:
         return base
-    _, cur, _, _ = _resolve(path, base)
-    _, target, target_stats, target_schema = _resolve(path, version)
+    _, cur, _, _, cur_dvs = _resolve(path, base)
+    _, target, target_stats, target_schema, target_dvs = _resolve(path, version)
+    # Deletion vectors restore by ASSIGNMENT (dv_reset), not union —
+    # the target may have fewer (or no) deleted positions than the
+    # head, which union replay could never shrink back.
+    resets = {}
+    for f in target:
+        if cur_dvs.get(f, []) != target_dvs.get(f, []):
+            resets[f] = target_dvs.get(f, [])
     return commit(
         path,
         adds=sorted(target - cur),
@@ -1414,6 +1838,7 @@ def restore(path: str, version: int) -> int:
         stats={f: target_stats[f] for f in sorted(target - cur)
                if f in target_stats},
         schema=target_schema,
+        dv_reset=resets or None,
     )
 
 
@@ -1435,7 +1860,7 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> int:
     base = current_version(src_path)
     if base < 0:
         raise FileNotFoundError(f"no transaction log at {src_path}")
-    _, active, stats, schema = _resolve(src_path, version)
+    _, active, stats, schema, src_dvs = _resolve(src_path, version)
     os.makedirs(dst_path, exist_ok=True)
     if current_version(dst_path) >= 0:
         raise FileExistsError(f"txlog table already exists at {dst_path}")
@@ -1456,6 +1881,8 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> int:
         stats={refs[f]: stats[f] for f in sorted(active) if f in stats},
         schema=schema,
         properties=props,
+        dvs={refs[f]: src_dvs[f] for f in sorted(active) if f in src_dvs}
+        or None,
     )
 
 

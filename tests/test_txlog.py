@@ -1093,3 +1093,236 @@ def test_publish_cleans_tmp_on_write_failure(tmp_path):
     assert not _os.path.exists(_os.path.join(d, "00000000.json"))
     assert b.publish(_os.path.join(d, "00000000.json"), "{}") is True
     assert not glob.glob(_os.path.join(d, ".tmp-*"))
+
+
+# --- round 7: deletion vectors (merge-on-read) ----------------------------
+
+
+def test_delete_mor_reads_without_rewriting(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    files_before = set(txlog.snapshot_files(path))
+    res = txlog.delete_mor(spark, path, "k >= 10 AND k < 15")
+    assert res["rows_deleted"] == 5 and res["files_touched"] >= 1
+    # merge-on-read: the active FILE set is unchanged — only vectors
+    assert set(txlog.snapshot_files(path)) == files_before
+    ks = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert ks == [k for k in range(100) if not (10 <= k < 15)]
+    # time travel: the pre-delete version still has every row
+    assert txlog.read(spark, path, version=res["version"] - 1).count() == 100
+
+
+def test_delete_mor_unions_and_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    txlog.delete_mor(spark, path, "k < 3")
+    res2 = txlog.delete_mor(spark, path, "k < 5")  # overlaps the first
+    assert res2["rows_deleted"] == 2, "already-dead rows must not recount"
+    assert txlog.read(spark, path).count() == 95
+    res3 = txlog.delete_mor(spark, path, "k < 5")
+    assert res3["rows_deleted"] == 0
+    assert txlog.current_version(path) == res2["version"], "no version burn"
+
+
+def test_cow_after_mor_does_not_resurrect(spark, tmp_path):
+    """A COW rewrite (delete/update/merge/optimize) reading a DV'd file
+    must apply the vector — the rewrite drops the vector with the
+    file, so missing this would resurrect MOR-deleted rows."""
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    txlog.delete_mor(spark, path, "k = 7")
+    txlog.delete(spark, path, "k = 3")  # COW pass over the same files
+    ks = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert 7 not in ks and 3 not in ks and len(ks) == 98
+    txlog.optimize(spark, path, target_files=2)
+    assert txlog.snapshot_dvs(path) == {}, "optimize localizes vectors away"
+    ks = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert 7 not in ks and 3 not in ks and len(ks) == 98
+
+
+def test_purge_dvs_materializes_survivors(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    txlog.delete_mor(spark, path, "k % 10 = 0")
+    before = sorted((r["k"], r["v"]) for r in txlog.read(spark, path).collect())
+    res = txlog.purge_dvs(spark, path)
+    assert res["files_purged"] >= 1 and res["rows_dropped"] == 10
+    assert txlog.snapshot_dvs(path) == {}
+    after = sorted((r["k"], r["v"]) for r in txlog.read(spark, path).collect())
+    assert after == before, "purge must not change table content"
+    assert txlog.purge_dvs(spark, path)["files_purged"] == 0  # no-op
+
+
+def test_dv_survives_checkpoint_resolution(spark, tmp_path):
+    """Vectors must ride checkpoints: resolve from a checkpoint past
+    the DV commit and the deleted rows stay deleted."""
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    txlog.delete_mor(spark, path, "k = 42")
+    # push past a checkpoint boundary (interval 10)
+    for i in range(12):
+        txlog.append(_df(spark, [(1000 + i, "x")]).coalesce(1), path)
+    assert txlog.checkpoint_versions(path), "no checkpoint written"
+    ks = [r["k"] for r in txlog.read(spark, path).collect()]
+    assert 42 not in ks and len(ks) == 99 + 12
+
+
+def test_changes_reports_mor_deletes_once(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark, n=20, parts=2), path)
+    v1 = txlog.delete_mor(spark, path, "k IN (3, 11)")["version"]
+    ch = txlog.changes(spark, path, from_version=v1 - 1, to_version=v1)
+    rows = [(r["k"], r["_change_type"], r["_commit_version"])
+            for r in ch.collect()]
+    assert sorted(rows) == [(3, "delete", v1), (11, "delete", v1)]
+    # a purge afterwards nets to ZERO changes (rows only re-materialize)
+    v2 = txlog.purge_dvs(spark, path)["version"]
+    assert txlog.changes(spark, path, from_version=v1, to_version=v2).count() == 0
+    # full range still reports exactly the two deletes
+    full = txlog.changes(spark, path, from_version=v1 - 1, to_version=v2)
+    got = [(r["k"], r["_change_type"]) for r in full.collect()]
+    assert sorted(got) == [(3, "delete"), (11, "delete")]
+
+
+def test_restore_resets_deletion_vectors(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    v0 = txlog.current_version(path)
+    txlog.delete_mor(spark, path, "k < 50")
+    assert txlog.read(spark, path).count() == 50
+    txlog.restore(path, v0)
+    assert txlog.read(spark, path).count() == 100, "restore must clear DVs"
+    assert txlog.snapshot_dvs(path) == {}
+
+
+def test_clone_carries_deletion_vectors(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    txlog.create(_kv(spark), src)
+    txlog.delete_mor(spark, src, "k >= 90")
+    txlog.clone(src, dst)
+    assert txlog.read(spark, dst).count() == 90, "clone resurrected MOR rows"
+
+
+# --- round 7: conflict reconciliation -------------------------------------
+
+
+def _race_one_commit(monkeypatch_commit, racer):
+    """Install a commit wrapper that runs ``racer`` once before the
+    first commit attempt lands, simulating a concurrent winner."""
+
+
+def test_cow_delete_reconciles_past_concurrent_append(spark, tmp_path):
+    """delete vs append on disjoint files: the delete finished its
+    rewrite against base, an append lands first — the delete must
+    auto-retry and succeed (WriteSerializable), not abort."""
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark), path)
+    real = txlog.commit
+    state = {"raced": False}
+
+    def racing(p, adds, removes, **kw):
+        if not state["raced"] and kw.get("operation") == "delete":
+            state["raced"] = True
+            txlog.append(_df(spark, [(500, "zz")]).coalesce(1), path)
+        return real(p, adds, removes, **kw)
+
+    txlog.commit = racing
+    try:
+        res = txlog.delete(spark, path, "k < 10")
+    finally:
+        txlog.commit = real
+    assert res["rows_deleted"] == 10
+    ks = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert ks[0] == 10 and 500 in ks, "both the append and the delete landed"
+
+
+def test_cow_vs_cow_on_same_files_aborts(spark, tmp_path):
+    """Two COW rewrites of overlapping files: the loser's survivors are
+    stale — it must raise TxLogConflict, never silently resurrect."""
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark, parts=1), path)  # one file: guaranteed overlap
+    real = txlog.commit
+    state = {"raced": False}
+
+    def racing(p, adds, removes, **kw):
+        if not state["raced"] and kw.get("operation") == "delete":
+            state["raced"] = True
+            txlog.update(spark, path, "k = 99", {"v": "'CHANGED'"})
+        return real(p, adds, removes, **kw)
+
+    txlog.commit = racing
+    try:
+        with pytest.raises(txlog.TxLogConflict, match="non-reconcilable"):
+            txlog.delete(spark, path, "k < 10")
+    finally:
+        txlog.commit = real
+    # the winner's effect is intact; the loser changed nothing
+    rows = {r["k"]: r["v"] for r in txlog.read(spark, path).collect()}
+    assert rows[99] == "CHANGED" and len(rows) == 100
+
+
+def test_mor_delete_vs_mor_delete_same_file_aborts_loser(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark, parts=1), path)
+    real = txlog.commit
+    state = {"raced": False}
+
+    def racing(p, adds, removes, **kw):
+        if not state["raced"] and kw.get("operation") == "delete_mor":
+            state["raced"] = True
+            txlog.delete_mor(spark, path, "k = 1")
+        return real(p, adds, removes, **kw)
+
+    txlog.commit = racing
+    try:
+        with pytest.raises(txlog.TxLogConflict, match="non-reconcilable"):
+            txlog.delete_mor(spark, path, "k = 2")
+    finally:
+        txlog.commit = real
+    assert txlog.read(spark, path).count() == 99  # only the winner's delete
+
+
+# --- round 7: CAS (object-store) commit backend ---------------------------
+
+
+def test_cas_backend_roundtrip_and_clean_loss(spark, tmp_path):
+    path = str(tmp_path / "t")
+    b = txlog.CASCommitBackend()
+    with txlog.use_backend(b):
+        txlog.create(_df(spark, [(1, "a")]), path)
+        b.faults.append("lose")
+        with pytest.raises(txlog.TxLogConflict):
+            txlog.append(_df(spark, [(2, "b")]), path)
+        txlog.append(_df(spark, [(3, "c")]), path)
+        got = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert got == [1, 3]
+    # the table remains readable through the DEFAULT backend too
+    assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 3]
+
+
+def test_cas_ambiguous_after_store_resolves_to_success(spark, tmp_path):
+    """The put landed but the response was lost: read-back must decide
+    SUCCESS (the commit is visible), not raise or double-commit."""
+    path = str(tmp_path / "t")
+    b = txlog.CASCommitBackend()
+    with txlog.use_backend(b):
+        txlog.create(_df(spark, [(1, "a")]), path)
+        b.faults.append("fail_after_store")
+        v = txlog.append(_df(spark, [(2, "b")]), path)
+        assert v == 1
+        assert txlog.current_version(path) == 1
+        assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 2]
+
+
+def test_cas_ambiguous_before_store_retries_cleanly(spark, tmp_path):
+    """The put never landed: read-back finds nothing and ONE clean
+    retry commits (the conditional put still serializes winners)."""
+    path = str(tmp_path / "t")
+    b = txlog.CASCommitBackend()
+    with txlog.use_backend(b):
+        txlog.create(_df(spark, [(1, "a")]), path)
+        b.faults.append("fail_before_store")
+        v = txlog.append(_df(spark, [(2, "b")]), path)
+        assert v == 1 and b.puts == 2  # create + the successful retry
+        assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 2]
