@@ -718,12 +718,10 @@ SELECT doc_a, doc_b, jaccard FROM mh_pairs
 """
 
 
-def portable_minhash_pairs(docs: DataFrame) -> DataFrame:
-    """The h13_minhash_portable pipeline body over an arbitrary
-    (doc_id, text) frame — shared with pipeline_sketch_dedup so the
-    cascade composes the IDENTICAL stages the standalone twin
-    hash-checks. Returns (doc_a, doc_b, jaccard) pairs at J >= 0.5."""
-    sh = (
+def portable_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) under the portable sketch's tokenization —
+    distinct 3-token shingles, empty-shingle docs dropped."""
+    return (
         docs
         .select(
             "doc_id",
@@ -731,7 +729,17 @@ def portable_minhash_pairs(docs: DataFrame) -> DataFrame:
         )
         .where(F.size("shingles") > 0)
     )
-    sh = defer_unpersist(sh.persist())
+
+
+def portable_band_buckets(sh: DataFrame) -> DataFrame:
+    """The portable-MinHash banding stage over a (doc_id, shingles)
+    frame (:func:`portable_shingles`): (doc_id, band, bucket) rows
+    under the module's (_MH_HASHES, _MH_BANDS) constants — md5-seeded
+    min-hashes, band bucket = md5(concat of the band's mins). Shared
+    by the verify-style pairs (:func:`portable_minhash_pairs`) and the
+    bucketed exact-span pass (text_analysis.h17_span_dedup_bucketed),
+    so every consumer blocks on the IDENTICAL buckets the hash-matched
+    twin proves."""
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     sig = ex.groupBy("doc_id").agg(
         *[
@@ -740,7 +748,7 @@ def portable_minhash_pairs(docs: DataFrame) -> DataFrame:
         ]
     )
     rows = _MH_HASHES // _MH_BANDS
-    buckets = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -756,6 +764,35 @@ def portable_minhash_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def portable_band_candidates(docs: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing any band
+    bucket — the block step of the portable sketch, without the
+    Jaccard verify (consumers bring their own verify: exact Jaccard
+    for near-dup, the exact-span pass for substring dedup)."""
+    buckets = portable_band_buckets(portable_shingles(docs))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def portable_minhash_pairs(docs: DataFrame) -> DataFrame:
+    """The h13_minhash_portable pipeline body over an arbitrary
+    (doc_id, text) frame — shared with pipeline_sketch_dedup so the
+    cascade composes the IDENTICAL stages the standalone twin
+    hash-checks. Returns (doc_a, doc_b, jaccard) pairs at J >= 0.5."""
+    sh = defer_unpersist(portable_shingles(docs).persist())
+    buckets = portable_band_buckets(sh)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
