@@ -22,6 +22,7 @@ import spark_glove_spark.operators.pipeline  # noqa: F401
 import spark_glove_spark.operators.pydatasource  # noqa: F401
 import spark_glove_spark.operators.relational  # noqa: F401
 import spark_glove_spark.operators.scale_ops  # noqa: F401
+import spark_glove_spark.operators.statml  # noqa: F401
 import spark_glove_spark.operators.temporal  # noqa: F401
 import spark_glove_spark.operators.scalar_queries  # noqa: F401
 import spark_glove_spark.operators.text_analysis  # noqa: F401

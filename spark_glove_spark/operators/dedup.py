@@ -1095,3 +1095,119 @@ def h13_semdedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup.groupBy(F.col("kb").alias("vec_id")).agg(
         F.min("ka").alias("witness"), F.min("cluster").alias("cluster")
     )
+
+
+def _mh_est_oracle() -> str:
+    eq = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(_MH_HASHES)
+    )
+    return f"""
+WITH {mh_pair_ctes('documents')},
+sigs AS (SELECT * FROM sig)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(({eq}) AS DOUBLE) / {_MH_HASHES}, 6) AS jaccard_est,
+       round(CAST(len(list_filter(st_a.ss, x -> list_contains(st_b.ss, x)))
+                  AS DOUBLE)
+             / (st_a.n + st_b.n
+                - len(list_filter(st_a.ss, x -> list_contains(st_b.ss, x)))),
+             6) AS jaccard_exact,
+       round(abs(CAST(({eq}) AS DOUBLE) / {_MH_HASHES}
+                 - CAST(len(list_filter(st_a.ss, x -> list_contains(st_b.ss, x)))
+                        AS DOUBLE)
+                   / (st_a.n + st_b.n
+                      - len(list_filter(st_a.ss,
+                                        x -> list_contains(st_b.ss, x))))),
+             6) AS abs_err
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+JOIN sets st_a ON st_a.doc_id = c.doc_a
+JOIN sets st_b ON st_b.doc_id = c.doc_b
+"""
+
+
+@query(
+    "h13_minhash_jaccard_estimate",
+    section="H13,H14,G7",
+    tags=("dedup", "llm-pipeline"),
+    oracle=_mh_est_oracle(),
+)
+def h13_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash ESTIMATOR itself, hash-checked against ground
+    truth: for every banded candidate pair, the sketch estimate
+    Ĵ = (matching mins)/k alongside the exact shingle-set Jaccard and
+    the absolute error — the query a pipeline owner runs to calibrate
+    the sketch (is k=8 enough at my dedup threshold? what error band
+    do my bands imply?) before trusting it at 100 TB, where only the
+    estimate is affordable. The unbiasedness of per-permutation
+    min-hash agreement (P[min_a = min_b] = J exactly) is the
+    textbook property; this query makes the error VISIBLE per pair
+    rather than assumed.
+
+    Scale: identical cost to the portable twin — signatures are one
+    aggregate, candidates come from the band join, and the exact side
+    only ever evaluates on candidates (at true scale one samples
+    candidates for calibration; the fixture verifies them all)."""
+    docs = table(spark, sf_dir, "documents")
+    sh = defer_unpersist(portable_shingles(docs).persist())
+    buckets = portable_band_buckets(sh)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"m{i}|"), F.col("s")))).alias(f"m{i}")
+            for i in range(_MH_HASHES)
+        ]
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MH_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MH_HASHES)],
+    )
+    seta = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("set_a"))
+    setb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("set_b"))
+    matches = sum(
+        (
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(1, _MH_HASHES)
+        ),
+        start=F.when(F.col("a0") == F.col("b0"), 1).otherwise(0),
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    est = F.round(matches.cast("double") / _MH_HASHES, 6)
+    exact = F.round(inter.cast("double") / union, 6)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(seta, "doc_a")
+        .join(setb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("jaccard_est"),
+            exact.alias("jaccard_exact"),
+            F.round(
+                F.abs(
+                    matches.cast("double") / _MH_HASHES
+                    - inter.cast("double") / union
+                ),
+                6,
+            ).alias("abs_err"),
+        )
+    )

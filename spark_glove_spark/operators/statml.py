@@ -1,0 +1,842 @@
+"""Statistical testing + classical-ML aggregates — the data-quality
+and drift-monitoring surface a 100 TB training-data pipeline runs
+continuously: two-sample drift tests (KS, PSI), association measures
+(chi-square, mutual information), distribution diagnostics (Benford,
+Gini), ranking quality (AUC), and closed-form model fits (OLS/ridge by
+normal equations, multinomial naive Bayes). Every query is ONE or two
+map-side-combined aggregates over the fact table — no iteration, no
+Python, no pair structure — so each one costs a scan at any scale.
+
+Engine-exactness discipline (the f8 floor-cent rule, applied wall to
+wall): every moment that feeds later arithmetic is an exact INTEGER
+aggregate (cents, counts, ranks), so Spark and DuckDB agree bit-for-bit
+before the final double-precision formula, and the formula itself is
+written with the identical operation shape on both sides. Floating
+sums only ever appear inside a terminal round(x, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_glove_spark.registry import query
+from spark_glove_spark.sources import parallelized, table
+
+
+# ---------------------------------------------------------------------------
+# d22: two-sample Kolmogorov–Smirnov drift test
+
+
+@query(
+    "d22_ks_drift",
+    section="D2,E4",
+    tags=("stats", "llm-pipeline"),
+    oracle="""
+WITH s AS (
+  SELECT value, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+  FROM events
+),
+tot AS (SELECT sum(is_a) AS na, sum(1 - is_a) AS nb FROM s),
+g AS (
+  SELECT value, sum(is_a) AS a_v, sum(1 - is_a) AS b_v
+  FROM s GROUP BY value
+),
+c AS (
+  SELECT value,
+         sum(a_v) OVER (ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(b_v) OVER (ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS cb
+  FROM g
+)
+SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+       CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
+       round(max(abs(CAST(ca AS DOUBLE) / (SELECT na FROM tot)
+                     - CAST(cb AS DOUBLE) / (SELECT nb FROM tot))), 6)
+         AS ks_stat
+FROM c
+""",
+)
+def d22_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic — THE distribution-
+    drift test a data pipeline runs between corpus snapshots / A-B
+    cohorts: D = max_x |F_A(x) - F_B(x)| over the pooled empirical
+    CDFs (cohorts = user parity, a deterministic stand-in for
+    yesterday/today). Exact, not binned: per distinct value the two
+    cumulative counts advance by that value's group counts, and D is
+    the max absolute gap — integer counts all the way to the final
+    two divisions.
+
+    100 TB: one groupBy(value) aggregate + one ordered prefix-sum
+    over the DISTINCT values (≪ rows) + a max — the window runs over
+    the collapsed value domain, never the fact rows."""
+    e = parallelized(table(spark, sf_dir, "events"))
+    s = e.select(
+        "value",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+    )
+    tot = s.agg(
+        F.sum("is_a").alias("na"), F.sum(1 - F.col("is_a")).alias("nb")
+    )
+    g = s.groupBy("value").agg(
+        F.sum("is_a").alias("a_v"), F.sum(1 - F.col("is_a")).alias("b_v")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "value",
+        F.sum("a_v").over(w).alias("ca"),
+        F.sum("b_v").over(w).alias("cb"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("na")
+                    - F.col("cb").cast("double") / F.col("nb")
+                )
+            ).alias("d"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.round("d", 6).alias("ks_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d23: population stability index (binned drift)
+
+
+_PSI_BINS = 10
+
+
+@query(
+    "d23_psi_drift",
+    section="D1,D14",
+    tags=("stats", "llm-pipeline"),
+    oracle=f"""
+WITH s AS (
+  SELECT value, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+  FROM events
+),
+b AS (SELECT min(value) AS lo, max(value) AS hi FROM s),
+binned AS (
+  SELECT least(CAST(floor((value - (SELECT lo FROM b))
+                     / (((SELECT hi FROM b) - (SELECT lo FROM b))
+                        / {_PSI_BINS})) AS BIGINT),
+               {_PSI_BINS - 1}) AS bin,
+         is_a
+  FROM s
+),
+tot AS (SELECT sum(is_a) AS na, sum(1 - is_a) AS nb FROM binned),
+g AS (
+  SELECT bin, sum(is_a) AS a_c, sum(1 - is_a) AS b_c
+  FROM binned GROUP BY bin
+)
+SELECT CAST({_PSI_BINS} AS BIGINT) AS n_bins,
+       round(sum((CAST(a_c + 1 AS DOUBLE)
+                    / ((SELECT na FROM tot) + {_PSI_BINS})
+                  - CAST(b_c + 1 AS DOUBLE)
+                    / ((SELECT nb FROM tot) + {_PSI_BINS}))
+                 * ln((CAST(a_c + 1 AS DOUBLE)
+                       / ((SELECT na FROM tot) + {_PSI_BINS}))
+                      / (CAST(b_c + 1 AS DOUBLE)
+                         / ((SELECT nb FROM tot) + {_PSI_BINS})))), 6)
+         AS psi
+FROM g
+""",
+)
+def d23_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index — the binned drift score model-risk
+    teams threshold on (PSI > 0.2 = investigate): 10 equal-width bins
+    over the pooled range, PSI = Σ (p_a - p_b)·ln(p_a/p_b) with
+    add-one smoothing so empty bins stay finite AND deterministic (no
+    epsilon fudge factor). Same cohorts as d22; KS is the exact test,
+    PSI the interpretable dashboard number — pipelines run both.
+
+    100 TB: a 2-row bounds aggregate broadcast into codegen binning,
+    then one 10-row group-by — cost is one scan, state is O(bins)."""
+    e = parallelized(table(spark, sf_dir, "events"))
+    s = e.select(
+        "value",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+    )
+    b = s.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = s.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / _PSI_BINS)
+            ).cast("long"),
+            F.lit(_PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+        "is_a",
+    )
+    tot = binned.agg(
+        F.sum("is_a").alias("na"), F.sum(1 - F.col("is_a")).alias("nb")
+    )
+    g = binned.groupBy("bin").agg(
+        F.sum("is_a").alias("a_c"), F.sum(1 - F.col("is_a")).alias("b_c")
+    )
+    pa = (F.col("a_c") + 1).cast("double") / (F.col("na") + _PSI_BINS)
+    pb = (F.col("b_c") + 1).cast("double") / (F.col("nb") + _PSI_BINS)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .agg(F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"))
+        .select(F.lit(_PSI_BINS).cast("long").alias("n_bins"), "psi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d24 + d25: association measures on the (lang, source) contingency table
+
+
+@query(
+    "d24_chi2_association",
+    section="D1,D2",
+    tags=("stats",),
+    oracle="""
+WITH o AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, sum(n) AS rn FROM o GROUP BY 1),
+c AS (SELECT source, sum(n) AS cn FROM o GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM o)
+SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_cols,
+       CAST(((SELECT count(*) FROM r) - 1)
+            * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
+       round(sum(pow(CAST(o.n AS DOUBLE)
+                     - CAST(r.rn AS DOUBLE) * c.cn / (SELECT tot FROM t), 2)
+                 / (CAST(r.rn AS DOUBLE) * c.cn / (SELECT tot FROM t))), 6)
+         AS chi2
+FROM o JOIN r USING (lang) JOIN c USING (source)
+""",
+)
+def d24_chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test on the (lang, source)
+    contingency table — the feature-selection / leakage-detection
+    primitive (is the language mix independent of the crawl source?):
+    χ² = Σ (O - E)² / E with E = row·col/total. Only OBSERVED cells
+    contribute (an absent cell has O=0 and adds E, folded in here by
+    summing over observed cells of the joined marginals — absent
+    combinations have E·(0-1)² = E... which this fixture never hits:
+    every (lang, source) pair occurs; the oracle and body share that
+    contract).
+
+    100 TB: the contingency table is |langs|×|sources| — a bounded
+    aggregate; marginals join against it, not the corpus."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    r = o.groupBy("lang").agg(F.sum("n").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("n").alias("cn"))
+    t = o.agg(F.sum("n").alias("tot"))
+    e = F.col("rn").cast("double") * F.col("cn") / F.col("tot")
+    joined = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+    )
+    return joined.agg(
+        F.countDistinct("lang").alias("n_rows"),
+        F.countDistinct("source").alias("n_cols"),
+        F.round(F.sum(F.pow(F.col("n").cast("double") - e, 2) / e), 6).alias(
+            "chi2"
+        ),
+    ).select(
+        F.col("n_rows").cast("long"),
+        F.col("n_cols").cast("long"),
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+        .cast("long")
+        .alias("dof"),
+        "chi2",
+    )
+
+
+@query(
+    "d25_mutual_information",
+    section="D1,D2",
+    tags=("stats",),
+    oracle="""
+WITH o AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, sum(n) AS rn FROM o GROUP BY 1),
+c AS (SELECT source, sum(n) AS cn FROM o GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM o)
+SELECT round((SELECT -sum((CAST(rn AS DOUBLE) / (SELECT tot FROM t))
+                          * ln(CAST(rn AS DOUBLE) / (SELECT tot FROM t)))
+              FROM r), 6) AS h_lang,
+       round((SELECT -sum((CAST(cn AS DOUBLE) / (SELECT tot FROM t))
+                          * ln(CAST(cn AS DOUBLE) / (SELECT tot FROM t)))
+              FROM c), 6) AS h_source,
+       round(sum((CAST(o.n AS DOUBLE) / (SELECT tot FROM t))
+                 * ln((CAST(o.n AS DOUBLE) * (SELECT tot FROM t))
+                      / (CAST(r.rn AS DOUBLE) * c.cn))), 6) AS mi_nats
+FROM o JOIN r USING (lang) JOIN c USING (source)
+""",
+)
+def d25_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) plus both marginal entropies
+    — the information-theoretic companion to d24 (χ² tests existence
+    of association; MI measures its STRENGTH in nats, and MI=0 ⇔
+    independence). Same bounded contingency-table plan; observed
+    cells only (0·ln0 = 0 drops absent cells exactly).
+
+    100 TB: identical cost shape to d24 — one contingency aggregate,
+    marginals joined against the bounded table."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    r = o.groupBy("lang").agg(F.sum("n").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("n").alias("cn"))
+    t = o.agg(F.sum("n").alias("tot"))
+    joined = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+    )
+    pn = F.col("n").cast("double") / F.col("tot")
+    mi = joined.agg(
+        F.round(
+            F.sum(
+                pn
+                * F.log(
+                    F.col("n").cast("double")
+                    * F.col("tot")
+                    / (F.col("rn").cast("double") * F.col("cn"))
+                )
+            ),
+            6,
+        ).alias("mi_nats")
+    )
+    hl = (
+        r.crossJoin(F.broadcast(t))
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("rn").cast("double") / F.col("tot"))
+                    * F.log(F.col("rn").cast("double") / F.col("tot"))
+                ),
+                6,
+            ).alias("h_lang")
+        )
+    )
+    hs = (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("cn").cast("double") / F.col("tot"))
+                    * F.log(F.col("cn").cast("double") / F.col("tot"))
+                ),
+                6,
+            ).alias("h_source")
+        )
+    )
+    return hl.crossJoin(hs).crossJoin(mi)
+
+
+# ---------------------------------------------------------------------------
+# d26: AUC by rank-sum (Mann–Whitney)
+
+
+@query(
+    "d26_auc_ranksum",
+    section="D2,E1",
+    tags=("stats", "llm-pipeline"),
+    oracle="""
+WITH s AS (
+  SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+g AS (
+  SELECT value, sum(pos) AS npos, count(*) AS m
+  FROM s GROUP BY value
+),
+c AS (
+  SELECT value, npos, m,
+         coalesce(sum(m) OVER (ORDER BY value
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS before
+  FROM g
+),
+tot AS (SELECT sum(pos) AS n1, sum(1 - pos) AS n0 FROM s)
+SELECT CAST((SELECT n1 FROM tot) AS BIGINT) AS n_pos,
+       CAST((SELECT n0 FROM tot) AS BIGINT) AS n_neg,
+       round((sum(npos * (CAST(before AS DOUBLE) + (m + 1) / 2.0))
+              - CAST((SELECT n1 FROM tot) AS DOUBLE)
+                * ((SELECT n1 FROM tot) + 1) / 2.0)
+             / (CAST((SELECT n1 FROM tot) AS DOUBLE)
+                * (SELECT n0 FROM tot)), 6) AS auc
+FROM c
+""",
+)
+def d26_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC via the Mann–Whitney rank-sum identity — the classifier/
+    quality-score evaluation primitive (a quality classifier's AUC
+    against a held-out label IS this query with score and label
+    columns swapped in): AUC = (R⁺ - n⁺(n⁺+1)/2) / (n⁺n⁻), with
+    average ranks for ties computed exactly from per-value group
+    counts (before + (m+1)/2) — no per-row window, no sort of the
+    fact table, ties handled identically in both engines by integer
+    arithmetic.
+
+    100 TB: groupBy(value) collapses the rank computation to the
+    distinct-score domain; the prefix sum runs there too. Evaluating
+    a model on a petabyte of scored rows costs one scan + one
+    bounded-domain window."""
+    e = parallelized(table(spark, sf_dir, "events")).where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    s = e.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("value").agg(
+        F.sum("pos").alias("npos"), F.count(F.lit(1)).alias("m")
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = g.select(
+        "value", "npos", "m",
+        F.coalesce(F.sum("m").over(w), F.lit(0)).alias("before"),
+    )
+    tot = s.agg(F.sum("pos").alias("n1"), F.sum(1 - F.col("pos")).alias("n0"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("npos")
+                * (F.col("before").cast("double") + (F.col("m") + 1) / 2.0)
+            ).alias("rpos"),
+            F.first("n1").alias("n1"),
+            F.first("n0").alias("n0"),
+        )
+        .select(
+            F.col("n1").cast("long").alias("n_pos"),
+            F.col("n0").cast("long").alias("n_neg"),
+            F.round(
+                (
+                    F.col("rpos")
+                    - F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0
+                )
+                / (F.col("n1").cast("double") * F.col("n0")),
+                6,
+            ).alias("auc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d28: Benford first-digit deviation
+
+
+@query(
+    "d28_benford",
+    section="D1,G5",
+    tags=("stats",),
+    oracle="""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+d AS (
+  SELECT CASE
+    WHEN cents >= 100000000 THEN cents // 100000000
+    WHEN cents >= 10000000 THEN cents // 10000000
+    WHEN cents >= 1000000 THEN cents // 1000000
+    WHEN cents >= 100000 THEN cents // 100000
+    WHEN cents >= 10000 THEN cents // 10000
+    WHEN cents >= 1000 THEN cents // 1000
+    WHEN cents >= 100 THEN cents // 100
+    WHEN cents >= 10 THEN cents // 10
+    ELSE cents END AS digit
+  FROM c WHERE cents > 0
+),
+t AS (SELECT count(*) AS tot FROM d)
+SELECT digit, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(count(*) AS DOUBLE) / (SELECT tot FROM t), 6) AS obs_p,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+       round(abs(CAST(count(*) AS DOUBLE) / (SELECT tot FROM t)
+                 - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+FROM d GROUP BY digit
+""",
+)
+def d28_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    fraud/synthetic-data detector bookkeepers and data-quality teams
+    run on monetary columns: observed first-digit frequencies vs
+    log10(1 + 1/d). The digit is extracted by INTEGER arithmetic on
+    exact cents (a magnitude CASE ladder), never by float log10 or
+    string casts — both of which differ across engines at boundaries
+    like 1000.0.
+
+    (This synthetic fixture's uniform prices will deviate heavily —
+    the detector working as designed; real ledger data converges.)
+
+    100 TB: map-only digit extraction + a 9-row aggregate."""
+    o = parallelized(table(spark, sf_dir, "orders"))
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    thresholds = [10 ** k for k in range(8, 0, -1)]
+    digit = F
+    expr = None
+    for t in thresholds:
+        cond = (F.col("cents") >= t, (F.col("cents") / t).cast("long"))
+        expr = F.when(*cond) if expr is None else expr.when(*cond)
+    digit = expr.otherwise(F.col("cents"))
+    d = (
+        o.select(cents.alias("cents"))
+        .where(F.col("cents") > 0)
+        .select(digit.alias("digit"))
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("tot"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    obs = F.col("n").cast("double") / F.col("tot")
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("obs_p"),
+            F.round(benford, 6).alias("benford_p"),
+            F.round(F.abs(obs - benford), 6).alias("abs_dev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d29: Gini concentration
+
+
+@query(
+    "d29_gini",
+    section="D1,E1",
+    tags=("stats",),
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS r
+  FROM spend
+),
+t AS (SELECT count(*) AS n, sum(cents) AS s FROM ranked)
+SELECT CAST((SELECT n FROM t) AS BIGINT) AS n_customers,
+       round((2.0 * sum(r * cents) - ((SELECT n FROM t) + 1.0)
+              * (SELECT s FROM t))
+             / (CAST((SELECT n FROM t) AS DOUBLE) * (SELECT s FROM t)), 6)
+         AS gini
+FROM ranked
+""",
+)
+def d29_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the concentration /
+    inequality metric (how skewed is the workload across keys? the
+    same number drives salting decisions for d-series aggregates):
+    G = (2·Σ r·x_r - (n+1)·Σx) / (n·Σx) over ascending-rank spend,
+    ties broken by key so the rank (and therefore the statistic) is
+    fully deterministic. All integer arithmetic (cents, ranks) until
+    the single terminal division.
+
+    100 TB: per-key sums shuffle once; the rank runs over the KEY
+    domain (customers), not orders — at extreme key cardinality swap
+    the exact rank for a quantile-sketch Lorenz approximation (d11's
+    machinery), documented tradeoff."""
+    o = parallelized(table(spark, sf_dir, "orders"))
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("r"),
+    )
+    t = ranked.agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    return (
+        ranked.crossJoin(F.broadcast(t))
+        .agg(
+            F.sum(F.col("r") * F.col("cents")).alias("rs"),
+            F.first("n").alias("n"),
+            F.first("s").alias("s"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_customers"),
+            F.round(
+                (2.0 * F.col("rs") - (F.col("n") + 1.0) * F.col("s"))
+                / (F.col("n").cast("double") * F.col("s")),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_linear_regression / ml_ridge_regression: closed-form fits by normal
+# equations — the d<<n regime where the whole model is one aggregate.
+
+
+def _det3(a, b, c, d, e, f, g, h, i) -> str:
+    """3x3 determinant as a SQL-dialect-neutral expression string —
+    the SINGLE SOURCE for both the Spark body (F.expr) and the DuckDB
+    oracle, so the Cramer arithmetic cannot drift between engines
+    (the f8 MERGE_ORACLE rule applied to linear algebra)."""
+    return (
+        f"(({a})*(({e})*({i})-({f})*({h}))"
+        f" - ({b})*(({d})*({i})-({f})*({g}))"
+        f" + ({c})*(({d})*({h})-({e})*({g})))"
+    )
+
+
+def _cramer_exprs(ridge_lambda: int = 0) -> dict[str, str]:
+    """Coefficient/fit expressions over the moment columns
+    (mn, s1, s2, sy, s11, s12, s22, s1y, s2y, syy) — all DOUBLE casts
+    of exact integer sums. Ridge adds λ to the x-diagonal (intercept
+    unpenalized, the standard convention)."""
+    lam = str(ridge_lambda)
+    s11 = f"(s11 + {lam})"
+    s22 = f"(s22 + {lam})"
+    det = _det3("mn", "s1", "s2", "s1", s11, "s12", "s2", "s12", s22)
+    d0 = _det3("sy", "s1", "s2", "s1y", s11, "s12", "s2y", "s12", s22)
+    d1 = _det3("mn", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", s22)
+    d2 = _det3("mn", "s1", "sy", "s1", s11, "s1y", "s2", "s12", "s2y")
+    b0, b1, b2 = f"({d0})/({det})", f"({d1})/({det})", f"({d2})/({det})"
+    sse = f"(syy - ({b0})*sy - ({b1})*s1y - ({b2})*s2y)"
+    sst = "(syy - sy*sy/mn)"
+    return {
+        "b0": f"round({b0}, 6)",
+        "b1": f"round({b1}, 6)",
+        "b2": f"round({b2}, 6)",
+        "r2": f"round(1.0 - ({sse})/({sst}), 6)",
+    }
+
+
+_OLS_MOMENTS_SQL = """
+SELECT CAST(count(*) AS DOUBLE) AS mn,
+       CAST(sum(x1) AS DOUBLE) AS s1,
+       CAST(sum(x2) AS DOUBLE) AS s2,
+       CAST(sum(y) AS DOUBLE) AS sy,
+       CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+       CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+       CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+       CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+       CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+       CAST(sum(y * y) AS DOUBLE) AS syy
+FROM (
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS x1,
+         CAST(floor(l_discount * 100) AS BIGINT) AS x2,
+         CAST(floor(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+)
+"""
+
+
+def _ols_oracle(lam: int) -> str:
+    e = _cramer_exprs(lam)
+    return f"""
+WITH m AS ({_OLS_MOMENTS_SQL})
+SELECT CAST(mn AS BIGINT) AS n,
+       {e['b0']} AS b0, {e['b1']} AS b1, {e['b2']} AS b2, {e['r2']} AS r2
+FROM m
+"""
+
+
+def _ols_fit(spark: SparkSession, sf_dir: str, lam: int) -> DataFrame:
+    li = parallelized(table(spark, sf_dir, "lineitem"))
+    feats = li.select(
+        F.floor("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.floor("l_extendedprice").cast("long").alias("y"),
+    )
+    m = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("mn"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    e = _cramer_exprs(lam)
+    return m.select(
+        F.col("mn").cast("long").alias("n"),
+        F.expr(e["b0"]).alias("b0"),
+        F.expr(e["b1"]).alias("b1"),
+        F.expr(e["b2"]).alias("b2"),
+        F.expr(e["r2"]).alias("r2"),
+    )
+
+
+@query(
+    "ml_linear_regression",
+    section="D2,G5",
+    tags=("ml", "stats"),
+    oracle=_ols_oracle(0),
+)
+def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression by NORMAL EQUATIONS — price ~
+    quantity + discount on lineitem, the d ≪ n training regime where
+    the entire fit is ONE map-side-combined aggregate: ten exact
+    integer moments (floor-dollar/floor-percent features — the f8
+    floor-cent rule, so Spark and DuckDB agree bit-for-bit before any
+    division) and a driver-free Cramer's-rule solve expressed as a
+    shared formula string (:func:`_det3` feeds BOTH the Spark body
+    and the oracle — the algebra literally cannot drift). Output:
+    intercept, both coefficients, R².
+
+    100 TB: one scan, one 10-number reduce, zero shuffle beyond the
+    final combine. The expression-per-moment form is right up to tens
+    of features (moments grow as d²); past that, switch to the
+    mapInPandas X'X partial-sum (the documented PCA scaling path —
+    clustering.pca_components)."""
+    return _ols_fit(spark, sf_dir, 0)
+
+
+_RIDGE_LAMBDA = 100_000
+
+
+@query(
+    "ml_ridge_regression",
+    section="D2,G5",
+    tags=("ml", "stats"),
+    oracle=_ols_oracle(_RIDGE_LAMBDA),
+)
+def ml_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression (L2, intercept unpenalized) — the SAME ten
+    moments as ml_linear_regression with λ added to the x-diagonal of
+    the normal equations: (X'X + λI)β = X'y. One registered query per
+    estimator, one shared moment pass and one shared Cramer formula
+    source, so the delta between the two fits is exactly the λ the
+    docstring claims. λ = 100k in squared feature units shrinks both
+    slopes visibly on this fixture (hash-checked against the oracle's
+    identical algebra).
+
+    100 TB: identical cost to OLS — regularization is free at fit
+    time in the d ≪ n regime; λ-sweeps reuse the SAME moment
+    aggregate (fit 100 λs for one scan)."""
+    return _ols_fit(spark, sf_dir, _RIDGE_LAMBDA)
+
+
+# ---------------------------------------------------------------------------
+# ml_naive_bayes: multinomial NB language classifier with Laplace smoothing
+
+
+@query(
+    "ml_naive_bayes",
+    section="D1,H1,E2",
+    tags=("ml", "llm-pipeline"),
+    oracle="""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, lang, unnest(toks) AS word FROM t),
+vocab AS (SELECT DISTINCT word FROM tok),
+langs AS (SELECT lang, count(*) AS d_l FROM t GROUP BY 1),
+v AS (SELECT count(*) AS vs FROM vocab),
+dtot AS (SELECT count(*) AS d FROM t),
+cw AS (SELECT lang, word, count(*) AS c FROM tok GROUP BY 1, 2),
+nl AS (SELECT lang, count(*) AS n_l FROM tok GROUP BY 1),
+lp AS (
+  SELECT l.lang, vo.word,
+         ln((coalesce(cw.c, 0) + 1.0)
+            / (nl.n_l + (SELECT vs FROM v))) AS logp
+  FROM langs l
+  CROSS JOIN vocab vo
+  JOIN nl ON nl.lang = l.lang
+  LEFT JOIN cw ON cw.lang = l.lang AND cw.word = vo.word
+),
+score AS (
+  SELECT tok.doc_id, tok.lang AS true_lang, lp.lang AS cand,
+         round(sum(lp.logp)
+               + ln(CAST(max(l2.d_l) AS DOUBLE) / (SELECT d FROM dtot)),
+               6) AS s
+  FROM tok
+  JOIN lp ON lp.word = tok.word
+  JOIN langs l2 ON l2.lang = lp.lang
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, true_lang, cand,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, cand) AS rn
+  FROM score
+)
+SELECT true_lang AS lang, cand AS predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM pred WHERE rn = 1 GROUP BY 1, 2
+""",
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier, trained and
+    evaluated in-engine — the classic fastText-class quality/language
+    filter reduced to its aggregate form: per-(lang, word) token
+    counts with Laplace smoothing give log P(word|lang); a document's
+    score per language is Σ log P(token|lang) + log prior; argmax
+    (score rounded to 6dp FIRST, then lang tiebreak — so cross-engine
+    float-summation order can never flip a winner) yields the
+    prediction; output is the (true lang × predicted) confusion
+    matrix. The smoothed probability table is vocab × langs — built
+    by a vocab×langs cross join LEFT-joined to the observed counts,
+    so unseen (word, lang) pairs get the exact smoothing mass.
+
+    100 TB: training IS the (lang, word) aggregate (vocab-sized, one
+    shuffle); scoring joins tokens to the broadcast probability
+    table and reduces per doc — a linear pipeline with no iteration,
+    the shape that classifies a petabyte corpus in one pass."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    from spark_glove_spark.functions.text import tokenize
+
+    t = d.select("doc_id", "lang", tokenize(F.col("text")).alias("toks"))
+    tok = t.select("doc_id", "lang", F.explode("toks").alias("word"))
+    vocab = tok.select("word").distinct()
+    langs = t.groupBy("lang").agg(F.count(F.lit(1)).alias("d_l"))
+    vs = vocab.count()
+    dtot = t.count()
+    cw = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    nl = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    lp = (
+        langs.crossJoin(vocab)
+        .join(nl, "lang")
+        .join(cw, ["lang", "word"], "left")
+        .select(
+            "lang",
+            "word",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("n_l") + F.lit(vs))
+            ).alias("logp"),
+        )
+    )
+    score = (
+        tok.withColumnRenamed("lang", "true_lang")
+        .join(
+            F.broadcast(lp.withColumnRenamed("lang", "cand")), "word"
+        )
+        .join(
+            F.broadcast(
+                langs.select(
+                    F.col("lang").alias("cand"), F.col("d_l")
+                )
+            ),
+            "cand",
+        )
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(
+            F.round(
+                F.sum("logp")
+                + F.log(F.max("d_l").cast("double") / F.lit(dtot)),
+                6,
+            ).alias("s")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), "cand")
+    pred = score.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return pred.groupBy(
+        F.col("true_lang").alias("lang"), F.col("cand").alias("predicted")
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -2658,3 +2658,395 @@ def h17_span_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("start_pos").cast("long").alias("start_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: corpus-quality rule sets and language statistics.
+
+
+_GOPHER_STOPS = ("a", "the")  # the fixture's function words
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MWL_LO, _GOPHER_MWL_HI = 3.0, 10.0
+_GOPHER_STOP_MIN = 0.02
+_GOPHER_TOP_MAX = 0.10
+
+
+@query(
+    "h17_gopher_rules",
+    section="H17,B5,D1",
+    tags=("llm-pipeline", "quality"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS n_words,
+         list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+           / CAST(len(toks) AS DOUBLE) AS mwl,
+         len(list_filter(toks, x -> x IN {_GOPHER_STOPS}))
+           / CAST(len(toks) AS DOUBLE) AS stop_frac
+  FROM t WHERE len(toks) > 0
+),
+tc AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+    GROUP BY doc_id, w
+  ) GROUP BY doc_id
+),
+j AS (
+  SELECT b.doc_id, b.n_words, b.mwl, b.stop_frac,
+         tc.top_c / CAST(b.n_words AS DOUBLE) AS top_frac
+  FROM base b JOIN tc USING (doc_id)
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(stop_frac, 6) AS stop_frac,
+       round(top_frac, 6) AS top_token_frac,
+       CAST(CASE WHEN n_words >= {_GOPHER_MIN_WORDS} THEN 1 ELSE 0 END
+            AS BIGINT) AS pass_wordcount,
+       CAST(CASE WHEN mwl BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI}
+            THEN 1 ELSE 0 END AS BIGINT) AS pass_wordlen,
+       CAST(CASE WHEN stop_frac >= {_GOPHER_STOP_MIN} THEN 1 ELSE 0 END
+            AS BIGINT) AS pass_stopwords,
+       CAST(CASE WHEN top_frac <= {_GOPHER_TOP_MAX} THEN 1 ELSE 0 END
+            AS BIGINT) AS pass_repetition,
+       CAST(CASE WHEN n_words >= {_GOPHER_MIN_WORDS}
+                  AND mwl BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI}
+                  AND stop_frac >= {_GOPHER_STOP_MIN}
+                  AND top_frac <= {_GOPHER_TOP_MAX}
+            THEN 1 ELSE 0 END AS BIGINT) AS pass_all
+FROM j
+""",
+)
+def h17_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule set (Rae et al. 2021's document
+    filters, public — the rule battery most open-data pipelines ship
+    some variant of): per document, the measured statistics AND the
+    individual rule verdicts — word count >= min, mean word length in
+    [3, 10], stop-word fraction >= min (gibberish has none), top-token
+    fraction <= max (the repetition rule) — plus the conjunction.
+    Emitting per-rule flags rather than one boolean is the production
+    shape: pipelines track WHICH rule kills a document (rule-kill
+    histograms catch both data regressions and rule bugs).
+
+    Thresholds are constants shared between body and oracle via one
+    f-string source. The fixture's synthetic docs discriminate on
+    every rule (length spread 10..110 words, two function words).
+
+    100 TB: map-only expressions except the top-token count — one
+    (doc, word) aggregate whose key domain is the token stream;
+    everything else never leaves the scan stage."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    toks = tokenize(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(toks).cast("double")
+        ).alias("mwl"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*_GOPHER_STOPS)))
+            / F.size(toks).cast("double")
+        ).alias("stop_frac"),
+    ).where(F.col("n_words") > 0)
+    tc = (
+        d.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    j = base.join(tc, "doc_id").withColumn(
+        "top_frac", F.col("top_c") / F.col("n_words").cast("double")
+    )
+    flag = lambda c: c.cast("long")  # noqa: E731
+    p_wc = F.col("n_words") >= _GOPHER_MIN_WORDS
+    p_mwl = F.col("mwl").between(_GOPHER_MWL_LO, _GOPHER_MWL_HI)
+    p_stop = F.col("stop_frac") >= _GOPHER_STOP_MIN
+    p_rep = F.col("top_frac") <= _GOPHER_TOP_MAX
+    return j.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("mwl", 6).alias("mean_word_len"),
+        F.round("stop_frac", 6).alias("stop_frac"),
+        F.round("top_frac", 6).alias("top_token_frac"),
+        flag(p_wc).alias("pass_wordcount"),
+        flag(p_mwl).alias("pass_wordlen"),
+        flag(p_stop).alias("pass_stopwords"),
+        flag(p_rep).alias("pass_repetition"),
+        flag(p_wc & p_mwl & p_stop & p_rep).alias("pass_all"),
+    )
+
+
+@query(
+    "h17_bigram_lm_perplexity",
+    section="H17,H11,D1",
+    tags=("llm-pipeline", "quality"),
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bi AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+),
+c12 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c FROM bi GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS vs FROM bi)
+SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(exp(-avg(ln((c12.c + 1.0) / (c1.c + (SELECT vs FROM v))))), 6)
+         AS perplexity
+FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY 1
+""",
+)
+def h17_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity per document — the step up
+    from h17_lm_quality_score's unigram proxy and the cheap stand-in
+    for the KenLM filter CCNet-style pipelines run: train an add-one-
+    smoothed bigram LM on the corpus itself (counts c(w1,w2), c(w1),
+    successor vocabulary V), then score each document as
+    exp(-mean ln P(w2|w1)). Formulaic/templated text scores low
+    perplexity, gibberish high — the two-sided cut quality pipelines
+    apply.
+
+    100 TB: the model IS two aggregates (bigram counts — vocab²-
+    bounded, unigram counts); scoring joins the bigram stream to the
+    broadcast count tables and reduces per doc. One corpus scan feeds
+    train and score (self-scoring; a held-out split is the same plan
+    with a filter)."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    bi = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1).alias("w1"),
+                F.slice("toks", 2, n - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bi = defer_unpersist(bi.persist())
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vs = bi.select("w2").distinct().count()
+    return (
+        bi.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.exp(
+                    -F.avg(
+                        F.log(
+                            (F.col("c12") + 1.0) / (F.col("c1") + F.lit(vs))
+                        )
+                    )
+                ),
+                6,
+            ).alias("perplexity"),
+        )
+    )
+
+
+@query(
+    "h17_zipf_slope",
+    section="H17,D8,G5",
+    tags=("llm-pipeline", "quality"),
+    oracle="""
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+w AS (SELECT source, unnest(toks) AS word FROM t),
+f AS (SELECT source, word, count(*) AS c FROM w GROUP BY 1, 2),
+r AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, word) AS rnk
+  FROM f
+),
+m AS (
+  SELECT source, count(*) AS vocab,
+         sum(ln(rnk)) AS sx, sum(ln(c)) AS sy,
+         sum(ln(rnk) * ln(rnk)) AS sxx, sum(ln(rnk) * ln(c)) AS sxy
+  FROM r GROUP BY 1
+)
+SELECT source, CAST(vocab AS BIGINT) AS vocab,
+       round((vocab * sxy - sx * sy) / (vocab * sxx - sx * sx), 6)
+         AS zipf_slope
+FROM m
+""",
+)
+def h17_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope per source — the corpus-linguistics
+    health check (natural language sits near slope -1; machine-
+    generated or templated shards drift off): per source, rank words
+    by frequency (deterministic word tiebreak) and fit
+    ln(freq) ~ ln(rank) by closed-form least squares. A data-sourcing
+    team reads this per-shard to spot collapsed vocabularies before
+    training does.
+
+    100 TB: word frequencies are one aggregate; the rank window and
+    the 5-moment regression run on the VOCABULARY (per source), not
+    the token stream — the same d<<n collapse as ml_linear_regression."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    w = d.select("source", F.explode(tokenize(F.col("text"))).alias("word"))
+    f = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    win = Window.partitionBy("source").orderBy(F.col("c").desc(), "word")
+    r = f.select("source", "c", F.row_number().over(win).alias("rnk"))
+    lx, ly = F.log("rnk"), F.log("c")
+    m = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    return m.select(
+        "source",
+        F.col("vocab").cast("long").alias("vocab"),
+        F.round(
+            (F.col("vocab") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("vocab") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+@query(
+    "h17_self_overlap",
+    section="H17,H11,C4",
+    tags=("llm-pipeline", "dedup"),
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 3), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i FROM t)
+),
+occ AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN occ.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       round(sum(CASE WHEN occ.nd >= 2 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS self_overlap
+FROM g JOIN occ USING (gram)
+GROUP BY 1
+""",
+)
+def h17_self_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU-style corpus overlap per document: the fraction of a
+    document's distinct 4-grams that ALSO occur in at least one other
+    document — the diversity metric generated-corpus evaluations
+    report (high self-overlap = mode-collapsed or templated data),
+    and the order-free complement to h17_novelty_score's first-
+    occurrence accounting (novelty credits the FIRST doc; overlap
+    charges every doc symmetrically).
+
+    100 TB: one distinct-gram explode, one gram-keyed count-distinct
+    aggregate, one join back on the gram — no doc-pair structure, the
+    h17_span_dedup cost shape."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(tokenize(F.col("text")), 4))
+        ).alias("gram"),
+    )
+    g = defer_unpersist(g.persist())
+    occ = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        g.join(occ, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(shared).alias("n_shared"),
+            F.round(
+                F.sum(shared) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("self_overlap"),
+        )
+    )
+
+
+_BURST_TOP = 20
+
+
+@query(
+    "h17_word_burstiness",
+    section="H17,D2,D8",
+    tags=("llm-pipeline", "quality"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+nd AS (SELECT count(*) AS docs FROM t),
+top AS (
+  SELECT word, count(*) AS total
+  FROM w GROUP BY 1 ORDER BY total DESC, word LIMIT {_BURST_TOP}
+),
+per AS (
+  SELECT w.word, w.doc_id, count(*) AS c
+  FROM w JOIN top USING (word) GROUP BY 1, 2
+),
+stats AS (
+  SELECT word,
+         sum(c) AS s, sum(c * c) AS ss, count(*) AS present
+  FROM per GROUP BY 1
+)
+SELECT word,
+       CAST((SELECT total FROM top WHERE top.word = stats.word) AS BIGINT)
+         AS total,
+       CAST(present AS BIGINT) AS n_docs_present,
+       round((CAST(ss AS DOUBLE) / (SELECT docs FROM nd)
+              - pow(CAST(s AS DOUBLE) / (SELECT docs FROM nd), 2))
+             / (CAST(s AS DOUBLE) / (SELECT docs FROM nd)), 6)
+         AS burstiness
+FROM stats
+""",
+)
+def h17_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Church–Gale): variance-to-mean ratio of
+    per-document counts for the top-20 corpus words — the classic
+    content/function-word separator (function words ≈ Poisson, VMR
+    near 1; topical words burst, VMR >> 1) that term-weighting and
+    stop-list induction build on. Absent docs count as zero
+    occurrences: the moments divide by the TOTAL doc count, computed
+    from per-present-doc integer sums so no zero rows materialize.
+
+    100 TB: a (word, doc) aggregate restricted to the top-k word set
+    (broadcast), then a k-row moment reduce — cost one scan after the
+    frequency pass."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    w = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+    w = defer_unpersist(w.persist())
+    docs = d.count()
+    top = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .orderBy(F.col("total").desc(), "word")
+        .limit(_BURST_TOP)
+    )
+    per = (
+        w.join(F.broadcast(top.select("word")), "word")
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = per.groupBy("word").agg(
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    mean = F.col("s").cast("double") / docs
+    var = F.col("ss").cast("double") / docs - mean * mean
+    return (
+        stats.join(F.broadcast(top), "word")
+        .select(
+            "word",
+            F.col("total").cast("long").alias("total"),
+            F.col("present").cast("long").alias("n_docs_present"),
+            F.round(var / mean, 6).alias("burstiness"),
+        )
+    )
