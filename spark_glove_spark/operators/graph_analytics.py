@@ -349,3 +349,191 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = labels.unionByName(newly).localCheckpoint(eager=True)
     return labels.select(F.col("u").alias("word"), "label", "round_assigned")
+
+
+# ---------------------------------------------------------------------------
+# Round 7: link prediction + k-core decomposition on the shared edge set.
+
+
+_CN_TOP = 20
+
+
+@query(
+    "graph_common_neighbors",
+    section="H3,C2,E2",
+    tags=("graph",),
+    oracle=_EDGE_CTE
+    + f""",
+und AS (SELECT s AS u, t2 AS v FROM e UNION ALL SELECT t2, s FROM e),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+cn AS (
+  SELECT a.u AS u, b.u AS v, count(*) AS cn,
+         sum(1.0 / ln(dw.d)) AS aa
+  FROM und a
+  JOIN und b ON a.v = b.v AND a.u < b.u
+  JOIN deg dw ON dw.u = a.v
+  GROUP BY 1, 2
+),
+adj AS (SELECT u, v FROM und),
+nonadj AS (
+  SELECT cn.* FROM cn
+  LEFT JOIN adj ON adj.u = cn.u AND adj.v = cn.v
+  WHERE adj.u IS NULL
+),
+scored AS (
+  SELECT n.u, n.v, n.cn,
+         round(CAST(n.cn AS DOUBLE) / (du.d + dv.d - n.cn), 6) AS jaccard,
+         round(n.aa, 6) AS adamic_adar
+  FROM nonadj n JOIN deg du ON du.u = n.u JOIN deg dv ON dv.u = n.v
+)
+SELECT u, v, CAST(cn AS BIGINT) AS cn, jaccard, adamic_adar
+FROM scored
+ORDER BY cn DESC, adamic_adar DESC, u, v
+LIMIT {_CN_TOP}
+""",
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood overlap on the top-100
+    co-occurrence graph: for every NON-adjacent vertex pair with at
+    least one common neighbor, the three classical scores — common-
+    neighbor count, neighborhood Jaccard, Adamic–Adar (Σ 1/ln deg(w)
+    over shared neighbors, down-weighting hub intermediaries) — and
+    the top-20 predicted edges by (cn, adamic_adar) with a
+    deterministic tiebreak. This is the similar-entity / suggested-
+    connection primitive over any co-interaction graph.
+
+    100 TB: common neighbors come from ONE self-join of the adjacency
+    list on the shared endpoint (wedge enumeration — work ∝ Σ deg²,
+    the triangle-count bound, with the same degree-orientation
+    refinement available for hubs); the anti-join against existing
+    edges and the degree joins are all vertex/edge-sized."""
+    docs = table(spark, sf_dir, "documents")
+    e = defer_unpersist(top_cooccurrence_edges(docs).persist())
+    und = e.select(F.col("s").alias("u"), F.col("t").alias("v")).unionAll(
+        e.select(F.col("t").alias("u"), F.col("s").alias("v"))
+    )
+    und = defer_unpersist(und.persist())
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    a = und.select(F.col("u").alias("ua"), F.col("v").alias("w"))
+    b = und.select(F.col("u").alias("ub"), F.col("v").alias("w2"))
+    cn = (
+        a.join(b, (F.col("w") == F.col("w2")) & (F.col("ua") < F.col("ub")))
+        .join(
+            F.broadcast(deg.select(F.col("u").alias("w"), F.col("d").alias("dw"))),
+            "w",
+        )
+        .groupBy(F.col("ua").alias("u"), F.col("ub").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(1.0 / F.log("dw")).alias("aa"),
+        )
+    )
+    nonadj = cn.join(und, ["u", "v"], "left_anti")
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    return (
+        nonadj.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            F.col("cn").cast("long").alias("cn"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+            F.round("aa", 6).alias("adamic_adar"),
+        )
+        .orderBy(F.col("cn").desc(), F.col("adamic_adar").desc(), "u", "v")
+        .limit(_CN_TOP)
+    )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    k, rounds = _KCORE_K, _KCORE_ROUNDS
+    # AS MATERIALIZED: each round references the previous TWICE (two
+    # semi joins); inlined CTEs would re-evaluate the whole chain
+    # 2^rounds times (observed: fd exhaustion re-opening the parquet).
+    ctes = [
+        "e0 AS MATERIALIZED "
+        "(SELECT s AS u, t2 AS v FROM e UNION ALL SELECT t2, s FROM e)"
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT u FROM e{p} GROUP BY u HAVING count(*) >= {k}
+),
+e{r} AS MATERIALIZED (
+  SELECT a.u, a.v FROM e{p} a
+  JOIN v{r} x ON x.u = a.u
+  JOIN v{r} y ON y.u = a.v
+)"""
+        )
+    return (
+        _EDGE_CTE
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT u AS word, CAST(count(*) AS BIGINT) AS core_degree
+FROM e{rounds} GROUP BY 1
+"""
+    )
+
+
+@query(
+    "graph_kcore",
+    section="H3,C4,D1",
+    tags=("graph",),
+    oracle=_kcore_oracle(),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the top-100 co-occurrence graph
+    by iterative peeling: repeatedly drop vertices with degree < k
+    and restrict the edge set to survivors — the dense-subgraph
+    extractor community detection and spam/anomaly pipelines run
+    (the k-core is where the real cluster lives; the shedding tail
+    is noise). Both engines unroll the SAME fixed 8 peeling rounds,
+    so the result is engine-identical by construction; the body
+    additionally asserts the fixpoint was reached (round 8 == round
+    7), making the round cap a verified bound rather than a hope.
+
+    100 TB: each round is one degree aggregate + two semi joins —
+    vertex/edge-sized state, and peeling converges in O(log n)-ish
+    rounds on real graphs; localCheckpoint per round keeps the plan
+    flat (the iterative-stats discipline)."""
+    docs = table(spark, sf_dir, "documents")
+    e = top_cooccurrence_edges(docs)
+    und = (
+        e.select(F.col("s").alias("u"), F.col("t").alias("v"))
+        .unionAll(e.select(F.col("t").alias("u"), F.col("s").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    prev_edges = und.count()
+    for r in range(_KCORE_ROUNDS):
+        surv = (
+            und.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= _KCORE_K)
+            .select("u")
+        )
+        und = (
+            und.join(surv, "u", "left_semi")
+            .join(surv.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n = und.count()
+        if r == _KCORE_ROUNDS - 1 and n != prev_edges:
+            raise AssertionError(
+                f"k-core did not reach fixpoint in {_KCORE_ROUNDS} rounds"
+            )
+        prev_edges = n
+    return und.groupBy(F.col("u").alias("word")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )

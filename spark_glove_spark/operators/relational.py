@@ -1269,3 +1269,69 @@ LATERAL (
   LIMIT 3
 ) t
 """)
+
+
+@query(
+    "c12_null_safe_join",
+    section="C2,B4",
+    tags=("relational",),
+    oracle="""
+WITH a AS (
+  SELECT nullif(CAST(floor(l_discount * 100) AS BIGINT), 0) AS k
+  FROM lineitem WHERE l_quantity < 3
+),
+b AS (
+  SELECT DISTINCT nullif(CAST(floor(l_discount * 100) AS BIGINT), 0) AS k
+  FROM lineitem WHERE l_quantity >= 48
+),
+ns AS (
+  SELECT a.k FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+),
+pl AS (
+  SELECT a.k FROM a JOIN b ON a.k = b.k
+)
+SELECT coalesce(k, -1) AS key,
+       CAST(count(*) AS BIGINT) AS n_nullsafe,
+       CAST((SELECT count(*) FROM pl WHERE pl.k IS NOT DISTINCT FROM ns.k)
+            AS BIGINT) AS n_plain
+FROM ns GROUP BY ns.k
+""",
+)
+def c12_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM) — the join
+    semantics SCD merge keys and sentinel-free dimension lookups need:
+    NULL keys MATCH each other instead of silently dropping. Both
+    sides derive a nullable key (discount cents, zero → NULL); the
+    output counts each key's matches under null-safe AND plain
+    equality side by side, so the exact rows plain equality loses
+    (the NULL group, key = -1, n_plain = 0) are visible in the
+    hash-checked result.
+
+    100 TB: Spark plans ``<=>`` as a genuine hash join (the null
+    bucket hashes like any value) — NOT a nested loop; semantically
+    equivalent coalesce-to-sentinel tricks corrupt real sentinel
+    values, which is why the operator exists."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.nullif(F.floor(F.col("l_discount") * 100).cast("long"), F.lit(0))
+    a = li.where(F.col("l_quantity") < 3).select(key.alias("ka"))
+    b = (
+        li.where(F.col("l_quantity") >= 48)
+        .select(key.alias("kb"))
+        .distinct()
+    )
+    ns = a.join(F.broadcast(b), a["ka"].eqNullSafe(b["kb"])).select("ka")
+    pl_counts = (
+        a.join(F.broadcast(b), a["ka"] == b["kb"])
+        .groupBy("ka")
+        .agg(F.count(F.lit(1)).alias("n_plain"))
+    )
+    return (
+        ns.groupBy("ka")
+        .agg(F.count(F.lit(1)).alias("n_nullsafe"))
+        .join(pl_counts, ns["ka"].eqNullSafe(pl_counts["ka"]), "left")
+        .select(
+            F.coalesce(ns["ka"], F.lit(-1)).alias("key"),
+            "n_nullsafe",
+            F.coalesce("n_plain", F.lit(0)).cast("long").alias("n_plain"),
+        )
+    )

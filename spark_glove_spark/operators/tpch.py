@@ -974,3 +974,71 @@ def sql_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "name")
         .limit(20)
     )
+
+
+@query(
+    "sql_tpch_q11_shape",
+    section="D1,C1,C4",
+    oracle="""
+WITH val AS (
+  SELECT l.l_partkey AS partkey,
+         sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY 1
+),
+tot AS (SELECT sum(cents) AS t FROM val)
+SELECT partkey, round(cents / 100.0, 2) AS value
+FROM val
+WHERE cents > 0.001 * (SELECT t FROM tot)
+ORDER BY value DESC, partkey
+""",
+)
+def sql_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification), adapted —
+    the fixture has no partsupp, so lineitem revenue through one
+    nation's suppliers stands in for supplycost×availqty. The
+    query's SIGNATURE construct survives intact: a grouped aggregate
+    filtered by a SCALAR SUBQUERY over the SAME aggregate (HAVING
+    sum(...) > fraction × Σ_total) — the decorrelation pattern that
+    separates real optimizers from naive ones. Money is folded in
+    exact integer cents (floor-cent rule) so the 0.1% threshold
+    compares integers against one scalar.
+
+    This closes the last TPC-H gap: all 22 queries now have a
+    declared, oracle-checked form.
+
+    100 TB: Catalyst evaluates the total ONCE (the subquery becomes
+    a broadcast scalar), dims broadcast, and the per-part aggregate
+    is the only fact shuffle — the same two-pass shape a petabyte
+    HAVING-fraction query needs."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    val = (
+        l.join(
+            F.broadcast(
+                s.join(
+                    F.broadcast(n),
+                    s["s_nationkey"] == n["n_nationkey"],
+                ).select("s_suppkey")
+            ),
+            l["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    val = defer_unpersist(val.persist())
+    tot = val.agg(F.sum("cents").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("cents") > 0.001 * F.col("t"))
+        .select("partkey", F.round(F.col("cents") / 100.0, 2).alias("value"))
+        .orderBy(F.col("value").desc(), "partkey")
+    )

@@ -1240,3 +1240,101 @@ def i20_streaming_cooccurrence_update(
             f"({epochs['rows']} rows for {out.count()} keys)"
         )
     return out
+
+
+@query(
+    "i21_streaming_psi_drift",
+    section="I1,D14,A6",
+    tags=("streaming", "stats"),
+    oracle="""
+WITH s AS (
+  SELECT value, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+  FROM events
+),
+b AS (SELECT min(value) AS lo, max(value) AS hi FROM s),
+binned AS (
+  SELECT least(CAST(floor((value - (SELECT lo FROM b))
+                     / (((SELECT hi FROM b) - (SELECT lo FROM b))
+                        / 10)) AS BIGINT), 9) AS bin,
+         is_a
+  FROM s
+),
+tot AS (SELECT sum(is_a) AS na, sum(1 - is_a) AS nb FROM binned),
+g AS (
+  SELECT bin, sum(is_a) AS a_c, sum(1 - is_a) AS b_c
+  FROM binned GROUP BY bin
+)
+SELECT CAST(10 AS BIGINT) AS n_bins,
+       round(sum((CAST(a_c + 1 AS DOUBLE) / ((SELECT na FROM tot) + 10)
+                  - CAST(b_c + 1 AS DOUBLE) / ((SELECT nb FROM tot) + 10))
+                 * ln((CAST(a_c + 1 AS DOUBLE) / ((SELECT na FROM tot) + 10))
+                      / (CAST(b_c + 1 AS DOUBLE)
+                         / ((SELECT nb FROM tot) + 10)))), 6) AS psi
+FROM g
+""",
+)
+def i21_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor — d23's PSI maintained ON THE STREAM:
+    events replay as 4 micro-batches; an update-mode (bin, cohort)
+    count aggregate ships only the bins each trigger touched, and
+    foreachBatch upserts them into a 10-row txlog state table (the
+    i20 delta-sink pattern applied to monitoring state). The PSI is
+    computed FROM THE TABLE after the drain and must equal the batch
+    PSI — the oracle — so the incremental bin maintenance is
+    hash-checked end to end. Bin bounds come from a one-pass batch
+    bounds read (production pins bounds from the baseline window —
+    same contract: bounds are FROZEN while the monitor runs).
+
+    100 TB/day: the monitor's state is O(bins), its per-trigger
+    output is O(touched bins), and the versioned state table gives
+    the drift dashboard time travel for free — what did the
+    distribution look like at epoch N?"""
+    import os
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    e = table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("value"), F.max("value")).collect()[0]
+    base = tempfile.mkdtemp(prefix="i21_replay_")
+    src = os.path.join(base, "f")
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    binned = sdf.select(
+        F.least(
+            F.floor((F.col("value") - lo) / ((hi - lo) / 10)).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.sum("is_a").alias("a_c"), F.sum(1 - F.col("is_a")).alias("b_c")
+    )
+    tbl = os.path.join(base, "state")
+    epochs = {"n": 0}
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.select("bin", "a_c", "b_c")
+        if rows.count() == 0:
+            return
+        epochs["n"] += 1
+        if txlog.current_version(tbl) < 0:
+            txlog.create(rows, tbl)
+        else:
+            txlog.merge(spark, tbl, rows, on=["bin"])
+
+    run_stream_foreach_batch(agg, upsert, "update")
+    if epochs["n"] < 2:
+        raise AssertionError(f"replay collapsed to {epochs['n']} epochs")
+    g = txlog.read(spark, tbl)
+    tot = g.agg(F.sum("a_c").alias("na"), F.sum("b_c").alias("nb"))
+    pa = (F.col("a_c") + 1).cast("double") / (F.col("na") + 10)
+    pb = (F.col("b_c") + 1).cast("double") / (F.col("nb") + 10)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .agg(F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"))
+        .select(F.lit(10).cast("long").alias("n_bins"), "psi")
+    )
