@@ -76,12 +76,15 @@ def d22_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
     )
-    tot = s.agg(
-        F.sum("is_a").alias("na"), F.sum(1 - F.col("is_a")).alias("nb")
-    )
     g = s.groupBy("value").agg(
         F.sum("is_a").alias("a_v"), F.sum(1 - F.col("is_a")).alias("b_v")
     )
+    from spark_glove_spark.registry import defer_unpersist
+
+    g = defer_unpersist(g.persist())
+    # totals derive from the value-domain aggregate — a second corpus
+    # scan for two scalars would double the query's only table pass
+    tot = g.agg(F.sum("a_v").alias("na"), F.sum("b_v").alias("nb"))
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     c = g.select(
         "value",
@@ -177,12 +180,10 @@ def d23_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin"),
         "is_a",
     )
-    tot = binned.agg(
-        F.sum("is_a").alias("na"), F.sum(1 - F.col("is_a")).alias("nb")
-    )
     g = binned.groupBy("bin").agg(
         F.sum("is_a").alias("a_c"), F.sum(1 - F.col("is_a")).alias("b_c")
-    )
+    ).localCheckpoint(eager=True)  # <= 10 rows; totals derive from it
+    tot = g.agg(F.sum("a_c").alias("na"), F.sum("b_c").alias("nb"))
     pa = (F.col("a_c") + 1).cast("double") / (F.col("na") + _PSI_BINS)
     pb = (F.col("b_c") + 1).cast("double") / (F.col("nb") + _PSI_BINS)
     return (
@@ -230,7 +231,12 @@ def d24_chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: the contingency table is |langs|×|sources| — a bounded
     aggregate; marginals join against it, not the corpus."""
     d = parallelized(table(spark, sf_dir, "documents"))
-    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    # ONE corpus pass builds the bounded contingency table; marginals
+    # and the total all derive from the checkpointed |langs|x|sources|
+    # frame (without the checkpoint each marginal re-scans the corpus)
+    o = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
     r = o.groupBy("lang").agg(F.sum("n").alias("rn"))
     c = o.groupBy("source").agg(F.sum("n").alias("cn"))
     t = o.agg(F.sum("n").alias("tot"))
@@ -287,7 +293,9 @@ def d25_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: identical cost shape to d24 — one contingency aggregate,
     marginals joined against the bounded table."""
     d = parallelized(table(spark, sf_dir, "documents"))
-    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    o = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)  # one corpus pass; see d24
     r = o.groupBy("lang").agg(F.sum("n").alias("rn"))
     c = o.groupBy("source").agg(F.sum("n").alias("cn"))
     t = o.agg(F.sum("n").alias("tot"))
@@ -396,6 +404,9 @@ def d26_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = s.groupBy("value").agg(
         F.sum("pos").alias("npos"), F.count(F.lit(1)).alias("m")
     )
+    from spark_glove_spark.registry import defer_unpersist
+
+    g = defer_unpersist(g.persist())
     w = Window.orderBy("value").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -403,7 +414,11 @@ def d26_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", "npos", "m",
         F.coalesce(F.sum("m").over(w), F.lit(0)).alias("before"),
     )
-    tot = s.agg(F.sum("pos").alias("n1"), F.sum(1 - F.col("pos")).alias("n0"))
+    # totals derive from the score-domain aggregate, not a second scan
+    tot = g.agg(
+        F.sum("npos").alias("n1"),
+        (F.sum("m") - F.sum("npos")).alias("n0"),
+    )
     return (
         c.crossJoin(F.broadcast(tot))
         .agg(
@@ -490,12 +505,14 @@ def d28_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cents") > 0)
         .select(digit.alias("digit"))
     )
-    tot = d.agg(F.count(F.lit(1)).alias("tot"))
+    counts = d.groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)  # <= 9 rows; the total derives from it
+    tot = counts.agg(F.sum("n").alias("tot"))
     benford = F.log10(1.0 + 1.0 / F.col("digit"))
     obs = F.col("n").cast("double") / F.col("tot")
     return (
-        d.groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n"))
+        counts
         .crossJoin(F.broadcast(tot))
         .select(
             "digit",
@@ -555,13 +572,13 @@ def d29_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("r"),
     )
-    t = ranked.agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    # n, s, and the rank-weighted sum all come from ONE aggregate over
+    # the ranked key domain — no totals frame, no cross join
     return (
-        ranked.crossJoin(F.broadcast(t))
-        .agg(
+        ranked.agg(
             F.sum(F.col("r") * F.col("cents")).alias("rs"),
-            F.first("n").alias("n"),
-            F.first("s").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
         )
         .select(
             F.col("n").cast("long").alias("n_customers"),
@@ -790,8 +807,15 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelized(table(spark, sf_dir, "documents"))
     from spark_glove_spark.functions.text import tokenize
 
+    from spark_glove_spark.registry import defer_unpersist
+
     t = d.select("doc_id", "lang", tokenize(F.col("text")).alias("toks"))
-    tok = t.select("doc_id", "lang", F.explode("toks").alias("word"))
+    # the token stream feeds FOUR consumers (vocab, per-(lang,word)
+    # counts, per-lang totals, scoring) — persist so training + scoring
+    # share one explode pass
+    tok = defer_unpersist(
+        t.select("doc_id", "lang", F.explode("toks").alias("word")).persist()
+    )
     vocab = tok.select("word").distinct()
     langs = t.groupBy("lang").agg(F.count(F.lit(1)).alias("d_l"))
     vs = vocab.count()

@@ -155,104 +155,28 @@ def oracle_sql() -> dict[str, str]:
 # keep their original names and sort after the window; they remain fully
 # covered by tools/paritycheck.py and pytest.
 #
-# ROUND-6 ROTATION (VERDICT r5 item 2). Rounds 1+2 recorded the
-# alphabetical A–F/G10 substrate; round 3 the signature surface;
-# round 4 the TPC-H/CDC/analytics waves; round 5 the pre-committed
-# R5 plan (50/50 full green — the q12 red->green conversion plus the
-# MinHash/LSH portable twins). This window drains the R6 spill: the
-# r5 oracle-checked wave leads (txlog time-travel/file-skipping and
-# its streaming sink/source, exact span dedup, CDC chunking, the
-# portable twins, format roundtrips, TTL/watermark streaming), then
-# the displaced g-series, joins, analytics/ML, text and multimodal
-# waves. Three NEW r6 oracle-checked queries enter: the string-key
-# txlog skipping query (VERDICT r5 item 3) and the last two portable
-# twins (OPQ rotation + model export — VERDICT r5 item 4). The spill
-# was 55 names against 50 slots; with the 3 entries, 8 names defer
-# to the pre-committed R7_REMAINDER below — all eight are rows-only
-# PRODUCTION sketch variants whose math already carries driver-green
-# or window-slotted oracle-checked twins, so deferring them loses
-# the least evidence (they'd record only weaker rows-only rows).
+# Rotation history: r1+r2 recorded the alphabetical A–F/G10
+# substrate; r3 the signature surface; r4 the TPC-H/CDC/analytics
+# waves; r5 its pre-committed plan (50/50 green); r6 the txlog/
+# portable-twin wave (49 green + the ml_pca_project comparator red).
+#
+# ROUND-7 ROTATION (VERDICT r6 items 1+2). Rounds 1–6 drove 236
+# distinct hash-match greens + 12 rows-only records; the r7 window
+# closes the evidence program at 298/298: the repaired ml_pca_project
+# (r6's one red row — now flat pc0..pc3 scalars) leads, then the
+# pre-committed R7_REMAINDER (8 rows-only production sketch variants
+# whose math carries driver-green portable twins) and R7_WAVE (the 10
+# r6-built oracle-checked txlog/pipeline queries), then the 31 NEW r7
+# oracle-checked queries: the deletion-vector/CAS/reconcile lakehouse
+# wave, the drift/association/concentration statistics wave, the
+# closed-form ML fits, the corpus-quality rule sets, graph link
+# prediction + k-core, the last TPC-H query, and the two streaming
+# delta-sink monitors. After this round every registered query has a
+# driver record.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Lakehouse txlog wave (r5's from-scratch table format + r6 string
-    # stats — all oracle-checked)
-    "a18_txlog_time_travel",
-    "a19_txlog_file_skipping",
-    "a20_txlog_string_skipping",
-    "i17_streaming_txlog_sink",
-    "i18_txlog_stream_source",
-    # Exact variable-length dedup + chunking + cascade
-    "h17_span_dedup_exact",
-    "h17_cdc_chunking",
-    "pipeline_sketch_dedup",
-    # Portable twins: hash-level driver evidence for every sketch
-    # family's math (incl. the two NEW r6 twins: OPQ rotation, export)
-    "h13_semdedup_portable",
-    "h13_simhash_portable",
-    "h15_mmr_portable",
-    "h16_ivf_portable",
-    "h16_pq_portable",
-    "h16_opq_portable",
-    "ml_kmeans_portable",
-    "h17_bpe_train_micro",
-    "h6_export_portable",
-    # Source/sink format roundtrips
-    "a15_csv_roundtrip",
-    "a16_jsonl_roundtrip",
-    "a17_orc_roundtrip",
-    # Streaming late additions
-    "i14_streaming_quality_filter",
-    "i15_stateful_ttl",
-    "i16_dedup_within_watermark",
-    # Scalar-function extensions displaced by the r5 mandated swaps
-    "g12_listagg",
-    "g14_bitwise_agg",
-    "g15_try_semantics",
-    "g16_json_construct",
-    # Join/temporal variants
-    "c8_asof_tolerance",
-    "c9_interval_join_binned",
-    "c13_lateral_topk",
-    "f10_windowed_dedup",
-    # Analytics / ML / graph
-    "d20_entropy",
-    "d21_correlation",
-    "ml_pca_covariance",
+    # The r6 red row, repaired (VERDICT r6 item 1)
     "ml_pca_project",
-    "ml_kmeans",
-    "graph_label_prop",
-    # Text-analysis late additions
-    "h15_hard_negatives",
-    "h17_novelty_score",
-    "h17_boilerplate_lines",
-    "h17_chat_template",
-    "h17_bpe_train",
-    # Production sketch paths kept in-window (rows-only, recall teeth)
-    "h13_minhash_clusters",
-    "h16_opq_ann",
-    # Multimodal codecs
-    "mm_compressed_text",
-    "mm_jpeg_decode",
-    "mm_mulaw_audio",
-    "mm_mjpeg_video",
-    "mm_feature_extract",
-    # UDF ladder completion
-    "j9_arrow_udf",
-)
-
-DRIVER_WINDOW = 50
-
-# Round-7 remainder, pre-committed at r6 HEAD (VERDICT r5 item 2:
-# declare the overflow explicitly instead of letting the partition
-# guard force it implicitly). Exactly the eight rows-only PRODUCTION
-# sketch variants deferred from the r6 window — each one's underlying
-# math already has an oracle-checked twin that is driver-green or in
-# this round's window (semdedup/simhash/mmr/ivf/pq portable twins,
-# lsh_portable green r5, bpe_token_count + bpe_train_micro), so the
-# driver record these eight would produce (rows-only) adds the least
-# new evidence in the registry. tests/test_driver_window.py asserts
-# prior-round greens + DRIVER_PRIORITY + R7_REMAINDER exactly cover
-# the registry, so any NEW query must be slotted explicitly.
-R7_REMAINDER: tuple[str, ...] = (
+    # Pre-committed r6 overflow: rows-only production sketch variants
     "h13_semantic_dedup",
     "h13_simhash_fingerprints",
     "h13_simhash_neardup",
@@ -261,24 +185,65 @@ R7_REMAINDER: tuple[str, ...] = (
     "h16_pq_ann",
     "h16_lsh_multitable",
     "h17_bpe_segment",
-)
-
-# Queries ADDED in round 6 after the window was fixed — oracle-checked
-# and slotted AHEAD of the rows-only remainder in the r7 window (the
-# same discipline r5 applied to its additions via R6_SPILL). The
-# partition guard counts them as explicitly slotted.
-R7_WAVE: tuple[str, ...] = (
+    # r6-built oracle-checked additions (R7_WAVE)
     "a21_txlog_delete",
     "a22_txlog_merge",
     "a23_txlog_zorder_optimize",
     "a24_txlog_schema_evolution",
     "a25_txlog_change_feed",
     "a26_txlog_bloom_lookup",
-    "pipeline_cdc_replication",
     "a27_txlog_update",
+    "pipeline_cdc_replication",
     "pipeline_incremental_agg",
     "i19_streaming_incremental_agg",
+    # NEW r7: deletion vectors, conflict reconciliation, CAS backend
+    "a28_txlog_deletion_vector",
+    "a29_txlog_dv_purge",
+    "a30_txlog_concurrent_reconcile",
+    "a31_txlog_cas_backend",
+    "a32_txlog_dv_change_feed",
+    "pipeline_mor_lifecycle",
+    # NEW r7: bucketed exact-span dedup + streaming delta sinks
+    "h17_span_dedup_bucketed",
+    "i20_streaming_cooccurrence_update",
+    "i21_streaming_psi_drift",
+    # NEW r7: drift / association / concentration statistics
+    "d22_ks_drift",
+    "d23_psi_drift",
+    "d24_chi2_association",
+    "d25_mutual_information",
+    "d26_auc_ranksum",
+    "d28_benford",
+    "d29_gini",
+    # NEW r7: closed-form ML fits + coreset selection
+    "ml_linear_regression",
+    "ml_ridge_regression",
+    "ml_naive_bayes",
+    "ml_kcenter_coreset",
+    # NEW r7: corpus-quality rule sets + calibrators
+    "h17_gopher_rules",
+    "h17_bigram_lm_perplexity",
+    "h17_zipf_slope",
+    "h17_self_overlap",
+    "h17_word_burstiness",
+    "h13_minhash_jaccard_estimate",
+    # NEW r7: graph, TPC-H completion, retrieval, join semantics
+    "graph_common_neighbors",
+    "graph_kcore",
+    "sql_tpch_q11_shape",
+    "h9_matryoshka_truncate",
+    "c12_null_safe_join",
 )
+
+DRIVER_WINDOW = 50
+
+# Round-8 remainder, pre-committed at r7 HEAD: EMPTY — the r7 window
+# absorbs every query without a driver record (the 19-name r6 spill +
+# the 31 new r7 queries land exactly in 50 slots), so after this
+# round's sweep the registry's driver-evidence program is closed at
+# 298/298. Any query added in a later round must be slotted here
+# explicitly (the partition guard enforces it).
+R8_REMAINDER: tuple[str, ...] = ()
 
 
 def driver_key(rank: int, name: str) -> str:

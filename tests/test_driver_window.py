@@ -18,8 +18,7 @@ from spark_glove_spark import api
 from spark_glove_spark.registry import (
     DRIVER_PRIORITY,
     DRIVER_WINDOW,
-    R7_REMAINDER,
-    R7_WAVE,
+    R8_REMAINDER,
     driver_key,
     original_name,
 )
@@ -101,6 +100,7 @@ ALL_RECORDS = (
     "CORRECTNESS_r03",
     "CORRECTNESS_r04",
     "CORRECTNESS_r05",
+    "CORRECTNESS_r06",
 )
 
 
@@ -114,41 +114,33 @@ def test_window_contains_only_never_driver_checked_queries():
 
 
 def test_window_covers_the_rotation_waves():
-    """The r6 rotation must carry the VERDICT r5 mandates: the txlog
-    wave and r5 oracle-checked additions lead, the three NEW r6
-    oracle-checked queries (string-key skipping + the last two
-    portable twins) are slotted, and the 8-name overflow is exactly
-    the pre-committed rows-only R7 remainder."""
-    # txlog wave leads the window (strongest r5 conversions)
-    assert DRIVER_PRIORITY[0] == "a18_txlog_time_travel"
-    assert "a19_txlog_file_skipping" in DRIVER_PRIORITY[:5]
-    assert "i17_streaming_txlog_sink" in DRIVER_PRIORITY[:5]
-    assert "i18_txlog_stream_source" in DRIVER_PRIORITY[:5]
-    # the three NEW r6 oracle-checked queries are in-window
-    assert "a20_txlog_string_skipping" in DRIVER_PRIORITY  # VERDICT item 3
-    assert "h16_opq_portable" in DRIVER_PRIORITY  # VERDICT item 4
-    assert "h6_export_portable" in DRIVER_PRIORITY  # VERDICT item 4
-    # the r5 exact-dedup + chunking wave is in-window
-    for n in ("h17_span_dedup_exact", "h17_cdc_chunking", "pipeline_sketch_dedup"):
+    """The r7 rotation must carry the VERDICT r6 mandates: the
+    repaired ml_pca_project leads (item 1); the pre-committed r6
+    overflow (8 rows-only sketch variants) and the 10 r6-built
+    oracle-checked additions are all slotted (item 2); and the NEW r7
+    work — deletion vectors, conflict reconciliation, the CAS
+    backend, the bucketed span dedup (item 4), and the update-mode
+    streaming co-occurrence (item 5) — is in-window."""
+    assert DRIVER_PRIORITY[0] == "ml_pca_project"  # VERDICT r6 item 1
+    # the pre-committed r6 overflow (all 8 rows-only variants)
+    for n in ("h13_semantic_dedup", "h13_simhash_fingerprints",
+              "h13_simhash_neardup", "h15_mmr_rerank", "h16_ivf_ann",
+              "h16_pq_ann", "h16_lsh_multitable", "h17_bpe_segment"):
         assert n in DRIVER_PRIORITY
-    # every portable twin is in-window
-    twins = [n for n in DRIVER_PRIORITY if n.endswith("_portable")]
-    assert len(twins) == 8, twins
-    assert "h17_bpe_train_micro" in DRIVER_PRIORITY
-    # the displaced g-series finally gets its driver records
-    for g in ("g12_listagg", "g14_bitwise_agg", "g15_try_semantics",
-              "g16_json_construct"):
-        assert g in DRIVER_PRIORITY
-    # the remainder is exactly the 8 rows-only production variants
-    # whose math has oracle-checked twins elsewhere
-    assert len(R7_REMAINDER) == 8
-    from spark_glove_spark.registry import REGISTRY
-
-    for n in R7_REMAINDER:
-        assert REGISTRY[n].oracle is None, (
-            f"{n} is oracle-checked — it must not be deferred behind "
-            "rows-only variants"
-        )
+    # the 10 r6-built oracle-checked additions
+    for n in ("a21_txlog_delete", "a22_txlog_merge",
+              "a23_txlog_zorder_optimize", "a24_txlog_schema_evolution",
+              "a25_txlog_change_feed", "a26_txlog_bloom_lookup",
+              "a27_txlog_update", "pipeline_cdc_replication",
+              "pipeline_incremental_agg", "i19_streaming_incremental_agg"):
+        assert n in DRIVER_PRIORITY
+    # VERDICT r6 items 3/4/5: the new lakehouse + dedup + streaming work
+    for n in ("a28_txlog_deletion_vector", "a30_txlog_concurrent_reconcile",
+              "a31_txlog_cas_backend", "h17_span_dedup_bucketed",
+              "i20_streaming_cooccurrence_update"):
+        assert n in DRIVER_PRIORITY
+    # the r8 remainder is empty: this window closes driver coverage
+    assert R8_REMAINDER == ()
 
 
 def test_driver_keys_sort_before_every_organic_name():
@@ -160,25 +152,28 @@ def test_driver_keys_sort_before_every_organic_name():
 
 
 def test_rotation_plan_partitions_the_registry():
-    """Prior driver-green records + the r6 window + R7_REMAINDER must
+    """Prior driver-green records + the r7 window + R8_REMAINDER must
     cover every registered query with no overlaps among the plans —
     so each future rotation is a mechanical list swap, and any NEW
     query must be slotted into a plan explicitly."""
     checked = _driver_checked(ALL_RECORDS)
     window = set(DRIVER_PRIORITY)
-    r7 = set(R7_REMAINDER) | set(R7_WAVE)
-    assert not (window & r7), window & r7
-    assert not (set(R7_REMAINDER) & set(R7_WAVE))
-    uncovered = set(api.queries()) - checked - window - r7
+    r8 = set(R8_REMAINDER)
+    assert not (window & r8), window & r8
+    uncovered = set(api.queries()) - checked - window - r8
     assert not uncovered, f"queries not slotted in any rotation: {uncovered}"
-    ghost = r7 - set(api.queries())
+    ghost = r8 - set(api.queries())
     assert not ghost, f"plan names not registered: {ghost}"
-    # r6 additions must be oracle-checked (new work ships with an
-    # oracle; rows-only is reserved for nondeterministic-by-contract
-    # sketches, which all predate this round)
+    # every NEW r7 query ships an oracle (rows-only is reserved for
+    # nondeterministic-by-contract sketches, which all predate r7)
     from spark_glove_spark.registry import REGISTRY
 
-    for n in R7_WAVE:
+    r7_new = window - checked - {
+        "ml_pca_project", "h13_semantic_dedup", "h13_simhash_fingerprints",
+        "h13_simhash_neardup", "h15_mmr_rerank", "h16_ivf_ann",
+        "h16_pq_ann", "h16_lsh_multitable", "h17_bpe_segment",
+    }
+    for n in sorted(r7_new):
         assert REGISTRY[n].oracle is not None, f"{n} must ship an oracle"
 
 

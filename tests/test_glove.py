@@ -214,3 +214,47 @@ def test_fit_accepts_pretokenized_corpus(spark, docs):
     a = {r.word: tuple(round(v, 9) for v in r.vector) for r in m_text.vectors.collect()}
     b = {r.word: tuple(round(v, 9) for v in r.vector) for r in m_tok.vectors.collect()}
     assert a == b
+
+
+def test_planted_analogy_recovery(spark):
+    """VERDICT r6 item 8 — the last GloVe-paper-surface tooth: plant
+    a:b :: c:d structure BY CONSTRUCTION and assert top-1 analogy
+    recovery after convergence. Construction: target words w_{t,g}
+    carry a topic t and a binary feature g; every document mixes one
+    target with its topic's context words AND its feature's context
+    words, so the trained vectors factor additively (vec ≈ topic_t +
+    feat_g) and w_{t,0} : w_{t,1} :: w_{s,0} : w_{s,1} must hold —
+    the word2vec/GloVe analogy identity, testable here because the
+    offset is planted rather than hoped for."""
+    import random
+
+    rng = random.Random(11)
+    topics, feats = 4, 2
+    target = {(t, g): f"w{t}{g}" for t in range(topics) for g in range(feats)}
+    tctx = {t: [f"t{t}x{i}" for i in range(3)] for t in range(topics)}
+    gctx = {g: [f"g{g}x{i}" for i in range(3)] for g in range(feats)}
+    rows = []
+    for d in range(600):
+        t, g = d % topics, (d // topics) % feats
+        words = []
+        for _ in range(12):
+            words.append(target[(t, g)])
+            words.append(rng.choice(tctx[t]))
+            words.append(rng.choice(gctx[g]))
+        rows.append((d, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = Glove(
+        dim=8, window=4, min_count=5, iterations=50, seed=3, blocks=2
+    ).fit(df)
+    hits, total = 0, 0
+    for t in range(topics):
+        for s in range(topics):
+            if s == t:
+                continue
+            total += 1
+            # q = vec(a) − vec(b) + vec(c): w_t1 − w_t0 + w_s0 ≈ w_s1
+            got = m.analogy(
+                target[(t, 1)], target[(t, 0)], target[(s, 0)], k=1
+            ).collect()[0].word
+            hits += got == target[(s, 1)]
+    assert hits >= total - 2, f"analogy recovery {hits}/{total}"

@@ -83,6 +83,23 @@ BNLJ_OK = {
     "h16_ivf_portable",
     "h16_pq_portable",
     "h16_opq_portable",  # r6 twin: same broadcast-probe ADC crossJoin as pq
+    # r7 additions, each read from the printed plan:
+    "h9_matryoshka_truncate",  # broadcast-probe scan, same design as h7
+    "sql_tpch_q11_shape",  # grand-total scalar broadcast (HAVING fraction)
+    "ml_naive_bayes",  # langs x vocab probability-table cross join — both
+    # sides bounded (|langs| x |vocab| rows); the CLASSIFIER'S model
+    # table, not a data-pair structure
+    # r7 statistics wave: every BNLJ is a 1-2-row TOTALS broadcast
+    # cross-joined into a bounded domain frame (value domain / bins /
+    # contingency cells) — the d2_global_agg class; the totals frames
+    # themselves now derive from the small aggregates, never from a
+    # second corpus scan (planlint round-7 fix)
+    "d22_ks_drift",
+    "d23_psi_drift",
+    "d24_chi2_association",
+    "d25_mutual_information",
+    "d26_auc_ranksum",
+    "d28_benford",
 }
 PYTHON_OK = {"j1_scalar_udf", "j6_udtf"}  # Python IS the J1/J6 contract
 MAX_EXCHANGES = 8
@@ -103,6 +120,21 @@ EXCHANGE_ALLOWANCE = {
     # shuffles are ~10 (3 aggs, dup join, island window, 2 stat aggs,
     # 2 final joins) for a 3-rung ladder.
     "h17_span_dedup_multi": 22,
+    # r7: persisted-subtree re-expansion in the printed plan (the
+    # h10_tfidf_doc_sim artifact) — executed shuffles are far fewer:
+    # naive bayes executes ~6 (vocab distinct, two count aggs, score
+    # agg, argmax window, confusion agg); the estimator executes ~7
+    # (sig agg, band join, 4 sig/set joins, output); the bigram LM
+    # executes ~4 (two count aggs, score join agg, doc agg)
+    # (18 after persisting tok: each of the four InMemoryRelation
+    # consumers re-prints the persisted explode subtree)
+    "ml_naive_bayes": 18,
+    "h13_minhash_jaccard_estimate": 10,
+    "h17_bigram_lm_perplexity": 9,
+    # d25 takes three entropy/MI aggregates + two marginal aggs, ALL
+    # over the checkpointed |langs|x|sources| (~80-row) contingency
+    # leaf — the corpus is scanned exactly once upstream of it
+    "d25_mutual_information": 10,
 }
 
 
