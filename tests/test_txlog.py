@@ -599,7 +599,11 @@ def test_txlog_model_random_histories_with_mutations(spark, tmp_path):
     + round-6 delete/merge): every version must read back exactly the
     key->value map a plain Python model says it held — values too, so
     a merge that updates in place is distinguished from one that
-    drops/duplicates."""
+    drops/duplicates. Round 7 adds the merge-on-read surface to the
+    mix (delete_mor / purge_dvs), so vector union, COW-through-
+    vectors, purge re-materialization, and restore's dv_reset are all
+    exercised under random interleavings, not just the scripted
+    cases."""
     import random
 
     rng = random.Random(13)
@@ -616,7 +620,7 @@ def test_txlog_model_random_histories_with_mutations(spark, tmp_path):
             cur = dict(model[v])
             op = rng.choice(
                 ["append", "overwrite", "optimize", "delete", "merge",
-                 "update", "restore"]
+                 "update", "restore", "delete_mor", "purge"]
             )
             if op == "append":
                 rows = {next(nxt): "x" for _ in range(rng.randint(1, 3))}
@@ -646,6 +650,18 @@ def test_txlog_model_random_histories_with_mutations(spark, tmp_path):
                 txlog.merge(spark, path, src, on=["k"])
                 cur[upd] = f"u{v}"
                 cur[new] = f"i{v}"
+            elif op == "delete_mor":
+                if len(cur) < 2:
+                    continue
+                doomed = rng.choice(sorted(cur))
+                res = txlog.delete_mor(spark, path, f"k = {doomed}")
+                assert res["rows_deleted"] == 1
+                del cur[doomed]
+            elif op == "purge":
+                pre = txlog.current_version(path)
+                txlog.purge_dvs(spark, path)
+                if txlog.current_version(path) == pre:
+                    continue  # nothing to purge — no version burn
             elif op == "update":
                 target = rng.choice(sorted(cur))
                 res = txlog.update(
