@@ -2366,3 +2366,59 @@ def pipeline_mor_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "e11_markov_transitions",
+    section="E3,D1",
+    tags=("analytics",),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+t AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+row_tot AS (SELECT from_type, sum(n) AS tot FROM t GROUP BY 1)
+SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+       round(CAST(t.n AS DOUBLE) / row_tot.tot, 6) AS p
+FROM t JOIN row_tot USING (from_type)
+""",
+)
+def e11_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the path-analysis primitive behind next-action
+    prediction, funnel discovery, and bot detection (a uniform row is
+    a random clicker; a spiked row is a script): lead() pairs each
+    event with the user's next one (ts, event_id deterministic
+    order), transitions aggregate to |types|² cells, and row-
+    normalization yields the transition probabilities.
+
+    100 TB: ONE hash partitioning on user_id serves the lead window;
+    the transition aggregate is map-side combined into a bounded
+    |types|² table, and the row totals derive from it — the e-series
+    per-user discipline (one shuffle, never cross-key)."""
+    from spark_glove_spark.sources import parallelized
+
+    e = parallelized(table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = ordered.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = t.localCheckpoint(eager=True)  # <= |types|^2 rows; totals derive
+    row_tot = t.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return t.join(F.broadcast(row_tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
+    )

@@ -883,3 +883,93 @@ def h9_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_trunc").desc(), "vec_id")
         .limit(10)
     )
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+@query(
+    "h15_rrf_fusion",
+    section="H15,H7,E1",
+    tags=("embeddings", "llm-pipeline"),
+    oracle=f"""
+WITH probe AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         list_reduce(list_transform(generate_series(1, len(e.embedding)),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(probe.q[i] AS DOUBLE)),
+             (x, y) -> x + y) AS full_dot,
+         list_reduce(list_transform(generate_series(1, {_MRL_DIM}),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(probe.q[i] AS DOUBLE)),
+             (x, y) -> x + y) AS coarse_dot
+  FROM embeddings e CROSS JOIN probe
+  WHERE e.vec_id <> 0
+),
+ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (ORDER BY full_dot DESC, vec_id) AS r_full,
+         row_number() OVER (ORDER BY coarse_dot DESC, vec_id) AS r_coarse
+  FROM scored
+)
+SELECT vec_id, label,
+       CAST(r_full AS BIGINT) AS r_full,
+       CAST(r_coarse AS BIGINT) AS r_coarse,
+       round(1.0 / ({_RRF_K} + r_full) + 1.0 / ({_RRF_K} + r_coarse), 6)
+         AS rrf
+FROM ranked
+ORDER BY rrf DESC, vec_id
+LIMIT 10
+""",
+)
+def h15_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, public) — THE
+    standard way retrieval pipelines combine rankers without score
+    calibration: fused(d) = Σ 1/(k + rank_i(d)) with k=60. Here the
+    two rankers are the full 64-dim cosine and the 16-dim matryoshka
+    prefix (the coarse/full pair h9_matryoshka_truncate calibrates) —
+    the production hybrid where the coarse ranking is cheap and the
+    fusion recovers most full-precision quality. Ranks use integer
+    row_number with a vec_id tiebreak, so the fused score is exact
+    rational arithmetic — fully hash-checked.
+
+    100 TB: each ranker is the h7 broadcast-probe scan; fusion is a
+    rank window per ranker over the candidate set + one arithmetic
+    combine — at scale the windows run over each ranker's top-N
+    candidates (bounded), never the corpus."""
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    probe = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            dot(F.col("embedding"), F.col("q")).alias("full_dot"),
+            dot(
+                F.slice("embedding", 1, _MRL_DIM), F.slice("q", 1, _MRL_DIM)
+            ).alias("coarse_dot"),
+        )
+    )
+    wf = Window.orderBy(F.col("full_dot").desc(), "vec_id")
+    wc = Window.orderBy(F.col("coarse_dot").desc(), "vec_id")
+    ranked = scored.select(
+        "vec_id",
+        "label",
+        F.row_number().over(wf).alias("r_full"),
+        F.row_number().over(wc).alias("r_coarse"),
+    )
+    rrf = F.round(
+        1.0 / (_RRF_K + F.col("r_full")) + 1.0 / (_RRF_K + F.col("r_coarse")),
+        6,
+    )
+    return (
+        ranked.select(
+            "vec_id",
+            "label",
+            F.col("r_full").cast("long"),
+            F.col("r_coarse").cast("long"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "vec_id")
+        .limit(10)
+    )

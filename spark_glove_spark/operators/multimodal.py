@@ -1117,3 +1117,149 @@ def mm_mjpeg_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).mapInPandas(
         decode, schema="item_id long, frame_id int, frame_mean double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (R8 pre-wave): BMP — the bottom-up, BGR, stride-padded raster.
+
+
+_BMP_W, _BMP_H = 10, 6  # stride 30 -> padded to 32: the pad path is real
+
+
+def synth_bmp(item_id: int, w: int = _BMP_W, h: int = _BMP_H) -> bytes:
+    """Deterministic 24-bit BI_RGB BMP with the SAME pixel function as
+    synth_ppm (byte i of the RGB buffer is (item_id*7 + i*13) mod 256),
+    re-laid out the way the format demands: rows BOTTOM-UP, channels
+    BGR, each row padded to a 4-byte stride. A decoder that forgets
+    any of the three quirks still produces the right whole-image
+    channel means (they are layout-invariant) — which is why the
+    query also emits a TOP-ROW mean, which flips on every quirk."""
+    import struct
+
+    n = w * h * 3
+    px = ((int(item_id) * 7 + np.arange(n, dtype=np.int64) * 13) % 256).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    rows = b"".join(
+        px[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1)
+    )
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return hdr + info + rows
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """From-scratch BMP decoder (Windows BITMAPINFOHEADER, 24-bit
+    BI_RGB): validates the 'BM' magic, honors the pixel-data offset,
+    un-pads the 4-byte row stride, flips the bottom-up row order
+    (negative heights = top-down, also handled), and swaps BGR→RGB.
+    Anything outside the 24-bit uncompressed subset raises — the same
+    honest-refusal contract as the other decoders."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    off = struct.unpack_from("<I", content, 10)[0]
+    size = struct.unpack_from("<I", content, 14)[0]
+    if size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    comp = struct.unpack_from("<I", content, 30)[0]
+    if planes != 1 or bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB supported (planes={planes}, bpp={bpp}, "
+            f"compression={comp})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    buf = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=off)
+    rows = buf.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _bmp_stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        out = {"item_id": [], "width": [], "height": [],
+               "mean_r": [], "mean_g": [], "mean_b": [], "toprow_mean_r": []}
+        for item_id in pdf["item_id"]:
+            img = decode_bmp(synth_bmp(int(item_id)))
+            n = _BMP_W * _BMP_H * 3
+            ref = (
+                (int(item_id) * 7 + np.arange(n, dtype=np.int64) * 13) % 256
+            ).reshape(_BMP_H, _BMP_W, 3)
+            if not np.array_equal(img, ref):
+                raise AssertionError(
+                    f"BMP round-trip mismatch for item {item_id}"
+                )
+            m = img.reshape(-1, 3).mean(axis=0)
+            out["item_id"].append(int(item_id))
+            out["width"].append(img.shape[1])
+            out["height"].append(img.shape[0])
+            out["mean_r"].append(round(float(m[0]), 6))
+            out["mean_g"].append(round(float(m[1]), 6))
+            out["mean_b"].append(round(float(m[2]), 6))
+            out["toprow_mean_r"].append(
+                round(float(img[0, :, 0].mean()), 6)
+            )
+        yield pd.DataFrame(out)
+
+
+@query(
+    "mm_bmp_decode",
+    section="J5,G5",
+    tags=("multimodal",),
+    oracle=f"""
+SELECT doc_id AS item_id,
+       CAST({_BMP_W} AS INTEGER) AS width,
+       CAST({_BMP_H} AS INTEGER) AS height,
+       round(list_sum(list_transform(range({_BMP_W * _BMP_H}),
+             p -> CAST((doc_id * 7 + (p * 3 + 0) * 13) % 256 AS DOUBLE)))
+             / {_BMP_W * _BMP_H}, 6) AS mean_r,
+       round(list_sum(list_transform(range({_BMP_W * _BMP_H}),
+             p -> CAST((doc_id * 7 + (p * 3 + 1) * 13) % 256 AS DOUBLE)))
+             / {_BMP_W * _BMP_H}, 6) AS mean_g,
+       round(list_sum(list_transform(range({_BMP_W * _BMP_H}),
+             p -> CAST((doc_id * 7 + (p * 3 + 2) * 13) % 256 AS DOUBLE)))
+             / {_BMP_W * _BMP_H}, 6) AS mean_b,
+       round(list_sum(list_transform(range({_BMP_W}),
+             p -> CAST((doc_id * 7 + (p * 3 + 0) * 13) % 256 AS DOUBLE)))
+             / {_BMP_W}, 6) AS toprow_mean_r
+FROM documents
+WHERE doc_id % 3 = 1
+""",
+)
+def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP decode, fully oracle-checked — the fourth from-scratch
+    raster decoder (after P6/PNG/JPEG), and the one whose quirks are
+    all LAYOUT: bottom-up row order, BGR channel order, 4-byte row
+    stride padding (the 10x6 geometry forces a real 2-byte pad).
+    Whole-image channel means are layout-invariant, so the query also
+    emits the TOP-ROW red mean: mishandle the row flip, the channel
+    swap, or the stride and that column's hash flips while the means
+    stay green. The kernel additionally asserts the decoded raster
+    equals the closed-form pixel array bit-for-bit.
+
+    100 TB: same shape as mm_image_decode — mapInPandas over the item
+    stream, no shuffle; decode cost ∝ bytes."""
+    m = parallelized(table(spark, sf_dir, "documents")).where(
+        F.col("doc_id") % 3 == 1
+    )
+    return m.select(F.col("doc_id").alias("item_id")).mapInPandas(
+        _bmp_stats_kernel,
+        schema=(
+            "item_id long, width int, height int, "
+            "mean_r double, mean_g double, mean_b double, "
+            "toprow_mean_r double"
+        ),
+    )

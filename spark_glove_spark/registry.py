@@ -237,13 +237,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 
 DRIVER_WINDOW = 50
 
-# Round-8 remainder, pre-committed at r7 HEAD: EMPTY — the r7 window
-# absorbs every query without a driver record (the 19-name r6 spill +
-# the 31 new r7 queries land exactly in 50 slots), so after this
-# round's sweep the registry's driver-evidence program is closed at
-# 298/298. Any query added in a later round must be slotted here
-# explicitly (the partition guard enforces it).
-R8_REMAINDER: tuple[str, ...] = ()
+# Round-8 remainder, pre-committed at r7 HEAD: the r7 window absorbs
+# every query that lacked a driver record when the rotation was fixed
+# (the 19-name r6 spill + the 31 new r7 queries land exactly in 50
+# slots). The THREE queries built after the window froze — all
+# oracle-checked — lead the r8 window (the same discipline every
+# round applies to its post-freeze additions). Any later addition
+# must be slotted here explicitly (the partition guard enforces it).
+R8_REMAINDER: tuple[str, ...] = (
+    "mm_bmp_decode",
+    "h15_rrf_fusion",
+    "e11_markov_transitions",
+)
 
 
 def driver_key(rank: int, name: str) -> str:

@@ -139,8 +139,11 @@ def test_window_covers_the_rotation_waves():
               "a31_txlog_cas_backend", "h17_span_dedup_bucketed",
               "i20_streaming_cooccurrence_update"):
         assert n in DRIVER_PRIORITY
-    # the r8 remainder is empty: this window closes driver coverage
-    assert R8_REMAINDER == ()
+    # the r8 remainder holds exactly the post-freeze r7 additions
+    # (oracle-checked, pre-committed for the r8 window)
+    assert R8_REMAINDER == (
+        "mm_bmp_decode", "h15_rrf_fusion", "e11_markov_transitions",
+    )
 
 
 def test_driver_keys_sort_before_every_organic_name():
@@ -164,6 +167,10 @@ def test_rotation_plan_partitions_the_registry():
     assert not uncovered, f"queries not slotted in any rotation: {uncovered}"
     ghost = r8 - set(api.queries())
     assert not ghost, f"plan names not registered: {ghost}"
+    from spark_glove_spark.registry import REGISTRY as _REG
+
+    for n in R8_REMAINDER:
+        assert _REG[n].oracle is not None, f"{n} must ship an oracle"
     # every NEW r7 query ships an oracle (rows-only is reserved for
     # nondeterministic-by-contract sketches, which all predate r7)
     from spark_glove_spark.registry import REGISTRY
