@@ -1263,3 +1263,289 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "toprow_mean_r double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (R8 pre-wave): GIF87a — a from-scratch LZW codec pair. The
+# repo's compression coverage so far is stdlib-backed (zlib PNG,
+# gzip/bz2/lzma text) plus transform coding (JPEG DCT); GIF adds the
+# DICTIONARY-compression family with both sides hand-written: GIF's
+# variable-width LZW with clear/EOI codes, LSB-first bit packing,
+# code-size growth, and the KwKwK corner case.
+
+
+_GIF_W, _GIF_H = 16, 8
+_GIF_COLORS = 16  # palette size -> LZW min code size 4
+
+
+def _gif_palette() -> np.ndarray:
+    """Closed-form 16-entry palette: channel c of entry i is
+    (i*37 + c*11) % 256 — SQL-computable, like every mm fixture."""
+    i = np.arange(_GIF_COLORS, dtype=np.int64)[:, None]
+    c = np.arange(3, dtype=np.int64)[None, :]
+    return ((i * 37 + c * 11) % 256).astype(np.uint8)
+
+
+def _gif_indices(item_id: int) -> np.ndarray:
+    """Closed-form pixel indices: index of pixel p is
+    (item_id*5 + p*11) % 16."""
+    p = np.arange(_GIF_W * _GIF_H, dtype=np.int64)
+    return ((int(item_id) * 5 + p * 11) % _GIF_COLORS).astype(np.uint8)
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emit CLEAR first, grow code width when the
+    next free code would not fit, reset the dictionary at 4096.
+    LSB-first bit packing (GIF's order, opposite of TIFF's)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    w: tuple = ()
+    for k in map(int, indices):
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code == 4096:
+            emit(clear, code_size)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
+    """Inverse of :func:`_lzw_encode`, including the KwKwK case (a
+    code referencing the entry being defined) and mid-stream CLEAR."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = 0  # bit position
+    total_bits = len(data) * 8
+
+    def read(size: int) -> int:
+        nonlocal pos
+        if pos + size > total_bits:
+            raise ValueError("LZW stream truncated")
+        byte0 = pos >> 3
+        chunk = int.from_bytes(
+            data[byte0 : byte0 + 4].ljust(4, b"\x00"), "little"
+        )
+        code = (chunk >> (pos & 7)) & ((1 << size) - 1)
+        pos += size
+        return code
+
+    out: list[int] = []
+    table: list[tuple] = []
+    code_size = min_code_size + 1
+    prev: tuple | None = None
+    while True:
+        code = read(code_size)
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            elif code == len(table):  # KwKwK
+                entry = prev + (prev[0],)
+                table.append(entry)
+            else:
+                raise ValueError(
+                    f"LZW code {code} beyond table {len(table)}"
+                )
+            # The decoder lags the encoder by ONE dictionary addition
+            # (entry k is reconstructible only when code k+1 arrives),
+            # so the width bump lands exactly when the table FILLS the
+            # current width — the encoder's next emission is the first
+            # wider code.
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+        if len(out) >= n_expected:
+            break
+    return np.array(out[:n_expected], dtype=np.uint8)
+
+
+def synth_gif(item_id: int) -> bytes:
+    """Deterministic 16x8, 16-color GIF87a: closed-form palette and
+    indices (see :func:`_gif_palette` / :func:`_gif_indices`), real
+    LZW-compressed raster in 255-byte sub-blocks."""
+    import struct
+
+    pal = _gif_palette()
+    idx = _gif_indices(item_id)
+    lzw = _lzw_encode(idx, 4)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", _GIF_W, _GIF_H, 0xF3, 0, 0)  # GCT, 16 colors
+        + pal.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, _GIF_W, _GIF_H, 0)
+        + bytes([4])  # LZW min code size
+        + blocks
+        + b"\x00\x3b"
+    )
+
+
+def decode_gif(content: bytes) -> np.ndarray:
+    """From-scratch GIF87a/89a decoder for the single-image,
+    global-color-table subset: header + logical screen descriptor
+    parse, palette read, extension-block skip, sub-block reassembly,
+    full LZW decode, palette mapping to (h, w, 3) RGB. Interlaced
+    images and local color tables raise — the honest-refusal
+    contract."""
+    import struct
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    n_colors = 2 << (flags & 7)
+    pal = np.frombuffer(
+        content, dtype=np.uint8, count=n_colors * 3, offset=pos
+    ).reshape(n_colors, 3)
+    pos += n_colors * 3
+    while True:
+        b0 = content[pos]
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    _x, _y, iw, ih, iflags = struct.unpack_from("<HHHHB", content, pos + 1)
+    pos += 10
+    if iflags & 0x80:
+        raise NotImplementedError("local color tables not supported")
+    if iflags & 0x40:
+        raise NotImplementedError("interlaced GIFs not supported")
+    min_code = content[pos]
+    pos += 1
+    lzw = bytearray()
+    while content[pos]:
+        n = content[pos]
+        lzw += content[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+    idx = _lzw_decode(bytes(lzw), min_code, iw * ih)
+    return pal[idx.reshape(ih, iw)]
+
+
+def _gif_stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    pal = _gif_palette()
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        out = {"item_id": [], "width": [], "height": [],
+               "mean_r": [], "mean_g": [], "mean_b": [], "toprow_mean_r": []}
+        for item_id in pdf["item_id"]:
+            img = decode_gif(synth_gif(int(item_id)))
+            ref = pal[_gif_indices(int(item_id)).reshape(_GIF_H, _GIF_W)]
+            if not np.array_equal(img, ref):
+                raise AssertionError(
+                    f"GIF round-trip mismatch for item {item_id}"
+                )
+            m = img.reshape(-1, 3).astype(np.float64).mean(axis=0)
+            out["item_id"].append(int(item_id))
+            out["width"].append(img.shape[1])
+            out["height"].append(img.shape[0])
+            out["mean_r"].append(round(float(m[0]), 6))
+            out["mean_g"].append(round(float(m[1]), 6))
+            out["mean_b"].append(round(float(m[2]), 6))
+            out["toprow_mean_r"].append(
+                round(float(img[0, :, 0].astype(np.float64).mean()), 6)
+            )
+        yield pd.DataFrame(out)
+
+
+@query(
+    "mm_gif_decode",
+    section="J5,G5",
+    tags=("multimodal",),
+    oracle=f"""
+SELECT doc_id AS item_id,
+       CAST({_GIF_W} AS INTEGER) AS width,
+       CAST({_GIF_H} AS INTEGER) AS height,
+       round(list_sum(list_transform(range({_GIF_W * _GIF_H}),
+             p -> CAST((((doc_id * 5 + p * 11) % {_GIF_COLORS}) * 37 + 0)
+                       % 256 AS DOUBLE))) / {_GIF_W * _GIF_H}, 6) AS mean_r,
+       round(list_sum(list_transform(range({_GIF_W * _GIF_H}),
+             p -> CAST((((doc_id * 5 + p * 11) % {_GIF_COLORS}) * 37 + 11)
+                       % 256 AS DOUBLE))) / {_GIF_W * _GIF_H}, 6) AS mean_g,
+       round(list_sum(list_transform(range({_GIF_W * _GIF_H}),
+             p -> CAST((((doc_id * 5 + p * 11) % {_GIF_COLORS}) * 37 + 22)
+                       % 256 AS DOUBLE))) / {_GIF_W * _GIF_H}, 6) AS mean_b,
+       round(list_sum(list_transform(range({_GIF_W}),
+             p -> CAST((((doc_id * 5 + p * 11) % {_GIF_COLORS}) * 37 + 0)
+                       % 256 AS DOUBLE))) / {_GIF_W}, 6) AS toprow_mean_r
+FROM documents
+WHERE doc_id % 3 = 2
+""",
+)
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF87a decode, fully oracle-checked — the first DICTIONARY-
+    compression codec written from scratch in this repo (PNG is
+    stdlib zlib; JPEG is transform coding): GIF's variable-width LZW
+    with CLEAR/EOI codes, LSB-first bit packing, code-width growth,
+    dictionary reset at 4096, and the KwKwK self-referential corner
+    case — encoder AND decoder hand-written, round-trip asserted
+    bit-exact in-kernel against the closed-form raster, and the
+    palette-mapped channel statistics hash-checked against a DuckDB
+    twin computed from the pixel/palette formulas alone. Extension
+    blocks are skipped per spec; interlace and local palettes raise
+    honestly.
+
+    100 TB: mapInPandas over the item stream, no shuffle — the
+    standard decode-bytes-to-features shape."""
+    m = parallelized(table(spark, sf_dir, "documents")).where(
+        F.col("doc_id") % 3 == 2
+    )
+    return m.select(F.col("doc_id").alias("item_id")).mapInPandas(
+        _gif_stats_kernel,
+        schema=(
+            "item_id long, width int, height int, "
+            "mean_r double, mean_g double, mean_b double, "
+            "toprow_mean_r double"
+        ),
+    )

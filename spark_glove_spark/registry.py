@@ -246,6 +246,7 @@ DRIVER_WINDOW = 50
 # must be slotted here explicitly (the partition guard enforces it).
 R8_REMAINDER: tuple[str, ...] = (
     "mm_bmp_decode",
+    "mm_gif_decode",
     "h15_rrf_fusion",
     "e11_markov_transitions",
 )

@@ -142,7 +142,8 @@ def test_window_covers_the_rotation_waves():
     # the r8 remainder holds exactly the post-freeze r7 additions
     # (oracle-checked, pre-committed for the r8 window)
     assert R8_REMAINDER == (
-        "mm_bmp_decode", "h15_rrf_fusion", "e11_markov_transitions",
+        "mm_bmp_decode", "mm_gif_decode", "h15_rrf_fusion",
+        "e11_markov_transitions",
     )
 
 

@@ -191,3 +191,67 @@ def test_png_rejects_unsupported_subset():
     c[-1] ^= 0xFF
     with pytest.raises(NotImplementedError):
         decode_png(PNG_SIGNATURE + bytes(c))
+
+
+# --- round 7: BMP + GIF (from-scratch LZW) -------------------------------
+
+
+def test_bmp_roundtrip_and_layout_quirks():
+    import numpy as np
+
+    from spark_glove_spark.operators.multimodal import (
+        _BMP_H, _BMP_W, decode_bmp, synth_bmp,
+    )
+
+    for item in (0, 1, 5, 123):
+        img = decode_bmp(synth_bmp(item))
+        n = _BMP_W * _BMP_H * 3
+        ref = (
+            (item * 7 + np.arange(n, dtype=np.int64) * 13) % 256
+        ).reshape(_BMP_H, _BMP_W, 3)
+        assert np.array_equal(img, ref), item
+    # corrupt magic / unsupported depth raise loudly
+    import pytest
+
+    good = bytearray(synth_bmp(1))
+    bad = bytes(b"XX") + bytes(good[2:])
+    with pytest.raises(ValueError, match="BM magic"):
+        decode_bmp(bad)
+    good[28] = 8  # bpp -> 8
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(good))
+
+
+def test_gif_lzw_roundtrip_fuzz_and_refusals():
+    import random
+
+    import numpy as np
+    import pytest
+
+    from spark_glove_spark.operators.multimodal import (
+        _GIF_H, _GIF_W, _gif_indices, _gif_palette,
+        _lzw_decode, _lzw_encode, decode_gif, synth_gif,
+    )
+
+    for item in (0, 3, 77, 4999):
+        img = decode_gif(synth_gif(item))
+        ref = _gif_palette()[_gif_indices(item).reshape(_GIF_H, _GIF_W)]
+        assert np.array_equal(img, ref), item
+    # fuzz the codec pair: random streams long enough to force width
+    # growth and dictionary resets, plus the KwKwK run case
+    rng = random.Random(5)
+    for t in range(25):
+        n = rng.randint(1, 9000)
+        arr = np.array([rng.randrange(16) for _ in range(n)], dtype=np.uint8)
+        assert np.array_equal(_lzw_decode(_lzw_encode(arr, 4), 4, n), arr), t
+    runs = np.zeros(500, dtype=np.uint8)
+    assert np.array_equal(_lzw_decode(_lzw_encode(runs, 4), 4, 500), runs)
+    # honest refusals
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    g = bytearray(synth_gif(1))
+    # set the interlace flag in the image descriptor
+    idesc = g.index(0x2C, 6)
+    g[idesc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(g))
