@@ -1342,3 +1342,71 @@ def test_cas_ambiguous_before_store_retries_cleanly(spark, tmp_path):
         v = txlog.append(_df(spark, [(2, "b")]), path)
         assert v == 1 and b.puts == 2  # create + the successful retry
         assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 2]
+
+
+def test_threaded_cow_delete_races_appends(spark, tmp_path):
+    """REAL concurrency (not a scripted race): three appenders and one
+    COW delete run in parallel threads; reconciliation must land all
+    four commits — the appends because they have no read set, the
+    delete because appends only ADD files — and the final table must
+    hold exactly base − deleted + appended rows, regardless of the
+    interleaving the scheduler picks."""
+    import threading
+
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark, n=200, parts=4), path)
+    errs: list[Exception] = []
+
+    def appender(i: int) -> None:
+        try:
+            txlog.append_with_retry(
+                _df(spark, [(10_000 + i, "a")]).coalesce(1), path
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def deleter() -> None:
+        try:
+            txlog.delete(spark, path, "k < 50")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(i,)) for i in range(3)
+    ] + [threading.Thread(target=deleter)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert txlog.current_version(path) == 4
+    ks = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert len(ks) == 200 - 50 + 3
+    assert ks[0] == 50 and ks[-1] == 10_002
+
+
+def test_threaded_mor_deletes_on_disjoint_files(spark, tmp_path):
+    """Two DV deletes racing on DISJOINT file sets (range layout keeps
+    the key bands in different files): both reconcile — an intervening
+    vector change only conflicts when it touches files the loser
+    read. With prune bands supplied, neither reads the other's files."""
+    import threading
+
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark, n=200, parts=4), path)
+    errs: list[Exception] = []
+
+    def mor(lo: int, hi: int) -> None:
+        try:
+            txlog.delete_mor(
+                spark, path, f"k >= {lo} AND k < {hi}", prune=("k", lo, hi - 1)
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=mor, args=(0, 10))
+    t2 = threading.Thread(target=mor, args=(190, 200))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    ks = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert len(ks) == 180 and ks[0] == 10 and ks[-1] == 189
