@@ -464,7 +464,11 @@ def i9_streaming_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     representable, so cross-micro-batch accumulation order cannot
     perturb the sums. At production this is incremental vocabulary/X
     maintenance over a document firehose; state size is bounded by
-    vocab², not corpus size."""
+    vocab², not corpus size — but complete OUTPUT mode rewrites the
+    whole matrix every trigger, which dies at a 400k vocabulary:
+    i20_streaming_cooccurrence_update is the production form (update
+    mode + per-epoch txlog MERGE, O(touched keys) per trigger); this
+    query remains the minimal batch-equivalence exhibit."""
     import os
     import tempfile
 
