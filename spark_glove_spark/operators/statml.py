@@ -864,3 +864,138 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy(
         F.col("true_lang").alias("lang"), F.col("cand").alias("predicted")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# d31: HyperLogLog, hash-matchable — the portable-twin treatment
+# (h13_minhash_portable's) applied to cardinality estimation.
+
+
+_HLL_M = 64  # registers (2^6)
+_HLL_WBITS = 48 - 6  # md5-derived 48-bit hash minus the register index
+
+
+def _hll_rank_sql(w: str) -> str:
+    """rank(w) = leading zeros of the 42-bit word + 1, as an exact
+    integer CASE ladder (no float log2 — its last-ulp behavior differs
+    across engines at non-powers of two)."""
+    branches = " ".join(
+        f"WHEN {w} >= {1 << (b - 1)} THEN {_HLL_WBITS - b + 1}"
+        for b in range(_HLL_WBITS, 0, -1)
+    )
+    return f"(CASE {branches} ELSE {_HLL_WBITS + 1} END)"
+
+
+def _hll_sources() -> list[tuple[str, str, str]]:
+    """(label, table, key column) triples the twin estimates."""
+    return [
+        ("events.user_id", "events", "user_id"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("documents.doc_id", "documents", "doc_id"),
+    ]
+
+
+def _hll_oracle() -> str:
+    alpha = f"(0.7213 / (1 + 1.079 / {_HLL_M}))"
+    parts = []
+    for label, tbl, col in _hll_sources():
+        parts.append(f"""
+SELECT '{label}' AS col,
+       CAST((SELECT count(DISTINCT {col}) FROM {tbl}) AS BIGINT) AS n_true,
+       CAST(count(*) AS BIGINT) AS registers_used,
+       round(CASE
+         WHEN {alpha} * {_HLL_M} * {_HLL_M}
+              / (sum(pow(2.0, -mj)) + ({_HLL_M} - count(*)))
+              <= 2.5 * {_HLL_M}
+          AND count(*) < {_HLL_M}
+         THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                            / ({_HLL_M} - count(*)))
+         ELSE {alpha} * {_HLL_M} * {_HLL_M}
+              / (sum(pow(2.0, -mj)) + ({_HLL_M} - count(*)))
+       END, 6) AS estimate
+FROM (
+  SELECT reg, max(rank) AS mj FROM (
+    SELECT ('0x' || substr(md5('hll|' || CAST({col} AS VARCHAR)), 1, 12))::BIGINT
+             % {_HLL_M} AS reg,
+           {_hll_rank_sql(f"(('0x' || substr(md5('hll|' || CAST({col} AS VARCHAR)), 1, 12))::BIGINT // {_HLL_M})")} AS rank
+    FROM {tbl}
+  ) GROUP BY reg
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "d31_hll_portable",
+    section="D4,G7",
+    tags=("stats", "sketch"),
+    oracle=_hll_oracle(),
+)
+def d31_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog, hash-matchable end to end — the portable-twin
+    treatment applied to D4's cardinality sketch: 64 registers keyed
+    by the low 6 bits of a 48-bit md5-derived hash, register value =
+    max leading-zero rank of the remaining 42 bits (an exact integer
+    CASE ladder in BOTH engines — float log2 differs in the last ulp
+    across libms), harmonic estimator with Flajolet et al.'s alpha
+    and the small-range linear-counting correction. The register
+    summation Σ2^-M_j is a sum of 64 dyadic rationals — EXACT in a
+    double — so the only cross-engine float op is the final ln/÷,
+    inside a terminal round(6): the whole sketch hash-matches, which
+    is unusual for a cardinality estimator and is the point. Three
+    key columns of different true cardinalities ride in one result so
+    the estimator is checked across its correction regimes.
+
+    The production path stays d4 (Spark's native HLL++ — rows-only,
+    ±5%% pytest tooth); this twin is driver-level evidence for the
+    sketch MATH, the same division of labor as minhash/simhash/pq.
+
+    100 TB: one map-side-combined 64-row aggregate per column —
+    registers merge cell-wise across partitions/streams/days, the
+    mergeability that makes HLL the fleet-wide distinct counter."""
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    out = None
+    for label, tbl, col in _hll_sources():
+        t = parallelized(table(spark, sf_dir, tbl))
+        n_true = t.select(col).distinct().count()
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("hll|"), F.col(col).cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        w = (h / _HLL_M).cast("long")
+        rank_expr = F
+        expr = None
+        for b in range(_HLL_WBITS, 0, -1):
+            cond = (F.col("w") >= (1 << (b - 1)), F.lit(_HLL_WBITS - b + 1))
+            expr = F.when(*cond) if expr is None else expr.when(*cond)
+        rank_expr = expr.otherwise(F.lit(_HLL_WBITS + 1))
+        regs = (
+            t.select((h % _HLL_M).alias("reg"), w.alias("w"))
+            .select("reg", rank_expr.alias("rank"))
+            .groupBy("reg")
+            .agg(F.max("rank").alias("mj"))
+        )
+        agg = regs.agg(
+            F.count(F.lit(1)).alias("used"),
+            F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("ssum"),
+        )
+        raw = (
+            F.lit(alpha)
+            * _HLL_M
+            * _HLL_M
+            / (F.col("ssum") + (_HLL_M - F.col("used")))
+        )
+        linear = _HLL_M * F.log(
+            F.lit(float(_HLL_M)) / (_HLL_M - F.col("used"))
+        )
+        est = F.when(
+            (raw <= 2.5 * _HLL_M) & (F.col("used") < _HLL_M), linear
+        ).otherwise(raw)
+        row = agg.select(
+            F.lit(label).alias("col"),
+            F.lit(n_true).cast("long").alias("n_true"),
+            F.col("used").cast("long").alias("registers_used"),
+            F.round(est, 6).alias("estimate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -249,6 +249,7 @@ R8_REMAINDER: tuple[str, ...] = (
     "mm_gif_decode",
     "h15_rrf_fusion",
     "e11_markov_transitions",
+    "d31_hll_portable",
 )
 
 

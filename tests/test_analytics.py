@@ -207,3 +207,19 @@ def test_cms_overestimates_within_error_bound(spark):
     for r in rows:
         assert r["est_count"] >= r["exact_count"], r
         assert r["est_count"] - r["exact_count"] <= 3 * 2.72 * n_total / 256, r
+
+
+def test_hll_portable_accuracy_across_regimes(spark):
+    """The portable HLL twin's estimates must land inside the m=64
+    theoretical error band (1.04/sqrt(64) ~ 13%; allow 2 sigma-ish
+    margin) for all three true cardinalities — 150 (linear-counting
+    regime boundary), 500, and 1500 (raw harmonic regime)."""
+    from spark_glove_spark import api
+
+    rows = api.REGISTRY["d31_hll_portable"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        rel = abs(r["estimate"] - r["n_true"]) / r["n_true"]
+        assert rel < 0.26, (r["col"], r["estimate"], r["n_true"])

@@ -143,7 +143,7 @@ def test_window_covers_the_rotation_waves():
     # (oracle-checked, pre-committed for the r8 window)
     assert R8_REMAINDER == (
         "mm_bmp_decode", "mm_gif_decode", "h15_rrf_fusion",
-        "e11_markov_transitions",
+        "e11_markov_transitions", "d31_hll_portable",
     )
 
 
