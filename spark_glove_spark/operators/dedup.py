@@ -1211,3 +1211,83 @@ def h13_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_err"),
         )
     )
+
+
+def _containment_oracle() -> str:
+    return f"""
+WITH {mh_pair_ctes('documents')},
+inter AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS i,
+         sa.n AS na, sb.n AS nb
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / na, 6) AS containment_a,
+       round(CAST(i AS DOUBLE) / nb, 6) AS containment_b,
+       round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard,
+       CAST(CASE WHEN CAST(i AS DOUBLE) / least(na, nb) >= 0.9
+            THEN 1 ELSE 0 END AS BIGINT) AS subset_dup
+FROM inter
+WHERE CAST(i AS DOUBLE) / least(na, nb) >= 0.5
+"""
+
+
+@query(
+    "h13_containment_dedup",
+    section="H13,H14,H11",
+    tags=("dedup", "llm-pipeline"),
+    oracle=_containment_oracle(),
+)
+def h13_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT scoring (Broder 1997's second resemblance
+    measure, public) over the banded candidates — the dedup dimension
+    Jaccard is blind to: a short document quoted whole inside a long
+    one has LOW Jaccard (the union is big) but containment_short ≈ 1.
+    Training-data pipelines need this to catch quote-inclusion and
+    wrapper-page duplication that symmetric similarity misses. Per
+    candidate pair: both directed containments (|A∩B|/|A|, /|B|), the
+    Jaccard for contrast, and a subset_dup flag at max-containment
+    ≥ 0.9; pairs kept at max-containment ≥ 0.5.
+
+    100 TB: identical cost shape to the minhash twin — the candidate
+    set comes from the SAME band join (blocking is shared work), and
+    the exact intersection only evaluates on candidates. One-sided
+    containment at scale uses the asymmetric-sketch refinement
+    (min-hash of the SMALLER set against the other's full set), the
+    documented escalation."""
+    docs = table(spark, sf_dir, "documents")
+    sh = defer_unpersist(portable_shingles(docs).persist())
+    buckets = portable_band_buckets(sh)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("set_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    na = F.size("set_a").cast("double")
+    nb = F.size("set_b").cast("double")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(inter / F.least(na, nb) >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / na, 6).alias("containment_a"),
+            F.round(inter / nb, 6).alias("containment_b"),
+            F.round(inter / (na + nb - inter), 6).alias("jaccard"),
+            (inter / F.least(na, nb) >= 0.9).cast("long").alias("subset_dup"),
+        )
+    )

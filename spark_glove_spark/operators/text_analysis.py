@@ -3050,3 +3050,104 @@ def h17_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(var / mean, 6).alias("burstiness"),
         )
     )
+
+
+_LID_TOP = 20  # profile size (top trigrams per language / per doc)
+
+
+@query(
+    "h17_langid_trigrams",
+    section="H17,H11,E2",
+    tags=("llm-pipeline", "quality"),
+    oracle=f"""
+WITH tri AS (
+  SELECT doc_id, lang, substr(text, i, 3) AS tri
+  FROM (SELECT doc_id, lang, text,
+               unnest(range(1, len(text) - 1)) AS i
+        FROM documents)
+),
+lang_prof AS (
+  SELECT lang, tri FROM (
+    SELECT lang, tri,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, tri) AS rn
+    FROM tri GROUP BY lang, tri
+  ) WHERE rn <= {_LID_TOP}
+),
+doc_prof AS (
+  SELECT doc_id, lang AS true_lang, tri FROM (
+    SELECT doc_id, lang, tri,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, tri) AS rn
+    FROM tri GROUP BY doc_id, lang, tri
+  ) WHERE rn <= {_LID_TOP}
+),
+overlap AS (
+  SELECT d.doc_id, d.true_lang, lp.lang AS cand, count(*) AS hits
+  FROM doc_prof d JOIN lang_prof lp USING (tri)
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, true_lang, cand,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, cand) AS rn
+  FROM overlap
+)
+SELECT true_lang AS lang, cand AS predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM pred WHERE rn = 1 GROUP BY 1, 2
+""",
+)
+def h17_langid_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (the Cavnar–Trenkle 1994 textcat
+    shape, public — what langid tools reduce to before neural models):
+    each language gets a profile of its top-20 character trigrams by
+    corpus frequency; each document gets its own top-20; the predicted
+    language maximizes profile OVERLAP — an all-integer score (count
+    of shared trigrams), so unlike the naive-Bayes log-prob path there
+    is no floating point anywhere before the confusion-matrix output.
+    Complements h17_language_id (function-word hits) and
+    ml_naive_bayes (token likelihoods): three independent methods a
+    production pipeline ensembles, each oracle-checked.
+
+    100 TB: trigram counts are two bounded aggregates (vocab of char
+    trigrams ≪ tokens); profiles are top-k windows over the per-key
+    count domains; the scoring join is doc-top-k × lang-top-k on the
+    trigram key — every stage map-side combined, nothing scans text
+    twice (the explode feeds both profile builds)."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    tri = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2),"
+                   " i -> substring(text, i, 3))")
+        ).alias("tri"),
+    )
+    tri = defer_unpersist(tri.persist())
+    wl = Window.partitionBy("lang").orderBy(F.col("c").desc(), "tri")
+    lang_prof = (
+        tri.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") <= _LID_TOP)
+        .select(F.col("lang").alias("cand"), "tri")
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "tri")
+    doc_prof = (
+        tri.groupBy("doc_id", "lang", "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") <= _LID_TOP)
+        .select("doc_id", F.col("lang").alias("true_lang"), "tri")
+    )
+    overlap = doc_prof.join(F.broadcast(lang_prof), "tri").groupBy(
+        "doc_id", "true_lang", "cand"
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    wp = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), "cand")
+    pred = overlap.withColumn("rn", F.row_number().over(wp)).where(
+        F.col("rn") == 1
+    )
+    return pred.groupBy(
+        F.col("true_lang").alias("lang"), F.col("cand").alias("predicted")
+    ).agg(F.count(F.lit(1)).alias("n"))

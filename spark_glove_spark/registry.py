@@ -250,6 +250,8 @@ R8_REMAINDER: tuple[str, ...] = (
     "h15_rrf_fusion",
     "e11_markov_transitions",
     "d31_hll_portable",
+    "h13_containment_dedup",
+    "h17_langid_trigrams",
 )
 
 
