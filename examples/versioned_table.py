@@ -1,6 +1,7 @@
 """Lakehouse-style table walkthrough on the txlog format: versioned
 writes, time travel, file skipping, compaction, copy-on-write
-mutations, schema evolution, a change feed, bloom point lookups, and
+mutations, schema evolution, a change feed, bloom point lookups,
+merge-on-read deletion vectors, an object-store commit backend, and
 conflict detection —
 
     create → CDC merge (overwrite) → read any version → predicate
@@ -109,6 +110,45 @@ def main() -> None:
         .orderBy("_commit_version", "_change_type").collect()
     ):
         print(f"  v{r[0]} {r[1]}: {r[2]} rows")
+
+    # merge-on-read DELETE: scattered keys, zero files rewritten —
+    # the commit records (file, row-position) deletion vectors and
+    # readers subtract them with one broadcast anti-join
+    files_before = txlog.snapshot_files(path)
+    res = txlog.delete_mor(spark, path, "o_orderkey % 997 = 11")
+    assert txlog.snapshot_files(path) == files_before
+    print(
+        f"v{res['version']}: MOR DELETE removed {res['rows_deleted']} rows "
+        f"across {res['files_touched']} files — zero rewrite "
+        f"(vectors: {sum(len(v) for v in txlog.snapshot_dvs(path).values())}"
+        " positions)"
+    )
+
+    # PURGE: pay one rewrite to drop the read-side anti-join
+    res = txlog.purge_dvs(spark, path)
+    print(
+        f"v{res['version']}: PURGE re-materialized {res['files_purged']} "
+        f"file(s), dropped {res['rows_dropped']} dead positions; vectors "
+        f"now: {txlog.snapshot_dvs(path)}"
+    )
+
+    # conditional-put commit backend (the object-store model) with an
+    # injected ambiguous failure: the put landed, the response didn't —
+    # commit read-backs its own payload and reports success
+    cas_path = tempfile.mkdtemp(prefix="txlog_cas_") + "/t"
+    backend = txlog.CASCommitBackend()
+    with txlog.use_backend(backend):
+        txlog.create(
+            txlog.read(spark, path).limit(100).coalesce(1), cas_path
+        )
+        backend.faults.append("fail_after_store")
+        v = txlog.append(
+            txlog.read(spark, path).limit(5).coalesce(1), cas_path
+        )
+        print(
+            f"CAS backend: ambiguous put resolved to SUCCESS at v{v} "
+            f"({txlog.read(spark, cas_path).count()} rows readable)"
+        )
 
     # optimistic concurrency: a stale writer loses cleanly
     files, stats = txlog._write_data(

@@ -94,6 +94,7 @@ BNLJ_OK = {
     # contingency cells) — the d2_global_agg class; the totals frames
     # themselves now derive from the small aggregates, never from a
     # second corpus scan (planlint round-7 fix)
+    "h15_rrf_fusion",  # broadcast-probe scan, same design as h7/h9
     "d22_ks_drift",
     "d23_psi_drift",
     "d24_chi2_association",
@@ -135,6 +136,11 @@ EXCHANGE_ALLOWANCE = {
     # over the checkpointed |langs|x|sources| (~80-row) contingency
     # leaf — the corpus is scanned exactly once upstream of it
     "d25_mutual_information": 10,
+    # d31 estimates THREE key columns: per column one 64-row register
+    # aggregate + its 1-row fold + the exact-truth count distinct (the
+    # calibration column) — 3 x 3 exchanges, every one over a <=64-row
+    # or distinct-key domain
+    "d31_hll_portable": 9,
 }
 
 
