@@ -1701,6 +1701,10 @@ def append_with_retry(
     losses — under k concurrent writers a round loses at most k-1
     times, so the default absorbs realistic bursts."""
     _enforce_constraints(df, table_properties(path).get("check_constraints", {}))
+    # fail-fast schema validation BEFORE paying the data write (a
+    # mismatch would otherwise strand a freshly-written orphan group);
+    # the loop still recomputes against each head it targets
+    _evolved_schema(df, path, merge_schema)
     files, stats = _write_data(df, path, _bloom_cols(path))
     for _ in range(max_retries + 1):
         base = current_version(path)
