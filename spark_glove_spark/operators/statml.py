@@ -999,3 +999,107 @@ def d31_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# d32: quantile estimation over a DETERMINISTIC hash-ordered sample —
+# the hash-matchable companion to d11's (rows-only) native quantile
+# sketch, the same division of labor as d31_hll_portable vs d4.
+
+
+_SQ_N = 1024  # sample size; DKW: sup-norm CDF error ~ sqrt(ln(2/a)/2n)
+
+
+@query(
+    "d32_sample_quantiles",
+    section="D2,E1,F7",
+    tags=("stats", "sketch"),
+    oracle=f"""
+WITH s AS (
+  SELECT o_totalprice AS v
+  FROM orders
+  ORDER BY md5('sq|' || CAST(o_orderkey AS VARCHAR)), o_orderkey
+  LIMIT {_SQ_N}
+),
+r AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s
+),
+exact AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         count(*) OVER () AS n
+  FROM (SELECT o_totalprice AS v FROM orders)
+)
+SELECT q,
+       round((SELECT v FROM r
+              WHERE rn = CAST(ceil(q * {_SQ_N}) AS BIGINT)), 2) AS est,
+       round((SELECT max(v) FROM exact
+              WHERE rn <= CAST(ceil(q * n) AS BIGINT)), 2) AS exact,
+       round(abs((SELECT v FROM r
+                  WHERE rn = CAST(ceil(q * {_SQ_N}) AS BIGINT))
+                 - (SELECT max(v) FROM exact
+                    WHERE rn <= CAST(ceil(q * n) AS BIGINT))), 2) AS abs_err
+FROM (SELECT unnest([0.5, 0.9, 0.95, 0.99]) AS q)
+""",
+)
+def d32_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles over a DETERMINISTIC hash-ordered sample — the
+    hash-matchable twin for the quantile-sketch family (d11's native
+    mergeable sketch stays the rows-only production path, exactly the
+    d31-vs-d4 division of labor): the sample is the 1024 hash-least
+    rows by md5('sq|'||key) — reproducible across engines, runs, and
+    partitionings, the f7 deterministic-sampling trick — and each
+    estimate is the ceil(q·n)-th order statistic of the sample,
+    reported next to the EXACT corpus quantile and the absolute
+    error, so the estimator's accuracy is part of the hash-checked
+    result (DKW bounds the CDF error at ~2% for n=1024).
+
+    100 TB: the sample is a TakeOrderedAndProject over the hash key
+    (no shuffle of the corpus, no rand()); the exact side exists only
+    for calibration at fixture scale — production reads the estimate
+    alone, one bounded-k selection per table."""
+    o = parallelized(table(spark, sf_dir, "orders"))
+    s = (
+        o.select(
+            F.col("o_totalprice").alias("v"),
+            F.md5(
+                F.concat(F.lit("sq|"), F.col("o_orderkey").cast("string"))
+            ).alias("hk"),
+            "o_orderkey",
+        )
+        .orderBy("hk", "o_orderkey")
+        .limit(_SQ_N)
+        .select("v")
+    )
+    r = s.select(
+        "v", F.row_number().over(Window.orderBy("v")).alias("rn")
+    ).localCheckpoint(eager=True)
+    n_total = o.count()
+    exact_r = o.select(F.col("o_totalprice").alias("v")).select(
+        "v", F.row_number().over(Window.orderBy("v")).alias("rn")
+    )
+    qs = [0.5, 0.9, 0.95, 0.99]
+    rows = []
+    import math
+
+    est_map = {
+        int(row["rn"]): row["v"]
+        for row in r.where(
+            F.col("rn").isin([int(math.ceil(q * _SQ_N)) for q in qs])
+        ).collect()
+    }
+    exact_targets = {q: int(math.ceil(q * n_total)) for q in qs}
+    exact_map = {
+        int(row["rn"]): row["v"]
+        for row in exact_r.where(
+            F.col("rn").isin(list(exact_targets.values()))
+        ).collect()
+    }
+    for q in qs:
+        est = est_map[int(math.ceil(q * _SQ_N))]
+        exact = exact_map[exact_targets[q]]
+        rows.append(
+            (q, round(est, 2), round(exact, 2), round(abs(est - exact), 2))
+        )
+    return spark.createDataFrame(
+        rows, "q double, est double, exact double, abs_err double"
+    )

@@ -252,6 +252,7 @@ R8_REMAINDER: tuple[str, ...] = (
     "d31_hll_portable",
     "h13_containment_dedup",
     "h17_langid_trigrams",
+    "d32_sample_quantiles",
 )
 
 
