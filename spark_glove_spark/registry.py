@@ -253,6 +253,7 @@ R8_REMAINDER: tuple[str, ...] = (
     "h13_containment_dedup",
     "h17_langid_trigrams",
     "d32_sample_quantiles",
+    "i22_streaming_online_dedup",
 )
 
 

@@ -145,7 +145,7 @@ def test_window_covers_the_rotation_waves():
         "mm_bmp_decode", "mm_gif_decode", "h15_rrf_fusion",
         "e11_markov_transitions", "d31_hll_portable",
         "h13_containment_dedup", "h17_langid_trigrams",
-        "d32_sample_quantiles",
+        "d32_sample_quantiles", "i22_streaming_online_dedup",
     )
 
 
