@@ -1103,3 +1103,73 @@ def d32_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "q double, est double, exact double, abs_err double"
     )
+
+
+# ---------------------------------------------------------------------------
+# d33: seasonal profile — the hour-of-week decomposition drift monitors
+# and anomaly detectors baseline against.
+
+
+@query(
+    "d33_seasonal_profile",
+    section="D1,G4",
+    tags=("stats", "timeseries"),
+    oracle="""
+WITH x AS (
+  SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         value
+  FROM events
+),
+g AS (
+  SELECT dow, hod, count(*) AS n, sum(value) AS s, sum(value * value) AS ss
+  FROM x GROUP BY 1, 2
+),
+tot AS (SELECT sum(n) AS tn, sum(s) AS tsum FROM g)
+SELECT dow, hod, CAST(n AS BIGINT) AS n,
+       round(s / n, 6) AS mean_value,
+       round(ss / n - (s / n) * (s / n), 6) AS var_value,
+       round(s / n - (SELECT tsum / tn FROM tot), 6) AS seasonal_effect
+FROM g
+""",
+)
+def d33_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonal profile — the baseline table every drift
+    monitor and anomaly detector subtracts before looking for real
+    signal (d13's z-scores over RAW values flag rush hour as an
+    anomaly; over seasonal residuals they flag incidents): per
+    (day-of-week, hour-of-day) cell the count, mean, population
+    variance, and the seasonal EFFECT (cell mean minus grand mean —
+    the additive-decomposition term). The grand mean derives from the
+    168-cell aggregate, never a second scan; Spark's dayofweek is
+    1=Sunday while DuckDB's is 0=Sunday — normalized to 0=Sunday on
+    the Spark side, with the UTC session TZ pinned by the registry
+    wrapper.
+
+    100 TB: one map-side-combined aggregate into at most 168 cells —
+    a scan at any scale; the profile broadcast back over the stream
+    is the d13 composition."""
+    e = parallelized(table(spark, sf_dir, "events"))
+    g = e.select(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+        "value",
+    ).groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    ).localCheckpoint(eager=True)  # <= 168 rows; grand mean derives
+    tot = g.agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("tsum")
+    )
+    mean = F.col("s") / F.col("n")
+    return g.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(F.col("ss") / F.col("n") - mean * mean, 6).alias("var_value"),
+        F.round(mean - F.col("tsum") / F.col("tn"), 6).alias(
+            "seasonal_effect"
+        ),
+    )

@@ -254,6 +254,7 @@ R8_REMAINDER: tuple[str, ...] = (
     "h17_langid_trigrams",
     "d32_sample_quantiles",
     "i22_streaming_online_dedup",
+    "d33_seasonal_profile",
 )
 
 

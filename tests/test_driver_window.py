@@ -146,6 +146,7 @@ def test_window_covers_the_rotation_waves():
         "e11_markov_transitions", "d31_hll_portable",
         "h13_containment_dedup", "h17_langid_trigrams",
         "d32_sample_quantiles", "i22_streaming_online_dedup",
+        "d33_seasonal_profile",
     )
 
 
