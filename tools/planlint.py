@@ -101,6 +101,8 @@ BNLJ_OK = {
     "d25_mutual_information",
     "d26_auc_ranksum",
     "d28_benford",
+    "d33_seasonal_profile",  # grand-mean scalar broadcast over the
+    # checkpointed 168-cell profile — same totals class as above
 }
 PYTHON_OK = {"j1_scalar_udf", "j6_udtf"}  # Python IS the J1/J6 contract
 MAX_EXCHANGES = 8
