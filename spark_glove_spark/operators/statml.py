@@ -1173,3 +1173,196 @@ def d33_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_effect"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# d34: CUSUM changepoint scan — the sequential drift detector that
+# complements the two-sample tests (d22/d23 compare two FIXED cohorts;
+# CUSUM localizes WHERE a stream's level shifted).
+
+
+@query(
+    "d34_cusum_changepoint",
+    section="E4,D2,G4",
+    tags=("stats", "timeseries"),
+    oracle="""
+WITH hourly AS MATERIALIZED (
+  SELECT date_trunc('hour', ts) AS h, sum(value) AS v
+  FROM events GROUP BY 1
+),
+m AS MATERIALIZED (SELECT avg(v) AS mu, count(*) AS n FROM hourly),
+c AS MATERIALIZED (
+  -- MATERIALIZED: inlined re-evaluation would re-run the float
+  -- aggregation in a different order, and the argmax equality
+  -- against cmax from the OTHER evaluation then misses by one ulp
+  SELECT h, v,
+         sum(v - (SELECT mu FROM m)) OVER (ORDER BY h
+                                           ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM hourly
+),
+ext AS MATERIALIZED (
+  SELECT max(cusum) AS cmax, min(cusum) AS cmin FROM c
+)
+SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_points,
+       round((SELECT mu FROM m), 6) AS mean_level,
+       round((SELECT cmax FROM ext), 6) AS cusum_max,
+       round((SELECT cmin FROM ext), 6) AS cusum_min,
+       CAST(epoch_ms((SELECT min(h) FROM c
+                 WHERE cusum = (SELECT cmax FROM ext))) AS BIGINT)
+         AS argmax_ms,
+       CAST(epoch_ms((SELECT min(h) FROM c
+                 WHERE cusum = (SELECT cmin FROM ext))) AS BIGINT)
+         AS argmin_ms,
+       round((SELECT cmax FROM ext) - (SELECT cmin FROM ext), 6) AS cusum_range
+FROM m
+""",
+)
+def d34_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the hourly event-value series —
+    the Page/Pettitt-style sequential detector: the cumulative sum of
+    deviations from the series mean PEAKS exactly where the level
+    shifts (a flat series random-walks near zero; the extremum's
+    timestamp IS the changepoint estimate, and cusum_range is the
+    Pettitt-type test statistic a permutation threshold would gate).
+    Complements d22/d23: those test WHETHER two cohorts differ; this
+    localizes WHEN a single stream changed.
+
+    100 TB: the series collapses to hourly buckets first (one
+    map-side-combined aggregate); the prefix-sum window runs over the
+    BUCKET domain — 8,760 rows per year regardless of event volume —
+    and the extremum scan is over the same bounded frame."""
+    e = parallelized(table(spark, sf_dir, "events"))
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum("value").alias("v"))
+        .localCheckpoint(eager=True)  # bucket domain; mean derives
+    )
+    m = hourly.agg(F.avg("v").alias("mu"), F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        hourly.crossJoin(F.broadcast(m))
+        .withColumn("cusum", F.sum(F.col("v") - F.col("mu")).over(w))
+        .select("h", "cusum", "mu", "n")
+    )
+    from spark_glove_spark.registry import defer_unpersist
+
+    c = defer_unpersist(c.persist())
+    ext = c.agg(
+        F.max("cusum").alias("cmax"), F.min("cusum").alias("cmin")
+    )
+    j = c.crossJoin(F.broadcast(ext))
+    argmax = j.where(F.col("cusum") == F.col("cmax")).agg(
+        F.min("h").alias("hmax")
+    )
+    argmin = j.where(F.col("cusum") == F.col("cmin")).agg(
+        F.min("h").alias("hmin")
+    )
+    return (
+        c.limit(1)
+        .select("mu", "n")
+        .crossJoin(F.broadcast(ext))
+        .crossJoin(F.broadcast(argmax))
+        .crossJoin(F.broadcast(argmin))
+        .select(
+            F.col("n").cast("long").alias("n_points"),
+            F.round("mu", 6).alias("mean_level"),
+            F.round("cmax", 6).alias("cusum_max"),
+            F.round("cmin", 6).alias("cusum_min"),
+            F.unix_millis("hmax").alias("argmax_ms"),
+            F.unix_millis("hmin").alias("argmin_ms"),
+            F.round(F.col("cmax") - F.col("cmin"), 6).alias("cusum_range"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# e12: RFM segmentation — the classic warehouse customer-scoring cube.
+
+
+@query(
+    "e12_rfm_segmentation",
+    section="E1,D1,G4",
+    tags=("analytics",),
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(floor((epoch(CAST((SELECT max(o_orderdate) FROM orders) AS TIMESTAMP))
+                     - epoch(max(o_orderdate))) / 86400) AS BIGINT) AS recency_d,
+         count(*) AS freq,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey, recency_d, freq, cents,
+         ntile(5) OVER (ORDER BY recency_d DESC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY cents, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) // count(*) AS BIGINT) AS avg_monetary_cents
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def e12_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value cube (recency /
+    frequency / monetary, each quintile-scored, 5 = best): recency in
+    integer days from the corpus's last order date (epoch arithmetic,
+    never engine-specific date_diff), monetary in exact cents, and
+    ntile(5) with a custkey tiebreak so bucket boundaries are fully
+    deterministic in both engines. Output: the populated (r, f, m)
+    segments with size and average spend — the table a lifecycle-
+    marketing or churn model consumes directly.
+
+    100 TB: per-customer rollup is one key-domain aggregate; the
+    three ntile windows run over the CUSTOMER domain (not orders) —
+    at extreme key cardinality swap exact ntiles for d11-style
+    quantile-sketch boundaries, the documented escalation."""
+    import calendar
+
+    o = parallelized(table(spark, sf_dir, "orders"))
+    max_date = o.agg(F.max("o_orderdate")).collect()[0][0]
+    # UTC epoch seconds of the (naive-UTC) corpus max date — computed
+    # driver-side so the literal enters the plan as a plain long
+    max_epoch = calendar.timegm(max_date.timetuple())
+    per_cust = o.groupBy("o_custkey").agg(
+        F.floor(
+            (F.lit(max_epoch) - F.unix_timestamp(F.max("o_orderdate")))
+            / 86400
+        )
+        .cast("long")
+        .alias("recency_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    scored = per_cust.select(
+        "cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_d").desc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("freq", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("cents", "o_custkey"))
+        .alias("m_score"),
+    )
+    # average spend in exact integer cents (floor division): a float
+    # cents/100 round lands on .5 boundaries where Spark rounds
+    # half-up and DuckDB half-even — observed one segment off by a
+    # cent; integer division is boundary-free
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr("sum(cents) div count(1)").alias("avg_monetary_cents"),
+    ).select(
+        F.col("r_score").cast("long"),
+        F.col("f_score").cast("long"),
+        F.col("m_score").cast("long"),
+        "n_customers",
+        F.col("avg_monetary_cents").cast("long"),
+    )

@@ -255,6 +255,8 @@ R8_REMAINDER: tuple[str, ...] = (
     "d32_sample_quantiles",
     "i22_streaming_online_dedup",
     "d33_seasonal_profile",
+    "d34_cusum_changepoint",
+    "e12_rfm_segmentation",
 )
 
 

@@ -146,7 +146,8 @@ def test_window_covers_the_rotation_waves():
         "e11_markov_transitions", "d31_hll_portable",
         "h13_containment_dedup", "h17_langid_trigrams",
         "d32_sample_quantiles", "i22_streaming_online_dedup",
-        "d33_seasonal_profile",
+        "d33_seasonal_profile", "d34_cusum_changepoint",
+        "e12_rfm_segmentation",
     )
 
 
