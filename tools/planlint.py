@@ -103,6 +103,8 @@ BNLJ_OK = {
     "d28_benford",
     "d33_seasonal_profile",  # grand-mean scalar broadcast over the
     # checkpointed 168-cell profile — same totals class as above
+    "d34_cusum_changepoint",  # extremum/argmax scalar broadcasts over
+    # the persisted hourly-bucket cusum frame (<= 8760 rows/year)
 }
 PYTHON_OK = {"j1_scalar_udf", "j6_udtf"}  # Python IS the J1/J6 contract
 MAX_EXCHANGES = 8
@@ -143,6 +145,11 @@ EXCHANGE_ALLOWANCE = {
     # calibration column) — 3 x 3 exchanges, every one over a <=64-row
     # or distinct-key domain
     "d31_hll_portable": 9,
+    # d34's printed plan re-expands the persisted cusum frame under
+    # each of its five consumers (ext, argmax, argmin, the mu/n head,
+    # and the final combine); every executed window/agg runs over the
+    # hourly-bucket domain (one corpus scan upstream)
+    "d34_cusum_changepoint": 18,
 }
 
 
