@@ -912,6 +912,50 @@ def vacuum(path: str, keep_versions: int = 2, dry_run: bool = False) -> list[str
     return doomed
 
 
+def vacuum_orphans(
+    path: str, min_age_s: float = 3600.0, dry_run: bool = False
+) -> list[str]:
+    """Delete data files that NO log entry ever referenced — the
+    debris of writers that lost the version race or crashed between
+    writing their file group and committing it (:func:`vacuum` can
+    never reach these: it enumerates from the log, and orphans are by
+    definition not in it). ``min_age_s`` guards the in-flight window:
+    a writer that has landed its parquet but not yet published its
+    commit looks exactly like an orphan, so only files older than the
+    age threshold are touched — Delta's VACUUM applies the same
+    retention logic to untracked files. Returns the deleted (or, with
+    ``dry_run``, the would-be-deleted) relative paths. Only files
+    under the table's own ``data-*`` groups are considered; the log
+    directory and any foreign files are never candidates."""
+    import time as _time
+
+    latest = current_version(path)
+    if latest < 0:
+        raise FileNotFoundError(f"no transaction log at {path}")
+    ever: set[str] = set()
+    for entry in read_log(path):
+        ever |= set(entry["adds"])
+    now = _time.time()
+    doomed = []
+    for p in sorted(glob.glob(os.path.join(path, "data-*", "*.parquet"))):
+        rel = os.path.relpath(p, path)
+        if rel in ever:
+            continue
+        if now - os.path.getmtime(p) < min_age_s:
+            continue
+        doomed.append(rel)
+    if dry_run:
+        return doomed
+    for rel in doomed:
+        p = os.path.join(path, rel)
+        if os.path.exists(p):
+            os.remove(p)
+        d = os.path.dirname(p)
+        if os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
+    return doomed
+
+
 def optimize(
     spark: SparkSession,
     path: str,

@@ -1410,3 +1410,34 @@ def test_threaded_mor_deletes_on_disjoint_files(spark, tmp_path):
     assert not errs, errs
     ks = sorted(r["k"] for r in txlog.read(spark, path).collect())
     assert len(ks) == 180 and ks[0] == 10 and ks[-1] == 189
+
+
+def test_vacuum_orphans_reclaims_lost_race_debris(spark, tmp_path):
+    """A writer that lost the version race leaves a committed-by-nobody
+    data group behind; vacuum() can never reach it (it enumerates from
+    the log), vacuum_orphans() must — but only past the in-flight age
+    guard, and never a logged file."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]).coalesce(1), path)
+    # two racers: both write, one loses the commit
+    files_w, stats_w = txlog._write_data(_df(spark, [(2, "b")]), path)
+    files_l, _ = txlog._write_data(_df(spark, [(3, "c")]), path)
+    txlog.commit(path, files_w, [], expected_version=0, stats=stats_w)
+    with pytest.raises(txlog.TxLogConflict):
+        txlog.commit(path, files_l, [], expected_version=0)
+    # fresh orphans are protected by the age guard
+    assert txlog.vacuum_orphans(path, min_age_s=3600) == []
+    # age them and reclaim; dry run first, then for real
+    for rel in files_l:
+        p = _os.path.join(path, rel)
+        _os.utime(p, (1, 1))
+    would = txlog.vacuum_orphans(path, min_age_s=10, dry_run=True)
+    assert sorted(would) == sorted(files_l)
+    assert all(_os.path.exists(_os.path.join(path, r)) for r in files_l)
+    done = txlog.vacuum_orphans(path, min_age_s=10)
+    assert sorted(done) == sorted(files_l)
+    assert not any(_os.path.exists(_os.path.join(path, r)) for r in files_l)
+    # committed data untouched; table reads fine
+    assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 2]
