@@ -494,7 +494,6 @@ def d28_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = parallelized(table(spark, sf_dir, "orders"))
     cents = F.floor(F.col("o_totalprice") * 100).cast("long")
     thresholds = [10 ** k for k in range(8, 0, -1)]
-    digit = F
     expr = None
     for t in thresholds:
         cond = (F.col("cents") >= t, (F.col("cents") / t).cast("long"))
@@ -963,7 +962,6 @@ def d31_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("long")
         w = (h / _HLL_M).cast("long")
-        rank_expr = F
         expr = None
         for b in range(_HLL_WBITS, 0, -1):
             cond = (F.col("w") >= (1 << (b - 1)), F.lit(_HLL_WBITS - b + 1))

@@ -205,6 +205,13 @@ class CASCommitBackend(LocalFSCommitBackend):
     * ``"fail_after_store"`` — the store applied the write but the
       RESPONSE was lost: raises :class:`CommitAmbiguous`; the object
       IS visible to everyone else.
+    * ``"fail_then_apply_later"`` — the connection dies with the put
+      still IN FLIGHT inside the store; it is applied later (modeled:
+      just before the store serializes its next put), AFTER the
+      committer's read-back saw nothing. This is the delayed-apply
+      window the Delta S3 LogStore dance exists for: the retry's
+      conditional put loses to the writer's own first attempt, and
+      the committer must recognize its own payload as a win.
 
     :func:`commit` resolves ambiguity by reading the target back and
     comparing payloads — the standard commit-protocol answer
@@ -217,23 +224,40 @@ class CASCommitBackend(LocalFSCommitBackend):
         self._lock = threading.Lock()
         self.faults: list[str] = []
         self.puts = 0
+        self._delayed: list[tuple[str, str]] = []
+
+    def _put(self, target: str, payload: str) -> None:
+        tmp = target + f".cas-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, target)
+        self.puts += 1
 
     def publish(self, target: str, payload: str) -> bool:
         with self._lock:
             fault = self.faults.pop(0) if self.faults else None
+            if fault == "fail_then_apply_later":
+                self._delayed.append((target, payload))
+                raise CommitAmbiguous(
+                    "connection lost; the put is still in flight"
+                )
+            # In-flight puts from earlier lost connections land before
+            # the store serializes this one (read_committed does NOT
+            # flush them — a read-back can race ahead of a delayed put,
+            # which is exactly the ambiguity being modeled).
+            while self._delayed:
+                t, p = self._delayed.pop(0)
+                if not os.path.exists(t):
+                    self._put(t, p)
             if fault == "fail_before_store":
                 raise CommitAmbiguous(
                     "connection lost before the store applied the put"
                 )
             if os.path.exists(target) or fault == "lose":
                 return False
-            tmp = target + f".cas-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(payload)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, target)
-            self.puts += 1
+            self._put(target, payload)
             if fault == "fail_after_store":
                 raise CommitAmbiguous(
                     "response lost after the store applied the put"
@@ -451,6 +475,12 @@ def _file_stats(abs_path: str) -> dict[str, list]:
 
 _BLOOM_K = 3  # hash functions; with ~8 bits/value -> fp ≈ 3%
 _BLOOM_KEY = "__bloom__"  # reserved stats slot (not a column name)
+# Persisted bloom blob format version (ADVICE r7): v2 = _bloom_canon
+# byte canonicalization. Blobs written before versioning (str(value)
+# hashing) carry no "v" field; probing them with the current hash
+# would silently skip files that DO contain matches, so probes treat
+# any non-current version as "maybe contains" (never skip).
+_BLOOM_FORMAT = 2
 
 
 def _bloom_canon(value) -> bytes:
@@ -531,7 +561,7 @@ def _file_blooms(abs_path: str, cols: tuple[str, ...]) -> dict:
         for v in vals:
             for h in _bloom_hashes(v, m):
                 bits[h >> 3] |= 1 << (h & 7)
-        out[c] = {"m": m, "k": _BLOOM_K,
+        out[c] = {"v": _BLOOM_FORMAT, "m": m, "k": _BLOOM_K,
                   "b64": base64.b64encode(bytes(bits)).decode()}
     return out
 
@@ -539,6 +569,10 @@ def _file_blooms(abs_path: str, cols: tuple[str, ...]) -> dict:
 def _bloom_maybe_contains(bloom: dict, value) -> bool:
     import base64
 
+    if bloom.get("v") != _BLOOM_FORMAT:
+        # Unknown/older blob format — its bit positions were computed
+        # with a different canonicalization; never skip on its word.
+        return True
     bits = base64.b64decode(bloom["b64"])
     return all(
         bits[h >> 3] & (1 << (h & 7)) for h in _bloom_hashes(value, bloom["m"])
@@ -688,7 +722,18 @@ def commit(
         # the conditional put still guarantees exactly-one-winner.
         existing = BACKEND.read_committed(target)
         if existing is None:
-            won = BACKEND.publish(target, entry)
+            # One clean retry is safe — the conditional put still
+            # guarantees exactly-one-winner. But the FIRST (timed-out)
+            # put can be applied by the store AFTER our read-back
+            # (ADVICE r7): the retry then loses to our own payload.
+            # Resolve by reading back once more — our exact bytes at
+            # the target mean WE won, whichever attempt landed them.
+            try:
+                won = BACKEND.publish(target, entry)
+            except CommitAmbiguous:
+                won = BACKEND.read_committed(target) == entry
+            if not won:
+                won = BACKEND.read_committed(target) == entry
         else:
             won = existing == entry
     if not won:
@@ -946,6 +991,17 @@ def vacuum_orphans(
         doomed.append(rel)
     if dry_run:
         return doomed
+    # ADVICE r7: a writer whose parquet landed more than min_age_s ago
+    # can still COMMIT between our read_log snapshot above and the
+    # unlink below (slow multi-file write, process pause) — deleting
+    # its file would publish dangling references. Re-scan the log
+    # immediately before unlinking and drop anything now referenced;
+    # the window between this re-scan and each unlink is then bounded
+    # by the age guard alone, which min_age_s sizes.
+    ever = set()
+    for entry in read_log(path):
+        ever |= set(entry["adds"])
+    doomed = [rel for rel in doomed if rel not in ever]
     for rel in doomed:
         p = os.path.join(path, rel)
         if os.path.exists(p):

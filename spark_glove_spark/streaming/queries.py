@@ -1438,6 +1438,10 @@ def i22_streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as _pq
 
     parts = sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
+    # repartitionByRange can emit EMPTY part files at small scale
+    # factors / skewed ranges (ADVICE r7) — drop them before indexing
+    # row 0, and ignore them for replay (zero rows contribute nothing).
+    parts = [f for f in parts if _pq.read_metadata(f).num_rows > 0]
     by_min = sorted(
         parts,
         key=lambda f: _pq.read_table(f, columns=["doc_id"])["doc_id"]

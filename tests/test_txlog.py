@@ -1441,3 +1441,115 @@ def test_vacuum_orphans_reclaims_lost_race_debris(spark, tmp_path):
     assert not any(_os.path.exists(_os.path.join(path, r)) for r in files_l)
     # committed data untouched; table reads fine
     assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 2]
+
+
+# --- round 8: CAS fault-model depth + ADVICE r7 regressions ----------------
+
+
+def test_cas_delayed_apply_put_wins_over_its_own_retry(spark, tmp_path):
+    """ADVICE r7 (txlog.py ambiguity resolution): a timed-out PUT still
+    in flight inside the store is applied AFTER the read-back saw
+    nothing — the retry's conditional put then loses to the writer's
+    OWN first attempt. The committer must recognize its payload at the
+    target as a win (one commit, one version, one CDC record), not
+    raise TxLogConflict and double-commit at v+1."""
+    path = str(tmp_path / "t")
+    b = txlog.CASCommitBackend()
+    with txlog.use_backend(b):
+        txlog.create(_df(spark, [(1, "a")]), path)
+        b.faults.append("fail_then_apply_later")
+        v = txlog.append(_df(spark, [(2, "b")]), path)
+        assert v == 1
+        assert txlog.current_version(path) == 1
+        assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 2]
+        # CDC reports the logical append exactly once
+        cdc = txlog.changes(spark, path, from_version=0).collect()
+        assert [(r["k"], r["_change_type"], r["_commit_version"]) for r in cdc] == [
+            (2, "insert", 1)
+        ]
+
+
+def test_cas_torn_retry_ambiguous_twice_still_resolves(spark, tmp_path):
+    """Torn-retry sequence: the first put never lands (ambiguous), the
+    RETRY lands but its response is lost too (ambiguous again). The
+    second read-back must decide SUCCESS from the payload match."""
+    path = str(tmp_path / "t")
+    b = txlog.CASCommitBackend()
+    with txlog.use_backend(b):
+        txlog.create(_df(spark, [(1, "a")]), path)
+        b.faults.extend(["fail_before_store", "fail_after_store"])
+        v = txlog.append(_df(spark, [(2, "b")]), path)
+        assert v == 1
+        assert txlog.current_version(path) == 1
+        assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 2]
+
+
+def test_cas_delayed_apply_lost_race_is_still_a_clean_conflict(spark, tmp_path):
+    """Same delayed-apply window, but another writer's commit (not our
+    own payload) is what the retry finds: TxLogConflict must still
+    propagate so the optimistic loop re-resolves against v."""
+    path = str(tmp_path / "t")
+    b = txlog.CASCommitBackend()
+    with txlog.use_backend(b):
+        txlog.create(_df(spark, [(1, "a")]), path)
+        files_w, stats_w = txlog._write_data(_df(spark, [(2, "b")]), path)
+        files_l, _ = txlog._write_data(_df(spark, [(3, "c")]), path)
+        txlog.commit(path, files_w, [], expected_version=0, stats=stats_w)
+        with pytest.raises(txlog.TxLogConflict):
+            txlog.commit(path, files_l, [], expected_version=0)
+        assert txlog.current_version(path) == 1
+
+
+def test_bloom_blob_without_format_version_never_skips():
+    """ADVICE r7: blooms persisted before _bloom_canon carry bit
+    positions from str(value) hashing and no "v" field — probing them
+    with the current hashes could skip files that DO contain matches.
+    Unversioned (or future-versioned) blobs must answer 'maybe'."""
+    import base64
+
+    legacy = {"m": 64, "k": 3, "b64": base64.b64encode(bytes(8)).decode()}
+    assert txlog._bloom_maybe_contains(legacy, 5) is True  # all-zero bits!
+    future = dict(legacy, v=txlog._BLOOM_FORMAT + 1)
+    assert txlog._bloom_maybe_contains(future, 5) is True
+    # current-format blobs still prune (all-zero bits -> definite no)
+    current = dict(legacy, v=txlog._BLOOM_FORMAT)
+    assert txlog._bloom_maybe_contains(current, 5) is False
+
+
+def test_written_blooms_carry_the_current_format_version(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]).coalesce(1), path, bloom_columns=("k",))
+    stats = txlog.snapshot_stats(path)
+    blooms = [st["__bloom__"]["k"] for st in stats.values() if "__bloom__" in st]
+    assert blooms and all(b["v"] == txlog._BLOOM_FORMAT for b in blooms)
+
+
+def test_vacuum_orphans_respects_commit_racing_the_unlink(spark, tmp_path, monkeypatch):
+    """ADVICE r7: a slow writer whose parquet landed > min_age_s before
+    its commit must NOT be reclaimed when the commit lands between the
+    candidate scan and the unlink loop — the delete-time re-scan drops
+    newly referenced files so the commit never publishes dangling
+    references."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]).coalesce(1), path)
+    files, stats = txlog._write_data(_df(spark, [(2, "b")]).coalesce(1), path)
+    for rel in files:
+        _os.utime(_os.path.join(path, rel), (1, 1))  # aged past any guard
+    real = txlog.read_log
+    state = {"committed": False}
+
+    def racy(p, version=None):
+        entries = real(p, version)
+        if not state["committed"]:
+            # the slow writer commits AFTER the candidate scan returned
+            state["committed"] = True
+            txlog.commit(p, files, [], expected_version=0, stats=stats)
+        return entries
+
+    monkeypatch.setattr(txlog, "read_log", racy)
+    assert txlog.vacuum_orphans(path, min_age_s=10) == []
+    monkeypatch.setattr(txlog, "read_log", real)
+    assert all(_os.path.exists(_os.path.join(path, r)) for r in files)
+    assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 2]
