@@ -2272,6 +2272,75 @@ def a32_txlog_dv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a33_txlog_pinned_reader",
+    section="A3,A1",
+    tags=("analytics", "lakehouse"),
+    oracle="""
+SELECT src, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+FROM (
+  SELECT 'pinned_v0' AS src, o_totalprice FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT 'current' AS src, o_totalprice FROM orders WHERE o_orderkey % 5 <= 1
+) GROUP BY 1
+""",
+)
+def a33_txlog_pinned_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-running reader vs OPTIMIZE + VACUUM (txlog.pin /
+    pinned_snapshot): a reader pins version 0, then an append, an
+    OPTIMIZE, and a keep_versions=1 vacuum all land — the retention
+    window no longer covers v0, but the PIN does, so the reader's
+    snapshot must still read exactly v0's content (the oracle's
+    'pinned_v0' rows) while the current snapshot shows the append
+    ('current'). In-body teeth: the aggressive vacuum deletes NONE of
+    v0's files while the pin is live, and after release the SAME
+    vacuum call reclaims them — proving the pin was load-bearing
+    rather than the vacuum vacuously idle.
+
+    100 TB: snapshot isolation that survives maintenance is what
+    makes multi-hour consumers (training jobs, exports) safe to run
+    against a table under continuous OPTIMIZE — the pin is one tiny
+    durable marker, never a copy of the data."""
+    import os as _os
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="sgs_a33_") + "/t"
+    txlog.create(
+        o.where(k % 5 == 0).repartitionByRange(4, "o_orderkey"), path
+    )                                                               # v0
+    with txlog.pinned_snapshot(path) as v0:
+        if v0 != 0:
+            raise AssertionError(f"expected to pin v0, pinned {v0}")
+        v0_files = txlog.snapshot_files(path, 0)
+        txlog.append(o.where(k % 5 == 1).coalesce(2), path)         # v1
+        txlog.optimize(spark, path)                                 # v2
+        gone = txlog.vacuum(path, keep_versions=1)
+        if set(gone) & set(v0_files):
+            raise AssertionError("vacuum reclaimed pinned v0 files")
+        pinned = txlog.read(spark, path, version=v0).select(
+            F.lit("pinned_v0").alias("src"), "o_totalprice"
+        )
+        current = txlog.read(spark, path).select(
+            F.lit("current").alias("src"), "o_totalprice"
+        )
+        out = pinned.unionByName(current).groupBy("src").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        rows = out.collect()  # materialize while the pin is live
+    # release teeth: the same retention now reclaims v0
+    gone2 = txlog.vacuum(path, keep_versions=1)
+    if not set(v0_files) <= set(gone2):
+        raise AssertionError("post-release vacuum must reclaim v0")
+    if any(_os.path.exists(_os.path.join(path, f)) for f in v0_files):
+        raise AssertionError("v0 files still on disk after release")
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query(
     "pipeline_mor_lifecycle",
     section="A3,B2,F1",
     tags=("analytics", "lakehouse", "pipeline"),

@@ -95,6 +95,18 @@ Round-6 surface on top of that substrate:
 * **CHECK constraints** — ``create(check_constraints=...)``; every
   writer validates landing rows first and refuses the whole commit
   on the first violation (NULL passes, only FALSE violates).
+* **Reader pinning (round 8)** — :func:`pin` durably registers a
+  snapshot version under ``_txlog/pins/``; :func:`vacuum` unions the
+  files of every pinned version into its keep set REGARDLESS of
+  ``keep_versions``, so a long-running reader holding version V
+  across a concurrent OPTIMIZE + VACUUM never loses a file V
+  references. Guarantee: for any interleaving of commits, OPTIMIZE,
+  and vacuum calls, every file in ``snapshot_files(path, V)`` exists
+  on disk from ``pin(path, V)`` until the matching :func:`unpin` —
+  model-checked over random histories and a threaded reader/writer
+  stress test in tests/test_txlog.py. Pins are advisory for readers
+  that outlive retention (Delta readers inside the retention window
+  need none); an abandoned pin only costs storage until unpinned.
 """
 
 from __future__ import annotations
@@ -917,6 +929,76 @@ def prune_files_point(
     return kept, len(stats)
 
 
+_PIN_DIR = "pins"  # under _txlog/ — durable, visible to every process
+
+
+def _pin_dir(path: str) -> str:
+    return os.path.join(_log_dir(path), _PIN_DIR)
+
+
+def pin(path: str, version: int | None = None) -> str:
+    """Durably pin a snapshot version against :func:`vacuum` — the
+    long-running-reader contract: a reader that resolved its file
+    list at version V (a multi-hour training job, an export, a
+    debugger) registers the pin BEFORE reading and holds it for the
+    read's lifetime; vacuum then keeps every file V references no
+    matter how far V falls outside ``keep_versions``. Returns the
+    pin id for :func:`unpin`. Published through the commit backend,
+    so a pin is never visible torn."""
+    latest = current_version(path)
+    if latest < 0:
+        raise FileNotFoundError(f"no transaction log at {path}")
+    v = latest if version is None else version
+    if not 0 <= v <= latest:
+        raise ValueError(f"cannot pin version {v}; log is at {latest}")
+    os.makedirs(_pin_dir(path), exist_ok=True)
+    pin_id = f"pin-{uuid.uuid4().hex[:12]}.json"
+    payload = json.dumps({"version": v, "created": time.time()})
+    BACKEND.publish(os.path.join(_pin_dir(path), pin_id), payload)
+    return pin_id
+
+
+def unpin(path: str, pin_id: str) -> None:
+    """Release a pin (idempotent — releasing twice is a no-op)."""
+    try:
+        os.remove(os.path.join(_pin_dir(path), pin_id))
+    except FileNotFoundError:
+        pass
+
+
+def pinned_versions(path: str) -> dict[str, int]:
+    """Currently registered pins: {pin_id: version}."""
+    d = _pin_dir(path)
+    out: dict[str, int] = {}
+    for name in BACKEND.list_committed(d):
+        payload = BACKEND.read_committed(os.path.join(d, name))
+        if payload is None:
+            continue  # unpinned between list and read
+        out[name] = json.loads(payload)["version"]
+    return out
+
+
+def pinned_snapshot(path: str, version: int | None = None):
+    """Context manager: pin a version for the block's lifetime.
+
+    ``with txlog.pinned_snapshot(p) as v: df = txlog.read(spark, p, version=v)``
+    guarantees every file of snapshot v survives concurrent
+    OPTIMIZE + vacuum until the block exits."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        latest = current_version(path)
+        v = latest if version is None else version
+        pin_id = pin(path, v)
+        try:
+            yield v
+        finally:
+            unpin(path, pin_id)
+
+    return _cm()
+
+
 def vacuum(path: str, keep_versions: int = 2, dry_run: bool = False) -> list[str]:
     """Physically delete data files not referenced by any of the last
     ``keep_versions`` snapshots — the storage-reclamation step that
@@ -928,7 +1010,15 @@ def vacuum(path: str, keep_versions: int = 2, dry_run: bool = False) -> list[str
     current snapshot can never be vacuumed away. Requires the full
     log prefix (it must enumerate every file ever added).
     ``dry_run=True`` returns what WOULD be deleted without touching
-    disk — the audit step before an irreversible reclamation."""
+    disk — the audit step before an irreversible reclamation.
+
+    PINNED snapshots (:func:`pin`) are kept unconditionally: a
+    long-running reader holding version V survives any
+    ``keep_versions`` setting. Pins are re-read immediately before
+    the unlink loop, so a pin registered while this vacuum was
+    resolving its keep set is still honored; a reader pinning the
+    CURRENT version before reading (the documented discipline) is
+    always safe — vacuum never touches the current snapshot."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     latest = current_version(path)
@@ -936,6 +1026,9 @@ def vacuum(path: str, keep_versions: int = 2, dry_run: bool = False) -> list[str
     keep: set[str] = set()
     for v in range(cutoff, latest + 1):
         keep |= set(snapshot_files(path, v))
+    for v in set(pinned_versions(path).values()):
+        if 0 <= v <= latest:
+            keep |= set(snapshot_files(path, v))
     ever: set[str] = set()
     for entry in read_log(path):
         ever |= set(entry["adds"])
@@ -950,6 +1043,14 @@ def vacuum(path: str, keep_versions: int = 2, dry_run: bool = False) -> list[str
     )
     if dry_run:
         return doomed
+    # Re-read pins right before unlinking (same delete-time re-check
+    # discipline as vacuum_orphans' log re-scan): a pin registered
+    # while the keep set was being resolved is still honored.
+    late_keep: set[str] = set()
+    for v in set(pinned_versions(path).values()):
+        if 0 <= v <= latest:
+            late_keep |= set(snapshot_files(path, v))
+    doomed = [rel for rel in doomed if rel not in late_keep]
     for rel in doomed:
         p = os.path.join(path, rel)
         if os.path.exists(p):

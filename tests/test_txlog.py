@@ -1553,3 +1553,189 @@ def test_vacuum_orphans_respects_commit_racing_the_unlink(spark, tmp_path, monke
     monkeypatch.setattr(txlog, "read_log", real)
     assert all(_os.path.exists(_os.path.join(path, r)) for r in files)
     assert sorted(r["k"] for r in txlog.read(spark, path).collect()) == [1, 2]
+
+
+# --- round 8: reader pinning vs vacuum -------------------------------------
+
+
+def test_pin_keeps_snapshot_through_optimize_and_vacuum(spark, tmp_path):
+    """The guarantee in the module header: a pinned version V never
+    loses a file V references, no matter how aggressive the retention;
+    releasing the pin hands the files back to vacuum (so the pin is
+    proven load-bearing, not vacuously green)."""
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), path)
+    pin_id = txlog.pin(path)  # pin v0 (current) before reading
+    assert txlog.pinned_versions(path) == {pin_id: 0}
+    v0_files = txlog.snapshot_files(path, 0)
+    txlog.overwrite(_df(spark, [(9, "z")]).coalesce(1), path)
+    txlog.optimize(spark, path)
+    gone = txlog.vacuum(path, keep_versions=1)
+    assert not set(gone) & set(v0_files)
+    got = sorted(r["k"] for r in txlog.read(spark, path, version=0).collect())
+    assert got == [1, 2]
+    # release: vacuum now reclaims v0 (and the intermediate overwrite)
+    txlog.unpin(path, pin_id)
+    txlog.unpin(path, pin_id)  # idempotent
+    gone2 = txlog.vacuum(path, keep_versions=1)
+    assert set(v0_files) <= set(gone2)
+    assert not any(os.path.exists(os.path.join(path, f)) for f in v0_files)
+
+
+def test_pin_validates_version_bounds(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]), path)
+    with pytest.raises(ValueError):
+        txlog.pin(path, 5)
+    with pytest.raises(ValueError):
+        txlog.pin(path, -1)
+    with pytest.raises(FileNotFoundError):
+        txlog.pin(str(tmp_path / "missing"))
+
+
+def test_pin_registered_during_vacuum_is_honored_at_delete_time(
+    spark, tmp_path, monkeypatch
+):
+    """A reader that pins between vacuum's keep-set resolution and its
+    unlink loop must still be protected — the delete-time pin re-read
+    (the same discipline as vacuum_orphans' log re-scan)."""
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]).coalesce(1), path)
+    v0_files = txlog.snapshot_files(path, 0)
+    txlog.overwrite(_df(spark, [(9, "z")]).coalesce(1), path)
+    real = txlog.read_log
+    state = {"pinned": False}
+
+    def racy(p, version=None):
+        # read_log runs AFTER the keep-set pass in vacuum(); pin now,
+        # simulating a reader racing the reclamation
+        if not state["pinned"]:
+            state["pinned"] = True
+            txlog.pin(p, 0)
+        return real(p, version)
+
+    monkeypatch.setattr(txlog, "read_log", racy)
+    gone = txlog.vacuum(path, keep_versions=1)
+    monkeypatch.setattr(txlog, "read_log", real)
+    assert not set(gone) & set(v0_files)
+    got = sorted(r["k"] for r in txlog.read(spark, path, version=0).collect())
+    assert got == [1]
+
+
+def test_pinned_reader_model_random_histories(spark, tmp_path):
+    """Model check over random histories: with pins live, EVERY pinned
+    version reads back exactly what the Python model says it held, at
+    every step, across appends/overwrites/optimizes and keep_versions=1
+    vacuums interleaved at random (seeded)."""
+    import random
+
+    rng = random.Random(21)
+    for trial in range(2):
+        path = str(tmp_path / f"p{trial}")
+        nxt = iter(range(1, 10_000))
+        first = [(next(nxt), "x"), (next(nxt), "x")]
+        txlog.create(_df(spark, first).coalesce(1), path)
+        model = {0: sorted(k for k, _ in first)}
+        pins: dict[str, int] = {}
+        for _step in range(10):
+            op = rng.choice(
+                ["append", "overwrite", "optimize", "vacuum", "pin", "unpin"]
+            )
+            v = txlog.current_version(path)
+            if op == "append":
+                rows = [(next(nxt), "x")]
+                txlog.append(_df(spark, rows).coalesce(1), path)
+                model[v + 1] = sorted(model[v] + [k for k, _ in rows])
+            elif op == "overwrite":
+                rows = [(next(nxt), "x")]
+                txlog.overwrite(_df(spark, rows).coalesce(1), path)
+                model[v + 1] = sorted(k for k, _ in rows)
+            elif op == "optimize":
+                txlog.optimize(spark, path)
+                model[v + 1] = model[v]
+            elif op == "vacuum":
+                txlog.vacuum(path, keep_versions=1)
+            elif op == "pin":
+                # the documented discipline: pin the CURRENT version
+                # before reading (older versions may already be gone)
+                pins[txlog.pin(path)] = v
+            elif pins:  # unpin a random live pin
+                pid = rng.choice(sorted(pins))
+                txlog.unpin(path, pid)
+                del pins[pid]
+            for pv in set(pins.values()):
+                got = sorted(
+                    r["k"]
+                    for r in txlog.read(spark, path, version=pv).collect()
+                )
+                assert got == model[pv], (trial, _step, pv, got, model[pv])
+        # releasing every pin returns the table to plain retention
+        for pid in list(pins):
+            txlog.unpin(path, pid)
+        txlog.vacuum(path, keep_versions=1)
+        cur = txlog.current_version(path)
+        got = sorted(r["k"] for r in txlog.read(spark, path).collect())
+        assert got == model[cur]
+
+
+def test_threaded_pinned_reader_survives_concurrent_churn(spark, tmp_path):
+    """REAL concurrency: a reader pins the current version and keeps
+    re-reading it while a churner thread appends, OPTIMIZEs, and
+    vacuums with keep_versions=1 in a loop. The pinned snapshot must
+    read identically throughout; after release, the same vacuum DOES
+    reclaim it (the pin was what kept it alive)."""
+    import threading
+
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark, n=60, parts=3), path)
+    errs: list[Exception] = []
+    pinned_evt = threading.Event()
+    churn_done = threading.Event()
+    v0_files = txlog.snapshot_files(path, 0)
+
+    def reader() -> None:
+        try:
+            with txlog.pinned_snapshot(path) as v:
+                expect = sorted(
+                    r["k"] for r in txlog.read(spark, path, version=v).collect()
+                )
+                pinned_evt.set()
+                deadline = 120.0
+                while not churn_done.wait(timeout=0.05) and deadline > 0:
+                    got = sorted(
+                        r["k"]
+                        for r in txlog.read(spark, path, version=v).collect()
+                    )
+                    assert got == expect
+                    deadline -= 0.05
+                got = sorted(
+                    r["k"] for r in txlog.read(spark, path, version=v).collect()
+                )
+                assert got == expect
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+        finally:
+            pinned_evt.set()
+
+    def churner() -> None:
+        try:
+            assert pinned_evt.wait(timeout=30)
+            for i in range(5):
+                txlog.append_with_retry(
+                    _df(spark, [(10_000 + i, "a")]).coalesce(1), path
+                )
+                txlog.optimize(spark, path)
+                txlog.vacuum(path, keep_versions=1)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+        finally:
+            churn_done.set()
+
+    t1 = threading.Thread(target=reader)
+    t2 = threading.Thread(target=churner)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert all(os.path.exists(os.path.join(path, f)) for f in v0_files)
+    # the reader unpinned on exit: reclamation now proceeds
+    gone = txlog.vacuum(path, keep_versions=1)
+    assert set(v0_files) <= set(gone)
