@@ -1008,6 +1008,26 @@ def d31_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQ_N = 1024  # sample size; DKW: sup-norm CDF error ~ sqrt(ln(2/a)/2n)
 
 
+def _sq_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d32 deterministic sample as a lazy plan: the _SQ_N hash-
+    least rows by md5('sq|'||key) — a TakeOrderedAndProject over the
+    corpus (map-side per-partition top-k + driver merge; no shuffle,
+    no window, no rand()). Exposed for the pytest plan guard."""
+    o = parallelized(table(spark, sf_dir, "orders"))
+    return (
+        o.select(
+            F.col("o_totalprice").alias("v"),
+            F.md5(
+                F.concat(F.lit("sq|"), F.col("o_orderkey").cast("string"))
+            ).alias("hk"),
+            "o_orderkey",
+        )
+        .orderBy("hk", "o_orderkey")
+        .limit(_SQ_N)
+        .select("v")
+    )
+
+
 @query(
     "d32_sample_quantiles",
     section="D2,E1,F7",
@@ -1021,21 +1041,10 @@ WITH s AS (
 ),
 r AS (
   SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s
-),
-exact AS (
-  SELECT v, row_number() OVER (ORDER BY v) AS rn,
-         count(*) OVER () AS n
-  FROM (SELECT o_totalprice AS v FROM orders)
 )
 SELECT q,
        round((SELECT v FROM r
-              WHERE rn = CAST(ceil(q * {_SQ_N}) AS BIGINT)), 2) AS est,
-       round((SELECT max(v) FROM exact
-              WHERE rn <= CAST(ceil(q * n) AS BIGINT)), 2) AS exact,
-       round(abs((SELECT v FROM r
-                  WHERE rn = CAST(ceil(q * {_SQ_N}) AS BIGINT))
-                 - (SELECT max(v) FROM exact
-                    WHERE rn <= CAST(ceil(q * n) AS BIGINT))), 2) AS abs_err
+              WHERE rn = CAST(ceil(q * {_SQ_N}) AS BIGINT)), 2) AS est
 FROM (SELECT unnest([0.5, 0.9, 0.95, 0.99]) AS q)
 """,
 )
@@ -1046,61 +1055,29 @@ def d32_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d31-vs-d4 division of labor): the sample is the 1024 hash-least
     rows by md5('sq|'||key) — reproducible across engines, runs, and
     partitionings, the f7 deterministic-sampling trick — and each
-    estimate is the ceil(q·n)-th order statistic of the sample,
-    reported next to the EXACT corpus quantile and the absolute
-    error, so the estimator's accuracy is part of the hash-checked
-    result (DKW bounds the CDF error at ~2% for n=1024).
+    estimate is the ceil(q·n)-th order statistic of the sample.
+    DKW bounds the CDF error at ~2% for n=1024; the EXACT-quantile
+    calibration that used to ride along as a result column is now a
+    pytest sandwich tooth (tests/test_statml_quantiles.py), so the
+    declared plan is the production form (VERDICT r7 item 4: no
+    declared query carries a full-fact global window).
 
-    100 TB: the sample is a TakeOrderedAndProject over the hash key
-    (no shuffle of the corpus, no rand()); the exact side exists only
-    for calibration at fixture scale — production reads the estimate
-    alone, one bounded-k selection per table."""
-    o = parallelized(table(spark, sf_dir, "orders"))
-    s = (
-        o.select(
-            F.col("o_totalprice").alias("v"),
-            F.md5(
-                F.concat(F.lit("sq|"), F.col("o_orderkey").cast("string"))
-            ).alias("hk"),
-            "o_orderkey",
-        )
-        .orderBy("hk", "o_orderkey")
-        .limit(_SQ_N)
-        .select("v")
-    )
-    r = s.select(
-        "v", F.row_number().over(Window.orderBy("v")).alias("rn")
-    ).localCheckpoint(eager=True)
-    n_total = o.count()
-    exact_r = o.select(F.col("o_totalprice").alias("v")).select(
-        "v", F.row_number().over(Window.orderBy("v")).alias("rn")
-    )
-    qs = [0.5, 0.9, 0.95, 0.99]
-    rows = []
+    100 TB: ONE TakeOrderedAndProject over the corpus — per-partition
+    top-k then a driver merge of 1024-row heads; the 1024-value order
+    statistics are then a driver-bounded sort (the ann.py
+    codebooks-on-bounded-samples pattern). No shuffle, no window, no
+    second scan."""
     import math
 
-    est_map = {
-        int(row["rn"]): row["v"]
-        for row in r.where(
-            F.col("rn").isin([int(math.ceil(q * _SQ_N)) for q in qs])
-        ).collect()
-    }
-    exact_targets = {q: int(math.ceil(q * n_total)) for q in qs}
-    exact_map = {
-        int(row["rn"]): row["v"]
-        for row in exact_r.where(
-            F.col("rn").isin(list(exact_targets.values()))
-        ).collect()
-    }
-    for q in qs:
-        est = est_map[int(math.ceil(q * _SQ_N))]
-        exact = exact_map[exact_targets[q]]
-        rows.append(
-            (q, round(est, 2), round(exact, 2), round(abs(est - exact), 2))
-        )
-    return spark.createDataFrame(
-        rows, "q double, est double, exact double, abs_err double"
-    )
+    vals = sorted(r["v"] for r in _sq_sample(spark, sf_dir).collect())
+    # corpus smaller than _SQ_N -> order stats over what exists (the
+    # oracle's fixed-rn probe needs >= _SQ_N rows; every fixture has them)
+    n = min(_SQ_N, len(vals))
+    qs = [0.5, 0.9, 0.95, 0.99]
+    rows = [
+        (q, round(vals[int(math.ceil(q * n)) - 1], 2)) for q in qs
+    ]
+    return spark.createDataFrame(rows, "q double, est double")
 
 
 # ---------------------------------------------------------------------------

@@ -223,3 +223,57 @@ def test_hll_portable_accuracy_across_regimes(spark):
     for r in rows:
         rel = abs(r["estimate"] - r["n_true"]) / r["n_true"]
         assert rel < 0.26, (r["col"], r["estimate"], r["n_true"])
+
+
+def test_sample_quantiles_calibrated_against_exact(spark):
+    """The exact-quantile calibration that used to ride along inside
+    d32's declared result (a full-fact global row_number window) now
+    lives here as a sandwich tooth: each hash-sample estimate must sit
+    within the DKW rank band of the TRUE corpus quantile."""
+    import math
+
+    rows = {
+        r["q"]: r["est"]
+        for r in api.REGISTRY["d32_sample_quantiles"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {0.5, 0.9, 0.95, 0.99}
+    from spark_glove_spark.operators.statml import _SQ_N
+
+    # DKW: P(sup|F_n - F| > eps) <= 2 exp(-2 n eps^2); a = 0.1%
+    eps = math.sqrt(math.log(2 / 0.001) / (2 * _SQ_N))
+    o = table(spark, SF_DIR, "orders")
+    for q, est in rows.items():
+        lo, hi = (
+            o.agg(
+                F.expr(f"percentile(o_totalprice, {max(0.0, q - eps)})"),
+                F.expr(f"percentile(o_totalprice, {min(1.0, q + eps)})"),
+            ).collect()[0]
+        )
+        assert lo - 0.01 <= est <= hi + 0.01, (q, est, lo, hi)
+
+
+def test_sample_quantiles_plan_is_one_takeordered_no_window(spark):
+    """Plan guard: the declared d32 form is ONE TakeOrderedAndProject
+    over the corpus — no Window operator and no shuffle exchange may
+    ever creep back into the sample plan (the calibration pass that
+    carried a full-fact global window is pytest-only now)."""
+    from spark_glove_spark.operators.statml import _sq_sample
+
+    plan = (
+        _sq_sample(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    # the only exchange allowed is parallelized()'s round-robin
+    # fixture-spreading repartition (test-scale parallelism, not part
+    # of the algorithm); no hash/range shuffle may appear
+    shuffles = (
+        plan.count("Exchange")
+        - plan.count("ReusedExchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("RoundRobinPartitioning")
+    )
+    assert shuffles == 0, plan
