@@ -1532,3 +1532,290 @@ def i22_streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_epochs < 2:
         raise AssertionError(f"replay collapsed to {n_epochs} epochs")
     return txlog.read(spark, verdicts_tbl).select("doc_id", "kept")
+
+
+@query(
+    "pipeline_streaming_curate",
+    section="A5,A6,I5,H13,H17,A3",
+    tags=("streaming", "llm-pipeline", "pipeline"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+),
+q AS (
+  SELECT doc_id, lang, text, len(toks) AS n
+  FROM t
+  WHERE len(toks) BETWEEN 20 AND 80
+    AND CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
+        / len(toks) < 0.3
+),
+t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM q),
+g0 AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+  FROM t0 WHERE len(toks) >= 3
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+  FROM g0
+),
+sig0 AS (
+  SELECT doc_id,
+         min(md5('m0|' || s)) AS m0, min(md5('m1|' || s)) AS m1,
+         min(md5('m2|' || s)) AS m2, min(md5('m3|' || s)) AS m3,
+         min(md5('m4|' || s)) AS m4, min(md5('m5|' || s)) AS m5,
+         min(md5('m6|' || s)) AS m6, min(md5('m7|' || s)) AS m7
+  FROM sh0 GROUP BY doc_id
+),
+b0 AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bucket FROM sig0
+  UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig0
+  UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig0
+  UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig0
+),
+cand0 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM b0 a JOIN b0 b2
+    ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+),
+sets0 AS (SELECT doc_id, list(s) AS ss, count(*) AS n FROM sh0 GROUP BY doc_id),
+dups AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cand0 c
+  JOIN sets0 sa ON sa.doc_id = c.doc_a
+  JOIN sets0 sb ON sb.doc_id = c.doc_b
+  WHERE CAST(len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS DOUBLE)
+        / (sa.n + sb.n
+           - len(list_filter(sa.ss, x -> list_contains(sb.ss, x)))) >= 0.5
+)
+SELECT q.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(q.n) AS BIGINT) AS total_tokens
+FROM q LEFT JOIN dups d USING (doc_id)
+WHERE d.doc_id IS NULL
+GROUP BY 1
+""",
+)
+def pipeline_streaming_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE STREAMING USER STORY (VERDICT r7 item 5) — the engine's
+    live crawl-ingest pipeline as ONE oracle-checked composite,
+    mirroring pipeline_curate_corpus on the batch side: a document
+    firehose (4 doc_id-ordered micro-batches) flows per trigger
+    through
+
+      1. the i14 QUALITY GATE (token-count bounds + stop-word ratio,
+         pure expressions),
+      2. the i22 ONLINE NEAR-DUP FILTER (portable MinHash bands vs
+         the ACCUMULATED history of quality-passed docs ∪ the batch,
+         exact-Jaccard >= 0.5 verify on candidates only),
+      3. the i17 TRANSACTIONAL SINK (survivors land as one txlog
+         commit per epoch — any stream prefix is a readable version),
+      4. the i19-style INCREMENTAL MONITOR (a per-lang running
+         (n_docs, total_tokens) txlog table MERGE-upserted from each
+         batch's bounded delta — never recomputed from the corpus).
+
+    The final curated table must equal the BATCH funnel (quality ->
+    near-dup -> per-lang rollup), which is the DuckDB oracle — so the
+    gate, the incremental candidate generation, the per-epoch commit
+    protocol, and the monitor algebra are all inside one hash check
+    (in-body teeth additionally pin monitor == curated rollup and
+    version-prefix monotonicity).
+
+    100 TB/day: per-trigger cost ∝ batch size x bucket collisions
+    (history touched only through the band-keyed join); the monitor
+    merge is O(|langs|); the curated table grows by exactly the
+    survivors. Nothing in the loop rescans state wholesale."""
+    import glob as _glob
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow.parquet as _pq
+
+    from spark_glove_spark.operators.dedup import (
+        portable_band_buckets,
+        portable_shingles,
+    )
+    from spark_glove_spark.sources import txlog
+
+    d = table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="psc_replay_")
+    src = os.path.join(base, "f")
+    d.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(src)
+    parts = [
+        f
+        for f in sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
+        if _pq.read_metadata(f).num_rows > 0
+    ]
+    by_min = sorted(
+        parts,
+        key=lambda f: _pq.read_table(f, columns=["doc_id"])["doc_id"]
+        .to_pylist()[0],
+    )
+    t0 = _time.time() - 86_400
+    for i, f in enumerate(by_min):
+        os.utime(f, (t0 + i * 60, t0 + i * 60))
+    sdf = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    sh_tbl = os.path.join(base, "shingles")
+    bk_tbl = os.path.join(base, "buckets")
+    cur_tbl = os.path.join(base, "curated")
+    mon_tbl = os.path.join(base, "monitor")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.count() == 0:
+            return
+        # 1. quality gate (i14's signals, identical expressions)
+        toks = F.split(F.col("text"), " ")
+        n = F.size(toks)
+        sr = (
+            F.size(F.filter(toks, lambda x: x.isin("a", "the"))).cast(
+                "double"
+            )
+            / n
+        )
+        passed = (
+            batch_df.select("doc_id", "lang", "text", n.alias("n"))
+            .where(n.between(20, 80) & (sr < 0.3))
+            .localCheckpoint(eager=True)
+        )
+        if passed.count() == 0:
+            return
+        # 2. online near-dup filter (i22's incremental banding)
+        sh_new = portable_shingles(
+            passed.select("doc_id", "text")
+        ).localCheckpoint(eager=True)
+        bk_new = portable_band_buckets(sh_new).localCheckpoint(eager=True)
+        have_hist = txlog.current_version(bk_tbl) >= 0
+        bk_all = (
+            txlog.read(spark, bk_tbl).unionByName(bk_new)
+            if have_hist
+            else bk_new
+        )
+        sh_all = (
+            txlog.read(spark, sh_tbl).unionByName(sh_new)
+            if have_hist
+            else sh_new
+        )
+        a = bk_all.alias("a")
+        b = bk_new.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        sa = sh_all.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("set_a")
+        )
+        sb = sh_new.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("set_b")
+        )
+        inter = F.size(F.array_intersect("set_a", "set_b"))
+        union = F.size("set_a") + F.size("set_b") - inter
+        dropped = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .where(inter.cast("double") / union >= 0.5)
+            .select("doc_b")
+            .distinct()
+            .withColumnRenamed("doc_b", "doc_id")
+        )
+        kept = passed.join(dropped, "doc_id", "left_anti").select(
+            "doc_id", "lang", "n"
+        ).localCheckpoint(eager=True)
+        # history accumulates EVERY quality-passed doc (kept or
+        # dropped) — the order-free contract i22 proves
+        for tbl, frame in ((bk_tbl, bk_new), (sh_tbl, sh_new)):
+            if txlog.current_version(tbl) < 0:
+                txlog.create(frame.coalesce(1), tbl)
+            else:
+                txlog.append(frame.coalesce(1), tbl)
+        if kept.count() == 0:
+            return
+        # 3. transactional sink: one commit per epoch
+        if txlog.current_version(cur_tbl) < 0:
+            txlog.create(kept.coalesce(1), cur_tbl)
+        else:
+            files, stats = txlog._write_data(kept.coalesce(1), cur_tbl)
+            txlog.commit(
+                cur_tbl,
+                files,
+                [],
+                expected_version=txlog.current_version(cur_tbl),
+                operation=f"epoch-{epoch_id}",
+                stats=stats,
+            )
+        # 4. incremental monitor: bounded per-lang delta, MERGE upsert
+        delta = kept.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("d_docs"),
+            F.sum("n").cast("long").alias("d_tokens"),
+        )
+        if txlog.current_version(mon_tbl) < 0:
+            txlog.create(
+                delta.select(
+                    "lang",
+                    F.col("d_docs").alias("n_docs"),
+                    F.col("d_tokens").alias("total_tokens"),
+                ).coalesce(1),
+                mon_tbl,
+            )
+        else:
+            old = txlog.read(spark, mon_tbl).select(
+                "lang",
+                F.col("n_docs").alias("o_docs"),
+                F.col("total_tokens").alias("o_tokens"),
+            )
+            src_rows = (
+                delta.join(old, "lang", "left")
+                .select(
+                    "lang",
+                    (
+                        F.col("d_docs") + F.coalesce(F.col("o_docs"), F.lit(0))
+                    ).alias("n_docs"),
+                    (
+                        F.col("d_tokens")
+                        + F.coalesce(F.col("o_tokens"), F.lit(0))
+                    ).alias("total_tokens"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            txlog.merge(spark, mon_tbl, src_rows, on=["lang"])
+
+    run_stream_foreach_batch(sdf, process, "append")
+    # load-bearing invariants — explicit raises survive python -O
+    n_versions = txlog.current_version(cur_tbl) + 1
+    if n_versions < 2:
+        raise AssertionError(f"replay collapsed to {n_versions} commits")
+    counts = [
+        txlog.read(spark, cur_tbl, version=v).count()
+        for v in range(n_versions)
+    ]
+    if counts != sorted(counts):
+        raise AssertionError(f"non-monotone curated prefix: {counts}")
+    out = (
+        txlog.read(spark, cur_tbl)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+        )
+    )
+    mon = {
+        r["lang"]: (r["n_docs"], r["total_tokens"])
+        for r in txlog.read(spark, mon_tbl).collect()
+    }
+    got = {
+        r["lang"]: (r["n_docs"], r["total_tokens"]) for r in out.collect()
+    }
+    if mon != got:
+        raise AssertionError(
+            f"incremental monitor diverged from curated rollup: {mon} != {got}"
+        )
+    return out
