@@ -233,3 +233,80 @@ def h6_export_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("vector", 1), 6).alias("v0"),
         F.round(F.element_at("vector", 2), 6).alias("v1"),
     )
+
+
+@query(
+    "h5_glove_planted_analogy",
+    section="H5,H8",
+    tags=("glove", "training"),
+)
+def h5_glove_planted_analogy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GloVe JUDGMENT SURFACE as one driver record (VERDICT r7
+    item 9): train the real distributed pipeline on a corpus whose
+    analogy structure is planted BY CONSTRUCTION, then recover it
+    top-1 with the model's own analogy operator — training and
+    semantic evaluation welded into a single declared query.
+
+    Construction (tests/test_glove.py planted-analogy tooth, promoted
+    here): target words w_{t,g} carry a topic t and a binary feature
+    g; every document mixes one target with its topic's context words
+    AND its feature's context words, so trained vectors factor
+    additively (vec ≈ topic_t + feat_g) and w_{t,1} − w_{t,0} +
+    w_{s,0} ≈ w_{s,1} must hold. The corpus is seeded-deterministic
+    and self-contained (sf_dir is deliberately unused — the planted
+    structure IS the fixture, same pattern as a31's fault matrix).
+
+    Rows-only by necessity (iterative seeded training); the math
+    carries oracle-checked portable twins: h5_glove_fit_micro
+    (identical training machinery, unrolled-CTE hash match) and
+    h8_analogy (identical offset arithmetic over the embeddings
+    table). This record adds what neither can state alone — that the
+    END-TO-END fit learns geometry the analogy operator can read
+    back. In-body tooth: ≥ 10/12 top-1 recoveries or the query
+    raises; the returned 12 scalar rows carry every prediction.
+
+    100 TB: the fit is the h5 production path (pre-partitioned X,
+    fused cogrouped merge+AdaGrad, O(vocab) state per block); the 12
+    analogy probes are broadcast-probe scans over the vocab."""
+    import random
+
+    del sf_dir  # self-contained planted corpus — see docstring
+    rng = random.Random(11)
+    topics, feats = 4, 2
+    target = {(t, g): f"w{t}{g}" for t in range(topics) for g in range(feats)}
+    tctx = {t: [f"t{t}x{i}" for i in range(3)] for t in range(topics)}
+    gctx = {g: [f"g{g}x{i}" for i in range(3)] for g in range(feats)}
+    rows = []
+    for d in range(600):
+        t, g = d % topics, (d // topics) % feats
+        words = []
+        for _ in range(12):
+            words.append(target[(t, g)])
+            words.append(rng.choice(tctx[t]))
+            words.append(rng.choice(gctx[g]))
+        rows.append((d, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = Glove(
+        dim=8, window=4, min_count=5, iterations=50, seed=3, blocks=2
+    ).fit(df)
+    out_rows = []
+    hits = total = 0
+    for t in range(topics):
+        for s in range(topics):
+            if s == t:
+                continue
+            total += 1
+            a, b, c = target[(t, 1)], target[(t, 0)], target[(s, 0)]
+            expected = target[(s, 1)]
+            got = m.analogy(a, b, c, k=1).collect()[0].word
+            hit = int(got == expected)
+            hits += hit
+            out_rows.append((a, b, c, expected, got, hit))
+    # load-bearing tooth — explicit raise survives python -O
+    if hits < total - 2:
+        raise AssertionError(f"analogy recovery {hits}/{total}")
+    return spark.createDataFrame(
+        out_rows,
+        "a string, b string, c string, expected string, "
+        "predicted string, hit int",
+    )

@@ -158,92 +158,28 @@ def oracle_sql() -> dict[str, str]:
 # Rotation history: r1+r2 recorded the alphabetical A–F/G10
 # substrate; r3 the signature surface; r4 the TPC-H/CDC/analytics
 # waves; r5 its pre-committed plan (50/50 green); r6 the txlog/
-# portable-twin wave (49 green + the ml_pca_project comparator red).
+# portable-twin wave (49 green + the ml_pca_project comparator red);
+# r7 closed the evidence program at 298/310 with 50/50 non-error rows
+# (repaired ml_pca_project + the r6 spill + 31 new r7 queries).
 #
-# ROUND-7 ROTATION (VERDICT r6 items 1+2). Rounds 1–6 drove 236
-# distinct hash-match greens + 12 rows-only records; the r7 window
-# closes the evidence program at 298/298: the repaired ml_pca_project
-# (r6's one red row — now flat pc0..pc3 scalars) leads, then the
-# pre-committed R7_REMAINDER (8 rows-only production sketch variants
-# whose math carries driver-green portable twins) and R7_WAVE (the 10
-# r6-built oracle-checked txlog/pipeline queries), then the 31 NEW r7
-# oracle-checked queries: the deletion-vector/CAS/reconcile lakehouse
-# wave, the drift/association/concentration statistics wave, the
-# closed-form ML fits, the corpus-quality rule sets, graph link
-# prediction + k-core, the last TPC-H query, and the two streaming
-# delta-sink monitors. After this round every registered query has a
-# driver record.
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # The r6 red row, repaired (VERDICT r6 item 1)
-    "ml_pca_project",
-    # Pre-committed r6 overflow: rows-only production sketch variants
-    "h13_semantic_dedup",
-    "h13_simhash_fingerprints",
-    "h13_simhash_neardup",
-    "h15_mmr_rerank",
-    "h16_ivf_ann",
-    "h16_pq_ann",
-    "h16_lsh_multitable",
-    "h17_bpe_segment",
-    # r6-built oracle-checked additions (R7_WAVE)
-    "a21_txlog_delete",
-    "a22_txlog_merge",
-    "a23_txlog_zorder_optimize",
-    "a24_txlog_schema_evolution",
-    "a25_txlog_change_feed",
-    "a26_txlog_bloom_lookup",
-    "a27_txlog_update",
-    "pipeline_cdc_replication",
-    "pipeline_incremental_agg",
-    "i19_streaming_incremental_agg",
-    # NEW r7: deletion vectors, conflict reconciliation, CAS backend
-    "a28_txlog_deletion_vector",
-    "a29_txlog_dv_purge",
-    "a30_txlog_concurrent_reconcile",
-    "a31_txlog_cas_backend",
-    "a32_txlog_dv_change_feed",
-    "pipeline_mor_lifecycle",
-    # NEW r7: bucketed exact-span dedup + streaming delta sinks
-    "h17_span_dedup_bucketed",
-    "i20_streaming_cooccurrence_update",
-    "i21_streaming_psi_drift",
-    # NEW r7: drift / association / concentration statistics
-    "d22_ks_drift",
-    "d23_psi_drift",
-    "d24_chi2_association",
-    "d25_mutual_information",
-    "d26_auc_ranksum",
-    "d28_benford",
-    "d29_gini",
-    # NEW r7: closed-form ML fits + coreset selection
-    "ml_linear_regression",
-    "ml_ridge_regression",
-    "ml_naive_bayes",
-    "ml_kcenter_coreset",
-    # NEW r7: corpus-quality rule sets + calibrators
-    "h17_gopher_rules",
-    "h17_bigram_lm_perplexity",
-    "h17_zipf_slope",
-    "h17_self_overlap",
-    "h17_word_burstiness",
-    "h13_minhash_jaccard_estimate",
-    # NEW r7: graph, TPC-H completion, retrieval, join semantics
-    "graph_common_neighbors",
-    "graph_kcore",
-    "sql_tpch_q11_shape",
-    "h9_matryoshka_truncate",
-    "c12_null_safe_join",
-)
+# ROUND-8 ROTATION (VERDICT r7 items 1+2). Composition:
+#   1. R8_REMAINDER leads — the 12 post-freeze r7 additions, the only
+#      registered queries without a driver record. Landing them closes
+#      the evidence contract at 310/310: every registered query will
+#      possess a driver row.
+#   2. The three NEW r8 queries (reader pinning, the streaming
+#      ingestion capstone, the planted-analogy judgment record).
+#   3. R8_REGREEN — 35 re-certification slots: the signature surface
+#      re-windowed at r8 HEAD so the driver re-verifies the flagship
+#      queries on CURRENT code rather than r3–r5 snapshots (VERDICT r7
+#      item 2 names h3/h5_micro/h13/h14/h15, the txlog DML triad,
+#      i9/i20; the rest prioritizes queries whose source files changed
+#      this round — txlog commit/vacuum/bloom, streaming, statml —
+#      plus the GloVe/dedup/ANN/pipeline signature families). These
+#      are deliberate REPEATS of driver-green rows, not new coverage;
+#      the partition guard whitelists exactly this tuple.
+DRIVER_PRIORITY: tuple[str, ...] = ()  # assembled below
 
-DRIVER_WINDOW = 50
-
-# Round-8 remainder, pre-committed at r7 HEAD: the r7 window absorbs
-# every query that lacked a driver record when the rotation was fixed
-# (the 19-name r6 spill + the 31 new r7 queries land exactly in 50
-# slots). The THREE queries built after the window froze — all
-# oracle-checked — lead the r8 window (the same discipline every
-# round applies to its post-freeze additions). Any later addition
-# must be slotted here explicitly (the partition guard enforces it).
 R8_REMAINDER: tuple[str, ...] = (
     "mm_bmp_decode",
     "mm_gif_decode",
@@ -258,6 +194,72 @@ R8_REMAINDER: tuple[str, ...] = (
     "d34_cusum_changepoint",
     "e12_rfm_segmentation",
 )
+
+# New in round 8 (each built this round; planted-analogy is rows-only
+# by necessity — iterative seeded training — with oracle-checked
+# portable twins h5_glove_fit_micro + h8_analogy).
+R8_NEW: tuple[str, ...] = (
+    "a33_txlog_pinned_reader",
+    "pipeline_streaming_curate",
+    "h5_glove_planted_analogy",
+)
+
+# Re-certification slots: every name here ALREADY has a driver-green
+# record from r1–r7; re-windowing them makes the driver re-verify the
+# signature surface against r8 HEAD.
+R8_REGREEN: tuple[str, ...] = (
+    # VERDICT r7 item 2's explicit list
+    "h3_cooccurrence_topk",
+    "h5_glove_fit_micro",
+    "h13_minhash_portable",
+    "h14_similarity_join",
+    "h14_jaccard",
+    "h15_knn_bruteforce",
+    "a21_txlog_delete",
+    "a22_txlog_merge",
+    "a27_txlog_update",
+    "i9_streaming_cooccurrence",
+    "i20_streaming_cooccurrence_update",
+    # touched by r8 code changes (bloom format, commit ambiguity,
+    # vacuum re-scan, streaming replay, benford cleanup)
+    "a26_txlog_bloom_lookup",
+    "a31_txlog_cas_backend",
+    "a23_txlog_zorder_optimize",
+    "pipeline_mor_lifecycle",
+    "i17_streaming_txlog_sink",
+    "i14_streaming_quality_filter",
+    "i5_streaming_dedup",
+    "d28_benford",
+    # GloVe pipeline signature
+    "h1_token_stats",
+    "h4_glove_weighting",
+    "h6_export_portable",
+    "h7_topk_cosine",
+    "h8_analogy",
+    "h9_doc_embedding",
+    "h10_tfidf",
+    # dedup / ANN signature (portable twins = the sketch math)
+    "h13_url_dedup",
+    "h13_dedup_clusters",
+    "h13_simhash_portable",
+    "h13_semdedup_portable",
+    "h15_mmr_portable",
+    "h16_ivf_portable",
+    "h16_pq_portable",
+    # batch capstone + the heaviest TPC-H join + temporal join
+    "pipeline_curate_corpus",
+    "sql_tpch_q18",
+)
+
+DRIVER_PRIORITY = R8_REMAINDER + R8_NEW + R8_REGREEN
+
+DRIVER_WINDOW = 50
+
+# Round-9 remainder: queries built AFTER the r8 window froze land
+# here (the same post-freeze discipline every round applies). Empty
+# at freeze time; the partition guard enforces that any later
+# addition is slotted explicitly.
+R9_REMAINDER: tuple[str, ...] = ()
 
 
 def driver_key(rank: int, name: str) -> str:

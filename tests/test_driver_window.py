@@ -6,6 +6,12 @@ the contract that keeps the engine's signature surface inside that
 window, so a future alphabetically-early addition can't silently evict
 e.g. h5_glove_fit from driver verification.
 
+Round-8 semantics: the window is REMAINDER (never-driver-checked) +
+NEW (built this round) + REGREEN (deliberate re-certification of
+driver-green rows at r8 HEAD — VERDICT r7 item 2). The partition
+guard therefore distinguishes "wasted slot" (an already-checked name
+NOT declared as a re-green) from the explicit R8_REGREEN tuple.
+
 No SparkSession needed — these are pure registry-shape checks.
 """
 
@@ -18,7 +24,10 @@ from spark_glove_spark import api
 from spark_glove_spark.registry import (
     DRIVER_PRIORITY,
     DRIVER_WINDOW,
+    R8_NEW,
+    R8_REGREEN,
     R8_REMAINDER,
+    R9_REMAINDER,
     driver_key,
     original_name,
 )
@@ -101,46 +110,33 @@ ALL_RECORDS = (
     "CORRECTNESS_r04",
     "CORRECTNESS_r05",
     "CORRECTNESS_r06",
+    "CORRECTNESS_r07",
 )
 
 
-def test_window_contains_only_never_driver_checked_queries():
-    """VERDICT r3 item 1 / r4 item 1: every window slot goes to a query
-    with no driver-GREEN row in any recorded round, so the cross-round
-    union grows by the full window size (red rows may be re-windowed)."""
+def test_window_slots_are_new_work_or_declared_regreens():
+    """VERDICT r7 items 1+2: every window slot is either a query with
+    NO driver record in any prior round (closing the evidence gap) or
+    an EXPLICIT member of R8_REGREEN (re-certifying the signature
+    surface at r8 HEAD). An already-checked name outside R8_REGREEN
+    is a wasted slot; an unchecked name inside R8_REGREEN would be
+    new coverage masquerading as a re-green."""
     checked = _driver_checked(ALL_RECORDS)
-    stale = [n for n in DRIVER_PRIORITY if n in checked]
-    assert not stale, f"window wastes slots on already-checked: {stale}"
+    stale = [
+        n for n in DRIVER_PRIORITY if n in checked and n not in R8_REGREEN
+    ]
+    assert not stale, f"already-checked slots not declared as regreens: {stale}"
+    fake = [n for n in R8_REGREEN if n not in checked]
+    assert not fake, f"R8_REGREEN names without a prior green record: {fake}"
 
 
 def test_window_covers_the_rotation_waves():
-    """The r7 rotation must carry the VERDICT r6 mandates: the
-    repaired ml_pca_project leads (item 1); the pre-committed r6
-    overflow (8 rows-only sketch variants) and the 10 r6-built
-    oracle-checked additions are all slotted (item 2); and the NEW r7
-    work — deletion vectors, conflict reconciliation, the CAS
-    backend, the bucketed span dedup (item 4), and the update-mode
-    streaming co-occurrence (item 5) — is in-window."""
-    assert DRIVER_PRIORITY[0] == "ml_pca_project"  # VERDICT r6 item 1
-    # the pre-committed r6 overflow (all 8 rows-only variants)
-    for n in ("h13_semantic_dedup", "h13_simhash_fingerprints",
-              "h13_simhash_neardup", "h15_mmr_rerank", "h16_ivf_ann",
-              "h16_pq_ann", "h16_lsh_multitable", "h17_bpe_segment"):
-        assert n in DRIVER_PRIORITY
-    # the 10 r6-built oracle-checked additions
-    for n in ("a21_txlog_delete", "a22_txlog_merge",
-              "a23_txlog_zorder_optimize", "a24_txlog_schema_evolution",
-              "a25_txlog_change_feed", "a26_txlog_bloom_lookup",
-              "a27_txlog_update", "pipeline_cdc_replication",
-              "pipeline_incremental_agg", "i19_streaming_incremental_agg"):
-        assert n in DRIVER_PRIORITY
-    # VERDICT r6 items 3/4/5: the new lakehouse + dedup + streaming work
-    for n in ("a28_txlog_deletion_vector", "a30_txlog_concurrent_reconcile",
-              "a31_txlog_cas_backend", "h17_span_dedup_bucketed",
-              "i20_streaming_cooccurrence_update"):
-        assert n in DRIVER_PRIORITY
-    # the r8 remainder holds exactly the post-freeze r7 additions
-    # (oracle-checked, pre-committed for the r8 window)
+    """The r8 rotation carries the VERDICT r7 mandates: R8_REMAINDER
+    leads in its pre-committed order (item 1 — the 12 names whose
+    driver records close the contract at 310/310); the three new r8
+    queries follow; and the re-green slate includes item 2's explicit
+    signature list."""
+    assert DRIVER_PRIORITY[: len(R8_REMAINDER)] == R8_REMAINDER
     assert R8_REMAINDER == (
         "mm_bmp_decode", "mm_gif_decode", "h15_rrf_fusion",
         "e11_markov_transitions", "d31_hll_portable",
@@ -149,6 +145,40 @@ def test_window_covers_the_rotation_waves():
         "d33_seasonal_profile", "d34_cusum_changepoint",
         "e12_rfm_segmentation",
     )
+    # the new r8 work: reader pinning, the streaming ingestion
+    # capstone (VERDICT r7 item 5), the planted-analogy judgment
+    # record (item 9)
+    assert R8_NEW == (
+        "a33_txlog_pinned_reader",
+        "pipeline_streaming_curate",
+        "h5_glove_planted_analogy",
+    )
+    for n in R8_NEW:
+        assert n in DRIVER_PRIORITY
+    # VERDICT r7 item 2's named signature set, all in the regreens
+    for n in ("h3_cooccurrence_topk", "h5_glove_fit_micro",
+              "h13_minhash_portable", "h14_similarity_join",
+              "h14_jaccard", "h15_knn_bruteforce", "a21_txlog_delete",
+              "a22_txlog_merge", "a27_txlog_update",
+              "i9_streaming_cooccurrence",
+              "i20_streaming_cooccurrence_update"):
+        assert n in R8_REGREEN
+
+
+def test_remainder_plus_new_closes_the_evidence_contract():
+    """After CORRECTNESS_r08 records the window, every registered
+    query must possess a driver record: prior greens + R8_REMAINDER +
+    R8_NEW must equal the full registry (R9_REMAINDER catches any
+    query built after the freeze)."""
+    checked = _driver_checked(ALL_RECORDS)
+    uncovered = (
+        set(api.queries())
+        - checked
+        - set(R8_REMAINDER)
+        - set(R8_NEW)
+        - set(R9_REMAINDER)
+    )
+    assert not uncovered, f"queries not slotted in any rotation: {uncovered}"
 
 
 def test_driver_keys_sort_before_every_organic_name():
@@ -160,33 +190,31 @@ def test_driver_keys_sort_before_every_organic_name():
 
 
 def test_rotation_plan_partitions_the_registry():
-    """Prior driver-green records + the r7 window + R8_REMAINDER must
-    cover every registered query with no overlaps among the plans —
-    so each future rotation is a mechanical list swap, and any NEW
-    query must be slotted into a plan explicitly."""
-    checked = _driver_checked(ALL_RECORDS)
-    window = set(DRIVER_PRIORITY)
-    r8 = set(R8_REMAINDER)
-    assert not (window & r8), window & r8
-    uncovered = set(api.queries()) - checked - window - r8
-    assert not uncovered, f"queries not slotted in any rotation: {uncovered}"
-    ghost = r8 - set(api.queries())
-    assert not ghost, f"plan names not registered: {ghost}"
-    from spark_glove_spark.registry import REGISTRY as _REG
-
-    for n in R8_REMAINDER:
-        assert _REG[n].oracle is not None, f"{n} must ship an oracle"
-    # every NEW r7 query ships an oracle (rows-only is reserved for
-    # nondeterministic-by-contract sketches, which all predate r7)
+    """The three r8 plans (REMAINDER / NEW / REGREEN) are disjoint,
+    registered, and every oracle obligation holds: R8_REMAINDER ships
+    oracles (pre-committed r7 discipline); R8_NEW ships oracles except
+    h5_glove_planted_analogy, which is rows-only BY NECESSITY
+    (iterative seeded training) with oracle-checked portable twins
+    (h5_glove_fit_micro + h8_analogy, both in the re-green slate)."""
     from spark_glove_spark.registry import REGISTRY
 
-    r7_new = window - checked - {
-        "ml_pca_project", "h13_semantic_dedup", "h13_simhash_fingerprints",
-        "h13_simhash_neardup", "h15_mmr_rerank", "h16_ivf_ann",
-        "h16_pq_ann", "h16_lsh_multitable", "h17_bpe_segment",
-    }
-    for n in sorted(r7_new):
+    parts = [set(R8_REMAINDER), set(R8_NEW), set(R8_REGREEN)]
+    for i in range(len(parts)):
+        for j in range(i + 1, len(parts)):
+            assert not parts[i] & parts[j], (i, j, parts[i] & parts[j])
+    ghost = set(DRIVER_PRIORITY) - set(api.queries())
+    assert not ghost, f"plan names not registered: {ghost}"
+    for n in R8_REMAINDER:
         assert REGISTRY[n].oracle is not None, f"{n} must ship an oracle"
+    for n in R8_NEW:
+        if n == "h5_glove_planted_analogy":
+            assert REGISTRY[n].oracle is None
+            assert "h5_glove_fit_micro" in R8_REGREEN
+            assert "h8_analogy" in R8_REGREEN
+        else:
+            assert REGISTRY[n].oracle is not None, f"{n} must ship an oracle"
+    for n in R9_REMAINDER:
+        assert n in REGISTRY, f"R9 plan name not registered: {n}"
 
 
 def test_original_name_roundtrip():
