@@ -42,7 +42,31 @@ BASELINE_SEC = {
     "c8_asof_join": 0.7,
     "glove_cooc_build_w10": 2.4,
     "glove_fit_d50_w10_it5": 10.7,
+    # r8 additions (VERDICT r7 item 7): the three heaviest r7-family
+    # operators, baselined at their measured min-of-3 on the r8 host
+    # (BASELINE.md "Round-8 bench expansion") so regressions in the
+    # new surface are caught by BENCH, not only by probes.
+    "h17_span_dedup_bucketed": 3.8,
+    "ml_naive_bayes": 1.8,
+    "graph_kcore": 2.0,
 }
+
+# The original 12-entry suite (r1 contract: 16.1 s min-of-N total);
+# totals for this subset stay comparable across every round.
+LEGACY12 = [
+    "d1_pricing_summary",
+    "c2_shuffle_join",
+    "e2_topk_per_group",
+    "h3_cooccurrence_topk",
+    "h10_tfidf",
+    "h13_minhash_neardup",
+    "h15_knn_bruteforce",
+    "h16_lsh_ann",
+    "i1_tumbling_window",
+    "c8_asof_join",
+    "glove_cooc_build_w10",
+    "glove_fit_d50_w10_it5",
+]
 
 HEADLINE = [
     "d1_pricing_summary",
@@ -55,6 +79,9 @@ HEADLINE = [
     "h16_lsh_ann",
     "i1_tumbling_window",
     "c8_asof_join",
+    "h17_span_dedup_bucketed",
+    "ml_naive_bayes",
+    "graph_kcore",
 ]
 
 
@@ -139,6 +166,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "ratios_vs_baseline": ratios,
+                # the r1-contract subset (16.1 s) — comparable across
+                # all rounds; `value` covers the full 15-entry suite
+                # (r8 contract 23.7 s, BASELINE.md)
+                "legacy12_total": round(
+                    sum(times[n] for n in LEGACY12 if n in times), 3
+                ),
                 "sf": sf,
             }
         )
