@@ -2341,6 +2341,71 @@ def a33_txlog_pinned_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a34_txlog_idempotent_sink",
+    section="A3,A6",
+    tags=("analytics", "lakehouse"),
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total
+FROM events
+GROUP BY 1
+""",
+)
+def a34_txlog_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE sink under replay (txlog.append_idempotent —
+    Delta's txnAppId/txnVersion idempotent writes): the event stream
+    is delivered as three epochs, committed with per-writer
+    watermarks, then a SIMULATED SINK RESTART re-delivers epochs 1
+    and 2 — foreachBatch's at-least-once contract made concrete. The
+    replays must NO-OP (asserted in-body: applied flags, version
+    count stuck at 3, watermark at 2), so the final table equals the
+    batch aggregate with every row exactly once — the oracle. The
+    threaded two-replicas-of-one-batch race is pinned in
+    tests/test_txlog.py.
+
+    100 TB: this is the missing half of the transactional-sink story
+    (i17 gives atomic per-epoch commits; this gives replay safety) —
+    a restarted 1000-executor streaming job re-running its last epoch
+    costs one watermark read, not a dedup pass over the table."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="sgs_a34_") + "/t"
+    epochs = [
+        e.where(F.col("event_id") % 3 == m).coalesce(2) for m in range(3)
+    ]
+    txlog.create(epochs[0], path)
+    flags = []
+    for i in (1, 2):
+        _, applied = txlog.append_idempotent(epochs[i], path, "sink", i)
+        flags.append(applied)
+    # restart: the sink re-delivers its last two epochs
+    for i in (1, 2):
+        _, applied = txlog.append_idempotent(epochs[i], path, "sink", i)
+        flags.append(applied)
+    # load-bearing invariants — explicit raises survive python -O
+    if flags != [True, True, False, False]:
+        raise AssertionError(f"replay applied flags: {flags}")
+    if txlog.current_version(path) != 2:
+        raise AssertionError(
+            f"replay created versions: at v{txlog.current_version(path)}"
+        )
+    if txlog.last_txn_version(path, "sink") != 2:
+        raise AssertionError("watermark not at the last applied epoch")
+    return (
+        txlog.read(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
+@query(
     "pipeline_mor_lifecycle",
     section="A3,B2,F1",
     tags=("analytics", "lakehouse", "pipeline"),

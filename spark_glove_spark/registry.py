@@ -256,10 +256,12 @@ DRIVER_PRIORITY = R8_REMAINDER + R8_NEW + R8_REGREEN
 DRIVER_WINDOW = 50
 
 # Round-9 remainder: queries built AFTER the r8 window froze land
-# here (the same post-freeze discipline every round applies). Empty
-# at freeze time; the partition guard enforces that any later
-# addition is slotted explicitly.
-R9_REMAINDER: tuple[str, ...] = ()
+# here (the same post-freeze discipline every round applies); each is
+# parity-verified at two SFs when it lands and the partition guard
+# enforces that any later addition is slotted explicitly.
+R9_REMAINDER: tuple[str, ...] = (
+    "a34_txlog_idempotent_sink",  # exactly-once sink replay (SetTransaction)
+)
 
 
 def driver_key(rank: int, name: str) -> str:

@@ -107,6 +107,15 @@ Round-6 surface on top of that substrate:
   stress test in tests/test_txlog.py. Pins are advisory for readers
   that outlive retention (Delta readers inside the retention window
   need none); an abandoned pin only costs storage until unpinned.
+* **Idempotent writes (round 8)** — :func:`append_idempotent`
+  records a per-writer watermark in the commit (Delta's
+  SetTransaction / txnAppId+txnVersion): a replayed batch (restarted
+  foreachBatch sink, at-least-once delivery) whose writer version is
+  ≤ the watermark no-ops, and a conflict loser re-reads the watermark
+  so two replicas of the same batch land EXACTLY once. Watermarks
+  consolidate into checkpoints (O(tail) lookup;
+  :func:`last_txn_version`); pre-txn checkpoints force full replay
+  rather than risk a missed watermark.
 """
 
 from __future__ import annotations
@@ -663,10 +672,51 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
             "stats": {f: stats[f] for f in sorted(active) if f in stats},
             "schema": schema,
             "dvs": {f: dvs[f] for f in sorted(dvs) if f in active},
+            # consolidated writer-transaction watermarks: present (even
+            # if empty) in every checkpoint written since the txn
+            # feature landed, so _txns_at can tell "no txns so far"
+            # apart from "pre-txn checkpoint" (which forces full replay
+            # — skipping it could miss an old watermark and double-
+            # apply a replayed writer batch).
+            "txns": _txns_at(path, v),
         }
     )
     BACKEND.publish(_checkpoint_file(path, v), payload)
     return v
+
+
+def _txns_at(path: str, v: int) -> dict[str, int]:
+    """Consolidated writer-transaction watermarks {app: highest writer
+    version} as of table version ``v`` — Delta's SetTransaction state.
+    Resolution starts from the newest checkpoint that CARRIES a txns
+    field and replays the tail; a pre-txn checkpoint (no field) forces
+    a full-log replay, because silently starting from it could miss an
+    older watermark and let a replayed writer batch double-apply."""
+    txns: dict[str, int] = {}
+    start = 0
+    for cv in reversed(checkpoint_versions(path)):
+        if cv <= v:
+            with open(_checkpoint_file(path, cv)) as f:
+                cp = json.load(f)
+            if "txns" in cp:
+                txns = {a: int(n) for a, n in cp["txns"].items()}
+                start = cv + 1
+            break
+    for k in range(start, v + 1):
+        t = _read_entry(path, k).get("txn")
+        if t:
+            txns[t["app"]] = max(txns.get(t["app"], -1), int(t["version"]))
+    return txns
+
+
+def last_txn_version(path: str, app_id: str) -> int:
+    """Highest writer-transaction version committed for ``app_id``,
+    or -1 if the writer has never committed — the read side of
+    idempotent writes (:func:`append_idempotent`)."""
+    latest = current_version(path)
+    if latest < 0:
+        raise FileNotFoundError(f"no transaction log at {path}")
+    return _txns_at(path, latest).get(str(app_id), -1)
 
 
 def snapshot_dvs(path: str, version: int | None = None) -> dict[str, list[int]]:
@@ -687,6 +737,7 @@ def commit(
     properties: dict | None = None,
     dvs: dict[str, list[int]] | None = None,
     dv_reset: dict[str, list[int]] | None = None,
+    txn: dict | None = None,
 ) -> int:
     """Atomically publish version ``expected_version + 1``. Raises
     :class:`TxLogConflict` if another writer already has — the caller
@@ -721,6 +772,11 @@ def commit(
         body["dv_reset"] = {
             f: sorted(int(p) for p in ps) for f, ps in dv_reset.items()
         }
+    if txn is not None:
+        # writer-transaction watermark (Delta's SetTransaction action):
+        # {"app": <writer id>, "version": <writer's own version>} —
+        # the idempotent-replay primitive (:func:`append_idempotent`).
+        body["txn"] = {"app": str(txn["app"]), "version": int(txn["version"])}
     entry = json.dumps(body)
     target = _version_file(path, v)
     try:
@@ -847,6 +903,58 @@ def append(df: DataFrame, path: str, merge_schema: bool = False) -> int:
     return commit(
         path, files, [], expected_version=base, operation="append",
         stats=stats, schema=schema,
+    )
+
+
+def append_idempotent(
+    df: DataFrame,
+    path: str,
+    app_id: str,
+    txn_version: int,
+    merge_schema: bool = False,
+    max_retries: int = 8,
+) -> tuple[int, bool]:
+    """EXACTLY-ONCE append under replay — Delta's idempotent writes
+    (``txnAppId``/``txnVersion``; SetTransaction in the protocol): the
+    commit records a per-writer watermark, and a batch whose
+    ``txn_version`` is ≤ the recorded watermark is a NO-OP — so a
+    restarted streaming sink that re-delivers an epoch (foreachBatch's
+    at-least-once contract) cannot double-append it. Returns
+    ``(table_version, applied)``.
+
+    Race safety: two writers replaying the SAME (app, version) both
+    pass the watermark pre-check, but OCC serializes their commits —
+    the loser re-reads the watermark on conflict and no-ops instead of
+    retrying the append. Writers racing DIFFERENT work retry like
+    :func:`append_with_retry` (appends carry no read set). Watermarks
+    checkpoint with the log (O(tail) resolution; pre-txn checkpoints
+    force a full replay rather than risk a missed watermark)."""
+    if last_txn_version(path, str(app_id)) >= txn_version:
+        return current_version(path), False
+    _enforce_constraints(df, table_properties(path).get("check_constraints", {}))
+    files: list[str] | None = None
+    stats: dict[str, dict] = {}
+    for _ in range(max_retries):
+        base = current_version(path)
+        schema = _evolved_schema(df, path, merge_schema)
+        if files is None:  # a lost race re-commits the SAME files
+            files, stats = _write_data(df, path, _bloom_cols(path))
+        try:
+            v = commit(
+                path, files, [], expected_version=base,
+                operation=f"append-txn-{app_id}-{txn_version}",
+                stats=stats, schema=schema,
+                txn={"app": str(app_id), "version": int(txn_version)},
+            )
+            return v, True
+        except TxLogConflict:
+            if last_txn_version(path, str(app_id)) >= txn_version:
+                # the racing replica of THIS batch won: exactly-once
+                # holds by no-oping, not by erroring. The lost file
+                # group is unreferenced debris (vacuum_orphans).
+                return current_version(path), False
+    raise TxLogConflict(
+        f"append_idempotent({app_id}, {txn_version}) lost {max_retries} races"
     )
 
 

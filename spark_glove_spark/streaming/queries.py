@@ -1789,10 +1789,16 @@ def pipeline_streaming_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             txlog.merge(spark, mon_tbl, src_rows, on=["lang"])
 
     run_stream_foreach_batch(sdf, process, "append")
-    # load-bearing invariants — explicit raises survive python -O
+    # load-bearing invariants — explicit raises survive python -O.
+    # Replay-collapse is asserted on the HISTORY table (one commit per
+    # quality-passing epoch), not the curated table: a heavily
+    # duplicated corpus can legitimately yield epochs where the online
+    # filter keeps NOTHING (measured on the 10x scale probe, whose
+    # replicas are exact near-dups of epoch 1 — the filter working as
+    # designed), and such epochs add no curated commit.
+    if txlog.current_version(bk_tbl) + 1 < 2:
+        raise AssertionError("replay collapsed to a single micro-batch")
     n_versions = txlog.current_version(cur_tbl) + 1
-    if n_versions < 2:
-        raise AssertionError(f"replay collapsed to {n_versions} commits")
     counts = [
         txlog.read(spark, cur_tbl, version=v).count()
         for v in range(n_versions)

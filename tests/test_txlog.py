@@ -1739,3 +1739,119 @@ def test_threaded_pinned_reader_survives_concurrent_churn(spark, tmp_path):
     # the reader unpinned on exit: reclamation now proceeds
     gone = txlog.vacuum(path, keep_versions=1)
     assert set(v0_files) <= set(gone)
+
+
+# --- round 8: idempotent writes (SetTransaction watermarks) -----------------
+
+
+def test_append_idempotent_applies_once_and_noops_replay(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(1, "a")]).coalesce(1), path)
+    v, applied = txlog.append_idempotent(
+        _df(spark, [(2, "b")]).coalesce(1), path, "job", 0
+    )
+    assert (v, applied) == (1, True)
+    # exact replay of the same writer version: no-op
+    v2, applied2 = txlog.append_idempotent(
+        _df(spark, [(2, "b")]).coalesce(1), path, "job", 0
+    )
+    assert (v2, applied2) == (1, False)
+    # the writer's NEXT version applies; a different app is independent
+    v3, applied3 = txlog.append_idempotent(
+        _df(spark, [(3, "c")]).coalesce(1), path, "job", 1
+    )
+    v4, applied4 = txlog.append_idempotent(
+        _df(spark, [(4, "d")]).coalesce(1), path, "other", 0
+    )
+    assert applied3 and applied4 and (v3, v4) == (2, 3)
+    assert txlog.last_txn_version(path, "job") == 1
+    assert txlog.last_txn_version(path, "other") == 0
+    assert txlog.last_txn_version(path, "never") == -1
+    ks = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert ks == [1, 2, 3, 4]
+
+
+def test_txn_watermarks_survive_checkpoint_consolidation(spark, tmp_path):
+    """Watermarks must resolve from checkpoint + tail: after crossing
+    a CHECKPOINT_INTERVAL boundary the checkpoint's txns map (not a
+    full-log replay) carries the old watermark."""
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(0, "z")]).coalesce(1), path)
+    txlog.append_idempotent(_df(spark, [(1, "a")]).coalesce(1), path, "job", 7)
+    # push past the checkpoint interval with plain appends
+    for i in range(txlog.CHECKPOINT_INTERVAL + 1):
+        txlog.append(_df(spark, [(100 + i, "x")]).coalesce(1), path)
+    assert txlog.checkpoint_versions(path), "expected a checkpoint"
+    import json as _json
+
+    cp = _json.load(
+        open(txlog._checkpoint_file(path, txlog.checkpoint_versions(path)[-1]))
+    )
+    assert cp["txns"] == {"job": 7}
+    assert txlog.last_txn_version(path, "job") == 7
+    # replay of writer version 7 after consolidation: still a no-op
+    _, applied = txlog.append_idempotent(
+        _df(spark, [(1, "a")]).coalesce(1), path, "job", 7
+    )
+    assert applied is False
+
+
+def test_pre_txn_checkpoint_forces_full_replay_not_a_miss(spark, tmp_path):
+    """A checkpoint written before the txn feature (no txns field)
+    must NOT be trusted as 'no watermarks': resolution falls back to
+    full-log replay and still finds the old watermark."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(0, "z")]).coalesce(1), path)
+    txlog.append_idempotent(_df(spark, [(1, "a")]).coalesce(1), path, "job", 3)
+    for i in range(txlog.CHECKPOINT_INTERVAL + 1):
+        txlog.append(_df(spark, [(100 + i, "x")]).coalesce(1), path)
+    cpv = txlog.checkpoint_versions(path)[-1]
+    cpf = txlog._checkpoint_file(path, cpv)
+    cp = _json.load(open(cpf))
+    del cp["txns"]  # simulate a pre-txn checkpoint
+    with open(cpf, "w") as f:
+        f.write(_json.dumps(cp))
+    assert txlog.last_txn_version(path, "job") == 3
+    _, applied = txlog.append_idempotent(
+        _df(spark, [(1, "a")]).coalesce(1), path, "job", 3
+    )
+    assert applied is False
+
+
+def test_threaded_same_batch_replicas_land_exactly_once(spark, tmp_path):
+    """Two writers replaying the SAME (app, version) — the restarted-
+    sink race — must land the batch exactly once: one applies, the
+    other no-ops after losing the OCC race, and the table holds one
+    copy of the rows."""
+    import threading
+
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(0, "z")]).coalesce(1), path)
+    results: list[tuple[int, bool]] = []
+    errs: list[Exception] = []
+
+    def writer() -> None:
+        try:
+            results.append(
+                txlog.append_idempotent(
+                    _df(spark, [(1, "a"), (2, "b")]).coalesce(1),
+                    path,
+                    "sink",
+                    0,
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert sorted(a for _, a in results) in ([False, True], [True])
+    ks = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert ks == [0, 1, 2]
+    assert txlog.last_txn_version(path, "sink") == 0
