@@ -1855,3 +1855,40 @@ def test_threaded_same_batch_replicas_land_exactly_once(spark, tmp_path):
     ks = sorted(r["k"] for r in txlog.read(spark, path).collect())
     assert ks == [0, 1, 2]
     assert txlog.last_txn_version(path, "sink") == 0
+
+
+def test_idempotent_append_model_random_histories(spark, tmp_path):
+    """Model check: a random interleaving of fresh writer versions and
+    REPLAYS (including replays carrying a DIFFERENT payload — the
+    poisoned-retry case: a no-op must discard the payload, not apply
+    it) across two writer apps must leave the table holding exactly
+    the model's row set, with per-app watermarks at the model's."""
+    import random
+
+    rng = random.Random(5)
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(0, "z")]).coalesce(1), path)
+    expected = {0}
+    marks: dict[str, int] = {}
+    nxt = iter(range(1, 10_000))
+    for _step in range(14):
+        app = rng.choice(["a", "b"])
+        k = next(nxt)
+        if marks.get(app, -1) >= 0 and rng.random() < 0.45:
+            ver = rng.randint(0, marks[app])  # replay, fresh payload
+            _, applied = txlog.append_idempotent(
+                _df(spark, [(k, "x")]).coalesce(1), path, app, ver
+            )
+            assert applied is False
+        else:
+            ver = marks.get(app, -1) + 1
+            _, applied = txlog.append_idempotent(
+                _df(spark, [(k, "x")]).coalesce(1), path, app, ver
+            )
+            assert applied is True
+            expected.add(k)
+            marks[app] = ver
+        got = {r["k"] for r in txlog.read(spark, path).collect()}
+        assert got == expected, (_step, got - expected, expected - got)
+    for app, ver in marks.items():
+        assert txlog.last_txn_version(path, app) == ver
