@@ -464,6 +464,139 @@ def pipeline_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_cdc_exactly_once",
+    section="A3,C3,F4,A6",
+    tags=("pipeline", "cdc"),
+    oracle="""
+WITH b AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+mm AS (SELECT CAST(floor(max(k) / 8.0) AS BIGINT) AS h8,
+              CAST(floor(max(k) / 4.0) AS BIGINT) AS h4 FROM b),
+fin AS (
+  SELECT k,
+         CASE WHEN k % 7 = 0 AND k > h8 AND k <= h4
+              THEN floor(price * 120) / 100 ELSE price END AS p
+  FROM b, mm
+  WHERE k > h8 AND NOT (k % 7 = 1 AND k > h8 AND k <= h4)
+  UNION ALL
+  SELECT k + 200000000, floor(price * 25) / 100 FROM b WHERE k % 7 = 3
+  UNION ALL
+  SELECT k + 300000000, floor(price * 45) / 100 FROM b, mm
+  WHERE k % 7 = 2 AND k > h8 AND k <= h4
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+       round(sum(p), 2) AS total
+FROM fin
+""",
+)
+def pipeline_cdc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_cdc_replication made RESTART-SAFE — the production
+    replication loop as it actually runs: each source version's net
+    changes apply to the replica via an IDEMPOTENT merge keyed
+    (app="cdc", version=source version), so the source version number
+    IS the writer watermark (txlog.merge(txn=...) — SetTransaction).
+    After convergence, a SIMULATED REPLICATOR RESTART re-delivers
+    EVERY version's change set from scratch; all replays must no-op
+    (applied flags asserted in-body), the replica's version count must
+    not move, and the replica must still equal the source bit-for-bit
+    — the same relational oracle as pipeline_cdc_replication, now
+    carrying the exactly-once claim too. The threaded two-replicas-
+    of-one-change-set race is pinned in tests/test_txlog.py.
+
+    100 TB: restart cost is one watermark read per already-applied
+    version — the replicator never diffs or dedups the replica; the
+    source version numbers give exactly-once for free, which is the
+    entire point of shipping CDC over a versioned log."""
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.select(k.alias("k"), F.col("o_totalprice").alias("price"))
+    src_path = tempfile.mkdtemp(prefix="sgs_cdcx_") + "/src"
+    txlog.create(base.repartitionByRange(8, "k"), src_path)  # v0
+    h8 = int(base.agg(F.floor(F.max("k") / 8.0)).collect()[0][0])
+    h4 = int(base.agg(F.floor(F.max("k") / 4.0)).collect()[0][0])
+    adj = base.where(F.col("k") % 7 == 3).select(
+        (F.col("k") + 200000000).alias("k"),
+        (F.floor(F.col("price") * 25) / 100).alias("price"),
+    )
+    txlog.append(adj, src_path)  # v1
+    txlog.delete(spark, src_path, f"k <= {h8}", prune=("k", 0, h8))  # v2
+    band = base.where((F.col("k") > h8) & (F.col("k") <= h4))
+    ch_src = (
+        band.where(F.col("k") % 7 == 0)
+        .select("k", (F.floor(F.col("price") * 120) / 100).alias("price"),
+                F.lit("U").alias("op"))
+        .unionByName(
+            band.where(F.col("k") % 7 == 1)
+            .select("k", F.lit(0.0).alias("price"), F.lit("D").alias("op"))
+        )
+        .unionByName(
+            band.where(F.col("k") % 7 == 2)
+            .select((F.col("k") + 300000000).alias("k"),
+                    (F.floor(F.col("price") * 45) / 100).alias("price"),
+                    F.lit("I").alias("op"))
+        )
+    )
+    txlog.merge(spark, src_path, ch_src, on=["k"], op_col="op")  # v3
+
+    rep_path = tempfile.mkdtemp(prefix="sgs_cdcx_") + "/replica"
+    txlog.create(txlog.read(spark, src_path, version=0), rep_path)
+    latest = txlog.current_version(src_path)
+
+    def apply_set_for(v: int) -> DataFrame:
+        ch = txlog.changes(spark, src_path, v - 1, v)
+        return ch.groupBy("k").agg(
+            F.first(
+                F.when(F.col("_change_type") == "insert", F.col("price")),
+                ignorenulls=True,
+            ).alias("ins_price"),
+        ).select(
+            "k",
+            F.coalesce("ins_price", F.lit(0.0)).alias("price"),
+            F.when(F.col("ins_price").isNotNull(), F.lit("U"))
+            .otherwise(F.lit("D"))
+            .alias("op"),
+        )
+
+    flags = []
+    for v in range(1, latest + 1):
+        r = txlog.merge(
+            spark, rep_path, apply_set_for(v), on=["k"], op_col="op",
+            txn=("cdc", v),
+        )
+        flags.append(r["applied"])
+    rep_v = txlog.current_version(rep_path)
+    # SIMULATED RESTART: the replicator re-delivers everything
+    for v in range(1, latest + 1):
+        r = txlog.merge(
+            spark, rep_path, apply_set_for(v), on=["k"], op_col="op",
+            txn=("cdc", v),
+        )
+        flags.append(r["applied"])
+    # load-bearing invariants — explicit raises survive python -O
+    if flags != [True] * latest + [False] * latest:
+        raise AssertionError(f"replay applied flags: {flags}")
+    if txlog.current_version(rep_path) != rep_v:
+        raise AssertionError("restart replay created replica versions")
+    if txlog.last_txn_version(rep_path, "cdc") != latest:
+        raise AssertionError("watermark not at the last source version")
+    src_final = txlog.read(spark, src_path)
+    rep_final = txlog.read(spark, rep_path)
+    if src_final.exceptAll(rep_final).limit(1).count() != 0:
+        raise AssertionError("replica is missing source rows")
+    if rep_final.exceptAll(src_final).limit(1).count() != 0:
+        raise AssertionError("replica has rows the source lacks")
+    return rep_final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("k").alias("n_keys"),
+        F.round(F.sum("price"), 2).alias("total"),
+    )
+
+
+@query(
     "pipeline_incremental_agg",
     section="D1,A3,F4",
     tags=("pipeline", "cdc"),

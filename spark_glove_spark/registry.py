@@ -261,6 +261,7 @@ DRIVER_WINDOW = 50
 # enforces that any later addition is slotted explicitly.
 R9_REMAINDER: tuple[str, ...] = (
     "a34_txlog_idempotent_sink",  # exactly-once sink replay (SetTransaction)
+    "pipeline_cdc_exactly_once",  # restart-safe CDC apply (idempotent merge)
 )
 
 

@@ -1786,6 +1786,7 @@ def merge(
     source: DataFrame,
     on: list[str],
     op_col: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Copy-on-write MERGE INTO (the Delta ``whenMatchedUpdateAll /
     whenNotMatchedInsertAll`` shape, plus deletes via ``op_col``):
@@ -1809,9 +1810,25 @@ def merge(
 
     Prior versions still time-travel (old files are immutable).
     Returns ``{"version", "files_rewritten", "files_total",
-    "rows_upserted", "rows_deleted"}``."""
+    "rows_upserted", "rows_deleted", "applied"}``.
+
+    ``txn=(app_id, version)`` makes the merge IDEMPOTENT under replay
+    (the same SetTransaction watermark :func:`append_idempotent`
+    uses): a merge at or below the writer's recorded watermark no-ops
+    with ``applied=False`` — the exactly-once CDC-apply primitive. A
+    conflict loser re-reads the watermark before giving up, so two
+    replicas applying the same change-set version land it once."""
     from pyspark.sql import functions as F
 
+    if txn is not None and last_txn_version(path, str(txn[0])) >= int(txn[1]):
+        return {
+            "version": current_version(path),
+            "files_rewritten": 0,
+            "files_total": 0,
+            "rows_upserted": 0,
+            "rows_deleted": 0,
+            "applied": False,
+        }
     base = current_version(path)
     all_files = snapshot_files(path, base)
     tagged = _read_files(spark, path, all_files)
@@ -1850,12 +1867,15 @@ def merge(
         n_deleted = 0
     n_upserts = upserts.count()
     if not touched and n_upserts == 0:
+        # empty change set: nothing to commit, so no watermark advance
+        # — a replay of this version re-derives the same nothing.
         return {
             "version": base,
             "files_rewritten": 0,
             "files_total": len(all_files),
             "rows_upserted": 0,
             "rows_deleted": 0,
+            "applied": True,
         }
     survivors = (
         tagged.where(F.col("_txfile").isin(touched))
@@ -1871,16 +1891,36 @@ def merge(
     # a merge must not explode the file count to the cluster parallelism
     new_rows = survivors.unionByName(upserts).coalesce(max(len(touched), 1))
     adds, stats = _write_data(new_rows, path, _bloom_cols(path))
-    v = commit_reconciled(
-        path, adds, touched, base=base, read_files=set(all_files),
-        operation="merge", stats=stats,
+    txn_body = (
+        {"app": str(txn[0]), "version": int(txn[1])} if txn is not None else None
     )
+    try:
+        v = commit_reconciled(
+            path, adds, touched, base=base, read_files=set(all_files),
+            operation="merge", stats=stats, txn=txn_body,
+        )
+    except TxLogConflict:
+        if txn is not None and last_txn_version(path, str(txn[0])) >= int(
+            txn[1]
+        ):
+            # the racing replica of THIS change set won — exactly-once
+            # holds by no-oping; the lost file group is orphan debris.
+            return {
+                "version": current_version(path),
+                "files_rewritten": 0,
+                "files_total": len(all_files),
+                "rows_upserted": 0,
+                "rows_deleted": 0,
+                "applied": False,
+            }
+        raise
     return {
         "version": v,
         "files_rewritten": len(touched),
         "files_total": len(all_files),
         "rows_upserted": int(n_upserts),
         "rows_deleted": int(n_deleted),
+        "applied": True,
     }
 
 

@@ -1892,3 +1892,69 @@ def test_idempotent_append_model_random_histories(spark, tmp_path):
         assert got == expected, (_step, got - expected, expected - got)
     for app, ver in marks.items():
         assert txlog.last_txn_version(path, app) == ver
+
+
+def test_merge_with_txn_noops_replay_even_with_different_payload(spark, tmp_path):
+    """Idempotent MERGE: the same (app, version) replayed — even with
+    a poisoned/different change set — must no-op with applied=False,
+    leaving the first application's result untouched."""
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark, n=20, parts=2), path)
+    ch = spark.createDataFrame(
+        [(1, "one", "U"), (100, "hundred", "I"), (2, None, "D")],
+        "k long, v string, op string",
+    )
+    r1 = txlog.merge(spark, path, ch, on=["k"], op_col="op", txn=("cdc", 0))
+    assert r1["applied"] is True and r1["rows_deleted"] == 1
+    poisoned = spark.createDataFrame(
+        [(5, "POISON", "U")], "k long, v string, op string"
+    )
+    r2 = txlog.merge(
+        spark, path, poisoned, on=["k"], op_col="op", txn=("cdc", 0)
+    )
+    assert r2["applied"] is False
+    rows = {r["k"]: r["v"] for r in txlog.read(spark, path).collect()}
+    assert rows[1] == "one" and rows[100] == "hundred"
+    assert 2 not in rows and rows[5] == "10"  # untouched by the poison
+    # next version applies; watermark advances
+    r3 = txlog.merge(
+        spark, path,
+        spark.createDataFrame([(3, "three", "U")], "k long, v string, op string"),
+        on=["k"], op_col="op", txn=("cdc", 1),
+    )
+    assert r3["applied"] is True
+    assert txlog.last_txn_version(path, "cdc") == 1
+
+
+def test_threaded_same_merge_replicas_apply_exactly_once(spark, tmp_path):
+    """Two replicas racing the SAME (app, version) merge: exactly one
+    applies; the loser re-reads the watermark after the conflict and
+    no-ops instead of erroring or double-applying."""
+    import threading
+
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark, n=40, parts=2), path)
+    ch = spark.createDataFrame(
+        [(1, "one", "U"), (100, "hundred", "I")], "k long, v string, op string"
+    )
+    results: list[dict] = []
+    errs: list[Exception] = []
+
+    def replica() -> None:
+        try:
+            results.append(
+                txlog.merge(spark, path, ch, on=["k"], op_col="op", txn=("cdc", 0))
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=replica) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert sorted(r["applied"] for r in results) in ([False, True], [True])
+    rows = {r["k"]: r["v"] for r in txlog.read(spark, path).collect()}
+    assert rows[1] == "one" and rows[100] == "hundred"
+    assert len(rows) == 41  # 40 base + 1 insert, exactly once
