@@ -799,7 +799,17 @@ def commit(
             try:
                 won = BACKEND.publish(target, entry)
             except CommitAmbiguous:
-                won = BACKEND.read_committed(target) == entry
+                again = BACKEND.read_committed(target)
+                if again is None:
+                    # BOTH puts may still be in flight — undecidable.
+                    # Raising TxLogConflict here would invite the
+                    # caller to blind-retry the same work at v+1 while
+                    # our put can still land at v (double-apply); the
+                    # honest signal is ambiguity, which callers must
+                    # resolve by reading the log back, never by
+                    # re-committing blindly.
+                    raise
+                won = again == entry
             if not won:
                 won = BACKEND.read_committed(target) == entry
         else:
@@ -890,18 +900,24 @@ def create(
     )
 
 
-def append(df: DataFrame, path: str, merge_schema: bool = False) -> int:
+def append(
+    df: DataFrame,
+    path: str,
+    merge_schema: bool = False,
+    operation: str = "append",
+) -> int:
     """Add ``df``'s rows as a new version (old files stay active).
     ``merge_schema=True`` permits ADDITIVE schema evolution: new df
     columns join the table schema (old files read as null there), and
     a df omitting existing columns writes nulls for them. Type
-    changes always raise."""
+    changes always raise. ``operation`` labels the commit in the log
+    (streaming sinks record their epoch id here)."""
     base = current_version(path)
     schema = _evolved_schema(df, path, merge_schema)
     _enforce_constraints(df, table_properties(path).get("check_constraints", {}))
     files, stats = _write_data(df, path, _bloom_cols(path))
     return commit(
-        path, files, [], expected_version=base, operation="append",
+        path, files, [], expected_version=base, operation=operation,
         stats=stats, schema=schema,
     )
 
@@ -1079,6 +1095,11 @@ def pinned_versions(path: str) -> dict[str, int]:
     d = _pin_dir(path)
     out: dict[str, int] = {}
     for name in BACKEND.list_committed(d):
+        # the backends' in-flight publish temps (.tmp-*, *.cas-*)
+        # share this directory; only complete pin names are pins —
+        # reading a temp mid-write would crash on partial JSON
+        if not (name.startswith("pin-") and name.endswith(".json")):
+            continue
         payload = BACKEND.read_committed(os.path.join(d, name))
         if payload is None:
             continue  # unpinned between list and read
@@ -1641,19 +1662,30 @@ def commit_reconciled(
     base: int,
     read_files: set[str],
     max_retries: int = 10,
+    stop_retry=None,
     **kw,
 ) -> int:
     """Commit with automatic conflict reconciliation: on losing the
     version race, re-validate via :func:`_reconcile_base` and retry at
     the new head — so a COW delete/update/merge or a DV delete only
     aborts when a concurrent writer actually invalidated its read set,
-    not merely because someone appended first."""
+    not merely because someone appended first.
+
+    ``stop_retry`` (a nullary callable) is consulted after every lost
+    race BEFORE reconciling: returning True re-raises the conflict to
+    the caller instead of retrying. Idempotent merges need this —
+    an adds-only winner (a pure-insert change set) is reconcilable by
+    _reconcile_base's rules, so without the hook a replica racing the
+    SAME change set would silently retry past its twin's commit and
+    double-apply the inserts (round-8 review finding)."""
     for _ in range(max_retries + 1):
         try:
             return commit(
                 path, adds, removes, expected_version=base, **kw
             )
         except TxLogConflict:
+            if stop_retry is not None and stop_retry():
+                raise
             base = _reconcile_base(path, base, read_files)
     raise TxLogConflict(
         f"lost the version race {max_retries + 1} times at {path}"
@@ -1894,10 +1926,20 @@ def merge(
     txn_body = (
         {"app": str(txn[0]), "version": int(txn[1])} if txn is not None else None
     )
+    # With a txn, every lost race must FIRST re-check the watermark:
+    # a replica applying the same change set commits adds-only work,
+    # which _reconcile_base would happily reconcile past — retrying
+    # would then double-apply a pure-insert change set.
+    stop_retry = (
+        (lambda: last_txn_version(path, str(txn[0])) >= int(txn[1]))
+        if txn is not None
+        else None
+    )
     try:
         v = commit_reconciled(
             path, adds, touched, base=base, read_files=set(all_files),
             operation="merge", stats=stats, txn=txn_body,
+            stop_retry=stop_retry,
         )
     except TxLogConflict:
         if txn is not None and last_txn_version(path, str(txn[0])) >= int(

@@ -1105,15 +1105,7 @@ def i17_streaming_txlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         if txlog.current_version(tbl) < 0:
             txlog.create(rows, tbl)
         else:
-            files, stats = txlog._write_data(rows, tbl)
-            txlog.commit(
-                tbl,
-                files,
-                [],
-                expected_version=txlog.current_version(tbl),
-                operation=f"epoch-{epoch_id}",
-                stats=stats,
-            )
+            txlog.append(rows, tbl, operation=f"epoch-{epoch_id}")
 
     run_stream_foreach_batch(sdf, sink, "append")
     n_versions = txlog.current_version(tbl) + 1
@@ -1743,15 +1735,7 @@ def pipeline_streaming_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         if txlog.current_version(cur_tbl) < 0:
             txlog.create(kept.coalesce(1), cur_tbl)
         else:
-            files, stats = txlog._write_data(kept.coalesce(1), cur_tbl)
-            txlog.commit(
-                cur_tbl,
-                files,
-                [],
-                expected_version=txlog.current_version(cur_tbl),
-                operation=f"epoch-{epoch_id}",
-                stats=stats,
-            )
+            txlog.append(kept.coalesce(1), cur_tbl, operation=f"epoch-{epoch_id}")
         # 4. incremental monitor: bounded per-lang delta, MERGE upsert
         delta = kept.groupBy("lang").agg(
             F.count(F.lit(1)).alias("d_docs"),

@@ -1958,3 +1958,68 @@ def test_threaded_same_merge_replicas_apply_exactly_once(spark, tmp_path):
     rows = {r["k"]: r["v"] for r in txlog.read(spark, path).collect()}
     assert rows[1] == "one" and rows[100] == "hundred"
     assert len(rows) == 41  # 40 base + 1 insert, exactly once
+
+
+# --- round 8 review findings: regressions --------------------------------
+
+
+def test_merge_txn_insert_only_race_lands_exactly_once(spark, tmp_path):
+    """Review finding: an INSERT-ONLY change set (touched files = [])
+    is reconcilable by _reconcile_base's rules, so without the
+    watermark stop_retry hook the losing replica would silently retry
+    past its twin's commit and double-apply the inserts. Scripted
+    race: the twin lands the same change set between the loser's
+    pre-check and its commit."""
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark, n=20, parts=2), path)
+    ch = spark.createDataFrame(
+        [(100, "hundred", "I"), (101, "hundred-one", "I")],
+        "k long, v string, op string",
+    )
+    real_commit = txlog.commit
+    state = {"raced": False}
+
+    def racing(p, adds, removes, **kw):
+        if not state["raced"] and kw.get("operation") == "merge":
+            state["raced"] = True
+            txlog.commit = real_commit
+            try:
+                r = txlog.merge(
+                    spark, path, ch, on=["k"], op_col="op", txn=("cdc", 0)
+                )
+                assert r["applied"] is True
+            finally:
+                txlog.commit = racing
+        return real_commit(p, adds, removes, **kw)
+
+    txlog.commit = racing
+    try:
+        r2 = txlog.merge(spark, path, ch, on=["k"], op_col="op", txn=("cdc", 0))
+    finally:
+        txlog.commit = real_commit
+    assert r2["applied"] is False
+    ks = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert len(ks) == 22 and ks[-2:] == [100, 101]  # inserted exactly once
+
+
+def test_commit_undecidable_double_inflight_raises_ambiguous(spark, tmp_path):
+    """Review finding: when the ambiguity RETRY is itself still in
+    flight (both puts delayed), commit must surface CommitAmbiguous —
+    NOT TxLogConflict, whose contract invites a blind re-commit of the
+    same files at v+1 while the delayed put can still land at v
+    (double-apply). The delayed put must then land the batch exactly
+    once."""
+    path = str(tmp_path / "t")
+    b = txlog.CASCommitBackend()
+    with txlog.use_backend(b):
+        txlog.create(_df(spark, [(1, "a")]), path)
+        b.faults.extend(["fail_then_apply_later", "fail_then_apply_later"])
+        with pytest.raises(txlog.CommitAmbiguous):
+            txlog.append(_df(spark, [(2, "b")]), path)
+        # the in-flight put lands before the store's next serialized
+        # put: the ambiguous batch commits at v1 exactly once, and the
+        # next writer's retry loop lands AFTER it
+        txlog.append_with_retry(_df(spark, [(3, "c")]), path)
+        assert txlog.current_version(path) == 2
+        ks = sorted(r["k"] for r in txlog.read(spark, path).collect())
+        assert ks == [1, 2, 3]

@@ -31,7 +31,6 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from spark_glove_spark.glove.trainer import (  # noqa: E402
-    _GRADS_SCHEMA,
     _PARAMS_SCHEMA,
     _make_step_kernel,
 )
@@ -88,7 +87,7 @@ def _fixture(spark, vocab_n: int):
     )
 
 
-def _run(params, grads, key_expr, label: str) -> tuple[float, int]:
+def _run(params, grads, key_expr) -> tuple[float, int]:
     kernel = _make_step_kernel(0.05)
     best = float("inf")
     for _ in range(2):  # warm min-of-2 (PLANS.md probe discipline)
@@ -111,10 +110,8 @@ def main() -> None:
     for v in (base_v, base_v * 10):
         params, grads = _fixture(spark, v)
         params.count(), grads.count()
-        t_word, _ = _run(params, grads, F.col("id"), "per-word")
-        t_blk, _ = _run(
-            params, grads, F.pmod(F.col("id"), F.lit(BLOCKS)), "blocks"
-        )
+        t_word, _ = _run(params, grads, F.col("id"))
+        t_blk, _ = _run(params, grads, F.pmod(F.col("id"), F.lit(BLOCKS)))
         print(
             f"V={v:>7}: per-word groups {t_word:6.2f} s "
             f"(max group = 1 param row, {v} groups) | "
