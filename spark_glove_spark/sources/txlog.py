@@ -190,10 +190,19 @@ class LocalFSCommitBackend:
                 os.unlink(tmp)
 
     def list_committed(self, log_dir: str) -> list[str]:
-        """Filenames currently published in the log directory."""
+        """Filenames currently PUBLISHED in the log directory — the
+        backends' in-flight publish temps (``.tmp-*`` here,
+        ``*.cas-*`` in the CAS subclass's _put) are filtered at the
+        seam so no consumer can ever read a half-written payload
+        (round-8 review: a caller listing temps crashed on partial
+        JSON; the contract says published names only)."""
         if not os.path.isdir(log_dir):
             return []
-        return os.listdir(log_dir)
+        return [
+            n
+            for n in os.listdir(log_dir)
+            if not n.startswith(".tmp-") and ".cas-" not in n
+        ]
 
     def read_committed(self, target: str) -> str | None:
         """Payload published at ``target``, or None if absent — the
@@ -798,6 +807,14 @@ def commit(
             # the target mean WE won, whichever attempt landed them.
             try:
                 won = BACKEND.publish(target, entry)
+                if not won:
+                    # the FIRST (timed-out) put can have landed AFTER
+                    # the read-back, making the retry lose to our own
+                    # payload — a read-back match means WE won. (Only
+                    # this branch needs the extra read: the exception
+                    # branch below already read the target, and it is
+                    # write-once.)
+                    won = BACKEND.read_committed(target) == entry
             except CommitAmbiguous:
                 again = BACKEND.read_committed(target)
                 if again is None:
@@ -810,8 +827,6 @@ def commit(
                     # re-committing blindly.
                     raise
                 won = again == entry
-            if not won:
-                won = BACKEND.read_committed(target) == entry
         else:
             won = existing == entry
     if not won:
@@ -1054,10 +1069,18 @@ def prune_files_point(
 
 
 _PIN_DIR = "pins"  # under _txlog/ — durable, visible to every process
+_PIN_PREFIX, _PIN_SUFFIX = "pin-", ".json"
 
 
 def _pin_dir(path: str) -> str:
     return os.path.join(_log_dir(path), _PIN_DIR)
+
+
+def _is_pin_name(name: str) -> bool:
+    """Shared between pin() (which builds names) and pinned_versions()
+    (which matches them) — a one-sided rename would otherwise make the
+    lister silently return {} and vacuum delete pinned files."""
+    return name.startswith(_PIN_PREFIX) and name.endswith(_PIN_SUFFIX)
 
 
 def pin(path: str, version: int | None = None) -> str:
@@ -1076,7 +1099,9 @@ def pin(path: str, version: int | None = None) -> str:
     if not 0 <= v <= latest:
         raise ValueError(f"cannot pin version {v}; log is at {latest}")
     os.makedirs(_pin_dir(path), exist_ok=True)
-    pin_id = f"pin-{uuid.uuid4().hex[:12]}.json"
+    pin_id = f"{_PIN_PREFIX}{uuid.uuid4().hex[:12]}{_PIN_SUFFIX}"
+    if not _is_pin_name(pin_id):  # the builder/matcher pair must agree
+        raise AssertionError(f"pin id {pin_id!r} fails its own matcher")
     payload = json.dumps({"version": v, "created": time.time()})
     BACKEND.publish(os.path.join(_pin_dir(path), pin_id), payload)
     return pin_id
@@ -1095,10 +1120,10 @@ def pinned_versions(path: str) -> dict[str, int]:
     d = _pin_dir(path)
     out: dict[str, int] = {}
     for name in BACKEND.list_committed(d):
-        # the backends' in-flight publish temps (.tmp-*, *.cas-*)
-        # share this directory; only complete pin names are pins —
-        # reading a temp mid-write would crash on partial JSON
-        if not (name.startswith("pin-") and name.endswith(".json")):
+        # list_committed filters the backends' publish temps at the
+        # seam; this matcher (shared with pin()'s name builder) is the
+        # belt to that suspender — only pin names are pins
+        if not _is_pin_name(name):
             continue
         payload = BACKEND.read_committed(os.path.join(d, name))
         if payload is None:
@@ -1929,21 +1954,26 @@ def merge(
     # With a txn, every lost race must FIRST re-check the watermark:
     # a replica applying the same change set commits adds-only work,
     # which _reconcile_base would happily reconcile past — retrying
-    # would then double-apply a pure-insert change set.
-    stop_retry = (
-        (lambda: last_txn_version(path, str(txn[0])) >= int(txn[1]))
-        if txn is not None
-        else None
-    )
+    # would then double-apply a pure-insert change set. The verdict is
+    # memoized so the except-handler below does not replay the log
+    # tail a second time on the hot no-op path.
+    twin_won = {"seen": False}
+
+    def _stop_retry() -> bool:
+        twin_won["seen"] = last_txn_version(path, str(txn[0])) >= int(txn[1])
+        return twin_won["seen"]
+
     try:
         v = commit_reconciled(
             path, adds, touched, base=base, read_files=set(all_files),
             operation="merge", stats=stats, txn=txn_body,
-            stop_retry=stop_retry,
+            stop_retry=_stop_retry if txn is not None else None,
         )
     except TxLogConflict:
-        if txn is not None and last_txn_version(path, str(txn[0])) >= int(
-            txn[1]
+        if txn is not None and (
+            twin_won["seen"]
+            # retries-exhausted path: the hook may never have fired
+            or last_txn_version(path, str(txn[0])) >= int(txn[1])
         ):
             # the racing replica of THIS change set won — exactly-once
             # holds by no-oping; the lost file group is orphan debris.
