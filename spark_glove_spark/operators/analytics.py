@@ -763,18 +763,40 @@ FROM b GROUP BY 1
 )
 def d17_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency binning (decile cut points) — d14's equi-width
-    twin, the feature-engineering discretizer: ``ntile(10)`` over the
-    (value, id)-pinned order splits ties deterministically, and the
-    per-decile envelopes are the cut table a model pipeline persists.
-    The global-order window is the documented scale caveat: at fact
-    scale this becomes the d11 quantile SKETCH (approx cut points, no
-    sort); the exact form is declared because cut-table consumers
-    often require exact rank semantics on bounded slices.
-    """
+    twin, the feature-engineering discretizer, in EXACT semantics at
+    scale (planlint r9 unpartitioned-window rule): the global rank
+    over the (value, id)-pinned order comes from the two-pass
+    range-partitioned ranking (:func:`~.scale_ops.global_rank` —
+    range-repartition, rank within partitions, add bounded-collect
+    offsets; each task sorts only its range slice), and the decile is
+    the CLOSED-FORM ntile bucket of that rank: with N rows, the first
+    N mod 10 buckets hold ceil(N/10) rows — exactly SQL ntile's
+    distribution, so the ntile(10) oracle is unchanged. The r8-era
+    form ran ntile over ONE unpartitioned window — a single-executor
+    sort of the whole fact table.
+
+    100 TB: one range shuffle + parallel per-slice sorts + a 10-group
+    aggregate; the only driver work is ≤32 partition counts."""
+    from spark_glove_spark.operators.scale_ops import global_rank
+
     e = table(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
+    ranked, n_total = global_rank(
+        e.select("value", "event_id"), ["value", "event_id"]
+    )
+    q, rem = divmod(n_total, 10)
+    head = rem * (q + 1)  # rows covered by the first `rem` fat buckets
+    # integer div, not float division — float (r-1)/(q+1) can round
+    # just below an integer at large ranks and misplace a boundary row
+    decile = (
+        F.when(
+            F.col("r") <= F.lit(head),
+            F.expr(f"(r - 1) div {q + 1}"),
+        )
+        .otherwise(F.lit(rem) + F.expr(f"(r - 1 - {head}) div {max(q, 1)}"))
+        + F.lit(1)
+    )
     return (
-        e.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        ranked.withColumn("decile", decile.cast("int"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -33,6 +33,118 @@ from spark_glove_spark.sources import table
 _BLOOM_SEEDS = (11, 23, 47)  # k = 3 hash functions
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "r",
+    num_partitions: int = 32,
+) -> tuple[DataFrame, int]:
+    """EXACT global 1-based row_number over ``order_cols`` WITHOUT an
+    unpartitioned window (planlint's r9 rule) — the classic two-pass
+    distributed ranking:
+
+    1. range-repartition on the order key (Spark's RangePartitioner:
+       partition i's key range precedes partition i+1's) and PERSIST,
+       so both passes see identical partition boundaries (the range
+       sampler is not otherwise re-run-stable);
+    2. count rows per partition — ONE bounded collect of
+       ≤ ``num_partitions`` rows — and turn the cumulative counts
+       into a literal pid→offset map;
+    3. rank WITHIN each partition (a partitioned window, parallel by
+       construction) and add the offset.
+
+    Ranks are a pure function of the total order (callers pass a
+    tiebreaking key), so results are identical to the single-partition
+    ``Window.orderBy`` form — same oracles — while each task sorts
+    only its range slice. Returns ``(ranked_df, total_rows)``; the
+    total is free (sum of the pass-2 counts) and callers use it for
+    closed-form ntile/bucket arithmetic. The persisted intermediate is
+    released at the next declared query (defer_unpersist)."""
+    from pyspark.sql import Window
+
+    from spark_glove_spark.registry import defer_unpersist
+
+    t = defer_unpersist(
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_gr_pid"]: r["n"]
+        for r in t.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    items: list = []
+    cum = 0
+    for pid in sorted(counts):
+        items += [F.lit(pid), F.lit(cum)]
+        cum += counts[pid]
+    offset = (
+        F.element_at(F.create_map(*items), F.col("_gr_pid"))
+        if items
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_gr_pid").orderBy(*order_cols)
+    ranked = t.withColumn(
+        rank_col, (F.row_number().over(w) + offset).cast("long")
+    ).drop("_gr_pid")
+    return ranked, cum
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    out_cols: list[str],
+    inclusive: bool = True,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """EXACT running totals over a global order WITHOUT an
+    unpartitioned window — :func:`global_rank`'s prefix-SUM sibling
+    (same two-pass shape): range-repartition + persist, collect the
+    ≤ ``num_partitions`` per-partition totals of each ``sum_cols``
+    entry, then add the cumulative-preceding-partition offset to a
+    PARTITIONED within-slice running sum. ``inclusive=False`` gives
+    the strictly-preceding prefix (rowsBetween(-inf, -1), 0 at each
+    slice head). Results are a pure function of the total order, so
+    oracles written against ``sum() OVER (ORDER BY ...)`` hold
+    unchanged while every task scans only its range slice."""
+    from pyspark.sql import Window
+
+    from spark_glove_spark.registry import defer_unpersist
+
+    t = defer_unpersist(
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_gp_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = t.groupBy("_gp_pid").agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    ).collect()
+    by_pid = {r["_gp_pid"]: r for r in totals}
+    hi = 0 if inclusive else -1
+    w = (
+        Window.partitionBy("_gp_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    out = t
+    for c, name in zip(sum_cols, out_cols):
+        items: list = []
+        cum = 0
+        for pid in sorted(by_pid):
+            items += [F.lit(pid), F.lit(cum)]
+            cum += by_pid[pid][c] or 0
+        offset = (
+            F.element_at(F.create_map(*items), F.col("_gp_pid"))
+            if items
+            else F.lit(0)
+        )
+        out = out.withColumn(
+            name, F.coalesce(F.sum(c).over(w), F.lit(0)) + offset
+        )
+    return out.drop("_gp_pid")
+
+
 def _bloom_words(spark: SparkSession, keys: DataFrame, key: str) -> tuple[list[int], int]:
     """Build an m-bit bloom bitset over ``keys[key]`` as a list of
     signed 64-bit words. m is sized at ~12 bits/key (fp < 2%), so the

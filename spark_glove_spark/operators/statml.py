@@ -68,9 +68,13 @@ def d22_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the max absolute gap — integer counts all the way to the final
     two divisions.
 
-    100 TB: one groupBy(value) aggregate + one ordered prefix-sum
-    over the DISTINCT values (≪ rows) + a max — the window runs over
-    the collapsed value domain, never the fact rows."""
+    100 TB: one groupBy(value) aggregate collapses to the distinct-
+    value domain, then the cumulative counts come from the two-pass
+    range-partitioned prefix sum (scale_ops.global_prefix_sum — no
+    unpartitioned window, planlint r9 rule): even a near-continuous
+    value domain prefix-sums in parallel range slices."""
+    from spark_glove_spark.operators.scale_ops import global_prefix_sum
+
     e = parallelized(table(spark, sf_dir, "events"))
     s = e.select(
         "value",
@@ -85,11 +89,8 @@ def d22_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # totals derive from the value-domain aggregate — a second corpus
     # scan for two scalars would double the query's only table pass
     tot = g.agg(F.sum("a_v").alias("na"), F.sum("b_v").alias("nb"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    c = g.select(
-        "value",
-        F.sum("a_v").over(w).alias("ca"),
-        F.sum("b_v").over(w).alias("cb"),
+    c = global_prefix_sum(g, ["value"], ["a_v", "b_v"], ["ca", "cb"]).select(
+        "value", "ca", "cb"
     )
     return (
         c.crossJoin(F.broadcast(tot))
@@ -391,9 +392,10 @@ def d26_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic.
 
     100 TB: groupBy(value) collapses the rank computation to the
-    distinct-score domain; the prefix sum runs there too. Evaluating
-    a model on a petabyte of scored rows costs one scan + one
-    bounded-domain window."""
+    distinct-score domain; the prefix sum there is the two-pass
+    range-partitioned form (scale_ops.global_prefix_sum — parallel
+    range slices, no unpartitioned window). Evaluating a model on a
+    petabyte of scored rows costs one scan + one range shuffle."""
     e = parallelized(table(spark, sf_dir, "events")).where(
         F.col("event_type").isin("purchase", "view")
     )
@@ -404,16 +406,15 @@ def d26_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = s.groupBy("value").agg(
         F.sum("pos").alias("npos"), F.count(F.lit(1)).alias("m")
     )
+    from spark_glove_spark.operators.scale_ops import global_prefix_sum
     from spark_glove_spark.registry import defer_unpersist
 
     g = defer_unpersist(g.persist())
-    w = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    c = g.select(
-        "value", "npos", "m",
-        F.coalesce(F.sum("m").over(w), F.lit(0)).alias("before"),
-    )
+    # strictly-preceding prefix over the distinct-score domain via the
+    # two-pass range-partitioned sum (no unpartitioned window)
+    c = global_prefix_sum(
+        g, ["value"], ["m"], ["before"], inclusive=False
+    ).select("value", "npos", "m", "before")
     # totals derive from the score-domain aggregate, not a second scan
     tot = g.agg(
         F.sum("npos").alias("n1"),
@@ -559,18 +560,18 @@ def d29_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully deterministic. All integer arithmetic (cents, ranks) until
     the single terminal division.
 
-    100 TB: per-key sums shuffle once; the rank runs over the KEY
-    domain (customers), not orders — at extreme key cardinality swap
-    the exact rank for a quantile-sketch Lorenz approximation (d11's
-    machinery), documented tradeoff."""
+    100 TB: per-key sums shuffle once; the rank is the two-pass
+    range-partitioned EXACT global rank (scale_ops.global_rank — no
+    unpartitioned window, planlint r9 rule): range shuffle + parallel
+    per-slice sorts + ≤32 collected partition counts, identical rank
+    values to the single-window form, so the oracle is unchanged."""
+    from spark_glove_spark.operators.scale_ops import global_rank
+
     o = parallelized(table(spark, sf_dir, "orders"))
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    ranked = spend.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("r"),
-    )
+    ranked, _ = global_rank(spend, ["cents", "o_custkey"])
     # n, s, and the rank-weighted sum all come from ONE aggregate over
     # the ranked key domain — no totals frame, no cross join
     return (
@@ -1070,9 +1071,15 @@ def d32_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     vals = sorted(r["v"] for r in _sq_sample(spark, sf_dir).collect())
-    # corpus smaller than _SQ_N -> order stats over what exists (the
-    # oracle's fixed-rn probe needs >= _SQ_N rows; every fixture has them)
-    n = min(_SQ_N, len(vals))
+    # ADVICE r8 (low): the oracle probes the FIXED rank ceil(q*_SQ_N),
+    # so a corpus smaller than _SQ_N would hash-mismatch (NULL oracle
+    # rows). Fail loudly instead of silently clamping.
+    if len(vals) < _SQ_N:
+        raise AssertionError(
+            f"d32_sample_quantiles needs >= {_SQ_N} orders rows; got "
+            f"{len(vals)} — fixture precondition violated"
+        )
+    n = _SQ_N
     qs = [0.5, 0.9, 0.95, 0.99]
     rows = [
         (q, round(vals[int(math.ceil(q * n)) - 1], 2)) for q in qs
@@ -1254,48 +1261,13 @@ def d34_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # e12: RFM segmentation — the classic warehouse customer-scoring cube.
 
 
-@query(
-    "e12_rfm_segmentation",
-    section="E1,D1,G4",
-    tags=("analytics",),
-    oracle="""
-WITH per_cust AS (
-  SELECT o_custkey,
-         CAST(floor((epoch(CAST((SELECT max(o_orderdate) FROM orders) AS TIMESTAMP))
-                     - epoch(max(o_orderdate))) / 86400) AS BIGINT) AS recency_d,
-         count(*) AS freq,
-         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
-  FROM orders GROUP BY 1
-),
-scored AS (
-  SELECT o_custkey, recency_d, freq, cents,
-         ntile(5) OVER (ORDER BY recency_d DESC, o_custkey) AS r_score,
-         ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
-         ntile(5) OVER (ORDER BY cents, o_custkey) AS m_score
-  FROM per_cust
-)
-SELECT CAST(r_score AS BIGINT) AS r_score,
-       CAST(f_score AS BIGINT) AS f_score,
-       CAST(m_score AS BIGINT) AS m_score,
-       CAST(count(*) AS BIGINT) AS n_customers,
-       CAST(sum(cents) // count(*) AS BIGINT) AS avg_monetary_cents
-FROM scored GROUP BY 1, 2, 3
-""",
-)
-def e12_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation — the classic customer-value cube (recency /
-    frequency / monetary, each quintile-scored, 5 = best): recency in
-    integer days from the corpus's last order date (epoch arithmetic,
-    never engine-specific date_diff), monetary in exact cents, and
-    ntile(5) with a custkey tiebreak so bucket boundaries are fully
-    deterministic in both engines. Output: the populated (r, f, m)
-    segments with size and average spend — the table a lifecycle-
-    marketing or churn model consumes directly.
+_RFM_N = 1024  # boundary-sample size (the d32 deterministic-sample trick)
 
-    100 TB: per-customer rollup is one key-domain aggregate; the
-    three ntile windows run over the CUSTOMER domain (not orders) —
-    at extreme key cardinality swap exact ntiles for d11-style
-    quantile-sketch boundaries, the documented escalation."""
+
+def _rfm_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-customer RFM rollup (recency days / order count / exact
+    cents) — one key-domain aggregate. Exposed for the plan guard and
+    the exact-ntile calibration tooth in tests."""
     import calendar
 
     o = parallelized(table(spark, sf_dir, "orders"))
@@ -1303,7 +1275,7 @@ def e12_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UTC epoch seconds of the (naive-UTC) corpus max date — computed
     # driver-side so the literal enters the plan as a plain long
     max_epoch = calendar.timegm(max_date.timetuple())
-    per_cust = o.groupBy("o_custkey").agg(
+    return o.groupBy("o_custkey").agg(
         F.floor(
             (F.lit(max_epoch) - F.unix_timestamp(F.max("o_orderdate")))
             / 86400
@@ -1315,17 +1287,145 @@ def e12_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
     )
+
+
+def _rfm_ranks(n: int) -> list[int]:
+    """Quintile boundary ranks over an ``n``-row sample: the k/5-th
+    order statistics at ranks ceil(k*n/5), k=1..4 — INTEGER arithmetic
+    ((k*n+4)//5), because float ceil(0.6*n) is representation-sensitive
+    and can disagree between Python and SQL at exact multiples."""
+    return [(k * n + 4) // 5 for k in (1, 2, 3, 4)]
+
+
+def _rfm_bound_sql(cte: str, k: int) -> str:
+    """DuckDB scalar subquery for the k-th quintile boundary of sample
+    CTE ``cte`` (same integer-rank rule as :func:`_rfm_ranks`)."""
+    return (
+        f"(SELECT v FROM {cte} "
+        f"WHERE rn = ({k} * (SELECT n FROM ns) + 4) // 5)"
+    )
+
+
+def _rfm_score_sql(col: str, cmp: str, pfx: str) -> str:
+    """DuckDB quintile-score expression: 1 + the number of boundaries
+    the value passes (``cmp`` is ``>`` for ascending metrics, ``<``
+    for the descending recency metric)."""
+    return "1 + " + " + ".join(
+        f"CAST(p.{col} {cmp} b.{pfx}{k} AS BIGINT)" for k in (1, 2, 3, 4)
+    )
+
+
+@query(
+    "e12_rfm_segmentation",
+    section="E1,D1,G4",
+    tags=("analytics",),
+    oracle=f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(floor((epoch(CAST((SELECT max(o_orderdate) FROM orders) AS TIMESTAMP))
+                     - epoch(max(o_orderdate))) / 86400) AS BIGINT) AS recency_d,
+         count(*) AS freq,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+samp AS (
+  SELECT recency_d, freq, cents
+  FROM per_cust
+  ORDER BY md5('rfm|' || CAST(o_custkey AS VARCHAR)), o_custkey
+  LIMIT {_RFM_N}
+),
+ns AS (SELECT count(*) AS n FROM samp),
+rb AS (SELECT recency_d AS v, row_number() OVER (ORDER BY recency_d DESC) AS rn FROM samp),
+fb AS (SELECT freq AS v, row_number() OVER (ORDER BY freq) AS rn FROM samp),
+mb AS (SELECT cents AS v, row_number() OVER (ORDER BY cents) AS rn FROM samp),
+bounds AS (
+  SELECT {", ".join(
+      f"{_rfm_bound_sql(cte, k)} AS {pfx}{k}"
+      for cte, pfx in (("rb", "r"), ("fb", "f"), ("mb", "m"))
+      for k in (1, 2, 3, 4)
+  )}
+),
+scored AS (
+  SELECT p.cents,
+         {_rfm_score_sql("recency_d", "<", "r")} AS r_score,
+         {_rfm_score_sql("freq", ">", "f")} AS f_score,
+         {_rfm_score_sql("cents", ">", "m")} AS m_score
+  FROM per_cust p CROSS JOIN bounds b
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) // count(*) AS BIGINT) AS avg_monetary_cents
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def e12_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value cube (recency /
+    frequency / monetary, each quintile-scored, 5 = best), in its
+    PRODUCTION form (VERDICT r8 item 2, the d32 playbook): quintile
+    boundaries come from a deterministic 1024-customer hash-sample
+    (the k*n/5-th order statistics, integer-rank arithmetic), and each
+    customer is scored by literal boundary comparisons — a pure
+    codegen projection. The r7-era form ran three GLOBAL ntile windows
+    over the customer domain; at 100× the key cardinality those are a
+    single-executor sort funnel. The exact-ntile form survives as the
+    calibration tooth in tests/test_statml_quantiles.py (bucket-count
+    agreement vs the sample boundaries), and a plan guard asserts the
+    declared plan contains NO WindowExec.
+
+    Scoring rule (identical in both engines): ascending metrics
+    (freq, cents) score 1 + #(boundary < value); the descending
+    recency metric scores 1 + #(value < boundary) over boundaries
+    taken from the DESC-sorted sample — boundary-tie rows land in the
+    lower bucket in both engines by construction.
+
+    100 TB: per-customer rollup is one key-domain aggregate (shuffle
+    on custkey); the boundary sample is ONE TakeOrderedAndProject
+    (per-partition top-k, driver merge of ≤1024-row heads); scoring
+    is map-side literals; the final cube is ≤125 groups. No window,
+    no second fact scan."""
+    from spark_glove_spark.registry import defer_unpersist
+
+    per_cust = defer_unpersist(
+        _rfm_per_cust(spark, sf_dir).persist()
+    )
+    samp_rows = (
+        per_cust.select(
+            "recency_d",
+            "freq",
+            "cents",
+            F.md5(
+                F.concat(F.lit("rfm|"), F.col("o_custkey").cast("string"))
+            ).alias("hk"),
+            "o_custkey",
+        )
+        .orderBy("hk", "o_custkey")
+        .limit(_RFM_N)
+        .select("recency_d", "freq", "cents")
+        .collect()
+    )  # bounded: ≤ _RFM_N rows on the driver, the d32/ann.py pattern
+    n = len(samp_rows)
+    ranks = _rfm_ranks(n)
+    r_bounds = [
+        sorted((r["recency_d"] for r in samp_rows), reverse=True)[rk - 1]
+        for rk in ranks
+    ]
+    f_bounds = [sorted(r["freq"] for r in samp_rows)[rk - 1] for rk in ranks]
+    m_bounds = [sorted(r["cents"] for r in samp_rows)[rk - 1] for rk in ranks]
+
+    def score(col: str, bounds: list, desc: bool):
+        e = F.lit(1)
+        for b in bounds:
+            hit = F.col(col) < F.lit(b) if desc else F.col(col) > F.lit(b)
+            e = e + hit.cast("int")
+        return e.cast("long")
+
     scored = per_cust.select(
         "cents",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_d").desc(), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy("freq", "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("cents", "o_custkey"))
-        .alias("m_score"),
+        score("recency_d", r_bounds, desc=True).alias("r_score"),
+        score("freq", f_bounds, desc=False).alias("f_score"),
+        score("cents", m_bounds, desc=False).alias("m_score"),
     )
     # average spend in exact integer cents (floor division): a float
     # cents/100 round lands on .5 boundaries where Spark rounds

@@ -98,15 +98,18 @@ Round-6 surface on top of that substrate:
 * **Reader pinning (round 8)** — :func:`pin` durably registers a
   snapshot version under ``_txlog/pins/``; :func:`vacuum` unions the
   files of every pinned version into its keep set REGARDLESS of
-  ``keep_versions``, so a long-running reader holding version V
+  ``keep_versions`` (including a delete-time pin re-read immediately
+  before unlinking), so a long-running reader holding version V
   across a concurrent OPTIMIZE + VACUUM never loses a file V
-  references. Guarantee: for any interleaving of commits, OPTIMIZE,
-  and vacuum calls, every file in ``snapshot_files(path, V)`` exists
-  on disk from ``pin(path, V)`` until the matching :func:`unpin` —
-  model-checked over random histories and a threaded reader/writer
-  stress test in tests/test_txlog.py. Pins are advisory for readers
-  that outlive retention (Delta readers inside the retention window
-  need none); an abandoned pin only costs storage until unpinned.
+  references. Guarantee (vacuum's documented discipline — ADVICE r8):
+  a pin of the CURRENT version taken before reading is safe against
+  any later vacuum; pinning an already-retention-expired OLDER
+  version races an in-flight vacuum's final pin re-read and may still
+  lose files — pin-then-read, don't read-then-pin. Model-checked over
+  random histories and a threaded reader/writer stress test in
+  tests/test_txlog.py. Pins are advisory for readers that outlive
+  retention (Delta readers inside the retention window need none); an
+  abandoned pin only costs storage until unpinned.
 * **Idempotent writes (round 8)** — :func:`append_idempotent`
   records a per-writer watermark in the commit (Delta's
   SetTransaction / txnAppId+txnVersion): a replayed batch (restarted
@@ -953,13 +956,25 @@ def append_idempotent(
     at-least-once contract) cannot double-append it. Returns
     ``(table_version, applied)``.
 
-    Race safety: two writers replaying the SAME (app, version) both
-    pass the watermark pre-check, but OCC serializes their commits —
-    the loser re-reads the watermark on conflict and no-ops instead of
-    retrying the append. Writers racing DIFFERENT work retry like
-    :func:`append_with_retry` (appends carry no read set). Watermarks
-    checkpoint with the log (O(tail) resolution; pre-txn checkpoints
-    force a full replay rather than risk a missed watermark)."""
+    Race safety: the watermark check is ANCHORED to the commit's OCC
+    snapshot (ADVICE r8, high): each retry first captures ``base =
+    current_version`` and no-ops iff the watermark AS OF ``base``
+    already covers ``txn_version``; the commit then uses
+    ``expected_version=base``, so ANY twin commit landing after the
+    check — including one racing the constraint/write job between
+    check and commit — forces a :class:`TxLogConflict`, and the next
+    loop iteration re-reads the watermark at the NEW base and no-ops.
+    This is how Delta anchors txnVersion resolution to the
+    transaction's read snapshot; the previous unanchored pre-check had
+    a TOCTOU window in which a twin replica could slip a commit
+    between check and base capture and the batch appended twice.
+    Writers racing DIFFERENT work retry like :func:`append_with_retry`
+    (appends carry no read set). Watermarks checkpoint with the log
+    (O(tail) resolution; pre-txn checkpoints force a full replay
+    rather than risk a missed watermark)."""
+    # Cheap fast path for the common hot replay (also preserves the
+    # FileNotFoundError contract for a missing table). Advisory only —
+    # the authoritative check is the base-anchored one in the loop.
     if last_txn_version(path, str(app_id)) >= txn_version:
         return current_version(path), False
     _enforce_constraints(df, table_properties(path).get("check_constraints", {}))
@@ -967,6 +982,11 @@ def append_idempotent(
     stats: dict[str, dict] = {}
     for _ in range(max_retries):
         base = current_version(path)
+        if _txns_at(path, base).get(str(app_id), -1) >= int(txn_version):
+            # the racing replica of THIS batch won: exactly-once holds
+            # by no-oping, not by erroring. The lost file group (if we
+            # already wrote one) is unreferenced debris (vacuum_orphans).
+            return base, False
         schema = _evolved_schema(df, path, merge_schema)
         if files is None:  # a lost race re-commits the SAME files
             files, stats = _write_data(df, path, _bloom_cols(path))
@@ -979,11 +999,7 @@ def append_idempotent(
             )
             return v, True
         except TxLogConflict:
-            if last_txn_version(path, str(app_id)) >= txn_version:
-                # the racing replica of THIS batch won: exactly-once
-                # holds by no-oping, not by erroring. The lost file
-                # group is unreferenced debris (vacuum_orphans).
-                return current_version(path), False
+            continue  # re-anchor: next iteration re-checks at the new base
     raise TxLogConflict(
         f"append_idempotent({app_id}, {txn_version}) lost {max_retries} races"
     )
@@ -1872,12 +1888,24 @@ def merge(
     ``txn=(app_id, version)`` makes the merge IDEMPOTENT under replay
     (the same SetTransaction watermark :func:`append_idempotent`
     uses): a merge at or below the writer's recorded watermark no-ops
-    with ``applied=False`` — the exactly-once CDC-apply primitive. A
-    conflict loser re-reads the watermark before giving up, so two
-    replicas applying the same change-set version land it once."""
+    with ``applied=False`` — the exactly-once CDC-apply primitive.
+    The watermark check is ANCHORED to the commit's OCC base (ADVICE
+    r8, medium): it reads the watermark AS OF the same ``base`` the
+    commit validates against, so a twin replica committing anywhere
+    after the check — including during the expensive change-set
+    computation — surfaces as a :class:`TxLogConflict`, where the
+    ``stop_retry`` hook re-reads the (now-visible) watermark and
+    no-ops instead of reconciling past its twin. An EMPTY change set
+    under ``txn`` still publishes a watermark-only commit (adds=[],
+    removes=[]) so the writer version is consumed — otherwise a
+    replayed poisoned (non-empty) payload for the same version would
+    pass the watermark check and mutate data (ADVICE r8, low)."""
     from pyspark.sql import functions as F
 
     if txn is not None and last_txn_version(path, str(txn[0])) >= int(txn[1]):
+        # cheap fast path for the hot replay no-op (also preserves the
+        # FileNotFoundError contract for a missing table); advisory —
+        # the authoritative check below is anchored to the OCC base.
         return {
             "version": current_version(path),
             "files_rewritten": 0,
@@ -1887,6 +1915,21 @@ def merge(
             "applied": False,
         }
     base = current_version(path)
+    if txn is not None and _txns_at(path, base).get(str(txn[0]), -1) >= int(
+        txn[1]
+    ):
+        # base-anchored re-check: a twin that committed between the
+        # fast path and the base capture is visible at ``base``. Any
+        # twin landing AFTER this point advances the log past ``base``
+        # and is caught as a conflict by stop_retry below.
+        return {
+            "version": base,
+            "files_rewritten": 0,
+            "files_total": 0,
+            "rows_upserted": 0,
+            "rows_deleted": 0,
+            "applied": False,
+        }
     all_files = snapshot_files(path, base)
     tagged = _read_files(spark, path, all_files)
     target_cols = [c for c in tagged.columns if c != "_txfile"]
@@ -1924,10 +1967,45 @@ def merge(
         n_deleted = 0
     n_upserts = upserts.count()
     if not touched and n_upserts == 0:
-        # empty change set: nothing to commit, so no watermark advance
-        # — a replay of this version re-derives the same nothing.
+        if txn is None:
+            # empty change set, no writer identity: nothing to commit.
+            return {
+                "version": base,
+                "files_rewritten": 0,
+                "files_total": len(all_files),
+                "rows_upserted": 0,
+                "rows_deleted": 0,
+                "applied": True,
+            }
+        # ADVICE r8 (low): with a txn the empty version must STILL
+        # consume the writer version — publish a watermark-only commit
+        # (adds=[], removes=[], just the SetTransaction action) so a
+        # later replayed poisoned (non-empty) payload for this same
+        # writer version fails the watermark check and no-ops, and a
+        # restarted CDC apply sees applied=False for the replay.
+        def _stop_empty() -> bool:
+            return last_txn_version(path, str(txn[0])) >= int(txn[1])
+
+        try:
+            v = commit_reconciled(
+                path, [], [], base=base, read_files=set(),
+                operation="merge",
+                txn={"app": str(txn[0]), "version": int(txn[1])},
+                stop_retry=_stop_empty,
+            )
+        except TxLogConflict:
+            if last_txn_version(path, str(txn[0])) >= int(txn[1]):
+                return {
+                    "version": current_version(path),
+                    "files_rewritten": 0,
+                    "files_total": len(all_files),
+                    "rows_upserted": 0,
+                    "rows_deleted": 0,
+                    "applied": False,
+                }
+            raise
         return {
-            "version": base,
+            "version": v,
             "files_rewritten": 0,
             "files_total": len(all_files),
             "rows_upserted": 0,

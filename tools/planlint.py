@@ -8,7 +8,13 @@ Smells checked:
   * BatchEvalPython — row-at-a-time Python in the plan (allowlisted
     for the §2 J1 scalar-UDF contract demo only);
   * > MAX_EXCHANGES shuffles in one query — fused-stage queries
-    should not fan into shuffle chains silently.
+    should not fan into shuffle chains silently;
+  * UNPARTITIONED window specs (VERDICT r8 item 3) — a window with no
+    PARTITION BY funnels every row through ONE task; at fact scale
+    that is a single-executor sort bottleneck. Allowlisted only where
+    the window's input is provably bounded (key-domain aggregates,
+    168-cell profiles, ≤k-row frames) — the class that let
+    e12_rfm's three global ntiles ship unflagged through r8.
 
 Queries whose *declaration* executes work (streaming drains,
 iterative trainers, sink roundtrips) are skipped by tag/name — their
@@ -153,6 +159,32 @@ EXCHANGE_ALLOWANCE = {
 }
 
 
+# Unpartitioned windows by audited design — every name here runs its
+# global window over a BOUNDED domain (read from each plan / source),
+# never the fact table; the lint pins them so a full-fact global
+# window can never hide behind the same name. Populated after the
+# first sweep of the rule; keep each entry's bound documented.
+GLOBAL_WINDOW_OK: set[str] = set()
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Count window specs with NO partition columns in a physical-plan
+    string. A printed spec is ``windowspecdefinition(part..., ord ASC
+    NULLS FIRST, ..., frame)``; partition columns precede the sort
+    items, so a spec whose FIRST argument is itself a sort item (its
+    first comma-free segment carries ASC/DESC) has no partitioning.
+    Complex order expressions containing commas can evade this (their
+    first segment looks like a partition column) — a false NEGATIVE,
+    never a false alarm; every declared query orders by plain
+    columns."""
+    n = 0
+    for chunk in plan.split("windowspecdefinition(")[1:]:
+        first = chunk.split(",", 1)[0]
+        if " ASC" in first or " DESC" in first:
+            n += 1
+    return n
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("planlint")
@@ -189,6 +221,9 @@ def main() -> int:
         cap = EXCHANGE_ALLOWANCE.get(name, MAX_EXCHANGES)
         if n_ex > cap:
             problems.append(f"{name}: {n_ex} Exchanges (> {cap})")
+        n_gw = _unpartitioned_windows(plan)
+        if n_gw and name not in GLOBAL_WINDOW_OK:
+            problems.append(f"{name}: {n_gw} unpartitioned window spec(s)")
     print(f"planlint: {n_checked} plans checked, {len(problems)} problems")
     for p in problems:
         print(f"  SMELL {p}")
