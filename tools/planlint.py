@@ -156,15 +156,53 @@ EXCHANGE_ALLOWANCE = {
     # and the final combine); every executed window/agg runs over the
     # hourly-bucket domain (one corpus scan upstream)
     "d34_cusum_changepoint": 18,
+    # r10 audit of the r9 global_prefix_sum rewrites: both plans print
+    # 18 Exchanges but carry only 7 (d22) / 10 (d26) DISTINCT
+    # plan_ids — the persisted value-domain aggregate `g` and the
+    # prefix sum's persisted range-partitioned frame `t` re-print
+    # their upstream recipe under every InMemoryRelation consumer
+    # (totals agg, offset collect, final combine). Executed DAG: ONE
+    # fact scan -> groupBy(value) shuffle, then rangepartitioning +
+    # hash(_gp_pid) window + two SinglePartition scalar aggs, each
+    # over the distinct-value domain and each executed once.
+    "d22_ks_drift": 18,
+    "d26_auc_ranksum": 18,
 }
 
 
 # Unpartitioned windows by audited design — every name here runs its
 # global window over a BOUNDED domain (read from each plan / source),
 # never the fact table; the lint pins them so a full-fact global
-# window can never hide behind the same name. Populated after the
-# first sweep of the rule; keep each entry's bound documented.
-GLOBAL_WINDOW_OK: set[str] = set()
+# window can never hide behind the same name. Swept r10 (the rule
+# landed r9 un-swept — VERDICT r9 item 2); one documented bound per
+# entry, same discipline as EXCHANGE_ALLOWANCE.
+GLOBAL_WINDOW_OK: set[str] = {
+    # lag over the MONTHLY revenue series — pre-aggregated month
+    # domain (TPC-H orderdate spans 1992–1998: <= ~84 rows); the only
+    # fact-sized work is the map-side-combinable groupBy upstream
+    "d18_percent_change",
+    # extremum/argmax/argmin windows over the persisted HOURLY-bucket
+    # cusum frame (<= 8760 rows/year); 6 printed specs = the persisted
+    # frame re-printed under each consumer, all the same bounded domain
+    "d34_cusum_changepoint",
+    # vocab-domain global rank: the window input is the post-minCount
+    # vocabulary aggregate, hard-truncated to the top-400k terms
+    # before ranking — never the token stream
+    "d8_vocabulary",
+    # trailing-7d RANGE frame over the DAILY revenue series
+    # (pre-aggregated day-index domain: <= ~2,500 rows for 1992–1998)
+    "e9_interval_range_frame",
+    # per-retriever rank windows over the UNION OF TOP-N candidate
+    # lists (<= n_retrievers * k rows per query), never the corpus
+    "h15_rrf_fusion",
+    # vocab-domain rank (same top-400k-truncated vocabulary aggregate
+    # as d8) feeding the GloVe block assignment
+    "h5_glove_fit",
+    "h5_glove_fit_micro",
+    # vocab-domain rank for the embedding lookup table — bounded by
+    # the trained vocabulary, never the document stream
+    "h9_doc_embedding",
+}
 
 
 def _unpartitioned_windows(plan: str) -> int:
