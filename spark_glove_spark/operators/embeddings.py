@@ -224,6 +224,64 @@ def h15_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "h15_knn_filtered",
+    section="H15,B2,C7,E2",
+    tags=("similarity", "ann"),
+    oracle=f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS q FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT p.probe_id, e.vec_id, e.label,
+         round({dot_sql('e.embedding', 'p.q')}, 6) AS cos
+  FROM embeddings e CROSS JOIN probes p
+  WHERE e.vec_id <> p.probe_id AND e.label % 3 = 0
+)
+SELECT probe_id, vec_id, label, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+""",
+)
+def h15_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H15 filtered k-NN: the exact brute-force baseline for FILTERED
+    vector search — same probes/k as h15_knn_bruteforce but the corpus
+    is pre-filtered to ``label % 3 = 0`` (~40% selectivity) BEFORE
+    scoring. This is the oracle-checked ground truth the filtered ANN
+    path (h16_ivf_filtered) is recall-floored against in tests.
+
+    The predicate sits directly on the corpus scan (before the
+    broadcast probe join), so Catalyst pushes it into the parquet
+    reader (PushedFilters) and the crossJoin fan-out happens over the
+    0.4x sub-corpus — pre-filtering is cheaper AND more correct than
+    post-filtering the unfiltered top-k (which returns ~4 of 10 rows
+    per probe). At 100 TB this exact tier verifies the ANN tier on
+    samples; both share the identical predicate position."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("q")
+    )
+    scored = (
+        parallelized(e.where(F.col("label") % 3 == 0))
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(dot(F.col("embedding"), F.col("q")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+@query(
     "h15_range_search",
     section="H15,C7,G8",
     tags=("similarity",),
