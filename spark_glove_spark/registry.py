@@ -251,8 +251,6 @@ R8_REGREEN: tuple[str, ...] = (
     "sql_tpch_q18",
 )
 
-DRIVER_PRIORITY = R8_REMAINDER + R8_NEW + R8_REGREEN
-
 DRIVER_WINDOW = 50
 
 # Round-9 remainder: queries built AFTER the r8 window froze land
@@ -263,6 +261,96 @@ R9_REMAINDER: tuple[str, ...] = (
     "a34_txlog_idempotent_sink",  # exactly-once sink replay (SetTransaction)
     "pipeline_cdc_exactly_once",  # restart-safe CDC apply (idempotent merge)
 )
+
+# ROUND-10 ROTATION (VERDICT r9 item 1 — the r9 window was never
+# rotated, so the r8 composition ran twice and R9_REMAINDER is two
+# rounds overdue). Composition:
+#   1. R9_REMAINDER leads — the ONLY registered queries with zero
+#      driver records after nine rounds. Landing them re-closes the
+#      evidence contract: every registered query holds a driver row.
+#   2. R10_NEW — the two filtered-vector-search queries built this
+#      round (VERDICT r9 item 6): the exact filtered k-NN baseline
+#      (oracle-checked) and the pre-filtered IVF probe (rows-only by
+#      design — k-means cells are model-specific — recall-floored
+#      against the exact twin in tests/test_dedup.py).
+#   3. R10_REGREEN — 46 re-certification slots, prioritized by what
+#      r9/r10 code touched: the four queries r9 rebuilt on
+#      scale_ops.global_rank/global_prefix_sum (d17/d22/d26/d29 —
+#      the stale r9 window never re-ran them), the streaming family
+#      (r10 wires exactly-once epoch commits into the ingestion
+#      capstone), the txlog DML/infra family (r10 adds the TOCTOU
+#      interleaving regressions), the ANN/dedup portables
+#      (ivf_knn's signature changed this round), and the standing
+#      GloVe + capstone signature surface.
+R10_NEW: tuple[str, ...] = (
+    "h15_knn_filtered",
+    "h16_ivf_filtered",
+)
+
+R10_REGREEN: tuple[str, ...] = (
+    # rebuilt on scale_ops two-pass rank/prefix-sum in r9; driver last
+    # saw them as the pre-rewrite forms (r4–r7 records)
+    "d17_quantile_binning",
+    "d22_ks_drift",
+    "d26_auc_ranksum",
+    "d29_gini",
+    # streaming family — r10 touches streaming/queries.py (exactly-
+    # once epoch commits in pipeline_streaming_curate)
+    "pipeline_streaming_curate",
+    "i17_streaming_txlog_sink",
+    "i22_streaming_online_dedup",
+    "i5_streaming_dedup",
+    "i14_streaming_quality_filter",
+    "i9_streaming_cooccurrence",
+    "i20_streaming_cooccurrence_update",
+    "i13_checkpoint_recovery",
+    "i18_txlog_stream_source",
+    "i11_streaming_upsert",
+    # txlog family — r9 re-anchored the exactly-once watermarks; r10
+    # pins the interleavings with regression tests
+    "a21_txlog_delete",
+    "a22_txlog_merge",
+    "a27_txlog_update",
+    "a26_txlog_bloom_lookup",
+    "a31_txlog_cas_backend",
+    "a33_txlog_pinned_reader",
+    "a23_txlog_zorder_optimize",
+    "pipeline_mor_lifecycle",
+    # ANN / dedup / embedding signature — ivf_knn gained the
+    # corpus_filter parameter this round
+    "h15_knn_bruteforce",
+    "h15_range_search",
+    "h15_rrf_fusion",
+    "h15_mmr_portable",
+    "h16_ivf_portable",
+    "h16_pq_portable",
+    "h16_lsh_portable",
+    "h13_minhash_portable",
+    "h14_similarity_join",
+    "h14_jaccard",
+    "h13_url_dedup",
+    "h13_dedup_clusters",
+    # GloVe pipeline signature (unchanged code, standing re-cert)
+    "h1_token_stats",
+    "h3_cooccurrence_topk",
+    "h4_glove_weighting",
+    "h5_glove_fit_micro",
+    "h5_glove_planted_analogy",
+    "h6_export_portable",
+    "h7_topk_cosine",
+    "h8_analogy",
+    "h9_doc_embedding",
+    "h10_tfidf",
+    # batch capstone + the heaviest TPC-H join
+    "pipeline_curate_corpus",
+    "sql_tpch_q18",
+)
+
+DRIVER_PRIORITY = R9_REMAINDER + R10_NEW + R10_REGREEN
+
+# Round-11 remainder: queries built AFTER the r10 window froze land
+# here, same discipline as R9_REMAINDER above.
+R11_REMAINDER: tuple[str, ...] = ()
 
 
 def driver_key(rank: int, name: str) -> str:

@@ -6,11 +6,13 @@ the contract that keeps the engine's signature surface inside that
 window, so a future alphabetically-early addition can't silently evict
 e.g. h5_glove_fit from driver verification.
 
-Round-8 semantics: the window is REMAINDER (never-driver-checked) +
-NEW (built this round) + REGREEN (deliberate re-certification of
-driver-green rows at r8 HEAD — VERDICT r7 item 2). The partition
-guard therefore distinguishes "wasted slot" (an already-checked name
-NOT declared as a re-green) from the explicit R8_REGREEN tuple.
+Round-10 semantics (VERDICT r9 item 1 — the r9 rotation was never
+executed, so the r8 window ran twice): the window is REMAINDER
+(never-driver-checked, two rounds overdue) + NEW (built this round) +
+REGREEN (deliberate re-certification of driver-green rows at r10
+HEAD). The partition guard distinguishes "wasted slot" (an
+already-checked name NOT declared as a re-green) from the explicit
+R10_REGREEN tuple.
 
 No SparkSession needed — these are pure registry-shape checks.
 """
@@ -24,10 +26,10 @@ from spark_glove_spark import api
 from spark_glove_spark.registry import (
     DRIVER_PRIORITY,
     DRIVER_WINDOW,
-    R8_NEW,
-    R8_REGREEN,
-    R8_REMAINDER,
     R9_REMAINDER,
+    R10_NEW,
+    R10_REGREEN,
+    R11_REMAINDER,
     driver_key,
     original_name,
 )
@@ -111,72 +113,68 @@ ALL_RECORDS = (
     "CORRECTNESS_r05",
     "CORRECTNESS_r06",
     "CORRECTNESS_r07",
+    "CORRECTNESS_r08",
+    "CORRECTNESS_r09",
 )
 
 
 def test_window_slots_are_new_work_or_declared_regreens():
-    """VERDICT r7 items 1+2: every window slot is either a query with
-    NO driver record in any prior round (closing the evidence gap) or
-    an EXPLICIT member of R8_REGREEN (re-certifying the signature
-    surface at r8 HEAD). An already-checked name outside R8_REGREEN
-    is a wasted slot; an unchecked name inside R8_REGREEN would be
-    new coverage masquerading as a re-green."""
+    """Every window slot is either a query with NO driver record in
+    any prior round (closing the evidence gap: R9_REMAINDER + the two
+    r10-built queries) or an EXPLICIT member of R10_REGREEN
+    (re-certifying the signature surface at r10 HEAD). An
+    already-checked name outside R10_REGREEN is a wasted slot; an
+    unchecked name inside R10_REGREEN would be new coverage
+    masquerading as a re-green."""
     checked = _driver_checked(ALL_RECORDS)
     stale = [
-        n for n in DRIVER_PRIORITY if n in checked and n not in R8_REGREEN
+        n for n in DRIVER_PRIORITY if n in checked and n not in R10_REGREEN
     ]
     assert not stale, f"already-checked slots not declared as regreens: {stale}"
-    fake = [n for n in R8_REGREEN if n not in checked]
-    assert not fake, f"R8_REGREEN names without a prior green record: {fake}"
+    fake = [n for n in R10_REGREEN if n not in checked]
+    assert not fake, f"R10_REGREEN names without a prior green record: {fake}"
 
 
 def test_window_covers_the_rotation_waves():
-    """The r8 rotation carries the VERDICT r7 mandates: R8_REMAINDER
-    leads in its pre-committed order (item 1 — the 12 names whose
-    driver records close the contract at 310/310); the three new r8
-    queries follow; and the re-green slate includes item 2's explicit
-    signature list."""
-    assert DRIVER_PRIORITY[: len(R8_REMAINDER)] == R8_REMAINDER
-    assert R8_REMAINDER == (
-        "mm_bmp_decode", "mm_gif_decode", "h15_rrf_fusion",
-        "e11_markov_transitions", "d31_hll_portable",
-        "h13_containment_dedup", "h17_langid_trigrams",
-        "d32_sample_quantiles", "i22_streaming_online_dedup",
-        "d33_seasonal_profile", "d34_cusum_changepoint",
-        "e12_rfm_segmentation",
+    """The r10 rotation carries the VERDICT r9 mandates: R9_REMAINDER
+    leads in its pre-committed order (item 1 — the only two queries
+    without a driver record after nine rounds); the two filtered-ANN
+    queries built this round follow (item 6); and the re-green slate
+    leads with the four queries r9 rebuilt on scale_ops that the
+    stale r9 window never re-ran."""
+    assert DRIVER_PRIORITY[: len(R9_REMAINDER)] == R9_REMAINDER
+    assert R9_REMAINDER == (
+        "a34_txlog_idempotent_sink",
+        "pipeline_cdc_exactly_once",
     )
-    # the new r8 work: reader pinning, the streaming ingestion
-    # capstone (VERDICT r7 item 5), the planted-analogy judgment
-    # record (item 9)
-    assert R8_NEW == (
-        "a33_txlog_pinned_reader",
-        "pipeline_streaming_curate",
-        "h5_glove_planted_analogy",
+    assert R10_NEW == ("h15_knn_filtered", "h16_ivf_filtered")
+    assert (
+        DRIVER_PRIORITY[len(R9_REMAINDER):len(R9_REMAINDER) + len(R10_NEW)]
+        == R10_NEW
     )
-    for n in R8_NEW:
-        assert n in DRIVER_PRIORITY
-    # VERDICT r7 item 2's named signature set, all in the regreens
-    for n in ("h3_cooccurrence_topk", "h5_glove_fit_micro",
-              "h13_minhash_portable", "h14_similarity_join",
-              "h14_jaccard", "h15_knn_bruteforce", "a21_txlog_delete",
-              "a22_txlog_merge", "a27_txlog_update",
-              "i9_streaming_cooccurrence",
-              "i20_streaming_cooccurrence_update"):
-        assert n in R8_REGREEN
+    # the r9 scale_ops rewrites lead the re-green slate
+    for n in ("d17_quantile_binning", "d22_ks_drift",
+              "d26_auc_ranksum", "d29_gini"):
+        assert n in R10_REGREEN
+    # the streaming + txlog families r10 code/tests touch
+    for n in ("pipeline_streaming_curate", "i17_streaming_txlog_sink",
+              "a21_txlog_delete", "a22_txlog_merge", "a27_txlog_update",
+              "a31_txlog_cas_backend"):
+        assert n in R10_REGREEN
 
 
 def test_remainder_plus_new_closes_the_evidence_contract():
-    """After CORRECTNESS_r08 records the window, every registered
-    query must possess a driver record: prior greens + R8_REMAINDER +
-    R8_NEW must equal the full registry (R9_REMAINDER catches any
-    query built after the freeze)."""
+    """After CORRECTNESS_r10 records the window, every registered
+    query must possess a driver record: prior greens + R9_REMAINDER +
+    R10_NEW must equal the full registry (R11_REMAINDER catches any
+    query built after the r10 freeze)."""
     checked = _driver_checked(ALL_RECORDS)
     uncovered = (
         set(api.queries())
         - checked
-        - set(R8_REMAINDER)
-        - set(R8_NEW)
         - set(R9_REMAINDER)
+        - set(R10_NEW)
+        - set(R11_REMAINDER)
     )
     assert not uncovered, f"queries not slotted in any rotation: {uncovered}"
 
@@ -190,31 +188,31 @@ def test_driver_keys_sort_before_every_organic_name():
 
 
 def test_rotation_plan_partitions_the_registry():
-    """The three r8 plans (REMAINDER / NEW / REGREEN) are disjoint,
-    registered, and every oracle obligation holds: R8_REMAINDER ships
-    oracles (pre-committed r7 discipline); R8_NEW ships oracles except
-    h5_glove_planted_analogy, which is rows-only BY NECESSITY
-    (iterative seeded training) with oracle-checked portable twins
-    (h5_glove_fit_micro + h8_analogy, both in the re-green slate)."""
+    """The three r10 plans (REMAINDER / NEW / REGREEN) are disjoint,
+    registered, and every oracle obligation holds: R9_REMAINDER ships
+    oracles (pre-committed discipline); R10_NEW ships oracles except
+    h16_ivf_filtered, which is rows-only BY DESIGN (k-means cell
+    boundaries are model-specific) with its exact oracle-checked twin
+    h15_knn_filtered IN THE SAME WAVE plus the recall-floor test in
+    tests/test_dedup.py."""
     from spark_glove_spark.registry import REGISTRY
 
-    parts = [set(R8_REMAINDER), set(R8_NEW), set(R8_REGREEN)]
+    parts = [set(R9_REMAINDER), set(R10_NEW), set(R10_REGREEN)]
     for i in range(len(parts)):
         for j in range(i + 1, len(parts)):
             assert not parts[i] & parts[j], (i, j, parts[i] & parts[j])
     ghost = set(DRIVER_PRIORITY) - set(api.queries())
     assert not ghost, f"plan names not registered: {ghost}"
-    for n in R8_REMAINDER:
+    for n in R9_REMAINDER:
         assert REGISTRY[n].oracle is not None, f"{n} must ship an oracle"
-    for n in R8_NEW:
-        if n == "h5_glove_planted_analogy":
+    for n in R10_NEW:
+        if n == "h16_ivf_filtered":
             assert REGISTRY[n].oracle is None
-            assert "h5_glove_fit_micro" in R8_REGREEN
-            assert "h8_analogy" in R8_REGREEN
+            assert "h15_knn_filtered" in R10_NEW
         else:
             assert REGISTRY[n].oracle is not None, f"{n} must ship an oracle"
-    for n in R9_REMAINDER:
-        assert n in REGISTRY, f"R9 plan name not registered: {n}"
+    for n in R11_REMAINDER:
+        assert n in REGISTRY, f"R11 plan name not registered: {n}"
 
 
 def test_original_name_roundtrip():
