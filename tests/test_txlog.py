@@ -2023,3 +2023,218 @@ def test_commit_undecidable_double_inflight_raises_ambiguous(spark, tmp_path):
         assert txlog.current_version(path) == 2
         ks = sorted(r["k"] for r in txlog.read(spark, path).collect())
         assert ks == [1, 2, 3]
+
+
+# --- round 10: TOCTOU interleaving regressions (VERDICT r9 item 3) ----------
+# The r9 fixes anchored the SetTransaction watermark checks to the
+# commit's OCC base (txlog.py append_idempotent / merge). These tests
+# pin BOTH halves of each fixed race deterministically, so a refactor
+# cannot silently reopen them:
+#   * twin lands between the advisory FAST-PATH check and the base
+#     capture  -> the base-anchored re-check must see it and no-op;
+#   * twin lands between the base-anchored check and the COMMIT
+#     (staged via the commit-backend seam) -> the publish loses, and
+#     the retry must re-read the watermark at the new base and no-op
+#     instead of re-committing (the pre-r9 double-apply).
+
+
+class _TwinOnPublish(txlog.LocalFSCommitBackend):
+    """Commit-backend seam that stages the check-to-commit race: the
+    FIRST publish whose payload carries ``marker`` first yields to
+    ``twin`` (the racing replica's full write through the txlog API),
+    so the twin's commit lands AFTER the caller's base-anchored
+    watermark check and BEFORE its own put — which therefore loses.
+    ``injected`` is set before the twin runs, so the twin's own
+    publishes (same marker) pass straight through."""
+
+    def __init__(self, marker: str, twin) -> None:
+        self._marker = marker
+        self._twin = twin
+        self.injected = False
+
+    def publish(self, target: str, payload: str) -> bool:
+        if not self.injected and self._marker in payload:
+            self.injected = True
+            self._twin()
+        return super().publish(target, payload)
+
+
+def test_append_idempotent_twin_between_check_and_commit(spark, tmp_path):
+    """append_idempotent: twin replica commits the SAME (app, version)
+    after the loser's base-anchored check, before its publish. The
+    loser's put conflicts; the retry must no-op at the new base —
+    with the pre-r9 unanchored check the retry re-committed and the
+    batch landed twice."""
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(0, "z")]).coalesce(1), path)
+    batch = [(1, "a"), (2, "b")]
+
+    def twin() -> None:
+        v, applied = txlog.append_idempotent(
+            _df(spark, batch).coalesce(1), path, "sink", 0
+        )
+        assert applied is True
+
+    b = _TwinOnPublish('"operation": "append-txn-sink-0"', twin)
+    with txlog.use_backend(b):
+        v, applied = txlog.append_idempotent(
+            _df(spark, batch).coalesce(1), path, "sink", 0
+        )
+    assert b.injected, "the race was never staged"
+    assert applied is False
+    ks = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert ks == [0, 1, 2]  # exactly once
+    assert txlog.last_txn_version(path, "sink") == 0
+
+
+def test_append_idempotent_twin_between_fastpath_and_base(
+    spark, tmp_path, monkeypatch
+):
+    """append_idempotent: twin replica commits between the advisory
+    fast-path watermark read and the base capture (the exact ADVICE r8
+    window). The base-anchored loop check (txlog.append_idempotent's
+    _txns_at-at-base) must see the twin's watermark and no-op."""
+    path = str(tmp_path / "t")
+    txlog.create(_df(spark, [(0, "z")]).coalesce(1), path)
+    batch = [(1, "a"), (2, "b")]
+    real = txlog.last_txn_version
+    state = {"fired": False}
+
+    def hooked(p: str, app: str) -> int:
+        res = real(p, app)  # the stale pre-twin read
+        if not state["fired"] and app == "sink":
+            state["fired"] = True  # before the twin: no recursion
+            _, applied = txlog.append_idempotent(
+                _df(spark, batch).coalesce(1), p, "sink", 0
+            )
+            assert applied is True
+        return res
+
+    monkeypatch.setattr(txlog, "last_txn_version", hooked)
+    v, applied = txlog.append_idempotent(
+        _df(spark, batch).coalesce(1), path, "sink", 0
+    )
+    monkeypatch.setattr(txlog, "last_txn_version", real)
+    assert state["fired"], "the race was never staged"
+    assert applied is False
+    ks = sorted(r["k"] for r in txlog.read(spark, path).collect())
+    assert ks == [0, 1, 2]  # exactly once
+    assert txlog.last_txn_version(path, "sink") == 0
+
+
+def test_merge_txn_twin_between_check_and_commit(spark, tmp_path):
+    """merge(txn): twin replica applies the SAME change set after the
+    loser's base-anchored check, before its publish — INSERT-ONLY on
+    purpose: touched=[] and removes=[] make the loser's commit
+    reconcilable by _reconcile_base's rules, so ONLY the stop_retry
+    watermark hook stands between the retry and a double-apply (an
+    update-containing change set would be caught by read-set
+    invalidation regardless, which would mask a broken hook)."""
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark, n=20, parts=2), path)
+    ch = spark.createDataFrame(
+        [(100, "hundred", "I"), (101, "hundred-one", "I")],
+        "k long, v string, op string",
+    )
+
+    def twin() -> None:
+        r = txlog.merge(spark, path, ch, on=["k"], op_col="op", txn=("cdc", 0))
+        assert r["applied"] is True
+
+    b = _TwinOnPublish('"operation": "merge"', twin)
+    with txlog.use_backend(b):
+        r = txlog.merge(spark, path, ch, on=["k"], op_col="op", txn=("cdc", 0))
+    assert b.injected, "the race was never staged"
+    assert r["applied"] is False
+    rows = {row["k"]: row["v"] for row in txlog.read(spark, path).collect()}
+    assert rows[100] == "hundred" and rows[101] == "hundred-one"
+    assert len(rows) == 22  # 20 base + 2 inserts, exactly once
+    assert txlog.last_txn_version(path, "cdc") == 0
+
+
+def test_merge_txn_twin_between_fastpath_and_base(spark, tmp_path, monkeypatch):
+    """merge(txn): twin replica commits between the advisory fast-path
+    read and the base capture. The base-anchored re-check
+    (txlog.merge's _txns_at-at-base) must see the twin and no-op —
+    and the loser here carries a POISONED payload, which must be
+    discarded, not applied."""
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark, n=20, parts=2), path)
+    ch = spark.createDataFrame(
+        [(1, "one", "U"), (100, "hundred", "I")],
+        "k long, v string, op string",
+    )
+    poisoned = spark.createDataFrame(
+        [(5, "POISON", "U")], "k long, v string, op string"
+    )
+    real = txlog.last_txn_version
+    state = {"fired": False}
+
+    def hooked(p: str, app: str) -> int:
+        res = real(p, app)
+        if not state["fired"] and app == "cdc":
+            state["fired"] = True
+            r = txlog.merge(spark, p, ch, on=["k"], op_col="op", txn=("cdc", 0))
+            assert r["applied"] is True
+        return res
+
+    monkeypatch.setattr(txlog, "last_txn_version", hooked)
+    r2 = txlog.merge(
+        spark, path, poisoned, on=["k"], op_col="op", txn=("cdc", 0)
+    )
+    monkeypatch.setattr(txlog, "last_txn_version", real)
+    assert state["fired"], "the race was never staged"
+    assert r2["applied"] is False
+    rows = {row["k"]: row["v"] for row in txlog.read(spark, path).collect()}
+    assert rows[1] == "one" and rows[100] == "hundred"
+    assert rows[5] == "10"  # untouched by the poison
+    assert len(rows) == 21
+
+
+def test_empty_merge_with_txn_publishes_watermark_only_commit(spark, tmp_path):
+    """An empty change set under txn must still CONSUME the writer
+    version with a watermark-only commit (adds=[], removes=[]) —
+    otherwise a replayed poisoned (non-empty) payload for the same
+    writer version would pass the watermark check and mutate data
+    (ADVICE r8 low; the r9 fix, previously untested)."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    txlog.create(_kv(spark, n=10, parts=1), path)
+    before = {(r["k"], r["v"]) for r in txlog.read(spark, path).collect()}
+    # a change set that touches nothing: one delete for an absent key
+    empty = spark.createDataFrame(
+        [(999, None, "D")], "k long, v string, op string"
+    )
+    r = txlog.merge(spark, path, empty, on=["k"], op_col="op", txn=("cdc", 0))
+    assert r["applied"] is True
+    assert r["rows_upserted"] == 0 and r["rows_deleted"] == 0
+    assert r["version"] == 1
+    entry = _json.load(open(txlog._version_file(path, 1)))
+    assert entry["adds"] == [] and entry["removes"] == []
+    assert entry["txn"] == {"app": "cdc", "version": 0}
+    assert txlog.last_txn_version(path, "cdc") == 0
+    # the replayed NON-EMPTY payload for the consumed writer version
+    # must no-op and leave the data bit-identical
+    poisoned = spark.createDataFrame(
+        [(1, "POISON", "U")], "k long, v string, op string"
+    )
+    r2 = txlog.merge(
+        spark, path, poisoned, on=["k"], op_col="op", txn=("cdc", 0)
+    )
+    assert r2["applied"] is False
+    after = {(r["k"], r["v"]) for r in txlog.read(spark, path).collect()}
+    assert after == before
+    # the NEXT writer version still applies normally
+    r3 = txlog.merge(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(100, "hundred", "I")], "k long, v string, op string"
+        ),
+        on=["k"],
+        op_col="op",
+        txn=("cdc", 1),
+    )
+    assert r3["applied"] is True
+    assert txlog.last_txn_version(path, "cdc") == 1
