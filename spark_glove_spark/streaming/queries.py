@@ -1526,6 +1526,172 @@ def i22_streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txlog.read(spark, verdicts_tbl).select("doc_id", "kept")
 
 
+
+def _curate_tables_init(spark: SparkSession, docs: DataFrame, base: str) -> dict:
+    """Pre-create the four EMPTY txlog state tables the streaming
+    curate capstone writes (band buckets, shingle sets, curated docs,
+    per-lang monitor), so every epoch write goes through ONE uniform
+    exactly-once path (no create/append branching inside the hot
+    loop). Returns the path dict :func:`_curate_epoch` consumes."""
+    import os
+
+    from spark_glove_spark.operators.dedup import (
+        portable_band_buckets,
+        portable_shingles,
+    )
+    from spark_glove_spark.sources import txlog
+
+    tables = {
+        "bk": os.path.join(base, "buckets"),
+        "sh": os.path.join(base, "shingles"),
+        "cur": os.path.join(base, "curated"),
+        "mon": os.path.join(base, "monitor"),
+    }
+    sh_empty = portable_shingles(docs.select("doc_id", "text").limit(0))
+    txlog.create(sh_empty.coalesce(1), tables["sh"])
+    txlog.create(portable_band_buckets(sh_empty).coalesce(1), tables["bk"])
+    txlog.create(
+        spark.createDataFrame([], "doc_id long, lang string, n int"),
+        tables["cur"],
+    )
+    txlog.create(
+        spark.createDataFrame(
+            [], "lang string, n_docs long, total_tokens long"
+        ),
+        tables["mon"],
+    )
+    return tables
+
+
+def _curate_epoch(
+    spark: SparkSession, tables: dict, batch_df: DataFrame, epoch_id: int
+) -> None:
+    """One micro-batch of the streaming curate capstone, EXACTLY-ONCE
+    under foreachBatch's at-least-once re-delivery (VERDICT r9 item 4):
+    every state write carries the epoch id as a SetTransaction
+    watermark — history and curated appends go through
+    :func:`txlog.append_idempotent` (one writer app per table) and the
+    monitor upsert through ``merge(txn=("psc-monitor", epoch_id))`` —
+    so a restarted stream replaying a completed epoch no-ops every
+    write instead of double-appending (the i17 sink's carried gap).
+    Module-level (not a closure) so the restart regression in
+    tests/test_streaming.py can re-deliver an epoch directly.
+
+    Replay determinism inside the epoch: the near-dup filter joins the
+    batch against history ∪ batch with a strict ``doc_id <`` — on
+    replay the history already contains this epoch's rows, but equal
+    doc_ids never pair, so ``kept`` recomputes identically and the
+    downstream no-ops see the same payload."""
+    from spark_glove_spark.operators.dedup import (
+        portable_band_buckets,
+        portable_shingles,
+    )
+    from spark_glove_spark.sources import txlog
+
+    if batch_df.count() == 0:
+        return
+    # 1. quality gate (i14's signals, identical expressions)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sr = (
+        F.size(F.filter(toks, lambda x: x.isin("a", "the"))).cast("double")
+        / n
+    )
+    passed = (
+        batch_df.select("doc_id", "lang", "text", n.alias("n"))
+        .where(n.between(20, 80) & (sr < 0.3))
+        .localCheckpoint(eager=True)
+    )
+    if passed.count() == 0:
+        return
+    # 2. online near-dup filter (i22's incremental banding)
+    sh_new = portable_shingles(
+        passed.select("doc_id", "text")
+    ).localCheckpoint(eager=True)
+    bk_new = portable_band_buckets(sh_new).localCheckpoint(eager=True)
+    bk_all = txlog.read(spark, tables["bk"]).unionByName(bk_new)
+    sh_all = txlog.read(spark, tables["sh"]).unionByName(sh_new)
+    a = bk_all.alias("a")
+    b = bk_new.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh_all.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("set_a")
+    )
+    sb = sh_new.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("set_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    dropped = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(inter.cast("double") / union >= 0.5)
+        .select("doc_b")
+        .distinct()
+        .withColumnRenamed("doc_b", "doc_id")
+    )
+    kept = passed.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n"
+    ).localCheckpoint(eager=True)
+    # history accumulates EVERY quality-passed doc (kept or dropped) —
+    # the order-free contract i22 proves; exactly-once per epoch
+    for app, tbl, frame in (
+        ("psc-buckets", tables["bk"], bk_new),
+        ("psc-shingles", tables["sh"], sh_new),
+    ):
+        txlog.append_idempotent(frame.coalesce(1), tbl, app, int(epoch_id))
+    if kept.count() == 0:
+        return
+    # 3. transactional sink: one idempotent commit per epoch
+    txlog.append_idempotent(
+        kept.coalesce(1), tables["cur"], "psc-curated", int(epoch_id)
+    )
+    # 4. incremental monitor: bounded per-lang delta, idempotent MERGE
+    # (on replay the delta is recomputed against the POST-epoch state
+    # and would be wrong — the watermark no-op discards it unapplied)
+    delta = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("d_docs"),
+        F.sum("n").cast("long").alias("d_tokens"),
+    )
+    old = txlog.read(spark, tables["mon"]).select(
+        "lang",
+        F.col("n_docs").alias("o_docs"),
+        F.col("total_tokens").alias("o_tokens"),
+    )
+    src_rows = (
+        delta.join(old, "lang", "left")
+        .select(
+            "lang",
+            (F.col("d_docs") + F.coalesce(F.col("o_docs"), F.lit(0))).alias(
+                "n_docs"
+            ),
+            (
+                F.col("d_tokens") + F.coalesce(F.col("o_tokens"), F.lit(0))
+            ).alias("total_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    txlog.merge(
+        spark,
+        tables["mon"],
+        src_rows,
+        on=["lang"],
+        txn=("psc-monitor", int(epoch_id)),
+    )
+
+
 @query(
     "pipeline_streaming_curate",
     section="A5,A6,I5,H13,H17,A3",
@@ -1622,10 +1788,6 @@ def pipeline_streaming_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.parquet as _pq
 
-    from spark_glove_spark.operators.dedup import (
-        portable_band_buckets,
-        portable_shingles,
-    )
     from spark_glove_spark.sources import txlog
 
     d = table(spark, sf_dir, "documents")
@@ -1648,129 +1810,10 @@ def pipeline_streaming_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = spark.readStream.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
     ).option("maxFilesPerTrigger", 1).parquet(src)
-    sh_tbl = os.path.join(base, "shingles")
-    bk_tbl = os.path.join(base, "buckets")
-    cur_tbl = os.path.join(base, "curated")
-    mon_tbl = os.path.join(base, "monitor")
+    tables = _curate_tables_init(spark, d, base)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.count() == 0:
-            return
-        # 1. quality gate (i14's signals, identical expressions)
-        toks = F.split(F.col("text"), " ")
-        n = F.size(toks)
-        sr = (
-            F.size(F.filter(toks, lambda x: x.isin("a", "the"))).cast(
-                "double"
-            )
-            / n
-        )
-        passed = (
-            batch_df.select("doc_id", "lang", "text", n.alias("n"))
-            .where(n.between(20, 80) & (sr < 0.3))
-            .localCheckpoint(eager=True)
-        )
-        if passed.count() == 0:
-            return
-        # 2. online near-dup filter (i22's incremental banding)
-        sh_new = portable_shingles(
-            passed.select("doc_id", "text")
-        ).localCheckpoint(eager=True)
-        bk_new = portable_band_buckets(sh_new).localCheckpoint(eager=True)
-        have_hist = txlog.current_version(bk_tbl) >= 0
-        bk_all = (
-            txlog.read(spark, bk_tbl).unionByName(bk_new)
-            if have_hist
-            else bk_new
-        )
-        sh_all = (
-            txlog.read(spark, sh_tbl).unionByName(sh_new)
-            if have_hist
-            else sh_new
-        )
-        a = bk_all.alias("a")
-        b = bk_new.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
-        )
-        sa = sh_all.select(
-            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("set_a")
-        )
-        sb = sh_new.select(
-            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("set_b")
-        )
-        inter = F.size(F.array_intersect("set_a", "set_b"))
-        union = F.size("set_a") + F.size("set_b") - inter
-        dropped = (
-            cand.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .where(inter.cast("double") / union >= 0.5)
-            .select("doc_b")
-            .distinct()
-            .withColumnRenamed("doc_b", "doc_id")
-        )
-        kept = passed.join(dropped, "doc_id", "left_anti").select(
-            "doc_id", "lang", "n"
-        ).localCheckpoint(eager=True)
-        # history accumulates EVERY quality-passed doc (kept or
-        # dropped) — the order-free contract i22 proves
-        for tbl, frame in ((bk_tbl, bk_new), (sh_tbl, sh_new)):
-            if txlog.current_version(tbl) < 0:
-                txlog.create(frame.coalesce(1), tbl)
-            else:
-                txlog.append(frame.coalesce(1), tbl)
-        if kept.count() == 0:
-            return
-        # 3. transactional sink: one commit per epoch
-        if txlog.current_version(cur_tbl) < 0:
-            txlog.create(kept.coalesce(1), cur_tbl)
-        else:
-            txlog.append(kept.coalesce(1), cur_tbl, operation=f"epoch-{epoch_id}")
-        # 4. incremental monitor: bounded per-lang delta, MERGE upsert
-        delta = kept.groupBy("lang").agg(
-            F.count(F.lit(1)).alias("d_docs"),
-            F.sum("n").cast("long").alias("d_tokens"),
-        )
-        if txlog.current_version(mon_tbl) < 0:
-            txlog.create(
-                delta.select(
-                    "lang",
-                    F.col("d_docs").alias("n_docs"),
-                    F.col("d_tokens").alias("total_tokens"),
-                ).coalesce(1),
-                mon_tbl,
-            )
-        else:
-            old = txlog.read(spark, mon_tbl).select(
-                "lang",
-                F.col("n_docs").alias("o_docs"),
-                F.col("total_tokens").alias("o_tokens"),
-            )
-            src_rows = (
-                delta.join(old, "lang", "left")
-                .select(
-                    "lang",
-                    (
-                        F.col("d_docs") + F.coalesce(F.col("o_docs"), F.lit(0))
-                    ).alias("n_docs"),
-                    (
-                        F.col("d_tokens")
-                        + F.coalesce(F.col("o_tokens"), F.lit(0))
-                    ).alias("total_tokens"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            txlog.merge(spark, mon_tbl, src_rows, on=["lang"])
+        _curate_epoch(spark, tables, batch_df, epoch_id)
 
     run_stream_foreach_batch(sdf, process, "append")
     # load-bearing invariants — explicit raises survive python -O.
@@ -1780,17 +1823,19 @@ def pipeline_streaming_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter keeps NOTHING (measured on the 10x scale probe, whose
     # replicas are exact near-dups of epoch 1 — the filter working as
     # designed), and such epochs add no curated commit.
-    if txlog.current_version(bk_tbl) + 1 < 2:
+    # (version 0 of every table is the pre-created empty snapshot, so
+    # epoch commits = current_version, not current_version + 1)
+    if txlog.current_version(tables["bk"]) < 2:
         raise AssertionError("replay collapsed to a single micro-batch")
-    n_versions = txlog.current_version(cur_tbl) + 1
+    n_versions = txlog.current_version(tables["cur"]) + 1
     counts = [
-        txlog.read(spark, cur_tbl, version=v).count()
+        txlog.read(spark, tables["cur"], version=v).count()
         for v in range(n_versions)
     ]
     if counts != sorted(counts):
         raise AssertionError(f"non-monotone curated prefix: {counts}")
     out = (
-        txlog.read(spark, cur_tbl)
+        txlog.read(spark, tables["cur"])
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1799,7 +1844,7 @@ def pipeline_streaming_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mon = {
         r["lang"]: (r["n_docs"], r["total_tokens"])
-        for r in txlog.read(spark, mon_tbl).collect()
+        for r in txlog.read(spark, tables["mon"]).collect()
     }
     got = {
         r["lang"]: (r["n_docs"], r["total_tokens"]) for r in out.collect()

@@ -214,3 +214,57 @@ def test_i15_ttl_reset_and_timeout_removal(spark, tmp_path):
     # and removed the state WITHOUT emitting (remove path yields
     # nothing), so exactly one emission exists
     assert [r["n_events"] for r in by_user[20]] == [1]
+
+
+# --- round 10: exactly-once epoch commits in the curate capstone ------------
+
+
+def test_streaming_curate_epoch_redelivery_noops(spark, tmp_path):
+    """VERDICT r9 item 4: pipeline_streaming_curate's per-epoch writes
+    all carry SetTransaction watermarks, so a foreachBatch RE-DELIVERY
+    of a completed epoch (the at-least-once restart contract) must
+    no-op every table — zero new versions, bit-identical contents —
+    for in-order replays AND a stale out-of-order replay of an
+    earlier epoch."""
+    from spark_glove_spark.sources import txlog
+    from spark_glove_spark.streaming.queries import (
+        _curate_epoch,
+        _curate_tables_init,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tables = _curate_tables_init(spark, d, str(tmp_path))
+    ids = sorted(r["doc_id"] for r in d.select("doc_id").collect())
+    mid = ids[len(ids) // 2]
+    b0 = d.where(F.col("doc_id") < mid)
+    b1 = d.where(F.col("doc_id") >= mid)
+    _curate_epoch(spark, tables, b0, 0)
+    _curate_epoch(spark, tables, b1, 1)
+
+    def versions():
+        return {k: txlog.current_version(p) for k, p in tables.items()}
+
+    def contents():
+        return {
+            k: sorted(
+                tuple(row) for row in txlog.read(spark, p).collect()
+            )
+            for k, p in tables.items()
+        }
+
+    vers, snap = versions(), contents()
+    # the run must have actually committed work, or the no-op
+    # assertions below are vacuous
+    assert vers["cur"] >= 1 and vers["bk"] >= 2, vers
+    # in-order re-delivery of the last epoch
+    _curate_epoch(spark, tables, b1, 1)
+    assert versions() == vers, "re-delivered epoch created new versions"
+    assert contents() == snap
+    # stale out-of-order replay of an EARLIER epoch
+    _curate_epoch(spark, tables, b0, 0)
+    assert versions() == vers, "stale epoch replay created new versions"
+    assert contents() == snap
+    # watermarks sit at the last applied epoch per writer app
+    assert txlog.last_txn_version(tables["bk"], "psc-buckets") == 1
+    assert txlog.last_txn_version(tables["sh"], "psc-shingles") == 1
+    assert txlog.last_txn_version(tables["mon"], "psc-monitor") == 1
