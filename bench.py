@@ -49,6 +49,13 @@ BASELINE_SEC = {
     "h17_span_dedup_bucketed": 3.8,
     "ml_naive_bayes": 1.8,
     "graph_kcore": 2.0,
+    # r10 additions (VERDICT r9 item 7): the two user-story capstones —
+    # the batch curate funnel and the 4-epoch streaming ingest (quality
+    # gate -> online near-dup -> exactly-once txlog sink -> incremental
+    # monitor, all inside the timed call). Baselined at measured
+    # min-of-3 on the r10 host (BASELINE.md "Round-10 bench expansion").
+    "pipeline_curate_corpus": 6.1,
+    "pipeline_streaming_curate": 14.8,
 }
 
 # The original 12-entry suite (r1 contract: 16.1 s min-of-N total);
@@ -82,6 +89,8 @@ HEADLINE = [
     "h17_span_dedup_bucketed",
     "ml_naive_bayes",
     "graph_kcore",
+    "pipeline_curate_corpus",
+    "pipeline_streaming_curate",
 ]
 
 
@@ -167,8 +176,9 @@ def main() -> None:
                 "queries": times,
                 "ratios_vs_baseline": ratios,
                 # the r1-contract subset (16.1 s) — comparable across
-                # all rounds; `value` covers the full 15-entry suite
-                # (r8 contract 23.7 s, BASELINE.md)
+                # all rounds; `value` covers the full 17-entry suite
+                # (r10 contract 44.6 s = r8's 23.7 s + the two
+                # capstones' 20.9 s, BASELINE.md)
                 "legacy12_total": round(
                     sum(times[n] for n in LEGACY12 if n in times), 3
                 ),
