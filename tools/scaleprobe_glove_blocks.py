@@ -120,6 +120,62 @@ def main() -> None:
             f"speedup {t_word / t_blk:4.1f}x"
         )
         params.unpersist(), grads.unpersist()
+    _mem_probe(spark, base_v * 10)
+
+
+def _jvm_used(spark) -> int:
+    """Used JVM heap in bytes after a GC nudge (local mode: driver and
+    executors share this heap, so deltas UPPER-BOUND the driver-side
+    cost a cluster would see)."""
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    spark.sparkContext._jvm.java.lang.System.gc()
+    time.sleep(0.5)
+    return int(rt.totalMemory() - rt.freeMemory())
+
+
+def _mem_probe(spark, v: int) -> None:
+    """Driver-ceiling measurement (VERDICT r9 item 8): what the vocab
+    decade costs in MEMORY, not just wall-clock.
+
+    * vocab broadcast — the word→id map cooccurrence_on_vocab
+      broadcasts into every task (the only vocab-sized BROADCAST in
+      the fit path): measured as the used-heap delta across
+      materializing a broadcast hash join against it.
+    * params table — V × (2 dim-vectors + 4 AdaGrad scalars): measured
+      as the used-heap delta across persisting it. At dim 50 and
+      V=400k this is ~45M weights, far past the trainer's
+      broadcast_max_weights=2M guard — the number RECORDS why params
+      must take the pre-partitioned cogroup path, never a broadcast."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    words = spark.range(v).select(
+        F.concat(F.lit("w"), F.format_string("%07d", F.col("id"))).alias(
+            "word"
+        ),
+        F.col("id"),
+    )
+    base = _jvm_used(spark)
+    probe = spark.range(v).select(
+        F.concat(F.lit("w"), F.format_string("%07d", F.col("id"))).alias(
+            "word"
+        )
+    )
+    probe.join(F.broadcast(words), "word").select(
+        F.count(F.lit(1))
+    ).collect()
+    bcast = _jvm_used(spark) - base
+    params, _ = _fixture(spark, v)
+    base2 = _jvm_used(spark)
+    params.count()
+    pmem = _jvm_used(spark) - base2
+    params.unpersist()
+    print(
+        f"V={v:>7} driver-ceiling: vocab broadcast ≈ {bcast / 1e6:6.1f} MB "
+        f"heap delta | params table (dim {DIM}) persisted ≈ "
+        f"{pmem / 1e6:6.1f} MB heap delta "
+        f"(> broadcast_max_weights guard at dim≥1 for V·dim="
+        f"{v * DIM / 1e6:.1f}M weights)"
+    )
 
 
 if __name__ == "__main__":
