@@ -254,6 +254,20 @@ def ivf_knn(
     column and the quality loss of sampling a coarse quantizer is
     negligible — exactly the FAISS train/add split.
     """
+    centers = _ivf_centroids(vectors, n_lists, seed, max_iter)
+    cents = _centroid_literals(centers)
+    assigned = vectors.withColumn("list_id", _nearest_list_expr(cents))
+    if corpus_filter is not None:
+        # pre-filter: prune BEFORE the candidate join so the scored
+        # set is exactly the matching sub-corpus's inverted lists
+        assigned = assigned.where(corpus_filter)
+    plists = _probe_lists(probes, cents, n_probe)
+    return _score_lists(assigned, plists, k)
+
+
+def _ivf_centroids(vectors: DataFrame, n_lists: int, seed: int, max_iter: int):
+    """Driver-side coarse-quantizer fit over the bounded deterministic
+    sample (hash-ordered top-N — partitioning-independent)."""
     import numpy as np
 
     sample = np.stack(
@@ -265,9 +279,13 @@ def ivf_knn(
             .collect()
         ]
     ).astype(np.float64)
-    centers = _lloyd(sample, n_lists, max_iter, seed)
+    return _lloyd(sample, n_lists, max_iter, seed)
 
-    cents = F.array(
+
+def _centroid_literals(centers) -> Column:
+    """The centroid table as ONE array-of-structs literal (n_lists ×
+    (list_id, cv, cnorm)) — stays codegen, no join, no MLlib."""
+    return F.array(
         *[
             F.struct(
                 F.lit(i).alias("list_id"),
@@ -277,12 +295,15 @@ def ivf_knn(
             for i, c in enumerate(centers)
         ]
     )
-    # corpus → nearest centroid, as a pure sort_array expression over
-    # the centroid literals (n_lists structs per row, stays codegen —
-    # no MLlib vector conversion, no fan-out join). argmin over
-    # euclidean distance: ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖², and ‖x‖² is
-    # constant per row, so ranking by (‖c‖² − 2x·c) is equivalent.
-    best = F.sort_array(
+
+
+def _nearest_list_expr(cents: Column) -> Column:
+    """Row → nearest centroid, as a pure sort_array expression over
+    the centroid literals (n_lists structs per row, stays codegen —
+    no MLlib vector conversion, no fan-out join). argmin over
+    euclidean distance: ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖², and ‖x‖² is
+    constant per row, so ranking by (‖c‖² − 2x·c) is equivalent."""
+    return F.sort_array(
         F.transform(
             cents,
             lambda c: F.struct(
@@ -291,13 +312,11 @@ def ivf_knn(
             ),
         )
     )[0]["list_id"]
-    assigned = vectors.withColumn("list_id", best)
-    if corpus_filter is not None:
-        # pre-filter: prune BEFORE the candidate join so the scored
-        # set is exactly the matching sub-corpus's inverted lists
-        assigned = assigned.where(corpus_filter)
-    # probe → its n_probe nearest lists, SAME metric as assignment
-    # (euclidean argmin) so a probe's own cell is always searched.
+
+
+def _probe_lists(probes: DataFrame, cents: Column, n_probe: int) -> DataFrame:
+    """Probe → its n_probe nearest lists, SAME metric as assignment
+    (euclidean argmin) so a probe's own cell is always searched."""
     pc = probes.select(
         "probe_id", F.col("embedding").alias("q"), F.explode(cents).alias("c")
     ).select(
@@ -307,12 +326,16 @@ def ivf_knn(
         (F.col("c.cnorm") - 2 * dot(F.col("q"), F.col("c.cv"))).alias("cdist"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cdist").asc(), "list_id")
-    plists = (
+    return (
         pc.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= n_probe)
         .select("probe_id", "q", "list_id")
     )
 
+
+def _score_lists(assigned: DataFrame, plists: DataFrame, k: int) -> DataFrame:
+    """Candidate scoring over the selected inverted lists + per-probe
+    top-k — shared by the in-memory and persisted-index probe paths."""
     scored = (
         assigned.join(F.broadcast(plists), "list_id")
         .where(F.col("vec_id") != F.col("probe_id"))
@@ -329,6 +352,108 @@ def ivf_knn(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ivf_build_index(
+    vectors: DataFrame,
+    path: str,
+    n_lists: int = 8,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> None:
+    """PERSIST the IVF index — the FAISS train/add split landed on the
+    lakehouse: fit the coarse quantizer (driver-side, bounded sample),
+    assign every vector its inverted list, and WRITE the corpus as
+    parquet PARTITIONED BY list_id plus a tiny centroids table
+    (n_lists rows) beside it. This is the step that turns the
+    docstring claim "at 100 TB a probe's n_probe lists prune to
+    n_probe partitions at scan time" into an actual on-disk layout:
+    the index is built ONCE per corpus snapshot and every later query
+    pays only a pruned scan (see :func:`ivf_probe_index`)."""
+    import os
+
+    centers = _ivf_centroids(vectors, n_lists, seed, max_iter)
+    cents = _centroid_literals(centers)
+    assigned = vectors.withColumn("list_id", _nearest_list_expr(cents))
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(
+        os.path.join(path, "lists")
+    )
+    spark = vectors.sparkSession
+    spark.createDataFrame(
+        [
+            (i, [float(v) for v in c], float((c * c).sum()))
+            for i, c in enumerate(centers)
+        ],
+        "list_id int, cv array<double>, cnorm double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+
+
+def ivf_probe_index(
+    spark: SparkSession,
+    path: str,
+    probes: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Probe a PERSISTED IVF index (:func:`ivf_build_index`) without
+    ever scanning the full corpus: the ≤ n_lists centroid rows are
+    collected and re-inlined as literals, each probe picks its n_probe
+    nearest lists, and the corpus scan carries
+    ``list_id IN (<union of wanted lists>)`` — a predicate on the
+    PARTITION column, so Spark prunes to those directories at planning
+    time (the probe plan's PartitionFilters; asserted in
+    tests/test_dedup.py together with result equality vs the in-memory
+    :func:`ivf_knn` at the same seed). At 100 TB with hundreds of
+    lists, a 10-probe batch reads tens of partitions instead of the
+    corpus — the difference between an index and a scan."""
+    import os
+
+    cent_rows = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r["list_id"],
+    )
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(r["list_id"]).alias("list_id"),
+                F.array(*[F.lit(float(v)) for v in r["cv"]]).alias("cv"),
+                F.lit(float(r["cnorm"])).alias("cnorm"),
+            )
+            for r in cent_rows
+        ]
+    )
+    plists = _probe_lists(probes, cents, n_probe)
+    # bounded collect (≤ n_lists values): the wanted-list union becomes
+    # a LITERAL partition predicate, which is what makes pruning static
+    wanted = sorted(
+        {r["list_id"] for r in plists.select("list_id").distinct().collect()}
+    )
+    assigned = spark.read.parquet(os.path.join(path, "lists")).where(
+        F.col("list_id").isin(wanted)
+    )
+    return _score_lists(assigned, plists, k)
+
+
+@query("h16_ivf_persisted", section="H16,A3,A1", tags=("ann", "scale"))
+def h16_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16 persisted-index form: build the IVF index on disk
+    (parquet partitioned by list_id + centroids table), then answer
+    the SAME probe set as h16_ivf_ann from the index alone — the scan
+    prunes to each probe's lists via PartitionFilters instead of
+    touching the corpus. Rows-only to the driver (k-means cells are
+    model-specific); tests pin result EQUALITY with the in-memory
+    ivf_knn at the same seed plus the partition-pruned plan shape."""
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    ivf_build_index(e, path, n_lists=10, seed=42)
+    return ivf_probe_index(spark, path, probes, k=10, n_probe=3)
 
 
 @query("h16_ivf_ann", section="H16")

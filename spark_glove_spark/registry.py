@@ -350,7 +350,12 @@ DRIVER_PRIORITY = R9_REMAINDER + R10_NEW + R10_REGREEN
 
 # Round-11 remainder: queries built AFTER the r10 window froze land
 # here, same discipline as R9_REMAINDER above.
-R11_REMAINDER: tuple[str, ...] = ()
+R11_REMAINDER: tuple[str, ...] = (
+    # persisted IVF index probe (rows-only: k-means cells are
+    # model-specific; equality-vs-in-memory + partition-pruning plan
+    # shape pinned in tests/test_dedup.py)
+    "h16_ivf_persisted",
+)
 
 
 def driver_key(rank: int, name: str) -> str:

@@ -493,3 +493,41 @@ def test_cdc_chunking_survives_prefix_insertion(spark, tmp_path):
     # and the duplicated chunks are the interior ones: not ALL of doc
     # 2's chunks can match (its first chunk starts inside the prefix)
     assert rows[2]["n_dup_chunks"] < rows[2]["n_chunks"]
+
+
+def test_persisted_ivf_index_equals_inmemory_and_prunes_partitions(
+    spark, tmp_path
+):
+    """The persisted IVF index (parquet partitioned by list_id +
+    centroids table) must answer probes IDENTICALLY to the in-memory
+    ivf_knn at the same seed, and its probe scan must carry the
+    wanted-lists predicate as a PARTITION filter — the on-disk layout
+    that makes an ANN probe a pruned scan instead of a corpus pass."""
+    import glob
+    import os
+
+    from spark_glove_spark.operators.ann import (
+        ivf_build_index,
+        ivf_knn,
+        ivf_probe_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    ivf_build_index(e, str(tmp_path), n_lists=10, seed=42)
+    # the index actually materialized one directory per inverted list
+    dirs = glob.glob(os.path.join(str(tmp_path), "lists", "list_id=*"))
+    assert len(dirs) == 10
+    got = ivf_probe_index(spark, str(tmp_path), probes, k=10, n_probe=3)
+    mem = ivf_knn(e, probes, k=10, n_lists=10, n_probe=3)
+    key = lambda df: sorted(  # noqa: E731
+        (r["probe_id"], r["vec_id"], r["cos"])
+        for r in df.select("probe_id", "vec_id", "cos").collect()
+    )
+    assert key(got) == key(mem)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    assert "list_id" in pf and ("IN" in pf or "In(" in pf), pf
