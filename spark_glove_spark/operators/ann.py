@@ -43,11 +43,22 @@ def lsh_knn(
     n_planes: int = 4,
     seed: int = 42,
     multiprobe: bool = True,
+    corpus_filter: Column | None = None,
 ) -> DataFrame:
     """H16: per-probe top-k within the probe's bucket (+ 1-bit-flip
+    neighbor buckets when multiprobe). probes: (probe_id, embedding).
 
-    neighbor buckets when multiprobe). probes: (probe_id, embedding)."""
+    ``corpus_filter``: optional metadata predicate applied to the
+    bucketed corpus BEFORE the probe join — the same pre-filtering
+    contract as :func:`ivf_knn`'s (candidates drawn only from the
+    matching sub-corpus; see that docstring for why post-filtering
+    the top-k is wrong). At scale the predicate and the bucket equi-
+    join compose on the bucket-partitioned corpus scan. Selective
+    filters thin every bucket, so callers should raise multiprobe
+    coverage (or drop n_planes) just as filtered IVF widens n_probe."""
     corpus = lsh_bucketed(vectors, n_planes, seed)
+    if corpus_filter is not None:
+        corpus = corpus.where(corpus_filter)
     p = lsh_bucketed(probes, n_planes, seed).select(
         "probe_id", F.col("embedding").alias("q"), F.col("bucket").alias("pbucket")
     )

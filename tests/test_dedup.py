@@ -531,3 +531,47 @@ def test_persisted_ivf_index_equals_inmemory_and_prunes_partitions(
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters", 1)[1][:300]
     assert "list_id" in pf and ("IN" in pf or "In(" in pf), pf
+
+
+def test_filtered_lsh_recall_and_bucket_width_guidance(spark):
+    """Filtered LSH mirrors filtered IVF's pre-filter contract: every
+    neighbor satisfies the predicate, and recall vs the exact filtered
+    top-k clears a floor. Also pins the docstring's tuning guidance —
+    a selective filter thins every bucket, so WIDENING buckets (drop
+    n_planes 4 → 3) must recover recall (measured 0.48 → 0.74 at
+    sf0.001; all values deterministic: seeded hyperplanes, fixed
+    fixture)."""
+    from pyspark.sql import Window
+
+    from spark_glove_spark.functions.vector import dot
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    pred = F.col("label") % 3 == 0
+    scored = (
+        e.where(pred)
+        .crossJoin(F.broadcast(probes.withColumnRenamed("embedding", "q")))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", dot(F.col("embedding"), F.col("q")).alias("cos"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
+    ex = {
+        (r.probe_id, r.vec_id)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .collect()
+    }
+
+    def recall(n_planes):
+        rows = lsh_knn(
+            e, probes, k=10, n_planes=n_planes, corpus_filter=pred
+        ).collect()
+        assert all(r.label % 3 == 0 for r in rows), "filter leaked through"
+        ap = {(r.probe_id, r.vec_id) for r in rows}
+        return len(ex & ap) / len(ex)
+
+    r4, r3 = recall(4), recall(3)
+    assert r3 >= 0.70, f"filtered LSH (n_planes=3) recall {r3:.2f} below floor"
+    assert r3 > r4, f"wider buckets must recover filtered recall ({r3} vs {r4})"
