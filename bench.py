@@ -130,12 +130,18 @@ def main() -> None:
         # band while the closing min-of-3 at the same HEAD reproduced
         # 5.00 s — a second rep is not enough to shed a neighbor burst
         # on the one entry that dominates the total.
+        # The two capstones' BASELINES are min-of-3 with a documented
+        # cold first rep (BASELINE.md r10: [9.7, 6.2, 6.1] and
+        # [24.1, 15.4, 14.8]) — timing them min-of-2 would compare a
+        # cold+1 reading against a min-of-3 contract, a systematic
+        # ~4% bias toward false regression (r10 review finding).
         reps = (
             3
             if (
                 BASELINE_SEC.get(name, 99.0) < 2.5
                 or name == "h13_minhash_neardup"
                 or name == "glove_fit_d50_w10_it5"
+                or name.startswith("pipeline_")
             )
             else 2
         )

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from spark_glove_spark.functions.hashing import hyperplane_bucket, random_hyperplanes
 from spark_glove_spark.functions.vector import dot
-from spark_glove_spark.registry import defer_unpersist, query
+from spark_glove_spark.registry import defer_cleanup, defer_unpersist, query
 from spark_glove_spark.sources import parallelized, table
 
 DIM = 64
@@ -435,7 +435,11 @@ def ivf_probe_index(
             for r in cent_rows
         ]
     )
-    plists = _probe_lists(probes, cents, n_probe)
+    # pin the probe-assignment job's result: BOTH consumers below (the
+    # wanted-list collect and the broadcast into _score_lists) read the
+    # checkpointed rows instead of re-running the window job (r10
+    # review finding: un-pinned, the probe side executed twice)
+    plists = _probe_lists(probes, cents, n_probe).localCheckpoint(eager=True)
     # bounded collect (≤ n_lists values): the wanted-list union becomes
     # a LITERAL partition predicate, which is what makes pruning static
     wanted = sorted(
@@ -456,6 +460,7 @@ def h16_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching the corpus. Rows-only to the driver (k-means cells are
     model-specific); tests pin result EQUALITY with the in-memory
     ivf_knn at the same seed plus the partition-pruned plan shape."""
+    import shutil
     import tempfile
 
     e = table(spark, sf_dir, "embeddings")
@@ -463,6 +468,11 @@ def h16_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     path = tempfile.mkdtemp(prefix="ivf_index_")
+    # the returned DataFrame reads the index LAZILY, so the on-disk
+    # copy must outlive this function; reclaim it at the next declared
+    # query (the defer_unpersist safe point) instead of leaking a
+    # corpus-sized directory per invocation (r10 review finding)
+    defer_cleanup(lambda: shutil.rmtree(path, ignore_errors=True))
     ivf_build_index(e, path, n_lists=10, seed=42)
     return ivf_probe_index(spark, path, probes, k=10, n_probe=3)
 

@@ -150,6 +150,31 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.45, f"IVF recall {recall:.2f} below floor"
 
 
+def _exact_filtered_topk(e, probes, pred, k=10):
+    """Ground truth for the filtered-ANN tests: the exact top-k per
+    probe over the predicate-filtered corpus — ONE definition so the
+    IVF and LSH tests can't drift apart (r10 review finding)."""
+    from pyspark.sql import Window
+
+    from spark_glove_spark.functions.vector import dot
+
+    scored = (
+        e.where(pred)
+        .crossJoin(F.broadcast(probes.withColumnRenamed("embedding", "q")))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "vec_id", dot(F.col("embedding"), F.col("q")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
+    return {
+        (r.probe_id, r.vec_id)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .collect()
+    }
+
+
 def test_filtered_ivf_recall_vs_filtered_exact(spark):
     """Filtered ANN (VERDICT r9 item 6): the metadata predicate is
     pushed into the inverted-list scan BEFORE scoring (pre-filter),
@@ -169,19 +194,7 @@ def test_filtered_ivf_recall_vs_filtered_exact(spark):
     approx = ivf_knn(
         e, probes, k=10, n_lists=10, n_probe=4, corpus_filter=pred
     )
-    from pyspark.sql import Window
-
-    from spark_glove_spark.functions.vector import dot
-
-    scored = (
-        e.where(pred)
-        .crossJoin(F.broadcast(probes.withColumnRenamed("embedding", "q")))
-        .where(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", dot(F.col("embedding"), F.col("q")).alias("cos"))
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
-    exact = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10)
-    ex = {(r.probe_id, r.vec_id) for r in exact.collect()}
+    ex = _exact_filtered_topk(e, probes, pred)
     rows = approx.collect()
     # (a) pre-filter correctness: no neighbor violates the predicate
     assert all(r.label % 3 == 0 for r in rows), "filter leaked through"
@@ -541,28 +554,12 @@ def test_filtered_lsh_recall_and_bucket_width_guidance(spark):
     n_planes 4 → 3) must recover recall (measured 0.48 → 0.74 at
     sf0.001; all values deterministic: seeded hyperplanes, fixed
     fixture)."""
-    from pyspark.sql import Window
-
-    from spark_glove_spark.functions.vector import dot
-
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     probes = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     pred = F.col("label") % 3 == 0
-    scored = (
-        e.where(pred)
-        .crossJoin(F.broadcast(probes.withColumnRenamed("embedding", "q")))
-        .where(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", dot(F.col("embedding"), F.col("q")).alias("cos"))
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
-    ex = {
-        (r.probe_id, r.vec_id)
-        for r in scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 10)
-        .collect()
-    }
+    ex = _exact_filtered_topk(e, probes, pred)
 
     def recall(n_planes):
         rows = lsh_knn(

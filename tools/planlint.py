@@ -50,6 +50,10 @@ BNLJ_OK = {
     "c6_theta_self_join",
     "c7_cross_join",
     "h15_knn_bruteforce",
+    # same broadcast-probe crossJoin design as h15_knn_bruteforce,
+    # over the 0.4x pre-filtered corpus (r10 review finding: the new
+    # query shipped un-allowlisted — planlint red at its own HEAD)
+    "h15_knn_filtered",
     "h15_range_search",
     "h15_mmr_rerank",
     "h13_embedding_neardup",
