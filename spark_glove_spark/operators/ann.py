@@ -477,6 +477,102 @@ def h16_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_index(spark, path, probes, k=10, n_probe=3)
 
 
+@query(
+    "pipeline_ann_index_lifecycle",
+    section="H16,A3,A1,C1",
+    tags=("ann", "pipeline", "scale"),
+)
+def pipeline_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index as a VERSIONED LAKEHOUSE ARTIFACT — the ops story
+    every production retrieval stack needs: how do you serve vector
+    search while the corpus grows? Index files are immutable build
+    artifacts (the FAISS model); a txlog CATALOG table records one row
+    per index build (version, path, corpus size), so serving pins a
+    catalog snapshot, rebuilds append a new row, and yesterday's index
+    stays time-travelable for rollback/debug — the same
+    snapshot-isolation contract the data tables get.
+
+    Staged here end-to-end: (1) build index v0 over the corpus's
+    first half and CREATE the catalog; (2) the corpus grows (second
+    half arrives); (3) REBUILD over the full corpus and APPEND catalog
+    row v1; (4) serve the SAME probe set from BOTH catalog snapshots
+    via time travel. In-body teeth (explicit raises, survive -O):
+    the v0-pinned index can never return a delta vector (it predates
+    them — staleness is EXPLICIT, the pinned reader's contract), the
+    rebuilt index must surface delta neighbors, and the v0 catalog
+    snapshot must contain exactly one index.
+
+    Output (rows-only: k-means cells are model-specific): one audit
+    row per index version — corpus coverage, result count, how many
+    results come from the delta, mean cosine of served neighbors.
+
+    100 TB: each build is one pass over the corpus snapshot (bounded
+    driver-side quantizer sample + a partitioned write); probes pay
+    partition-pruned scans of ONE index version; the catalog is
+    O(builds) rows. Rebuild cadence vs staleness is a policy knob the
+    catalog makes explicit instead of implicit."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    e = table(spark, sf_dir, "embeddings")
+    mid = e.agg(F.max("vec_id")).collect()[0][0] // 2
+    corpus0 = e.where(F.col("vec_id") <= mid)
+    base = tempfile.mkdtemp(prefix="ann_lifecycle_")
+    defer_cleanup(lambda: shutil.rmtree(base, ignore_errors=True))
+    catalog = os.path.join(base, "catalog")
+
+    def build(version: int, corpus: DataFrame) -> None:
+        path = os.path.join(base, f"index_v{version}")
+        ivf_build_index(corpus, path, n_lists=10, seed=42)
+        row = spark.createDataFrame(
+            [(version, path, 10, corpus.count())],
+            "index_version int, path string, n_lists int, corpus_rows long",
+        )
+        if version == 0:
+            txlog.create(row, catalog)
+        else:
+            txlog.append(row, catalog, operation=f"index-rebuild-{version}")
+
+    build(0, corpus0)  # serve starts here
+    build(1, e)  # the corpus grew; rebuild covers the delta
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    audit = []
+    for snap in (0, 1):
+        cat = txlog.read(spark, catalog, version=snap).collect()
+        if snap == 0 and len(cat) != 1:
+            raise AssertionError(f"catalog snapshot 0 holds {len(cat)} rows")
+        entry = max(cat, key=lambda r: r["index_version"])
+        res = ivf_probe_index(
+            spark, entry["path"], probes, k=10, n_probe=3
+        ).collect()
+        delta_hits = sum(1 for r in res if r["vec_id"] > mid)
+        audit.append(
+            (
+                entry["index_version"],
+                entry["corpus_rows"],
+                len(res),
+                delta_hits,
+                round(sum(r["cos"] for r in res) / max(len(res), 1), 4),
+            )
+        )
+    if audit[0][3] != 0:
+        raise AssertionError(
+            f"v0-pinned index served {audit[0][3]} delta vectors it predates"
+        )
+    if audit[1][3] == 0:
+        raise AssertionError("rebuilt index surfaced no delta neighbors")
+    return spark.createDataFrame(
+        audit,
+        "index_version int, corpus_rows long, n_results long,"
+        " delta_results long, mean_cos double",
+    )
+
+
 @query("h16_ivf_ann", section="H16")
 def h16_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H16: IVF-accelerated ANN, same probe set as H15/LSH so recall is

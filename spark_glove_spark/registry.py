@@ -355,6 +355,10 @@ R11_REMAINDER: tuple[str, ...] = (
     # model-specific; equality-vs-in-memory + partition-pruning plan
     # shape pinned in tests/test_dedup.py)
     "h16_ivf_persisted",
+    # index-as-versioned-artifact lifecycle (rows-only; in-body teeth:
+    # v0-pinned index serves no delta vectors, rebuild covers them,
+    # catalog snapshot 0 holds exactly one build)
+    "pipeline_ann_index_lifecycle",
 )
 
 
