@@ -359,6 +359,10 @@ R11_REMAINDER: tuple[str, ...] = (
     # v0-pinned index serves no delta vectors, rebuild covers them,
     # catalog snapshot 0 holds exactly one build)
     "pipeline_ann_index_lifecycle",
+    # streaming vector ingest (rows-only; in-body teeth: >= 2 epoch
+    # commits + streamed accumulation equals the one-shot batch
+    # assignment row-for-row; idempotent per-epoch appends)
+    "i23_streaming_ann_ingest",
 )
 
 

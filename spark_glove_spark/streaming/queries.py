@@ -1854,3 +1854,114 @@ def pipeline_streaming_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"incremental monitor diverged from curated rollup: {mon} != {got}"
         )
     return out
+
+
+@query(
+    "i23_streaming_ann_ingest",
+    section="I5,H16,A6",
+    tags=("streaming", "ann"),
+)
+def i23_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming VECTOR INGEST — the ``add()`` half of the IVF
+    train/add split as a micro-batch loop, closing the ANN triangle
+    (h16_ivf_persisted = batch index, pipeline_ann_index_lifecycle =
+    versioned rebuilds, this = continuous arrival): the coarse
+    quantizer is fit ONCE on the historical corpus and FROZEN;
+    arriving vectors only ASSIGN to the fixed centroids (a pure
+    codegen expression over literals — no refit, no shuffle) and
+    append to the lists txlog table, one idempotent commit per epoch
+    (SetTransaction watermark — a restarted stream re-delivering an
+    epoch no-ops, the pipeline_streaming_curate contract).
+
+    In-body teeth (explicit raises): the replay really was incremental
+    (≥2 epoch commits), and the ORDER-FREE contract — the streamed
+    accumulation must equal the one-shot batch assignment of the same
+    corpus row-for-row (assignment is per-row against frozen
+    centroids, so arrival order and batching cannot change it).
+    Output: the probe results served from the accumulated lists
+    (rows-only: k-means cells are model-specific; the equality tooth
+    and the shared probe helpers tie it to the tested batch path).
+
+    100 TB/day: per-trigger cost is one map-only assignment pass over
+    the batch plus one bounded txlog commit; the quantizer never
+    retrains in-line (drift is handled by the lifecycle REBUILD, a
+    policy decision the catalog makes explicit); probes pay the same
+    pruned-list scans as the batch index."""
+    import glob as _glob
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow.parquet as _pq
+
+    from spark_glove_spark.operators.ann import (
+        _centroid_literals,
+        _ivf_centroids,
+        _nearest_list_expr,
+        _probe_lists,
+        _score_lists,
+    )
+    from spark_glove_spark.sources import txlog
+
+    e = table(spark, sf_dir, "embeddings")
+    # train half: quantizer fit once on the historical corpus; the
+    # stream below only assigns against these frozen literals
+    cents = _centroid_literals(_ivf_centroids(e, 10, 42, 10))
+    base = tempfile.mkdtemp(prefix="i23_replay_")
+    src = os.path.join(base, "f")
+    # vec_id-ranged files with ascending mtimes = arrival order (the
+    # i22 staging discipline: the file source orders by mtime)
+    e.repartitionByRange(4, "vec_id").write.mode("overwrite").parquet(src)
+    parts = [
+        f
+        for f in sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
+        if _pq.read_metadata(f).num_rows > 0
+    ]
+    by_min = sorted(
+        parts,
+        key=lambda f: _pq.read_table(f, columns=["vec_id"])["vec_id"]
+        .to_pylist()[0],
+    )
+    t0 = _time.time() - 86_400
+    for i, f in enumerate(by_min):
+        os.utime(f, (t0 + i * 60, t0 + i * 60))
+    sdf = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    lists_tbl = os.path.join(base, "lists")
+    txlog.create(
+        e.limit(0).withColumn("list_id", F.lit(0)).coalesce(1), lists_tbl
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.count() == 0:
+            return
+        assigned = batch_df.withColumn("list_id", _nearest_list_expr(cents))
+        txlog.append_idempotent(
+            assigned.coalesce(1), lists_tbl, "ann-ingest", int(epoch_id)
+        )
+
+    run_stream_foreach_batch(sdf, process, "append")
+    # load-bearing invariants — explicit raises survive python -O
+    if txlog.current_version(lists_tbl) < 2:
+        raise AssertionError("replay collapsed to a single micro-batch")
+    acc = txlog.read(spark, lists_tbl)
+    direct = e.withColumn("list_id", _nearest_list_expr(cents))
+    got = {
+        (r["vec_id"], r["list_id"])
+        for r in acc.select("vec_id", "list_id").collect()
+    }
+    want = {
+        (r["vec_id"], r["list_id"])
+        for r in direct.select("vec_id", "list_id").collect()
+    }
+    if got != want:
+        raise AssertionError(
+            f"streamed index diverged from batch assignment: "
+            f"{len(got ^ want)} rows differ"
+        )
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    plists = _probe_lists(probes, cents, 3).localCheckpoint(eager=True)
+    return _score_lists(acc, plists, 10)
