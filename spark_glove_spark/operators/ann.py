@@ -401,6 +401,22 @@ def ivf_build_index(
     )
 
 
+def _index_rows(path: str) -> int:
+    """Row count of a persisted IVF index from parquet FOOTERS alone —
+    no Spark job, no data scan (metadata is the point of the format)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(
+            os.path.join(path, "lists", "**", "*.parquet"), recursive=True
+        )
+    )
+
+
 def ivf_probe_index(
     spark: SparkSession,
     path: str,
@@ -506,11 +522,12 @@ def pipeline_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per index version — corpus coverage, result count, how many
     results come from the delta, mean cosine of served neighbors.
 
-    100 TB: each build is one pass over the corpus snapshot (bounded
-    driver-side quantizer sample + a partitioned write); probes pay
-    partition-pruned scans of ONE index version; the catalog is
-    O(builds) rows. Rebuild cadence vs staleness is a policy knob the
-    catalog makes explicit instead of implicit."""
+    100 TB: each build pays the bounded quantizer-sample read plus ONE
+    corpus pass for the partitioned write (catalog row counts come
+    free from the written footers); probes pay partition-pruned scans
+    of ONE index version; the catalog is O(builds) rows. Rebuild
+    cadence vs staleness is a policy knob the catalog makes explicit
+    instead of implicit."""
     import os
     import shutil
     import tempfile
@@ -527,8 +544,11 @@ def pipeline_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(version: int, corpus: DataFrame) -> None:
         path = os.path.join(base, f"index_v{version}")
         ivf_build_index(corpus, path, n_lists=10, seed=42)
+        # row count for the catalog comes FREE from the just-written
+        # index's parquet footers — a corpus.count() here would add a
+        # third full pass per build (r10 review finding)
         row = spark.createDataFrame(
-            [(version, path, 10, corpus.count())],
+            [(version, path, 10, _index_rows(path))],
             "index_version int, path string, n_lists int, corpus_rows long",
         )
         if version == 0:

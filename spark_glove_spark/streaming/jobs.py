@@ -164,5 +164,47 @@ def run_stream_foreach_batch(sdf: DataFrame, fn, output_mode: str = "update") ->
     q.awaitTermination()
 
 
+def stage_ranged_stream(
+    df: DataFrame, key: str, base: str, schema: str, n_files: int = 4
+) -> DataFrame:
+    """Stage ``df`` as a REPLAYABLE FILE STREAM in key order: write
+    ``n_files`` key-ranged parquet files under ``base``, stamp them
+    with ascending mtimes in key-range order (the file source orders
+    by MODIFICATION TIME, not path — observed: the equal-mtime order
+    scrambled ranges and an online filter missed dups whose earlier
+    partner hadn't 'arrived' yet), and return a readStream over them
+    with ``maxFilesPerTrigger=1`` so each file is one micro-batch.
+    Shared by i22 / pipeline_streaming_curate / i23 (r10 review
+    finding: the block was copy-pasted three times).
+
+    repartitionByRange can emit EMPTY part files at small scale
+    factors / skewed ranges (ADVICE r7) — dropped before indexing
+    row 0; zero-row files contribute nothing to the replay."""
+    import glob as _glob
+    import time as _time
+
+    import pyarrow.parquet as _pq
+
+    src = os.path.join(base, "f")
+    df.repartitionByRange(n_files, key).write.mode("overwrite").parquet(src)
+    parts = [
+        f
+        for f in sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
+        if _pq.read_metadata(f).num_rows > 0
+    ]
+    by_min = sorted(
+        parts,
+        key=lambda f: _pq.read_table(f, columns=[key])[key].to_pylist()[0],
+    )
+    t0 = _time.time() - 86_400
+    for i, f in enumerate(by_min):
+        os.utime(f, (t0 + i * 60, t0 + i * 60))
+    return (
+        df.sparkSession.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
 def events_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "events.parquet")

@@ -17,12 +17,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from spark_glove_spark.operators.analytics import MERGE_ORACLE
-from spark_glove_spark.registry import query
+from spark_glove_spark.registry import defer_cleanup, query
 from spark_glove_spark.sources import table
 from spark_glove_spark.streaming.jobs import (
     events_path,
     run_stream,
     run_stream_foreach_batch,
+    stage_ranged_stream,
     stream_events,
 )
 
@@ -1417,34 +1418,12 @@ def i22_streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="i22_replay_")
-    src = os.path.join(base, "f")
-    # doc_id-ranged files so stream order is ingestion order — and the
-    # file source orders by MODIFICATION TIME, not path, so stamp the
-    # files with ascending mtimes in doc_id-range order (observed: the
-    # equal-mtime order scrambled ranges and the online filter missed
-    # the dups whose earlier partner hadn't 'arrived' yet)
-    d.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(src)
-    import glob as _glob
-    import time as _time
-
-    import pyarrow.parquet as _pq
-
-    parts = sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
-    # repartitionByRange can emit EMPTY part files at small scale
-    # factors / skewed ranges (ADVICE r7) — drop them before indexing
-    # row 0, and ignore them for replay (zero rows contribute nothing).
-    parts = [f for f in parts if _pq.read_metadata(f).num_rows > 0]
-    by_min = sorted(
-        parts,
-        key=lambda f: _pq.read_table(f, columns=["doc_id"])["doc_id"]
-        .to_pylist()[0],
+    sdf = stage_ranged_stream(
+        d,
+        "doc_id",
+        base,
+        "doc_id long, text string, lang string, source string, n_chars long",
     )
-    t0 = _time.time() - 86_400
-    for i, f in enumerate(by_min):
-        os.utime(f, (t0 + i * 60, t0 + i * 60))
-    sdf = spark.readStream.schema(
-        "doc_id long, text string, lang string, source string, n_chars long"
-    ).option("maxFilesPerTrigger", 1).parquet(src)
     sh_tbl = os.path.join(base, "shingles")
     bk_tbl = os.path.join(base, "buckets")
     verdicts_tbl = os.path.join(base, "verdicts")
@@ -1781,35 +1760,19 @@ def pipeline_streaming_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (history touched only through the band-keyed join); the monitor
     merge is O(|langs|); the curated table grows by exactly the
     survivors. Nothing in the loop rescans state wholesale."""
-    import glob as _glob
     import os
     import tempfile
-    import time as _time
-
-    import pyarrow.parquet as _pq
 
     from spark_glove_spark.sources import txlog
 
     d = table(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="psc_replay_")
-    src = os.path.join(base, "f")
-    d.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(src)
-    parts = [
-        f
-        for f in sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
-        if _pq.read_metadata(f).num_rows > 0
-    ]
-    by_min = sorted(
-        parts,
-        key=lambda f: _pq.read_table(f, columns=["doc_id"])["doc_id"]
-        .to_pylist()[0],
+    sdf = stage_ranged_stream(
+        d,
+        "doc_id",
+        base,
+        "doc_id long, text string, lang string, source string, n_chars long",
     )
-    t0 = _time.time() - 86_400
-    for i, f in enumerate(by_min):
-        os.utime(f, (t0 + i * 60, t0 + i * 60))
-    sdf = spark.readStream.schema(
-        "doc_id long, text string, lang string, source string, n_chars long"
-    ).option("maxFilesPerTrigger", 1).parquet(src)
     tables = _curate_tables_init(spark, d, base)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1887,12 +1850,9 @@ def i23_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrains in-line (drift is handled by the lifecycle REBUILD, a
     policy decision the catalog makes explicit); probes pay the same
     pruned-list scans as the batch index."""
-    import glob as _glob
     import os
+    import shutil
     import tempfile
-    import time as _time
-
-    import pyarrow.parquet as _pq
 
     from spark_glove_spark.operators.ann import (
         _centroid_literals,
@@ -1908,26 +1868,13 @@ def i23_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream below only assigns against these frozen literals
     cents = _centroid_literals(_ivf_centroids(e, 10, 42, 10))
     base = tempfile.mkdtemp(prefix="i23_replay_")
-    src = os.path.join(base, "f")
-    # vec_id-ranged files with ascending mtimes = arrival order (the
-    # i22 staging discipline: the file source orders by mtime)
-    e.repartitionByRange(4, "vec_id").write.mode("overwrite").parquet(src)
-    parts = [
-        f
-        for f in sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
-        if _pq.read_metadata(f).num_rows > 0
-    ]
-    by_min = sorted(
-        parts,
-        key=lambda f: _pq.read_table(f, columns=["vec_id"])["vec_id"]
-        .to_pylist()[0],
+    # streamed source AND the returned plan read from this tempdir
+    # lazily — reclaim at the next declared query, not never (the
+    # h16_ivf_persisted leak class, r10 review)
+    defer_cleanup(lambda: shutil.rmtree(base, ignore_errors=True))
+    sdf = stage_ranged_stream(
+        e, "vec_id", base, "vec_id long, embedding array<float>, label int"
     )
-    t0 = _time.time() - 86_400
-    for i, f in enumerate(by_min):
-        os.utime(f, (t0 + i * 60, t0 + i * 60))
-    sdf = spark.readStream.schema(
-        "vec_id long, embedding array<float>, label int"
-    ).option("maxFilesPerTrigger", 1).parquet(src)
     lists_tbl = os.path.join(base, "lists")
     txlog.create(
         e.limit(0).withColumn("list_id", F.lit(0)).coalesce(1), lists_tbl
@@ -1947,21 +1894,26 @@ def i23_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("replay collapsed to a single micro-batch")
     acc = txlog.read(spark, lists_tbl)
     direct = e.withColumn("list_id", _nearest_list_expr(cents))
-    got = {
-        (r["vec_id"], r["list_id"])
-        for r in acc.select("vec_id", "list_id").collect()
-    }
+    # MULTISET equality, not set equality: vec_ids are unique in the
+    # source, so equal counts + equal sets ⇒ no row landed twice — a
+    # set-only compare would dedupe away exactly the double-applied-
+    # epoch failure the idempotent appends exist to prevent (r10
+    # review finding)
+    got_rows = acc.select("vec_id", "list_id").collect()
+    got = {(r["vec_id"], r["list_id"]) for r in got_rows}
     want = {
         (r["vec_id"], r["list_id"])
         for r in direct.select("vec_id", "list_id").collect()
     }
-    if got != want:
+    if len(got_rows) != len(want) or got != want:
         raise AssertionError(
             f"streamed index diverged from batch assignment: "
-            f"{len(got ^ want)} rows differ"
+            f"{len(got_rows)} rows vs {len(want)} expected, "
+            f"{len(got ^ want)} keys differ"
         )
     probes = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    plists = _probe_lists(probes, cents, 3).localCheckpoint(eager=True)
-    return _score_lists(acc, plists, 10)
+    # single consumer (the broadcast in _score_lists): no pin needed —
+    # ivf_probe_index's eager checkpoint exists for its TWO consumers
+    return _score_lists(acc, _probe_lists(probes, cents, 3), 10)

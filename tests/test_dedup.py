@@ -572,3 +572,28 @@ def test_filtered_lsh_recall_and_bucket_width_guidance(spark):
     r4, r3 = recall(4), recall(3)
     assert r3 >= 0.70, f"filtered LSH (n_planes=3) recall {r3:.2f} below floor"
     assert r3 > r4, f"wider buckets must recover filtered recall ({r3} vs {r4})"
+
+
+def test_ann_index_lifecycle_audit_invariants(spark):
+    """Pytest guard for the planlint-skipped pipeline_ann_index_
+    lifecycle (skipped queries must carry dedicated tests): beyond
+    the in-body raises, the audit table must show the lifecycle —
+    snapshot 0 serves the smaller corpus with ZERO delta results,
+    the rebuild serves the full corpus and surfaces delta neighbors,
+    and both serve k-bounded result sets."""
+    from spark_glove_spark import api
+
+    rows = sorted(
+        api.REGISTRY["pipeline_ann_index_lifecycle"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r["index_version"],
+    )
+    assert [r["index_version"] for r in rows] == [0, 1]
+    v0, v1 = rows
+    assert v0["corpus_rows"] < v1["corpus_rows"]
+    assert v0["delta_results"] == 0
+    assert v1["delta_results"] > 0
+    assert 0 < v0["n_results"] and 0 < v1["n_results"]
+    # mean cosine of served neighbors is a sane similarity
+    assert -1.0 <= v0["mean_cos"] <= 1.0 and -1.0 <= v1["mean_cos"] <= 1.0

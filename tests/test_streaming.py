@@ -268,3 +268,31 @@ def test_streaming_curate_epoch_redelivery_noops(spark, tmp_path):
     assert txlog.last_txn_version(tables["bk"], "psc-buckets") == 1
     assert txlog.last_txn_version(tables["sh"], "psc-shingles") == 1
     assert txlog.last_txn_version(tables["mon"], "psc-monitor") == 1
+
+
+def test_streaming_ann_ingest_equals_batch_index(spark):
+    """Pytest guard for the planlint-skipped i23: the probe results
+    served from the STREAMED accumulation must equal the in-memory
+    batch ivf_knn at the same seed/corpus exactly — same frozen
+    centroids, same assignment expression, same scoring — so arrival
+    order, batching, and the idempotent epoch commits are all provably
+    invisible to the served results."""
+    from spark_glove_spark import api
+    from spark_glove_spark.operators.ann import ivf_knn
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["probe_id"], r["vec_id"], r["cos"])
+        for r in api.REGISTRY["i23_streaming_ann_ingest"]
+        .fn(spark, sf)
+        .collect()
+    )
+    e = spark.read.parquet(sf + "/embeddings.parquet")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    want = sorted(
+        (r["probe_id"], r["vec_id"], r["cos"])
+        for r in ivf_knn(e, probes, k=10, n_lists=10, n_probe=3).collect()
+    )
+    assert got == want
