@@ -44,30 +44,34 @@ def global_rank(
     distributed ranking:
 
     1. range-repartition on the order key (Spark's RangePartitioner:
-       partition i's key range precedes partition i+1's) and PERSIST,
-       so both passes see identical partition boundaries (the range
-       sampler is not otherwise re-run-stable);
+       partition i's key range precedes partition i+1's) and PIN with
+       an eager ``localCheckpoint``, so both passes — and ANY later
+       re-execution of the returned DataFrame — read the same
+       materialized partitioning (ADVICE r9: a plain persist released
+       by defer_unpersist would let a re-execution re-run the range
+       sampler with NEW boundaries while the rank offsets below stay
+       baked in as literals — silently wrong ranks);
     2. count rows per partition — ONE bounded collect of
        ≤ ``num_partitions`` rows — and turn the cumulative counts
        into a literal pid→offset map;
     3. rank WITHIN each partition (a partitioned window, parallel by
        construction) and add the offset.
 
-    Ranks are a pure function of the total order (callers pass a
-    tiebreaking key), so results are identical to the single-partition
-    ``Window.orderBy`` form — same oracles — while each task sorts
-    only its range slice. Returns ``(ranked_df, total_rows)``; the
-    total is free (sum of the pass-2 counts) and callers use it for
-    closed-form ntile/bucket arithmetic. The persisted intermediate is
-    released at the next declared query (defer_unpersist)."""
+    ``order_cols`` must form a UNIQUE key (callers pass a tiebreaking
+    key): ranks are then a pure function of the total order, so
+    results are identical to the single-partition ``Window.orderBy``
+    form — same oracles — while each task sorts only its range slice.
+    Returns ``(ranked_df, total_rows)``; the total is free (sum of
+    the pass-2 counts) and callers use it for closed-form
+    ntile/bucket arithmetic. The checkpointed blocks live until the
+    DataFrame is garbage-collected — bounded: every call site feeds
+    it a value-domain aggregate, never the fact table."""
     from pyspark.sql import Window
 
-    from spark_glove_spark.registry import defer_unpersist
-
-    t = defer_unpersist(
+    t = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_gr_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = {
         r["_gr_pid"]: r["n"]
@@ -100,22 +104,31 @@ def global_prefix_sum(
 ) -> DataFrame:
     """EXACT running totals over a global order WITHOUT an
     unpartitioned window — :func:`global_rank`'s prefix-SUM sibling
-    (same two-pass shape): range-repartition + persist, collect the
+    (same two-pass shape): range-repartition + eager localCheckpoint
+    (same ADVICE r9 pin as global_rank — the literal offsets below
+    must never meet a re-sampled partitioning), collect the
     ≤ ``num_partitions`` per-partition totals of each ``sum_cols``
     entry, then add the cumulative-preceding-partition offset to a
     PARTITIONED within-slice running sum. ``inclusive=False`` gives
     the strictly-preceding prefix (rowsBetween(-inf, -1), 0 at each
-    slice head). Results are a pure function of the total order, so
-    oracles written against ``sum() OVER (ORDER BY ...)`` hold
-    unchanged while every task scans only its range slice."""
+    slice head).
+
+    ``order_cols`` must form a UNIQUE key (ADVICE r9: this uses a
+    ROWS frame, so for duplicate keys each tied row would get a
+    tie-order-dependent running value where SQL's default RANGE frame
+    gives ties EQUAL cumulative values — the oracle-equivalence claim
+    below holds only key-uniquely, the same contract as
+    :func:`global_rank`'s tiebreak requirement; current call sites
+    pass distinct keys). Results are then a pure function of the
+    total order, so oracles written against
+    ``sum() OVER (ORDER BY ...)`` hold unchanged while every task
+    scans only its range slice."""
     from pyspark.sql import Window
 
-    from spark_glove_spark.registry import defer_unpersist
-
-    t = defer_unpersist(
+    t = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_gp_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     totals = t.groupBy("_gp_pid").agg(
         *[F.sum(c).alias(c) for c in sum_cols]

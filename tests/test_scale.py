@@ -478,3 +478,44 @@ def test_a9_restores_conf_and_drops_tables(spark):
     assert not [
         t for t in spark.catalog.listTables() if "sgs_bucketed" in t.name
     ]
+
+
+def test_global_rank_and_prefix_sum_survive_reexecution(spark):
+    """ADVICE r9 (low): the two-pass scale_ops bake partition offsets
+    collected from the range-partitioned intermediate into LITERALS —
+    if a re-execution of the returned DataFrame could re-run the range
+    sampler with new boundaries, the literals would silently produce
+    wrong ranks/sums. The eager localCheckpoint pins the partitioning
+    for the DataFrame's lifetime; this test re-collects after draining
+    every deferred cache (the hazard window) and also checks the exact
+    global semantics."""
+    from spark_glove_spark.operators.scale_ops import (
+        global_prefix_sum,
+        global_rank,
+    )
+    from spark_glove_spark.registry import drain_deferred_unpersist
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS v")
+    ranked, n = global_rank(df, ["v", "id"], rank_col="r", num_partitions=8)
+    assert n == 1000
+    first = sorted((r["id"], r["r"]) for r in ranked.collect())
+    drain_deferred_unpersist()  # release every deferred cache
+    second = sorted((r["id"], r["r"]) for r in ranked.collect())
+    assert first == second, "re-execution changed ranks"
+    want = {
+        id_: i + 1
+        for i, (_, id_) in enumerate(sorted((i % 7, i) for i in range(1000)))
+    }
+    assert dict(first) == want
+
+    summed = global_prefix_sum(df, ["v", "id"], ["id"], ["run"], num_partitions=8)
+    a = sorted((r["id"], r["run"]) for r in summed.collect())
+    drain_deferred_unpersist()
+    b = sorted((r["id"], r["run"]) for r in summed.collect())
+    assert a == b, "re-execution changed prefix sums"
+    # exact running total over the (v, id) order
+    acc, want_run = 0, {}
+    for _, id_ in sorted((i % 7, i) for i in range(1000)):
+        acc += id_
+        want_run[id_] = acc
+    assert dict(a) == want_run
