@@ -346,10 +346,10 @@ R10_REGREEN: tuple[str, ...] = (
     "sql_tpch_q18",
 )
 
-DRIVER_PRIORITY = R9_REMAINDER + R10_NEW + R10_REGREEN
-
 # Round-11 remainder: queries built AFTER the r10 window froze land
-# here, same discipline as R9_REMAINDER above.
+# here, same discipline as R9_REMAINDER above. These are the ONLY
+# registered queries with zero driver records after ten rounds
+# (VERDICT r10 item 1 — "the single highest-leverage item").
 R11_REMAINDER: tuple[str, ...] = (
     # persisted IVF index probe (rows-only: k-means cells are
     # model-specific; equality-vs-in-memory + partition-pruning plan
@@ -364,6 +364,102 @@ R11_REMAINDER: tuple[str, ...] = (
     # assignment row-for-row; idempotent per-epoch appends)
     "i23_streaming_ann_ingest",
 )
+
+# ROUND-11 ROTATION (VERDICT r10 items 1+8). Composition:
+#   1. R11_REMAINDER leads — the three r10 post-freeze additions,
+#      the only registered queries with zero driver records.
+#   2. R11_NEW — queries built this round (VERDICT r10 items 4+5:
+#      the composed IVF-PQ persisted index and the drift-triggered
+#      ANN rebuild), slotted as they land.
+#   3. R11_REGREEN — re-certification slots prioritized by what r11
+#      code touches (the ANN/vector family around the IVF-PQ
+#      composition, the streaming family around the curate-capstone
+#      perf work, ml_naive_bayes after its bisect, the PSI-drift
+#      machinery the rebuild policy reuses) plus the standing GloVe /
+#      dedup / txlog / capstone signature surface. Every name here
+#      already has a driver-green record from r1–r10; the partition
+#      guard whitelists exactly this tuple.
+# Planned r11 additions (slotted here as they land, evicting the
+# TEMP-FILL tail of R11_REGREEN one-for-one so the window stays 50):
+#   h16_ivfpq_persisted — composed IVF-PQ persisted index: PQ codes
+#     stored inside the partition-pruned list_id dirs, ADC over
+#     codes, exact re-rank (rows-only: learned quantizers are
+#     model-specific; recall floor vs exact h15 + PartitionFilters
+#     plan guard + equality-with-in-memory composition in tests)
+#   h16_ivfpq_portable — oracle-checked portable twin: fixed literal
+#     quantizers -> coarse assign -> n_probe prune -> ADC lookup-sum
+#     -> re-rank, all SQL-expressible
+#   pipeline_ann_drift_rebuild — per-epoch cell-occupancy PSI over
+#     streamed assignments; planted drift triggers a catalog rebuild
+#     while the pinned snapshot keeps serving v0 (rows-only)
+R11_NEW: tuple[str, ...] = ()
+
+R11_REGREEN: tuple[str, ...] = (
+    # ANN / vector-search family — r11 composes IVF-PQ into the
+    # persisted index (ann.py changes under every one of these)
+    "h15_knn_bruteforce",
+    "h15_knn_filtered",
+    "h16_ivf_filtered",
+    "h15_range_search",
+    "h16_ivf_portable",
+    "h16_pq_portable",
+    "h16_opq_portable",
+    "h16_lsh_portable",
+    "h16_int8_quant",
+    "h15_mmr_portable",
+    "h15_rrf_fusion",
+    # statml / drift — ml_naive_bayes is the r10 1.91x watch item
+    # (bisected this round); the PSI machinery backs the rebuild
+    # policy
+    "ml_naive_bayes",
+    "d23_psi_drift",
+    "i21_streaming_psi_drift",
+    # streaming family — r11 profiles/trims the curate capstone and
+    # extends the ingest lane to drift-triggered rebuilds
+    "pipeline_streaming_curate",
+    "i17_streaming_txlog_sink",
+    "i5_streaming_dedup",
+    "i22_streaming_online_dedup",
+    "i13_checkpoint_recovery",
+    "i14_streaming_quality_filter",
+    "i9_streaming_cooccurrence",
+    "i20_streaming_cooccurrence_update",
+    # txlog family — the ANN lifecycle catalog rides on these paths
+    "a21_txlog_delete",
+    "a22_txlog_merge",
+    "a27_txlog_update",
+    "a31_txlog_cas_backend",
+    "a34_txlog_idempotent_sink",
+    "pipeline_cdc_exactly_once",
+    "pipeline_mor_lifecycle",
+    # GloVe pipeline signature (standing re-cert)
+    "h1_token_stats",
+    "h3_cooccurrence_topk",
+    "h4_glove_weighting",
+    "h5_glove_fit_micro",
+    "h5_glove_planted_analogy",
+    "h6_export_portable",
+    "h7_topk_cosine",
+    "h8_analogy",
+    "h9_doc_embedding",
+    "h10_tfidf",
+    # dedup signature + perf watch + capstones + heaviest TPC-H join
+    "h13_minhash_portable",
+    "h14_similarity_join",
+    "h17_span_dedup_bucketed",
+    "pipeline_curate_corpus",
+    "sql_tpch_q18",
+    # TEMP-FILL tail: evicted one-for-one as R11_NEW queries land
+    "i15_stateful_ttl",
+    "i18_txlog_stream_source",
+    "a26_txlog_bloom_lookup",
+)
+
+DRIVER_PRIORITY = R11_REMAINDER + R11_NEW + R11_REGREEN
+
+# Round-12 remainder: queries built AFTER the r11 window froze land
+# here, same discipline as R11_REMAINDER above.
+R12_REMAINDER: tuple[str, ...] = ()
 
 
 def driver_key(rank: int, name: str) -> str:

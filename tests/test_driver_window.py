@@ -6,13 +6,13 @@ the contract that keeps the engine's signature surface inside that
 window, so a future alphabetically-early addition can't silently evict
 e.g. h5_glove_fit from driver verification.
 
-Round-10 semantics (VERDICT r9 item 1 — the r9 rotation was never
-executed, so the r8 window ran twice): the window is REMAINDER
-(never-driver-checked, two rounds overdue) + NEW (built this round) +
-REGREEN (deliberate re-certification of driver-green rows at r10
-HEAD). The partition guard distinguishes "wasted slot" (an
-already-checked name NOT declared as a re-green) from the explicit
-R10_REGREEN tuple.
+Round-11 semantics (VERDICT r10 items 1+8): the window is
+R11_REMAINDER (the three r10 post-freeze additions — the only
+registered queries with zero driver records after ten rounds) +
+R11_NEW (built this round) + R11_REGREEN (deliberate re-certification
+of driver-green rows at r11 HEAD). The partition guard distinguishes
+"wasted slot" (an already-checked name NOT declared as a re-green)
+from the explicit R11_REGREEN tuple.
 
 No SparkSession needed — these are pure registry-shape checks.
 """
@@ -26,10 +26,10 @@ from spark_glove_spark import api
 from spark_glove_spark.registry import (
     DRIVER_PRIORITY,
     DRIVER_WINDOW,
-    R9_REMAINDER,
-    R10_NEW,
-    R10_REGREEN,
+    R11_NEW,
+    R11_REGREEN,
     R11_REMAINDER,
+    R12_REMAINDER,
     driver_key,
     original_name,
 )
@@ -115,66 +115,74 @@ ALL_RECORDS = (
     "CORRECTNESS_r07",
     "CORRECTNESS_r08",
     "CORRECTNESS_r09",
+    "CORRECTNESS_r10",
 )
+
+
+def test_r10_window_landed_green():
+    """VERDICT r9 item 1's failure class (a rotation declared but never
+    executed) must stay dead: the r10 record must show the r10 window's
+    remainder+new names green, proving rotations actually run."""
+    checked = _driver_checked(("CORRECTNESS_r10",))
+    for n in ("a34_txlog_idempotent_sink", "pipeline_cdc_exactly_once",
+              "h15_knn_filtered", "h16_ivf_filtered"):
+        assert n in checked, f"r10 rotation name missing from record: {n}"
 
 
 def test_window_slots_are_new_work_or_declared_regreens():
     """Every window slot is either a query with NO driver record in
-    any prior round (closing the evidence gap: R9_REMAINDER + the two
-    r10-built queries) or an EXPLICIT member of R10_REGREEN
-    (re-certifying the signature surface at r10 HEAD). An
-    already-checked name outside R10_REGREEN is a wasted slot; an
-    unchecked name inside R10_REGREEN would be new coverage
+    any prior round (closing the evidence gap: R11_REMAINDER + the
+    r11-built queries) or an EXPLICIT member of R11_REGREEN
+    (re-certifying the signature surface at r11 HEAD). An
+    already-checked name outside R11_REGREEN is a wasted slot; an
+    unchecked name inside R11_REGREEN would be new coverage
     masquerading as a re-green."""
     checked = _driver_checked(ALL_RECORDS)
     stale = [
-        n for n in DRIVER_PRIORITY if n in checked and n not in R10_REGREEN
+        n for n in DRIVER_PRIORITY if n in checked and n not in R11_REGREEN
     ]
     assert not stale, f"already-checked slots not declared as regreens: {stale}"
-    fake = [n for n in R10_REGREEN if n not in checked]
-    assert not fake, f"R10_REGREEN names without a prior green record: {fake}"
+    fake = [n for n in R11_REGREEN if n not in checked]
+    assert not fake, f"R11_REGREEN names without a prior green record: {fake}"
 
 
 def test_window_covers_the_rotation_waves():
-    """The r10 rotation carries the VERDICT r9 mandates: R9_REMAINDER
-    leads in its pre-committed order (item 1 — the only two queries
-    without a driver record after nine rounds); the two filtered-ANN
-    queries built this round follow (item 6); and the re-green slate
-    leads with the four queries r9 rebuilt on scale_ops that the
-    stale r9 window never re-ran."""
-    assert DRIVER_PRIORITY[: len(R9_REMAINDER)] == R9_REMAINDER
-    assert R9_REMAINDER == (
-        "a34_txlog_idempotent_sink",
-        "pipeline_cdc_exactly_once",
+    """The r11 rotation carries the VERDICT r10 mandates: R11_REMAINDER
+    leads in its pre-committed order (item 1 — the only three queries
+    without a driver record after ten rounds); R11_NEW (the IVF-PQ
+    composition + drift-rebuild work, items 4+5) follows; and the
+    re-green slate leads with the ANN family r11 code touches, the
+    bisected ml_naive_bayes, and the streaming-curate perf watch."""
+    assert DRIVER_PRIORITY[: len(R11_REMAINDER)] == R11_REMAINDER
+    assert R11_REMAINDER == (
+        "h16_ivf_persisted",
+        "pipeline_ann_index_lifecycle",
+        "i23_streaming_ann_ingest",
     )
-    assert R10_NEW == ("h15_knn_filtered", "h16_ivf_filtered")
     assert (
-        DRIVER_PRIORITY[len(R9_REMAINDER):len(R9_REMAINDER) + len(R10_NEW)]
-        == R10_NEW
+        DRIVER_PRIORITY[len(R11_REMAINDER):len(R11_REMAINDER) + len(R11_NEW)]
+        == R11_NEW
     )
-    # the r9 scale_ops rewrites lead the re-green slate
-    for n in ("d17_quantile_binning", "d22_ks_drift",
-              "d26_auc_ranksum", "d29_gini"):
-        assert n in R10_REGREEN
-    # the streaming + txlog families r10 code/tests touch
-    for n in ("pipeline_streaming_curate", "i17_streaming_txlog_sink",
-              "a21_txlog_delete", "a22_txlog_merge", "a27_txlog_update",
-              "a31_txlog_cas_backend"):
-        assert n in R10_REGREEN
+    # the families r11 code touches
+    for n in ("h15_knn_bruteforce", "h16_ivf_portable", "h16_pq_portable",
+              "ml_naive_bayes", "pipeline_streaming_curate",
+              "d23_psi_drift", "i21_streaming_psi_drift",
+              "h17_span_dedup_bucketed"):
+        assert n in R11_REGREEN
 
 
 def test_remainder_plus_new_closes_the_evidence_contract():
-    """After CORRECTNESS_r10 records the window, every registered
-    query must possess a driver record: prior greens + R9_REMAINDER +
-    R10_NEW must equal the full registry (R11_REMAINDER catches any
-    query built after the r10 freeze)."""
+    """After CORRECTNESS_r11 records the window, every registered
+    query must possess a driver record: prior greens + R11_REMAINDER +
+    R11_NEW must equal the full registry (R12_REMAINDER catches any
+    query built after the r11 freeze)."""
     checked = _driver_checked(ALL_RECORDS)
     uncovered = (
         set(api.queries())
         - checked
-        - set(R9_REMAINDER)
-        - set(R10_NEW)
         - set(R11_REMAINDER)
+        - set(R11_NEW)
+        - set(R12_REMAINDER)
     )
     assert not uncovered, f"queries not slotted in any rotation: {uncovered}"
 
@@ -188,31 +196,34 @@ def test_driver_keys_sort_before_every_organic_name():
 
 
 def test_rotation_plan_partitions_the_registry():
-    """The three r10 plans (REMAINDER / NEW / REGREEN) are disjoint,
-    registered, and every oracle obligation holds: R9_REMAINDER ships
-    oracles (pre-committed discipline); R10_NEW ships oracles except
-    h16_ivf_filtered, which is rows-only BY DESIGN (k-means cell
-    boundaries are model-specific) with its exact oracle-checked twin
-    h15_knn_filtered IN THE SAME WAVE plus the recall-floor test in
-    tests/test_dedup.py."""
+    """The three r11 plans (REMAINDER / NEW / REGREEN) are disjoint,
+    registered, and every oracle obligation holds: the three
+    R11_REMAINDER queries are rows-only BY DESIGN (k-means cells and
+    streamed epoch state are model-specific) with their documented
+    in-body/pytest teeth; R11_NEW entries ship oracles except the
+    persisted/drift legs, which are rows-only by the same design with
+    the oracle-checked h16_ivfpq_portable twin IN THE SAME WAVE."""
     from spark_glove_spark.registry import REGISTRY
 
-    parts = [set(R9_REMAINDER), set(R10_NEW), set(R10_REGREEN)]
+    parts = [set(R11_REMAINDER), set(R11_NEW), set(R11_REGREEN)]
     for i in range(len(parts)):
         for j in range(i + 1, len(parts)):
             assert not parts[i] & parts[j], (i, j, parts[i] & parts[j])
     ghost = set(DRIVER_PRIORITY) - set(api.queries())
     assert not ghost, f"plan names not registered: {ghost}"
-    for n in R9_REMAINDER:
-        assert REGISTRY[n].oracle is not None, f"{n} must ship an oracle"
-    for n in R10_NEW:
-        if n == "h16_ivf_filtered":
+    for n in R11_REMAINDER:
+        assert REGISTRY[n].oracle is None, (
+            f"{n} is declared rows-only by design; an oracle appearing "
+            "means the declaration is stale"
+        )
+    for n in R11_NEW:
+        if n in ("h16_ivfpq_persisted", "pipeline_ann_drift_rebuild"):
             assert REGISTRY[n].oracle is None
-            assert "h15_knn_filtered" in R10_NEW
+            assert "h16_ivfpq_portable" in R11_NEW
         else:
             assert REGISTRY[n].oracle is not None, f"{n} must ship an oracle"
-    for n in R11_REMAINDER:
-        assert n in REGISTRY, f"R11 plan name not registered: {n}"
+    for n in R12_REMAINDER:
+        assert n in REGISTRY, f"R12 plan name not registered: {n}"
 
 
 def test_original_name_roundtrip():
