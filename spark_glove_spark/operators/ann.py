@@ -417,6 +417,29 @@ def _index_rows(path: str) -> int:
     )
 
 
+def _read_centroid_literals(spark: SparkSession, path: str) -> Column:
+    """Re-inline a persisted index's ≤ n_lists centroid rows as the
+    same array-of-structs literal :func:`_centroid_literals` builds at
+    training time (bounded collect: n_lists rows). Shared by the IVF
+    and IVF-PQ probe paths and the drift monitor's re-assignment."""
+    import os
+
+    cent_rows = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r["list_id"],
+    )
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r["list_id"]).alias("list_id"),
+                F.array(*[F.lit(float(v)) for v in r["cv"]]).alias("cv"),
+                F.lit(float(r["cnorm"])).alias("cnorm"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+
 def ivf_probe_index(
     spark: SparkSession,
     path: str,
@@ -437,20 +460,7 @@ def ivf_probe_index(
     corpus — the difference between an index and a scan."""
     import os
 
-    cent_rows = sorted(
-        spark.read.parquet(os.path.join(path, "centroids")).collect(),
-        key=lambda r: r["list_id"],
-    )
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(r["list_id"]).alias("list_id"),
-                F.array(*[F.lit(float(v)) for v in r["cv"]]).alias("cv"),
-                F.lit(float(r["cnorm"])).alias("cnorm"),
-            )
-            for r in cent_rows
-        ]
-    )
+    cents = _read_centroid_literals(spark, path)
     # pin the probe-assignment job's result: BOTH consumers below (the
     # wanted-list collect and the broadcast into _score_lists) read the
     # checkpointed rows instead of re-running the window job (r10
@@ -484,13 +494,17 @@ def h16_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     path = tempfile.mkdtemp(prefix="ivf_index_")
-    # the returned DataFrame reads the index LAZILY, so the on-disk
-    # copy must outlive this function; reclaim it at the next declared
-    # query (the defer_unpersist safe point) instead of leaking a
-    # corpus-sized directory per invocation (r10 review finding)
+    # reclaim the on-disk index at the next declared query (the
+    # defer_unpersist safe point) instead of leaking a corpus-sized
+    # directory per invocation (r10 review finding)
     defer_cleanup(lambda: shutil.rmtree(path, ignore_errors=True))
     ivf_build_index(e, path, n_lists=10, seed=42)
-    return ivf_probe_index(spark, path, probes, k=10, n_probe=3)
+    res = ivf_probe_index(spark, path, probes, k=10, n_probe=3)
+    # materialize the ≤ k×probes result rows NOW so the returned
+    # DataFrame's lifetime is decoupled from the tempdir the deferred
+    # cleanup reclaims (ADVICE r10: a lazy return held across a later
+    # declared query would read a deleted directory)
+    return res.localCheckpoint(eager=True)
 
 
 @query(
@@ -591,6 +605,289 @@ def pipeline_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "index_version int, corpus_rows long, n_results long,"
         " delta_results long, mean_cos double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed IVF-PQ persisted index (VERDICT r10 item 4): PQ codes stored
+# INSIDE the partition-pruned inverted lists — the FAISS IVFPQ layout
+# (the non-residual ``by_residual=False`` variant: codes quantize the
+# raw vector, not the coarse residual, so the PQ stage is identical to
+# h16_pq_ann and every stage stays expression-only). A probe pays
+#   (1) a PartitionFilters-pruned scan of n_probe list directories,
+#   (2) ADC over the m small codes per candidate (no float vectors
+#       read — the index stores codes ONLY),
+#   (3) an exact re-rank that joins the ≤ shortlist×probes survivors
+#       back to the corpus by vec_id for true embeddings.
+# At 100 TB that ordering is what makes the index an index: the float
+# corpus is touched only for the bounded survivor set.
+
+
+def _ivfpq_quantizers(
+    vectors: DataFrame, n_lists: int, m: int, ksub: int, seed: int, max_iter: int
+):
+    """ONE bounded deterministic sample trains BOTH quantizers — the
+    coarse k-means cells and the per-subspace PQ codebooks (the FAISS
+    ``train()`` split: quantizer quality degrades gracefully under
+    sampling, so the 100 TB build never scans twice for training)."""
+    import numpy as np
+
+    sample = np.stack(
+        [
+            r[0]
+            for r in vectors.select("embedding")
+            .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+            .limit(_SAMPLE_CAP)
+            .collect()
+        ]
+    ).astype(np.float64)
+    coarse = _lloyd(sample, n_lists, max_iter, seed)
+    books = _pq_codebooks(sample, m, ksub, max_iter, seed + 101)
+    return coarse, books
+
+
+def _pq_cv_lists(books) -> list[list[list[float]]]:
+    """Codebooks as plain nested float lists — the exchange format
+    between the numpy trainer, the parquet codebooks table, and the
+    literal-building probe expressions (float64 roundtrips exactly
+    through all three)."""
+    return [[list(map(float, book[c])) for c in range(len(book))] for book in books]
+
+
+def _pq_encode_expr(cvs: list[list[list[float]]]) -> Column:
+    """embedding → array of m PQ codes: per subspace, euclidean argmin
+    over the ksub codebook centroids (rank by ‖c‖² − 2⟨x_j, c⟩; ‖x_j‖²
+    is constant per row), all against literal arrays in codegen."""
+    subdim = len(cvs[0][0])
+
+    def encode_subspace(j: int):
+        sj = F.slice(F.col("embedding"), j * subdim + 1, subdim)
+        cents = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("code"),
+                    F.array(*[F.lit(v) for v in cvs[j][c]]).alias("cv"),
+                    F.lit(float(sum(v * v for v in cvs[j][c]))).alias("cnorm"),
+                )
+                for c in range(len(cvs[j]))
+            ]
+        )
+        return F.sort_array(
+            F.transform(
+                cents,
+                lambda c: F.struct(
+                    (c["cnorm"] - 2 * dot(sj, c["cv"])).alias("d"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )[0]["code"]
+
+    return F.array(*[encode_subspace(j) for j in range(len(cvs))])
+
+
+def _ivfpq_score(
+    cand: DataFrame,
+    cvs: list[list[list[float]]],
+    corpus: DataFrame,
+    k: int,
+    shortlist: int,
+) -> DataFrame:
+    """Shared scoring tail of the in-memory and persisted IVF-PQ probe
+    paths (sharing it is what makes the equality test meaningful):
+    ``cand`` = (probe_id, vec_id, codes, q) candidates from the probed
+    lists; ADC approx-dot = Σ_j ⟨codebook_j[code_j], q_j⟩ ranks a
+    per-probe shortlist; survivors join BACK to the corpus by vec_id
+    (broadcast — ≤ shortlist × probes rows) for the exact float
+    re-rank. Ties break on vec_id at both boundaries."""
+    m, subdim = len(cvs), len(cvs[0][0])
+
+    def adc_term(j: int):
+        cv_lit = F.array(
+            *[F.array(*[F.lit(v) for v in cvs[j][c]]) for c in range(len(cvs[j]))]
+        )
+        chosen = F.element_at(cv_lit, F.element_at(F.col("codes"), j + 1) + 1)
+        return dot(chosen, F.slice(F.col("q"), j * subdim + 1, subdim))
+
+    approx = cand.select(
+        "probe_id",
+        "vec_id",
+        "q",
+        sum(adc_term(j) for j in range(m)).alias("adc"),
+    )
+    ws = Window.partitionBy("probe_id").orderBy(F.col("adc").desc(), "vec_id")
+    surv = (
+        approx.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= shortlist)
+        .select("probe_id", "vec_id", "q")
+    )
+    exact = corpus.select("vec_id", "label", "embedding").join(
+        F.broadcast(surv), "vec_id"
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        exact.select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(dot(F.col("embedding"), F.col("q")), 6).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ivfpq_build_index(
+    vectors: DataFrame,
+    path: str,
+    n_lists: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> None:
+    """PERSIST the composed IVF-PQ index: train both quantizers on one
+    bounded sample, then ONE corpus pass writes (vec_id, codes) —
+    m small ints per vector, the 32×-compressed resident set — as
+    parquet PARTITIONED BY list_id, plus the tiny centroids and
+    codebooks tables beside it. The float vectors are deliberately NOT
+    in the index: the probe re-fetches exact embeddings for its
+    bounded survivor set from the corpus table (see
+    :func:`ivfpq_probe_index`), so index bytes stay ∝ m per vector no
+    matter the dimension."""
+    import os
+
+    coarse, books = _ivfpq_quantizers(vectors, n_lists, m, ksub, seed, max_iter)
+    cvs = _pq_cv_lists(books)
+    cents = _centroid_literals(coarse)
+    assigned = vectors.select(
+        "vec_id",
+        _nearest_list_expr(cents).alias("list_id"),
+        _pq_encode_expr(cvs).alias("codes"),
+    )
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(
+        os.path.join(path, "lists")
+    )
+    spark = vectors.sparkSession
+    spark.createDataFrame(
+        [
+            (i, [float(v) for v in c], float((c * c).sum()))
+            for i, c in enumerate(coarse)
+        ],
+        "list_id int, cv array<double>, cnorm double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    spark.createDataFrame(
+        [(s, c, cvs[s][c]) for s in range(m) for c in range(len(cvs[s]))],
+        "s int, code int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+
+
+def ivfpq_probe_index(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Probe a PERSISTED IVF-PQ index: centroids and codebooks are
+    re-inlined as literals (bounded collects: n_lists and m×ksub rows),
+    the code scan prunes to the wanted lists via PartitionFilters, ADC
+    ranks candidates from codes alone, and only the survivor set joins
+    back to ``corpus`` for exact re-rank. Result equality with the
+    in-memory :func:`ivfpq_knn` at the same seed plus the pruned plan
+    shape are pinned in tests/test_quant.py."""
+    import os
+
+    cents = _read_centroid_literals(spark, path)
+    book_rows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    by_s: dict[int, dict[int, list[float]]] = {}
+    for r in book_rows:
+        by_s.setdefault(r["s"], {})[r["code"]] = [float(v) for v in r["cv"]]
+    cvs = [
+        [by_s[s][c] for c in sorted(by_s[s])] for s in sorted(by_s)
+    ]
+    # pin the probe-assignment job (both consumers below reuse it —
+    # same r10 review finding as ivf_probe_index)
+    plists = _probe_lists(probes, cents, n_probe).localCheckpoint(eager=True)
+    wanted = sorted(
+        {r["list_id"] for r in plists.select("list_id").distinct().collect()}
+    )
+    codes = spark.read.parquet(os.path.join(path, "lists")).where(
+        F.col("list_id").isin(wanted)
+    )
+    cand = (
+        codes.join(F.broadcast(plists), "list_id")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "codes", "q")
+    )
+    return _ivfpq_score(cand, cvs, corpus, k, shortlist)
+
+
+def ivfpq_knn(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_lists: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    n_probe: int = 2,
+    shortlist: int = 50,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """In-memory IVF-PQ composition — identical math to building and
+    probing a persisted index at the same seed (the equality tooth),
+    without the disk roundtrip: coarse-assign + encode on the fly,
+    prune to each probe's n_probe lists, ADC-shortlist, exact
+    re-rank."""
+    coarse, books = _ivfpq_quantizers(vectors, n_lists, m, ksub, seed, max_iter)
+    cvs = _pq_cv_lists(books)
+    cents = _centroid_literals(coarse)
+    assigned = vectors.select(
+        "vec_id",
+        _nearest_list_expr(cents).alias("list_id"),
+        _pq_encode_expr(cvs).alias("codes"),
+    )
+    plists = _probe_lists(probes, cents, n_probe)
+    cand = (
+        assigned.join(F.broadcast(plists), "list_id")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "codes", "q")
+    )
+    return _ivfpq_score(cand, cvs, vectors, k, shortlist)
+
+
+@query("h16_ivfpq_persisted", section="H16,A3,A1,G8", tags=("ann", "scale"))
+def h16_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16 composed-index form (FAISS IVFPQ on the lakehouse): ONE
+    persisted index holds PQ codes INSIDE partition-pruned inverted
+    lists, so a probe composes every scale lever at once — list
+    pruning at scan time (PartitionFilters), 32×-compressed ADC
+    scoring over codes, and an exact re-rank that touches float
+    vectors only for the bounded survivor set. Rows-only to the
+    driver (both quantizers are model-specific); tests/test_quant.py
+    pins result EQUALITY with the in-memory ivfpq_knn at the same
+    seed, the recall floor vs the exact h15 twin, and the
+    partition-pruned plan shape."""
+    import shutil
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="ivfpq_index_")
+    defer_cleanup(lambda: shutil.rmtree(path, ignore_errors=True))
+    ivfpq_build_index(e, path, n_lists=10, m=8, ksub=16, seed=42)
+    res = ivfpq_probe_index(
+        spark, path, e, probes, k=10, n_probe=3, shortlist=100
+    )
+    # materialize the ≤ k×probes result rows NOW so the returned
+    # DataFrame's lifetime is decoupled from the tempdir the deferred
+    # cleanup reclaims at the next declared query (ADVICE r10: a lazy
+    # return held across a later query would read a deleted directory)
+    return res.localCheckpoint(eager=True)
 
 
 @query("h16_ivf_ann", section="H16")
@@ -1820,5 +2117,268 @@ def h16_opq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(wk))
         .where(F.col("rn") <= _OPQ_TOPK)
+        .select("probe_id", "vec_id", "num", F.round("cos_raw", 6).alias("cos_q"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable IVF-PQ: the COMPOSED index pipeline (coarse prune -> ADC over
+# codes inside probed cells -> exact rerank) as a hash-matchable query
+# (VERDICT r10 item 4's oracle leg — h16_ivf_portable certifies the
+# pruning math and h16_pq_portable the ADC math separately; this twin
+# certifies their COMPOSITION, the FAISS IVFPQ search path).
+
+_IPQ_K = 4  # coarse cells
+_IPQ_NPROBE = 2
+_IPQ_M = 4  # PQ subspaces
+_IPQ_SUBDIM = DIM // _IPQ_M
+_IPQ_KSUB = 4  # centroids per subspace
+_IPQ_SHORTLIST = 10
+_IPQ_TOPK = 3
+
+
+def _ipq_coef(s: int, j: int, d: int) -> int:
+    """Deterministic LCG codebook coordinate in [-1000, 1000] (the
+    _pqp_coef discipline with a distinct increment so the two twins
+    can never silently share a codebook)."""
+    idx = s * _IPQ_KSUB * _IPQ_SUBDIM + j * _IPQ_SUBDIM + d
+    return ((1103515245 * idx + 98765) % 2147483648) % 2001 - 1000
+
+
+def _ipq_oracle() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, i - 1 AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_PL_SCALE} + 0.5) AS BIGINT) AS v
+  FROM embeddings, range(1, {DIM + 1}) r(i)
+),
+cents AS (SELECT vec_id AS cent_id, d, v AS c FROM q WHERE vec_id < {_IPQ_K}),
+cdist AS (
+  SELECT q.vec_id, cents.cent_id,
+         CAST(sum((q.v - cents.c) * (q.v - cents.c)) AS BIGINT) AS dist
+  FROM q JOIN cents ON q.d = cents.d
+  GROUP BY 1, 2
+),
+cranked AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+  FROM cdist
+),
+assign AS (SELECT vec_id, cent_id AS cell FROM cranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS probe_id, cent_id AS cell
+  FROM cranked WHERE vec_id % 100 = 0 AND rn <= {_IPQ_NPROBE}
+),
+coef AS (
+  SELECT s, j, d,
+         ((1103515245 * (s * {_IPQ_KSUB * _IPQ_SUBDIM} + j * {_IPQ_SUBDIM} + d)
+           + 98765) % 2147483648) % 2001 - 1000 AS c
+  FROM range({_IPQ_M}) t(s), range({_IPQ_KSUB}) u(j), range({_IPQ_SUBDIM}) w(d)
+),
+sub AS (
+  SELECT vec_id, d // {_IPQ_SUBDIM} AS s, d % {_IPQ_SUBDIM} AS sd, v FROM q
+),
+enc_d AS (
+  SELECT sub.vec_id, sub.s, coef.j,
+         CAST(sum((sub.v - coef.c) * (sub.v - coef.c)) AS BIGINT) AS dist
+  FROM sub JOIN coef ON coef.s = sub.s AND coef.d = sub.sd
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+    FROM enc_d
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT p.probe_id, a.vec_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.probe_id
+),
+adc AS (
+  SELECT cand.probe_id, cand.vec_id,
+         CAST(sum((ps.v - coef.c) * (ps.v - coef.c)) AS BIGINT) AS adist
+  FROM cand
+  JOIN sub ps ON ps.vec_id = cand.probe_id
+  JOIN codes ON codes.vec_id = cand.vec_id AND codes.s = ps.s
+  JOIN coef ON coef.s = ps.s AND coef.j = codes.code AND coef.d = ps.sd
+  GROUP BY 1, 2
+),
+sl AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {_IPQ_SHORTLIST}
+),
+norm AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY 1),
+dots AS (
+  SELECT sl.probe_id, sl.vec_id, CAST(sum(qa.v * qb.v) AS BIGINT) AS num
+  FROM sl
+  JOIN q qa ON qa.vec_id = sl.probe_id
+  JOIN q qb ON qb.vec_id = sl.vec_id AND qb.d = qa.d
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.probe_id, d.vec_id, d.num,
+         round(CAST(d.num AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)), 6)
+           AS cos_q,
+         row_number() OVER (
+           PARTITION BY d.probe_id
+           ORDER BY CAST(d.num AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) DESC,
+                    d.vec_id
+         ) AS rn
+  FROM dots d
+  JOIN norm na ON na.vec_id = d.probe_id
+  JOIN norm nb ON nb.vec_id = d.vec_id
+)
+SELECT probe_id, vec_id, num, cos_q FROM scored WHERE rn <= {_IPQ_TOPK}
+"""
+
+
+@query("h16_ivfpq_portable", section="H16,G8,H15", oracle=_ipq_oracle())
+def h16_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16 IVF-PQ, hash-matchable form: the COMPOSED index search —
+    coarse quantization against a fixed centroid set, nprobe cell
+    pruning, PQ encoding of every indexed vector, ADC shortlisting
+    over codes INSIDE the probed cells only, exact rerank of the
+    shortlist — on exact integer arithmetic so the DuckDB oracle
+    replicates every stage bit-for-bit. The two halves carry their own
+    oracle twins (h16_ivf_portable: pruning; h16_pq_portable: ADC);
+    this query certifies the composition order that makes IVFPQ an
+    index: candidates never exist outside probed cells, ADC never sees
+    a float vector, exact math touches <= shortlist rows per probe.
+
+    Fixed quantizers, as both parents: coarse centroids are the
+    quantized vectors of vec_id < _IPQ_K; the PQ codebook is a pure
+    int64 LCG (_ipq_coef) evaluated identically here and in the SQL.
+    Encoding ties break on the centroid index, cell ties on cent_id,
+    ADC ties on vec_id, and the rerank divides identical int64s, so
+    every boundary cuts identically in both engines.
+
+    Scale shape matches the persisted production path
+    (h16_ivfpq_persisted): assignment + encoding are one broadcast
+    map pass, candidates are cell equi-join fan-out (n/k per probe
+    expected, never n^2), ADC is m*subdim integer ops per candidate,
+    and exact math is shortlist-bounded."""
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
+    )
+    base = defer_unpersist(e.select("vec_id", qv.alias("qv")).persist())
+    zero = F.lit(0).cast("long")
+
+    # --- coarse stage (the h16_ivf_portable math) ---
+    cents = base.where(F.col("vec_id") < _IPQ_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    ranked = (
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", "qv", "cent_id", d2.alias("dist"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+            ),
+        )
+    )
+
+    # --- PQ encoding (the h16_pq_portable math, _ipq codebook) ---
+    def subdist(vec_col, s: int, j: int):
+        cent = F.array(
+            *[F.lit(_ipq_coef(s, j, d)).cast("long") for d in range(_IPQ_SUBDIM)]
+        )
+        part = F.slice(vec_col, s * _IPQ_SUBDIM + 1, _IPQ_SUBDIM)
+        return F.aggregate(
+            F.zip_with(part, cent, lambda x, y: (x - y) * (x - y)),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    codes = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        subdist(F.col("qv"), s, j).alias("dist"),
+                        F.lit(j).alias("j"),
+                    )
+                    for j in range(_IPQ_KSUB)
+                ]
+            )
+        )["j"].alias(f"code_{s}")
+        for s in range(_IPQ_M)
+    ]
+    assign = ranked.where(F.col("rn") == 1).select(
+        "vec_id", "qv", F.col("cent_id").alias("cell"), *codes
+    )
+    probes = ranked.where(
+        (F.col("vec_id") % 100 == 0) & (F.col("rn") <= _IPQ_NPROBE)
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("qv").alias("qp"),
+        F.col("cent_id").alias("cell"),
+    )
+
+    # --- composition: candidates exist ONLY inside probed cells ---
+    # (each vector lives in exactly one cell and a probe's nprobe
+    # cells are distinct, so the join emits each pair at most once —
+    # no DISTINCT needed on either side)
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .drop("cell")
+    )
+
+    # --- ADC over codes within the candidate set ---
+    def adc_term(s: int):
+        book = F.array(
+            *[
+                F.array(
+                    *[
+                        F.lit(_ipq_coef(s, j, d)).cast("long")
+                        for d in range(_IPQ_SUBDIM)
+                    ]
+                )
+                for j in range(_IPQ_KSUB)
+            ]
+        )
+        chosen = F.element_at(book, F.col(f"code_{s}") + 1)
+        part = F.slice(F.col("qp"), s * _IPQ_SUBDIM + 1, _IPQ_SUBDIM)
+        return F.aggregate(
+            F.zip_with(part, chosen, lambda x, y: (x - y) * (x - y)),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    adist = sum((adc_term(s) for s in range(1, _IPQ_M)), start=adc_term(0))
+    wsl = Window.partitionBy("probe_id").orderBy("adist", "vec_id")
+    shortlist = (
+        cand.withColumn("adist", adist)
+        .withColumn("rn", F.row_number().over(wsl))
+        .where(F.col("rn") <= _IPQ_SHORTLIST)
+    )
+
+    # --- exact rerank, shortlist-bounded ---
+    num = F.aggregate(
+        F.zip_with("qv", "qp", lambda x, y: x * y), zero, lambda acc, x: acc + x
+    )
+    nn_v = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
+    nn_p = F.aggregate(F.transform("qp", lambda x: x * x), zero, lambda a, x: a + x)
+    cos_raw = num.cast("double") / F.sqrt((nn_v * nn_p).cast("double"))
+    scored = shortlist.select(
+        "probe_id", "vec_id", num.alias("num"), cos_raw.alias("cos_raw")
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= _IPQ_TOPK)
         .select("probe_id", "vec_id", "num", F.round("cos_raw", 6).alias("cos_q"))
     )

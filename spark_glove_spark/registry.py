@@ -62,7 +62,14 @@ _DEFERRED_CLEANUP: list[Callable[[], None]] = []
 
 
 def defer_cleanup(fn: Callable[[], None]) -> None:
-    """Run ``fn`` when the next declared query starts."""
+    """Run ``fn`` when the next declared query starts.
+
+    CONTRACT (ADVICE r10): a query whose RETURNED DataFrame lazily
+    reads state this callback destroys (a tempdir index, a temp view)
+    must be consumed before the next declared query runs — or the
+    query must materialize its result first (small results:
+    ``localCheckpoint(eager=True)``, the h16_*_persisted pattern) so
+    the returned plan no longer references the doomed state."""
     _DEFERRED_CLEANUP.append(fn)
 
 
@@ -392,7 +399,10 @@ R11_REMAINDER: tuple[str, ...] = (
 #   pipeline_ann_drift_rebuild — per-epoch cell-occupancy PSI over
 #     streamed assignments; planted drift triggers a catalog rebuild
 #     while the pinned snapshot keeps serving v0 (rows-only)
-R11_NEW: tuple[str, ...] = ()
+R11_NEW: tuple[str, ...] = (
+    "h16_ivfpq_persisted",
+    "h16_ivfpq_portable",
+)
 
 R11_REGREEN: tuple[str, ...] = (
     # ANN / vector-search family — r11 composes IVF-PQ into the
@@ -451,8 +461,6 @@ R11_REGREEN: tuple[str, ...] = (
     "sql_tpch_q18",
     # TEMP-FILL tail: evicted one-for-one as R11_NEW queries land
     "i15_stateful_ttl",
-    "i18_txlog_stream_source",
-    "a26_txlog_bloom_lookup",
 )
 
 DRIVER_PRIORITY = R11_REMAINDER + R11_NEW + R11_REGREEN

@@ -162,3 +162,69 @@ def test_opq_ann_recall_matches_plain_pq_on_isotropic_fixture(spark):
     allocation covers all dims) rather than a lift."""
     recall = _recall_vs_exact(spark, "h16_opq_ann", SF)
     assert recall >= 0.4, recall
+
+
+def test_ivfpq_persisted_equals_inmemory_and_prunes_partitions(spark, tmp_path):
+    """The composed IVF-PQ index (VERDICT r10 item 4) must (a) store
+    codes ONLY — no float vectors in the inverted lists, that's the
+    32x memory point; (b) prune its code scan to the wanted lists via
+    a PARTITION filter; and (c) answer probes IDENTICALLY to the
+    in-memory ivfpq_knn composition at the same seed (shared
+    quantizers + shared _ivfpq_score tail make this exact, not
+    approximate)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_glove_spark.operators.ann import (
+        ivfpq_build_index,
+        ivfpq_knn,
+        ivfpq_probe_index,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    ivfpq_build_index(e, str(tmp_path), n_lists=10, m=8, ksub=16, seed=42)
+    dirs = glob.glob(os.path.join(str(tmp_path), "lists", "list_id=*"))
+    assert len(dirs) == 10
+    part = glob.glob(
+        os.path.join(str(tmp_path), "lists", "**", "*.parquet"), recursive=True
+    )[0]
+    names = set(pq.read_schema(part).names)
+    assert "codes" in names and "embedding" not in names, names
+    got = ivfpq_probe_index(
+        spark, str(tmp_path), e, probes, k=10, n_probe=3, shortlist=100
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the plan has TWO parquet scans (pruned code lists + the corpus
+    # re-rank fetch); the LISTS scan must carry the list_id partition
+    # predicate
+    pruned = [
+        c[:300]
+        for c in plan.split("PartitionFilters")[1:]
+        if "list_id" in c[:300] and ("IN" in c[:300] or "In(" in c[:300])
+    ]
+    assert pruned, plan
+    mem = ivfpq_knn(
+        e, probes, k=10, n_lists=10, m=8, ksub=16, n_probe=3,
+        shortlist=100, seed=42,
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["probe_id"], r["vec_id"], r["label"], r["cos"])
+        for r in df.collect()
+    )
+    assert key(got) == key(mem)
+
+
+def test_ivfpq_persisted_recall_vs_exact(spark):
+    """The declared composed-index query must recover >= 0.55 of the
+    exact h15 top-10 at sf0.001 (measured 0.58 here, 0.74 at sf0.01 —
+    deterministic: seeded quantizers over the hash-ordered sample;
+    n_probe=3 of 10 lists bounds the candidate budget to ~30% of the
+    corpus, and ADC@shortlist-100 then exact re-rank recovers what the
+    pruning kept)."""
+    recall = _recall_vs_exact(spark, "h16_ivfpq_persisted", SF)
+    assert recall >= 0.55, recall
