@@ -607,6 +607,187 @@ def pipeline_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cell_occupancy(vectors: DataFrame, cents: Column) -> dict[int, int]:
+    """Inverted-list occupancy histogram of ``vectors`` under a FIXED
+    coarse quantizer — ONE map pass + an n_lists-row aggregate, then a
+    bounded collect (≤ n_lists rows). This is the drift monitor's whole
+    per-epoch cost: at 100 TB it is a scan-local count-by-cell, no pair
+    structure, no vector math beyond the assignment argmin."""
+    rows = (
+        vectors.select(_nearest_list_expr(cents).alias("list_id"))
+        .groupBy("list_id")
+        .count()
+        .collect()
+    )
+    return {r["list_id"]: r["count"] for r in rows}
+
+
+def _occupancy_psi(
+    base: dict[int, int], new: dict[int, int], n_lists: int
+) -> float:
+    """PSI between two cell-occupancy histograms with add-one smoothing
+    (the d23_psi_drift formula, statml.py, applied to the quantizer's
+    cell domain instead of value bins): Σ (p−q)·ln(p/q) over ≤ n_lists
+    cells — driver-side math over two tiny dicts."""
+    import math
+
+    na = sum(base.values()) + n_lists
+    nb = sum(new.values()) + n_lists
+    psi = 0.0
+    for cell in range(n_lists):
+        pa = (base.get(cell, 0) + 1) / na
+        pb = (new.get(cell, 0) + 1) / nb
+        psi += (pa - pb) * math.log(pa / pb)
+    return psi
+
+
+# PSI > 0.2 is the standard "investigate" threshold model-risk teams
+# use (d23's docstring); for INDEX staleness it is the right order too:
+# 0.2 means the serving quantizer's cells no longer describe where new
+# vectors land, so probes over new data start paying recall for every
+# skipped cell.
+_DRIFT_REBUILD_PSI = 0.2
+
+
+@query(
+    "pipeline_ann_drift_rebuild",
+    section="H16,D1,A3,C1",
+    tags=("ann", "pipeline", "scale"),
+)
+def pipeline_ann_drift_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-TRIGGERED index rebuild — the staleness-policy half of the
+    ANN lifecycle (VERDICT r10 item 5): pipeline_ann_index_lifecycle
+    rebuilds on demand; production can't eyeball 100 TB, so the
+    rebuild decision must come from a MONITOR. The monitor here is the
+    d23/i21 PSI machinery pointed at the quantizer itself: the serving
+    index's build-time CELL-OCCUPANCY histogram is its "training
+    distribution", each ingest epoch's assignments (under the SAME
+    frozen quantizer — the i23 discipline) are the "serving
+    distribution", and PSI > 0.2 means the coarse cells no longer
+    match where vectors land → rebuild and append a catalog row; the
+    pinned snapshot keeps serving v0 untouched.
+
+    Staged: (1) build v0 over the corpus's first third, create the
+    catalog, record v0's occupancy; (2) epoch 1 arrives from the SAME
+    distribution → PSI stays under threshold → NO rebuild; (3) epoch 2
+    arrives PLANTED-DRIFTED (every vector shifted +3.0 per dim, so
+    assignments pile into the shift-facing cells) → PSI trips →
+    rebuild v1 over everything that has arrived; (4) serve the same
+    probes from the pinned v0 snapshot (time travel) and the current
+    catalog. In-body teeth (explicit raises, survive -O): the no-drift
+    epoch must NOT rebuild, the drifted epoch MUST, catalog snapshot 0
+    must still hold exactly one build afterwards, the v0-pinned index
+    must serve zero post-drift vectors, and the rebuilt index must
+    surface drifted neighbors for drifted probes.
+
+    Output (rows-only: k-means cells are model-specific): one audit
+    row per epoch — PSI, rebuild decision, catalog depth, and the
+    pinned-vs-current serving split.
+
+    100 TB: the monitor is one count-by-cell aggregate per epoch
+    (O(n_lists) state), the policy is driver-side math over two tiny
+    histograms, rebuilds pay the normal build cost only when triggered,
+    and snapshot isolation makes the swap atomic for readers."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    e = table(spark, sf_dir, "embeddings")
+    corpus0 = e.where(F.col("vec_id") % 3 == 0)
+    delta1 = e.where(F.col("vec_id") % 3 == 1)  # same distribution
+    # planted drift: shift every dimension so epoch-2 vectors pile
+    # into the shift-facing cells (cast back to the corpus schema so
+    # the rebuild union stays exact)
+    delta2 = e.where(F.col("vec_id") % 3 == 2).withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x + F.lit(3.0)).cast("array<float>"),
+    )
+    base = tempfile.mkdtemp(prefix="ann_drift_")
+    defer_cleanup(lambda: shutil.rmtree(base, ignore_errors=True))
+    catalog = os.path.join(base, "catalog")
+
+    def build(version: int, corpus: DataFrame, trigger: str) -> str:
+        path = os.path.join(base, f"index_v{version}")
+        ivf_build_index(corpus, path, n_lists=10, seed=42)
+        row = spark.createDataFrame(
+            [(version, path, 10, _index_rows(path), trigger)],
+            "index_version int, path string, n_lists int,"
+            " corpus_rows long, trigger string",
+        )
+        if version == 0:
+            txlog.create(row, catalog)
+        else:
+            txlog.append(row, catalog, operation=f"drift-rebuild-{version}")
+        return path
+
+    path0 = build(0, corpus0, "initial")
+    cents0 = _read_centroid_literals(spark, path0)
+    serving_occ = _cell_occupancy(corpus0, cents0)
+
+    arrived = corpus0
+    audit = []
+    version = 0
+    for epoch, delta in ((1, delta1), (2, delta2)):
+        # frozen-quantizer assignment of ONLY the new epoch (the i23
+        # discipline): the monitor never re-scans history
+        psi = _occupancy_psi(
+            serving_occ, _cell_occupancy(delta, cents0), n_lists=10
+        )
+        arrived = arrived.unionByName(delta)
+        rebuilt = psi > _DRIFT_REBUILD_PSI
+        if rebuilt:
+            version += 1
+            build(version, arrived, f"psi={psi:.3f}")
+        n_builds = txlog.read(spark, catalog).count()
+        audit.append((epoch, round(psi, 6), rebuilt, int(n_builds), version))
+    if audit[0][2]:
+        raise AssertionError(
+            f"no-drift epoch triggered a rebuild (psi={audit[0][1]})"
+        )
+    if not audit[1][2]:
+        raise AssertionError(
+            f"planted drift did not trigger a rebuild (psi={audit[1][1]})"
+        )
+
+    # serving check: pinned snapshot vs current catalog
+    probes = delta2.where(F.col("vec_id") % 60 == 2).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    pinned_cat = txlog.read(spark, catalog, version=0).collect()
+    if len(pinned_cat) != 1:
+        raise AssertionError(f"catalog snapshot 0 holds {len(pinned_cat)} rows")
+    cur_cat = max(
+        txlog.read(spark, catalog).collect(), key=lambda r: r["index_version"]
+    )
+    pinned = ivf_probe_index(
+        spark, pinned_cat[0]["path"], probes, k=10, n_probe=3
+    ).collect()
+    current = ivf_probe_index(
+        spark, cur_cat["path"], probes, k=10, n_probe=3
+    ).collect()
+    pinned_drift = sum(1 for r in pinned if r["vec_id"] % 3 == 2)
+    current_drift = sum(1 for r in current if r["vec_id"] % 3 == 2)
+    if pinned_drift != 0:
+        raise AssertionError(
+            f"v0-pinned index served {pinned_drift} post-drift vectors"
+        )
+    if current_drift == 0:
+        raise AssertionError(
+            "rebuilt index surfaced no drifted neighbors for drifted probes"
+        )
+    return spark.createDataFrame(
+        [
+            row + (len(pinned) if row[0] == 1 else len(current),
+                   pinned_drift if row[0] == 1 else current_drift)
+            for row in audit
+        ],
+        "epoch int, psi double, rebuilt boolean, catalog_builds int,"
+        " serving_version int, probe_results long, drift_results long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Composed IVF-PQ persisted index (VERDICT r10 item 4): PQ codes stored
 # INSIDE the partition-pruned inverted lists — the FAISS IVFPQ layout

@@ -402,6 +402,7 @@ R11_REMAINDER: tuple[str, ...] = (
 R11_NEW: tuple[str, ...] = (
     "h16_ivfpq_persisted",
     "h16_ivfpq_portable",
+    "pipeline_ann_drift_rebuild",
 )
 
 R11_REGREEN: tuple[str, ...] = (
@@ -459,8 +460,6 @@ R11_REGREEN: tuple[str, ...] = (
     "h17_span_dedup_bucketed",
     "pipeline_curate_corpus",
     "sql_tpch_q18",
-    # TEMP-FILL tail: evicted one-for-one as R11_NEW queries land
-    "i15_stateful_ttl",
 )
 
 DRIVER_PRIORITY = R11_REMAINDER + R11_NEW + R11_REGREEN

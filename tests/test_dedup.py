@@ -597,3 +597,34 @@ def test_ann_index_lifecycle_audit_invariants(spark):
     assert 0 < v0["n_results"] and 0 < v1["n_results"]
     # mean cosine of served neighbors is a sane similarity
     assert -1.0 <= v0["mean_cos"] <= 1.0 and -1.0 <= v1["mean_cos"] <= 1.0
+
+
+def test_ann_drift_rebuild_policy_both_sides(spark):
+    """Pytest guard for the planlint-skipped pipeline_ann_drift_rebuild
+    (skipped queries must carry dedicated tests): the PSI policy must
+    cut BOTH ways — the same-distribution epoch stays under threshold
+    and leaves the catalog at one build, the planted-drift epoch trips
+    it and appends exactly one rebuild — and the serving split must
+    show the pinned snapshot blind to drifted vectors while the
+    current index surfaces them."""
+    from spark_glove_spark import api
+
+    rows = sorted(
+        api.REGISTRY["pipeline_ann_drift_rebuild"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r["epoch"],
+    )
+    assert [r["epoch"] for r in rows] == [1, 2]
+    calm, drift = rows
+    assert not calm["rebuilt"] and calm["psi"] <= 0.2
+    assert drift["rebuilt"] and drift["psi"] > 0.2
+    # drift is not a borderline fixture artifact: the planted shift
+    # must move PSI by an order of magnitude, not epsilon
+    assert drift["psi"] > 10 * max(calm["psi"], 0.01)
+    assert calm["catalog_builds"] == 1 and drift["catalog_builds"] == 2
+    assert calm["serving_version"] == 0 and drift["serving_version"] == 1
+    # pinned snapshot (reported on the calm row) serves only pre-drift
+    # vectors; the rebuilt index (drift row) surfaces drifted neighbors
+    assert calm["probe_results"] > 0 and calm["drift_results"] == 0
+    assert drift["drift_results"] > 0
