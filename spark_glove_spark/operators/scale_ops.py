@@ -65,7 +65,17 @@ def global_rank(
     the pass-2 counts) and callers use it for closed-form
     ntile/bucket arithmetic. The checkpointed blocks live until the
     DataFrame is garbage-collected — bounded: every call site feeds
-    it a value-domain aggregate, never the fact table."""
+    it a value-domain aggregate, never the fact table.
+
+    100 TB caveat (ADVICE r10): ``localCheckpoint`` blocks are
+    NON-REPLICATED and non-fault-tolerant — on a real cluster an
+    executor loss makes the pinned frame unrecoverable (the job fails
+    and retries from the source; correctness holds, the pin's cost is
+    re-paid). That trade is right HERE because the pinned input is a
+    value-domain aggregate (≤ distinct-value rows), so the blocks are
+    tiny and re-derivation is one aggregate away; a caller pinning
+    anything fact-sized or long-lived should use reliable
+    ``checkpoint()`` against the cluster checkpoint dir instead."""
     from pyspark.sql import Window
 
     t = (

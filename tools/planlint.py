@@ -160,17 +160,17 @@ EXCHANGE_ALLOWANCE = {
     # and the final combine); every executed window/agg runs over the
     # hourly-bucket domain (one corpus scan upstream)
     "d34_cusum_changepoint": 18,
-    # r10 audit of the r9 global_prefix_sum rewrites: both plans print
-    # 18 Exchanges but carry only 7 (d22) / 10 (d26) DISTINCT
-    # plan_ids — the persisted value-domain aggregate `g` and the
-    # prefix sum's persisted range-partitioned frame `t` re-print
-    # their upstream recipe under every InMemoryRelation consumer
-    # (totals agg, offset collect, final combine). Executed DAG: ONE
-    # fact scan -> groupBy(value) shuffle, then rangepartitioning +
-    # hash(_gp_pid) window + two SinglePartition scalar aggs, each
-    # over the distinct-value domain and each executed once.
-    "d22_ks_drift": 18,
-    "d26_auc_ranksum": 18,
+    # r11 re-audit (ADVICE r10): the r10 18-Exchange readings described
+    # the persist/InMemoryRelation-era plans, whose printed form
+    # re-expanded the persisted value-domain/prefix-sum subtrees under
+    # every consumer. scale_ops now pins those frames with an EAGER
+    # localCheckpoint (commit a0754c7), which truncates lineage to an
+    # ExistingRDD scan — the printed plan equals the executed DAG and
+    # both queries measure exactly 7 shuffles at HEAD (ONE fact scan ->
+    # groupBy(value) shuffle, rangepartitioning + hash(_gp_pid) window,
+    # two SinglePartition scalar aggs over the distinct-value domain).
+    "d22_ks_drift": 7,
+    "d26_auc_ranksum": 7,
 }
 
 
