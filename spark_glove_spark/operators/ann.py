@@ -977,16 +977,20 @@ def ivfpq_build_index(
     cvs = _pq_cv_lists(books)
     cents = _centroid_literals(coarse)
     coarse_cv = _coarse_cv_lit(coarse)
-    assigned = vectors.select(
-        "vec_id", "embedding", _nearest_list_expr(cents).alias("list_id")
-    )
+    assigned = vectors.withColumn("list_id", _nearest_list_expr(cents))
     residual = F.zip_with(
         F.col("embedding"),
         F.element_at(coarse_cv, F.col("list_id") + 1),
         lambda x, c: x - c,
     )
+    # the index row = ids + codes + every FILTERABLE metadata column
+    # (label, tenant, license, ...) — everything EXCEPT the float
+    # vector, so "vector search + WHERE clause" predicates push into
+    # the pruned code scan itself (see ivfpq_probe_index's
+    # corpus_filter) while index bytes stay ∝ m codes + metadata
+    meta = [c for c in vectors.columns if c != "embedding"]
     coded = assigned.select(
-        "vec_id", "list_id", _pq_encode_expr(cvs, residual).alias("codes")
+        *meta, "list_id", _pq_encode_expr(cvs, residual).alias("codes")
     )
     coded.write.partitionBy("list_id").mode("overwrite").parquet(
         os.path.join(path, "lists")
@@ -1013,6 +1017,7 @@ def ivfpq_probe_index(
     k: int = 10,
     n_probe: int = 2,
     shortlist: int = 50,
+    corpus_filter: Column | None = None,
 ) -> DataFrame:
     """Probe a PERSISTED IVF-PQ index: centroids and codebooks are
     re-inlined as literals (bounded collects: n_lists and m×ksub rows),
@@ -1020,7 +1025,15 @@ def ivfpq_probe_index(
     ranks candidates from codes alone, and only the survivor set joins
     back to ``corpus`` for exact re-rank. Result equality with the
     in-memory :func:`ivfpq_knn` at the same seed plus the pruned plan
-    shape are pinned in tests/test_quant.py."""
+    shape are pinned in tests/test_quant.py.
+
+    ``corpus_filter``: optional metadata predicate over the columns
+    the index carries (ivfpq_build_index stores every non-vector
+    column in the lists) — PRE-filtering, the same discipline as
+    ivf_knn's: it lands in the pruned code scan's PushedFilters, so
+    partition pruning and metadata pruning compose at scan time and k
+    survivors always mean k MATCHING neighbors. Widen n_probe when
+    filtering (thinner cells spread the true neighbors)."""
     import os
 
     cent_rows = sorted(
@@ -1054,6 +1067,8 @@ def ivfpq_probe_index(
     codes = spark.read.parquet(os.path.join(path, "lists")).where(
         F.col("list_id").isin(wanted)
     )
+    if corpus_filter is not None:
+        codes = codes.where(corpus_filter)
     cand = (
         codes.join(F.broadcast(plists), "list_id")
         .where(F.col("vec_id") != F.col("probe_id"))
@@ -1132,6 +1147,44 @@ def h16_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame's lifetime is decoupled from the tempdir the deferred
     # cleanup reclaims at the next declared query (ADVICE r10: a lazy
     # return held across a later query would read a deleted directory)
+    return res.localCheckpoint(eager=True)
+
+
+@query("h16_ivfpq_filtered", section="H16,B2,A3", tags=("ann", "scale"))
+def h16_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search against the PERSISTED composed index — the full
+    production shape in one query: "vector search + WHERE clause" where
+    the filterable metadata lives IN the index, so the ``label % 3 = 0``
+    predicate lands in the pruned code scan's PushedFilters and
+    composes with the list_id PartitionFilters at scan time; ADC then
+    ranks only MATCHING candidates and the exact re-rank touches only
+    matching survivors (pre-filtering — k results always mean k
+    matching neighbors). Same predicate and probe set as
+    h16_ivf_filtered / the oracle-checked exact twin h15_knn_filtered;
+    n_probe widened 3 → 4 (the filter thins every cell). Rows-only to
+    the driver (both quantizers are model-specific); the recall floor
+    vs the exact filtered twin and the filter-leak check live in
+    tests/test_quant.py."""
+    import shutil
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="ivfpq_filt_")
+    defer_cleanup(lambda: shutil.rmtree(path, ignore_errors=True))
+    ivfpq_build_index(e, path, n_lists=10, m=8, ksub=16, seed=42)
+    res = ivfpq_probe_index(
+        spark,
+        path,
+        e,
+        probes,
+        k=10,
+        n_probe=4,
+        shortlist=100,
+        corpus_filter=F.col("label") % 3 == 0,
+    )
     return res.localCheckpoint(eager=True)
 
 

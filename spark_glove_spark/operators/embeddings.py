@@ -1031,3 +1031,145 @@ def h15_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (multi-vector) retrieval — the ColBERT search shape
+# (Khattab & Zaharia, SIGIR 2020, public): a document is a BAG of unit
+# vectors, a query scores as the sum over its units of the best match
+# in the document: MaxSim(q, d) = Σ_{u∈q} max_{v∈d} ⟨u, v⟩. The
+# engine-relevant part is the two-level aggregation shape (pair dots →
+# per-(probe, doc, q-unit) MAX → per-(probe, doc) SUM → top-k), which
+# no single-vector operator expresses.
+
+_MS_DIMS = 4  # unit-vector dims (kept small: the MATH is the exhibit)
+_MS_TOPK = 3
+
+
+def _ms_unit_vec_sql(unit: str) -> str:
+    """One unit-vector coordinate, exact-integer from md5 — evaluated
+    identically by Spark and DuckDB (the dedup.py:898 discipline)."""
+    return (
+        f"(('0x' || substr(md5('mv' || CAST(d AS VARCHAR) || '|' || {unit}),"
+        f" 1, 8))::BIGINT % 2001) - 1000"
+    )
+
+
+def _maxsim_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bg0 AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+  FROM t WHERE len(toks) >= 2
+),
+bg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 1), ' ') AS u
+  FROM bg0
+),
+uv AS (
+  SELECT doc_id, u, d, {_ms_unit_vec_sql("u")} AS v
+  FROM bg, range({_MS_DIMS}) r(d)
+),
+quv AS (SELECT doc_id AS probe_id, u AS qu, d, v FROM uv WHERE doc_id % 200 = 0),
+duv AS (SELECT doc_id, u, d, v FROM uv WHERE doc_id % 7 = 3),
+dots AS (
+  SELECT q.probe_id, c.doc_id, q.qu, c.u,
+         CAST(sum(q.v * c.v) AS BIGINT) AS s
+  FROM quv q
+  JOIN duv c ON c.d = q.d AND c.doc_id <> q.probe_id
+  GROUP BY 1, 2, 3, 4
+),
+mx AS (
+  SELECT probe_id, doc_id, qu, max(s) AS mxs
+  FROM dots GROUP BY 1, 2, 3
+),
+score AS (
+  SELECT probe_id, doc_id, CAST(sum(mxs) AS BIGINT) AS score
+  FROM mx GROUP BY 1, 2
+),
+ranked AS (
+  SELECT probe_id, doc_id, score,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM score
+)
+SELECT probe_id, doc_id, score FROM ranked WHERE rn <= {_MS_TOPK}
+"""
+
+
+@query("h15_maxsim", section="H15,H11,G7", oracle=_maxsim_oracle())
+def h15_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction multi-vector retrieval (the ColBERT MaxSim
+    search), fully ORACLE-checked: documents decompose into DISTINCT
+    word-bigram units, each unit carries a {_MS_DIMS}-d exact-integer
+    pseudo-embedding derived from md5 (a deterministic stand-in for a
+    learned token encoder — the SEARCH ALGEBRA is what this certifies,
+    as with the h16 portable twins), and a probe document's score
+    against a candidate is Σ over the probe's units of the best
+    inner product among the candidate's units; top-3 per probe with
+    doc_id tiebreaks.
+
+    Plan shape: unit vectors are EXPRESSIONS over the exploded bigram
+    rows (no join to build them); the unit-pair fan-out is a broadcast
+    of the tiny probe-unit side against the candidate units; then two
+    hash aggregations (MAX per (probe, doc, q-unit), SUM per
+    (probe, doc)) and a per-probe top-k window. 100 TB: production
+    late-interaction bounds the pair fan-out with an ANN index per
+    query unit (h16's job — candidates per unit ∝ collisions) and this
+    exact MaxSim runs as the RE-RANK over that bounded candidate set;
+    the two-level agg shape is identical either way."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    units = (
+        d.where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("u"))
+        .distinct()
+    )
+    vec = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"mv{dd}|"), F.col("u"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+            for dd in range(_MS_DIMS)
+        ]
+    )
+    zero = F.lit(0).cast("long")
+    q_units = units.where(F.col("doc_id") % 200 == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("u").alias("qu"),
+        vec.alias("qv"),
+    )
+    d_units = units.where(F.col("doc_id") % 7 == 3).select(
+        "doc_id", "u", vec.alias("dv")
+    )
+    s = F.aggregate(
+        F.zip_with("qv", "dv", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    pairs = (
+        d_units.crossJoin(F.broadcast(q_units))
+        .where(F.col("doc_id") != F.col("probe_id"))
+        .select("probe_id", "doc_id", "qu", s.alias("s"))
+    )
+    mx = pairs.groupBy("probe_id", "doc_id", "qu").agg(F.max("s").alias("mxs"))
+    score = mx.groupBy("probe_id", "doc_id").agg(
+        F.sum("mxs").cast("long").alias("score")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        score.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _MS_TOPK)
+        .drop("rn")
+    )

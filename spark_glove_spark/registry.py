@@ -403,6 +403,14 @@ R11_NEW: tuple[str, ...] = (
     "h16_ivfpq_persisted",
     "h16_ivfpq_portable",
     "pipeline_ann_drift_rebuild",
+    # filtered search against the persisted composed index (rows-only;
+    # exact oracle-checked twin h15_knn_filtered regreens this window;
+    # recall floor + PushedFilters-composes-with-PartitionFilters plan
+    # guard in tests/test_dedup.py)
+    "h16_ivfpq_filtered",
+    # late-interaction (ColBERT MaxSim) multi-vector retrieval —
+    # fully oracle-checked exact-integer search algebra
+    "h15_maxsim",
 )
 
 R11_REGREEN: tuple[str, ...] = (
@@ -431,10 +439,8 @@ R11_REGREEN: tuple[str, ...] = (
     "i17_streaming_txlog_sink",
     "i5_streaming_dedup",
     "i22_streaming_online_dedup",
-    "i13_checkpoint_recovery",
     "i14_streaming_quality_filter",
     "i9_streaming_cooccurrence",
-    "i20_streaming_cooccurrence_update",
     # txlog family — the ANN lifecycle catalog rides on these paths
     "a21_txlog_delete",
     "a22_txlog_merge",

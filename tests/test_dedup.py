@@ -628,3 +628,44 @@ def test_ann_drift_rebuild_policy_both_sides(spark):
     # vectors; the rebuilt index (drift row) surfaces drifted neighbors
     assert calm["probe_results"] > 0 and calm["drift_results"] == 0
     assert drift["drift_results"] > 0
+
+
+def test_ivfpq_filtered_recall_and_pushdown(spark, tmp_path):
+    """Filtered search against the PERSISTED composed index: the
+    metadata predicate must (a) never leak a non-matching neighbor,
+    (b) clear the same 0.55 recall floor as flat filtered IVF vs the
+    shared exact ground truth (measured 0.60 at sf0.001, 0.68 at
+    sf0.01 — identical to h16_ivf_filtered's, because the exact
+    re-rank recovers whatever ADC ranks into the probed-cell top-100),
+    and (c) reach the pruned CODE scan as a pushed filter, composing
+    with the list_id partition pruning — that is what storing metadata
+    IN the index buys."""
+    from spark_glove_spark.operators.ann import (
+        ivfpq_build_index,
+        ivfpq_probe_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    pred = F.col("label") % 3 == 0
+    ivfpq_build_index(e, str(tmp_path), n_lists=10, m=8, ksub=16, seed=42)
+    got = ivfpq_probe_index(
+        spark, str(tmp_path), e, probes, k=10, n_probe=4,
+        shortlist=100, corpus_filter=pred,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the LISTS scan must carry BOTH prunings: list_id partition
+    # filter and the label predicate pushed to parquet
+    lists_scans = [
+        c for c in plan.split("PartitionFilters")[1:] if "list_id" in c[:300]
+    ]
+    assert lists_scans, plan
+    assert any("label" in c[:800] for c in lists_scans), lists_scans
+    rows = got.collect()
+    assert all(r.label % 3 == 0 for r in rows), "filter leaked through"
+    ex = _exact_filtered_topk(e, probes, pred)
+    ap = {(r.probe_id, r.vec_id) for r in rows}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.55, f"filtered IVFPQ recall {recall:.2f} below floor"

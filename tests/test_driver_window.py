@@ -216,10 +216,18 @@ def test_rotation_plan_partitions_the_registry():
             f"{n} is declared rows-only by design; an oracle appearing "
             "means the declaration is stale"
         )
+    rows_only_new = (
+        "h16_ivfpq_persisted",
+        "pipeline_ann_drift_rebuild",
+        # filtered composed-index probe: exact oracle-checked twin
+        # h15_knn_filtered rides in R11_REGREEN's same window
+        "h16_ivfpq_filtered",
+    )
     for n in R11_NEW:
-        if n in ("h16_ivfpq_persisted", "pipeline_ann_drift_rebuild"):
+        if n in rows_only_new:
             assert REGISTRY[n].oracle is None
             assert "h16_ivfpq_portable" in R11_NEW
+            assert "h15_knn_filtered" in R11_REGREEN
         else:
             assert REGISTRY[n].oracle is not None, f"{n} must ship an oracle"
     for n in R12_REMAINDER:
