@@ -17,6 +17,8 @@ tradeoff is the point of ANN, not exactness.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2679,4 +2681,608 @@ def h16_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(wk))
         .where(F.col("rn") <= _IPQ_TOPK)
         .select("probe_id", "vec_id", "num", F.round("cos_raw", 6).alias("cos_q"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable binary quantization (BQ): 1-bit-per-dimension codes packed into
+# two 32-bit words, Hamming-distance shortlisting via popcount, exact
+# rerank of the shortlist — the 32x-compression search tier every 2024+
+# vector store ships (sign quantization + asymmetric rerank), as a
+# hash-matchable query.
+
+_BQ_SHORT = 12  # Hamming shortlist per probe (4x the final k)
+_BQ_TOPK = 3
+
+
+def _bq_with() -> str:
+    """Shared WITH-clause body for the BQ pipeline, composed by both
+    _bq_oracle (the search itself) and _rm_oracle (the retrieval-
+    quality metrics computed against the exact ground truth)."""
+    return f"""
+q AS (
+  SELECT vec_id, i - 1 AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_PL_SCALE} + 0.5) AS BIGINT) AS v
+  FROM embeddings, range(1, {DIM + 1}) r(i)
+),
+words AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN v > 0 AND d < 32
+                       THEN (1::BIGINT << CAST(d AS INTEGER)) ELSE 0 END)
+              AS BIGINT) AS w_lo,
+         CAST(sum(CASE WHEN v > 0 AND d >= 32
+                       THEN (1::BIGINT << CAST(d - 32 AS INTEGER)) ELSE 0 END)
+              AS BIGINT) AS w_hi
+  FROM q GROUP BY 1
+),
+norm AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS nn FROM q GROUP BY 1),
+pw AS (
+  SELECT vec_id AS probe_id, w_lo AS p_lo, w_hi AS p_hi
+  FROM words WHERE vec_id % 100 = 0
+),
+ham AS (
+  SELECT pw.probe_id, c.vec_id,
+         CAST(bit_count(xor(c.w_lo, pw.p_lo))
+              + bit_count(xor(c.w_hi, pw.p_hi)) AS INTEGER) AS hamming
+  FROM words c JOIN pw ON c.vec_id <> pw.probe_id
+),
+short AS (
+  SELECT probe_id, vec_id, hamming FROM (
+    SELECT probe_id, vec_id, hamming,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY hamming, vec_id) AS hrn
+    FROM ham
+  ) WHERE hrn <= {_BQ_SHORT}
+),
+dots AS (
+  SELECT s.probe_id, s.vec_id, s.hamming,
+         CAST(sum(qa.v * qb.v) AS BIGINT) AS num
+  FROM short s
+  JOIN q qa ON qa.vec_id = s.probe_id
+  JOIN q qb ON qb.vec_id = s.vec_id AND qb.d = qa.d
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT d.probe_id, d.vec_id, d.hamming, d.num,
+         round(CAST(d.num AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)), 6)
+           AS cos_q,
+         row_number() OVER (
+           PARTITION BY d.probe_id
+           ORDER BY CAST(d.num AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) DESC,
+                    d.vec_id
+         ) AS rn
+  FROM dots d
+  JOIN norm na ON na.vec_id = d.probe_id
+  JOIN norm nb ON nb.vec_id = d.vec_id
+)"""
+
+
+def _bq_oracle() -> str:
+    return f"""
+WITH {_bq_with()}
+SELECT probe_id, vec_id, hamming, num, cos_q FROM scored WHERE rn <= {_BQ_TOPK}
+"""
+
+
+def _bq_packed(spark: SparkSession, sf_dir: str):
+    """(packed, vecs) frames for the BQ pipeline: ``packed`` carries the
+    8-byte sign code as two 32-bit words (the only columns the Hamming
+    scan touches), ``vecs`` the quantized int vectors + norms for the
+    shortlist rerank."""
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
+    )
+    base = e.select("vec_id", qv.alias("qv"))
+    zero = F.lit(0).cast("long")
+
+    def word(lo: int, hi: int) -> Column:
+        return sum(
+            (
+                F.when(
+                    F.col("qv").getItem(d) > 0, F.lit(1 << (d - lo)).cast("long")
+                ).otherwise(zero)
+                for d in range(lo + 1, hi)
+            ),
+            start=F.when(
+                F.col("qv").getItem(lo) > 0, F.lit(1).cast("long")
+            ).otherwise(zero),
+        )
+
+    packed = base.select(
+        "vec_id", word(0, 32).alias("w_lo"), word(32, DIM).alias("w_hi")
+    )
+    nn = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
+    vecs = base.select("vec_id", "qv", nn.alias("nn"))
+    return packed, vecs
+
+
+def _bq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BQ search up to the ranked rerank: (probe_id, vec_id,
+    hamming, num, cos_raw, rn). Shared by h16_bq_portable and
+    h15_retrieval_metrics."""
+    packed, vecs = _bq_packed(spark, sf_dir)
+    pw = packed.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("w_lo").alias("p_lo"),
+        F.col("w_hi").alias("p_hi"),
+    )
+    hamming = F.bit_count(F.col("w_lo").bitwiseXOR(F.col("p_lo"))) + F.bit_count(
+        F.col("w_hi").bitwiseXOR(F.col("p_hi"))
+    )
+    # phase 1 — Hamming scan over CODES ONLY: the rows in flight here
+    # (and through the shortlist window's shuffle) are (long, long,
+    # int), ~24 bytes — the 32x compression claim materialized in
+    # shuffle bytes, not just storage
+    cand = (
+        packed.crossJoin(F.broadcast(pw))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", hamming.cast("int").alias("hamming"))
+    )
+    wh = Window.partitionBy("probe_id").orderBy("hamming", "vec_id")
+    short = (
+        cand.withColumn("hrn", F.row_number().over(wh))
+        .where(F.col("hrn") <= _BQ_SHORT)
+        .drop("hrn")
+    )
+    # phase 2 — rerank fetches full vectors BY ID for shortlist rows
+    # only (broadcast the <= probes x _BQ_SHORT id list into a second
+    # corpus scan: the Spark analog of an index's random-access fetch)
+    zero = F.lit(0).cast("long")
+    pq = vecs.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("qv").alias("qp"),
+        F.col("nn").alias("np"),
+    )
+    fetched = (
+        vecs.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(pq), "probe_id")
+    )
+    num = F.aggregate(
+        F.zip_with("qv", "qp", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    cos_raw = num.cast("double") / F.sqrt((F.col("nn") * F.col("np")).cast("double"))
+    wk = Window.partitionBy("probe_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        fetched.select(
+            "probe_id", "vec_id", "hamming", num.alias("num"), cos_raw.alias("cos_raw")
+        )
+        .withColumn("rn", F.row_number().over(wk))
+    )
+
+
+@query("h16_bq_portable", section="H16,G14,H15", oracle=_bq_oracle())
+def h16_bq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16, binary quantization: every vector's 64 dims collapse to 64
+    SIGN BITS packed into two 32-bit words (8 bytes — 32x smaller than
+    the float32 vector); search scans only the packed codes, ranks by
+    Hamming distance (two XOR+popcount ops per candidate, JVM
+    whole-stage-codegen via bit_count), shortlists _BQ_SHORT rows per
+    probe, and reranks ONLY the shortlist against full vectors fetched
+    by id. The sign/pack/popcount/rerank math is exact integer (the
+    h16_lsh_portable fixed-point treatment), so the DuckDB oracle
+    hash-matches every stage; ties break (hamming, vec_id) and
+    (cos desc, vec_id) identically in both engines.
+
+    This is the production BQ tier of 2024+ vector stores (sign
+    quantization + asymmetric rerank). Scale shape: the Hamming scan
+    reads 8-byte codes (a 100 TB float corpus becomes ~3 TB of codes),
+    its shortlist window shuffles ~24-byte rows, and full vectors are
+    touched for <= probes x _BQ_SHORT rows via a broadcast id-join —
+    the Spark analog of random-access rerank fetch. Recall floor vs
+    the exact h15 twin pinned in tests/test_dedup.py."""
+    return (
+        _bq_scored(spark, sf_dir)
+        .where(F.col("rn") <= _BQ_TOPK)
+        .select(
+            "probe_id",
+            "vec_id",
+            "hamming",
+            "num",
+            F.round("cos_raw", 6).alias("cos_q"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality metrics: recall@k / MRR / nDCG of the BQ tier against
+# the exact ground truth, as ONE oracle-checked query. The recall floors
+# pytest pins for every ANN tier become a first-class queryable result —
+# the evaluation harness a production vector store ships beside its index.
+
+
+def _rm_oracle() -> str:
+    return f"""
+WITH {_bq_with()},
+sys AS (SELECT probe_id, vec_id, rn FROM scored WHERE rn <= {_BQ_TOPK}),
+tdots AS (
+  SELECT pw.probe_id, qb.vec_id,
+         CAST(sum(qa.v * qb.v) AS BIGINT) AS num
+  FROM pw
+  JOIN q qa ON qa.vec_id = pw.probe_id
+  JOIN q qb ON qb.d = qa.d AND qb.vec_id <> pw.probe_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT t.probe_id, t.vec_id,
+           row_number() OVER (
+             PARTITION BY t.probe_id
+             ORDER BY CAST(t.num AS DOUBLE) / sqrt(CAST(nb.nn AS DOUBLE)) DESC,
+                      t.vec_id
+           ) AS trn
+    FROM tdots t JOIN norm nb ON nb.vec_id = t.vec_id
+  ) WHERE trn <= {_BQ_TOPK}
+),
+lab AS (
+  SELECT s.probe_id, s.rn,
+         CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM sys s
+  LEFT JOIN truth t ON t.probe_id = s.probe_id AND t.vec_id = s.vec_id
+)
+SELECT probe_id,
+       CAST(sum(rel) AS BIGINT) AS hits,
+       round(CAST(sum(rel) AS DOUBLE) / {_BQ_TOPK}, 6) AS recall_k,
+       round(coalesce(1.0 / min(CASE WHEN rel = 1 THEN rn END), 0.0), 6) AS rr,
+       round(sum(rel / log2(CAST(rn + 1 AS DOUBLE)))
+             / (SELECT sum(1.0 / log2(CAST(i + 1 AS DOUBLE)))
+                FROM range(1, {_BQ_TOPK + 1}) r(i)), 6) AS ndcg
+FROM lab GROUP BY 1
+"""
+
+
+@query("h15_retrieval_metrics", section="H15,H16,D2", oracle=_rm_oracle())
+def h15_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H15/H16 evaluation harness: per-probe recall@k, reciprocal rank,
+    and nDCG@k of the binary-quantization tier (h16_bq_portable's
+    system ranking) against the exact brute-force ground truth — the
+    query a production vector store runs on a sampled probe set to
+    decide whether an index tier's recall budget holds before rollout.
+
+    Both rankings are the exact-integer pipelines of their parent
+    queries (identical constants), so the metrics themselves
+    hash-match: hits/recall are integer-exact, RR divides small ints,
+    and nDCG's log2 terms are IEEE-identical in both engines under the
+    house round-6. Ground truth ranks by the same normalized-dot order
+    as the system tier and both exclude the probe itself.
+
+    Scale shape: the system side is the BQ pipeline (code-only scan +
+    shortlist rerank); the truth side is the h15 broadcast-probe exact
+    scan — at 100 TB you run this on a SAMPLED probe set (here
+    vec_id % 100) because truth costs a full scan per probe batch;
+    the metric aggregate itself is probes x k rows."""
+    scored = _bq_scored(spark, sf_dir)
+    sys_df = scored.where(F.col("rn") <= _BQ_TOPK).select("probe_id", "vec_id", "rn")
+
+    _, vecs = _bq_packed(spark, sf_dir)
+    pq = vecs.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
+    )
+    zero = F.lit(0).cast("long")
+    num = F.aggregate(
+        F.zip_with("qv", "qp", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    tscore = num.cast("double") / F.sqrt(F.col("nn").cast("double"))
+    wt = Window.partitionBy("probe_id").orderBy(F.col("tscore").desc(), "vec_id")
+    truth = (
+        vecs.crossJoin(F.broadcast(pq))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", tscore.alias("tscore"))
+        .withColumn("trn", F.row_number().over(wt))
+        .where(F.col("trn") <= _BQ_TOPK)
+        .select("probe_id", F.col("vec_id").alias("tvec"))
+    )
+    lab = sys_df.join(
+        truth,
+        (sys_df.probe_id == truth.probe_id) & (sys_df.vec_id == truth.tvec),
+        "left",
+    ).select(sys_df.probe_id, sys_df.rn, F.col("tvec").isNotNull().cast("int").alias("rel"))
+    idcg = sum(
+        (1.0 / math.log2(i + 1) for i in range(2, _BQ_TOPK + 1)),
+        start=1.0 / math.log2(2.0),
+    )
+    return lab.groupBy("probe_id").agg(
+        F.sum("rel").alias("hits"),
+        F.round(F.sum("rel").cast("double") / F.lit(float(_BQ_TOPK)), 6).alias(
+            "recall_k"
+        ),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.min(F.when(F.col("rel") == 1, F.col("rn"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rr"),
+        F.round(
+            F.sum(F.col("rel") / F.log2((F.col("rn") + 1).cast("double")))
+            / F.lit(idcg),
+            6,
+        ).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable graph ANN (NSW-style): a bounded-degree neighbor graph built
+# from two LSH tables, searched by greedy beam expansion from a fixed
+# entry point — the graph-index family (HNSW/NSW/DiskANN) expressed as
+# bounded iterative joins, hash-matchable end to end.
+
+_NB_TABLES = 2  # LSH tables whose bucket joins propose graph edges
+_NB_PLANES = 4  # sign bits per table (16 buckets)
+_NB_DEG = 6  # out-degree kept per (table, node)
+_NB_BEAM = 8  # beam width
+_NB_HOPS = 4  # expansion rounds
+_NB_TOPK = 3
+
+
+def _nb_coef(t: int, j: int, d: int) -> int:
+    """Deterministic LCG hyperplane coefficient in [-1000, 1000] (the
+    _pl_coef discipline; distinct increment so the NSW tables can never
+    silently share planes with the LSH twin)."""
+    return (
+        (1103515245 * ((t * _NB_PLANES + j) * DIM + d) + 55555) % 2147483648
+    ) % 2001 - 1000
+
+
+def _nb_oracle() -> str:
+    weights = " + ".join(
+        f"(CASE j WHEN {j} THEN {2 ** (_NB_PLANES - 1 - j)} ELSE 0 END)"
+        for j in range(_NB_PLANES)
+    )
+    hops = []
+    prev = "s0"
+    for h in range(1, _NB_HOPS + 1):
+        hops.append(f"""
+c{h} AS (
+  SELECT probe_id, node FROM {prev}
+  UNION
+  SELECT s.probe_id, e.dst AS node
+  FROM {prev} s JOIN edges e ON e.src = s.node
+),
+sc{h} AS (
+  SELECT c.probe_id, c.node,
+         CAST(list_dot_product(va.lv, vb.lv) AS BIGINT) AS num
+  FROM c{h} c
+  JOIN vecs va ON va.vec_id = c.probe_id
+  JOIN vecs vb ON vb.vec_id = c.node
+),
+s{h} AS (
+  SELECT probe_id, node FROM (
+    SELECT sc.probe_id, sc.node,
+           row_number() OVER (
+             PARTITION BY sc.probe_id
+             ORDER BY CAST(sc.num AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE)) DESC,
+                      sc.node
+           ) AS rn
+    FROM sc{h} sc JOIN nrm n ON n.vec_id = sc.node
+  ) WHERE rn <= {_NB_BEAM}
+)""")
+        prev = f"s{h}"
+    hop_sql = ",".join(hops)
+    # integer dots ride DuckDB's vectorized list_dot_product: BIGINT
+    # lists -> DOUBLE, exact for |terms| <= 64 * 2100^2 << 2^53, so the
+    # BIGINT cast is lossless and hash-matches Spark's int64 aggregate
+    return f"""
+WITH q AS (
+  SELECT vec_id, i - 1 AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_PL_SCALE} + 0.5) AS BIGINT) AS v
+  FROM embeddings, range(1, {DIM + 1}) r(i)
+),
+vecs AS (SELECT vec_id, list(v ORDER BY d) AS lv FROM q GROUP BY 1),
+nrm AS (
+  SELECT vec_id, CAST(list_dot_product(lv, lv) AS BIGINT) AS nn FROM vecs
+),
+coef AS (
+  SELECT t, j, d,
+         ((1103515245 * ((t * {_NB_PLANES} + j) * {DIM} + d) + 55555)
+          % 2147483648) % 2001 - 1000 AS c
+  FROM range({_NB_TABLES}) a(t), range({_NB_PLANES}) b(j), range({DIM}) e(d)
+),
+coefvec AS (SELECT t, j, list(c ORDER BY d) AS lc FROM coef GROUP BY 1, 2),
+bits AS (
+  SELECT v.vec_id, cv.t, cv.j,
+         CASE WHEN list_dot_product(v.lv, cv.lc) > 0 THEN 1 ELSE 0 END AS bit
+  FROM vecs v CROSS JOIN coefvec cv
+),
+bkt AS (
+  SELECT vec_id, t, sum(bit * ({weights})) AS bucket FROM bits GROUP BY 1, 2
+),
+epair AS (
+  SELECT a.t, a.vec_id AS src, b.vec_id AS dst
+  FROM bkt a JOIN bkt b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id
+),
+escore AS (
+  SELECT p.t, p.src, p.dst,
+         CAST(list_dot_product(va.lv, vb.lv) AS BIGINT) AS num
+  FROM epair p
+  JOIN vecs va ON va.vec_id = p.src
+  JOIN vecs vb ON vb.vec_id = p.dst
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT t, src, dst,
+           row_number() OVER (PARTITION BY t, src ORDER BY num DESC, dst) AS rn
+    FROM escore
+  ) WHERE rn <= {_NB_DEG}
+),
+pb AS (
+  SELECT vec_id AS probe_id, bucket FROM bkt WHERE t = 0 AND vec_id % 100 = 0
+),
+s0 AS (
+  SELECT pb.probe_id, CAST(min(b.vec_id) AS BIGINT) AS node
+  FROM pb JOIN bkt b ON b.t = 0 AND b.bucket = pb.bucket
+  GROUP BY 1
+),
+{hop_sql}
+SELECT probe_id, node AS vec_id, num,
+       round(CAST(num AS DOUBLE) / sqrt(CAST(nn * np AS DOUBLE)), 6) AS cos_q
+FROM (
+  SELECT sc.probe_id, sc.node, sc.num, n.nn, p.nn AS np,
+         row_number() OVER (
+           PARTITION BY sc.probe_id
+           ORDER BY CAST(sc.num AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE)) DESC,
+                    sc.node
+         ) AS rn
+  FROM sc{_NB_HOPS} sc
+  JOIN nrm n ON n.vec_id = sc.node
+  JOIN nrm p ON p.vec_id = sc.probe_id
+  WHERE sc.node <> sc.probe_id
+) WHERE rn <= {_NB_TOPK}
+"""
+
+
+@query("h16_nsw_portable", section="H16,C2,E2", oracle=_nb_oracle())
+def h16_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16, graph-index family (NSW/HNSW/DiskANN shape): build a
+    bounded-degree neighbor graph — each node keeps its top-_NB_DEG
+    strongest neighbors proposed by TWO independent LSH tables (bucket
+    equi-joins, never n^2; the second table is what gives the graph
+    long-range connectivity across bucket boundaries) — then answer
+    probes by GREEDY BEAM SEARCH: enter the graph at an LSH-seeded
+    warm start (the smallest vec_id sharing the probe's table-0
+    bucket — the deterministic analog of DiskANN's medoid descent;
+    measured 2.2x the recall of a fixed global entry at sf0.001), and
+    for _NB_HOPS rounds expand the beam's out-edges, score candidates
+    against the probe, and keep the best _NB_BEAM. All arithmetic is
+    exact integer (fixed-point vectors, LCG hyperplanes, int64 dots;
+    beam ranks on num/sqrt(nn) whose IEEE division/sqrt are
+    engine-identical), so the DuckDB oracle — the hop loop unrolled
+    into CTEs, the h5_glove_fit_micro treatment — hash-matches every
+    frontier, not just the final top-k.
+
+    Scale shape: the graph is an adjacency TABLE (at 100 TB: parquet
+    bucketed by src); each hop is one broadcast of the tiny
+    (probes x beam) frontier into an edge lookup + one broadcast
+    id-join against the corpus for scoring — bounded work per hop,
+    no full scan after the build. Beam recall vs the exact h15 twin
+    is pinned in tests/test_dedup.py."""
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
+    )
+    zero = F.lit(0).cast("long")
+    nn = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
+    base = defer_unpersist(
+        e.select("vec_id", qv.alias("qv")).withColumn("nn", nn).persist()
+    )
+
+    def bucket_col(t: int) -> Column:
+        bits = []
+        for j in range(_NB_PLANES):
+            coefs = F.array(
+                *[F.lit(_nb_coef(t, j, d)).cast("long") for d in range(DIM)]
+            )
+            dotj = F.aggregate(
+                F.zip_with(F.col("qv"), coefs, lambda x, y: x * y),
+                zero,
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dotj > 0, F.lit(1)).otherwise(F.lit(0)))
+        return sum(
+            (b * F.lit(2 ** (_NB_PLANES - 1 - j)) for j, b in enumerate(bits)),
+            start=F.lit(0),
+        )
+
+    # --- graph build: per-table bucket self-joins propose edges, each
+    # node keeps its top-_NB_DEG by exact dot (candidates ∝ bucket
+    # collisions; the union of 2 tables is the NSW long-link trick) ---
+    num_ab = F.aggregate(
+        F.zip_with("qv", "qv2", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    per_table = []
+    for t in range(_NB_TABLES):
+        tagged = base.select("vec_id", "qv", bucket_col(t).alias("bkt"))
+        left = tagged.select(
+            F.col("vec_id").alias("src"), F.col("qv").alias("qv"), "bkt"
+        )
+        right = tagged.select(
+            F.col("vec_id").alias("dst"), F.col("qv").alias("qv2"), "bkt"
+        )
+        pairs = (
+            left.join(right, "bkt")
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst", num_ab.alias("num"))
+        )
+        wd = Window.partitionBy("src").orderBy(F.col("num").desc(), "dst")
+        per_table.append(
+            pairs.withColumn("rn", F.row_number().over(wd))
+            .where(F.col("rn") <= _NB_DEG)
+            .select("src", "dst")
+        )
+    # eager localCheckpoint, not persist: the edge lineage embeds
+    # 2 x 4 x 64 hyperplane literals and the bucket self-joins, and the
+    # beam loop references edges once per hop — checkpointing truncates
+    # that subtree to an ExistingRDD scan so hop task binaries stay
+    # small and the printed plan equals the executed DAG (the scale_ops
+    # a0754c7 discipline; same non-replicated-blocks caveat, documented
+    # there, acceptable for a bounded exhibit build)
+    edges = per_table[0].union(per_table[1]).distinct().localCheckpoint(eager=True)
+
+    # --- beam search: LSH-seeded warm start (each probe enters the
+    # graph at the smallest vec_id sharing its table-0 bucket — the
+    # deterministic analog of DiskANN's medoid / HNSW's top-layer
+    # descent), then _NB_HOPS expand/score/prune rounds ---
+    probes = base.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
+    )
+    tagged0 = base.select("vec_id", bucket_col(0).alias("bkt"))
+    pb = tagged0.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "bkt"
+    )
+    state = (
+        pb.join(tagged0.select(F.col("vec_id").alias("node"), "bkt"), "bkt")
+        .groupBy("probe_id")
+        .agg(F.min("node").alias("node"))
+    )
+    num_pc = F.aggregate(
+        F.zip_with("qv", "qp", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    beam_score = F.col("num").cast("double") / F.sqrt(F.col("nn").cast("double"))
+    wb = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), "node")
+    scored = None
+    for _hop in range(_NB_HOPS):
+        expanded = (
+            F.broadcast(state)
+            .join(edges, state["node"] == edges["src"])
+            .select("probe_id", F.col("dst").alias("node"))
+        )
+        cand = state.union(expanded).distinct()
+        with_qp = cand.join(probes, "probe_id")  # both tiny
+        scored = (
+            base.join(F.broadcast(with_qp), base["vec_id"] == with_qp["node"])
+            .select("probe_id", "node", num_pc.alias("num"), "nn")
+            .withColumn("score", beam_score)
+        )
+        # per-hop eager localCheckpoint: without it the beam lineage
+        # doubles every hop (cand = state UNION expand embeds the
+        # previous state subtree twice) — the glove trainer's
+        # per-iteration discipline applied to graph search
+        state = (
+            scored.withColumn("rn", F.row_number().over(wb))
+            .where(F.col("rn") <= _NB_BEAM)
+            .select("probe_id", "node")
+            .localCheckpoint(eager=True)
+        )
+
+    # --- final: rank the last frontier, excluding the probe itself ---
+    np_ = probes.join(
+        base.select(F.col("vec_id").alias("probe_id"), F.col("nn").alias("np")),
+        "probe_id",
+    ).select("probe_id", "np")
+    final = (
+        scored.where(F.col("node") != F.col("probe_id"))
+        .withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") <= _NB_TOPK)
+        .join(F.broadcast(np_), "probe_id")
+    )
+    cos_q = F.round(
+        F.col("num").cast("double")
+        / F.sqrt((F.col("nn") * F.col("np")).cast("double")),
+        6,
+    )
+    return final.select(
+        "probe_id", F.col("node").alias("vec_id"), "num", cos_q.alias("cos_q")
     )

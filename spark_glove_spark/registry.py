@@ -471,8 +471,20 @@ R11_REGREEN: tuple[str, ...] = (
 DRIVER_PRIORITY = R11_REMAINDER + R11_NEW + R11_REGREEN
 
 # Round-12 remainder: queries built AFTER the r11 window froze land
-# here, same discipline as R11_REMAINDER above.
-R12_REMAINDER: tuple[str, ...] = ()
+# here, same discipline as R11_REMAINDER above. All three are the r11
+# vector-search tail (built post-freeze, ALL fully oracle-checked —
+# unlike prior remainders there is no rows-only debt here):
+#   h16_bq_portable — binary quantization: packed sign codes, Hamming
+#     popcount scan, shortlist rerank
+#   h15_retrieval_metrics — recall@k/MRR/nDCG of the BQ tier vs the
+#     exact ground truth, as one query
+#   h16_nsw_portable — NSW-style graph ANN: LSH-proposed bounded-degree
+#     edges + greedy beam search, hop loop unrolled in the oracle
+R12_REMAINDER: tuple[str, ...] = (
+    "h16_bq_portable",
+    "h15_retrieval_metrics",
+    "h16_nsw_portable",
+)
 
 
 def driver_key(rank: int, name: str) -> str:

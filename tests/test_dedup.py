@@ -669,3 +669,102 @@ def test_ivfpq_filtered_recall_and_pushdown(spark, tmp_path):
     ap = {(r.probe_id, r.vec_id) for r in rows}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.55, f"filtered IVFPQ recall {recall:.2f} below floor"
+
+
+# ---------------------------------------------------------------------------
+# r11 vector-search tail: binary quantization, retrieval metrics, NSW beam
+
+
+def _quantized_exact_top3(spark, sf_dir):
+    """Exact top-3 per probe under the portables' integer-quantized
+    ranking (num/sqrt(nn) desc, vec_id) — the ground truth the BQ and
+    NSW tiers and the metrics query all measure against."""
+    from pyspark.sql import Window
+
+    from spark_glove_spark.operators.ann import _BQ_TOPK, _bq_packed
+
+    _, vecs = _bq_packed(spark, sf_dir)
+    pq = vecs.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
+    )
+    zero = F.lit(0).cast("long")
+    num = F.aggregate(
+        F.zip_with("qv", "qp", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    score = num.cast("double") / F.sqrt(F.col("nn").cast("double"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), "vec_id")
+    return (
+        vecs.crossJoin(F.broadcast(pq))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", score.alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _BQ_TOPK)
+    )
+
+
+def test_bq_recall_vs_exact(spark):
+    """1-bit codes + a 12-deep Hamming shortlist must recover a floored
+    share of the exact top-3 (measured 0.47 at sf0.001 / 0.60 at
+    sf0.01), never return the probe itself, and every Hamming distance
+    must be a valid 0..64 popcount sum."""
+    from spark_glove_spark.operators.ann import h16_bq_portable
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = h16_bq_portable(spark, sf_dir).collect()
+    ap = {(r.probe_id, r.vec_id) for r in out}
+    assert all(p != v for p, v in ap)
+    assert all(0 <= r.hamming <= 64 for r in out)
+    ex = {
+        (r.probe_id, r.vec_id)
+        for r in _quantized_exact_top3(spark, sf_dir).collect()
+    }
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.4, f"BQ recall {recall:.2f} below floor"
+
+
+def test_nsw_beam_recall_vs_exact(spark):
+    """The LSH-seeded beam search must clear a recall floor vs the
+    exact top-3 (measured 0.73 at sf0.001 / 0.60 at sf0.01 with
+    deg=6/beam=8/hops=4) and never return the probe itself."""
+    from spark_glove_spark.operators.ann import h16_nsw_portable
+
+    sf_dir = "/root/testdata/sf0.001"
+    ap = {
+        (r.probe_id, r.vec_id)
+        for r in h16_nsw_portable(spark, sf_dir).collect()
+    }
+    assert all(p != v for p, v in ap)
+    ex = {
+        (r.probe_id, r.vec_id)
+        for r in _quantized_exact_top3(spark, sf_dir).collect()
+    }
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"NSW beam recall {recall:.2f} below floor"
+
+
+def test_retrieval_metrics_agree_with_set_recall(spark):
+    """h15_retrieval_metrics' per-probe recall_k must EQUAL the set
+    recall computed independently from h16_bq_portable vs the exact
+    truth, and the metric ranges must hold (rr/ndcg in [0,1]; a probe
+    with all hits scores a perfect 1.0 on both)."""
+    from spark_glove_spark.operators.ann import (
+        _BQ_TOPK,
+        h15_retrieval_metrics,
+        h16_bq_portable,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    m = {r.probe_id: r for r in h15_retrieval_metrics(spark, sf_dir).collect()}
+    sys_rows = h16_bq_portable(spark, sf_dir).collect()
+    truth = {}
+    for r in _quantized_exact_top3(spark, sf_dir).collect():
+        truth.setdefault(r.probe_id, set()).add(r.vec_id)
+    for pid, t in truth.items():
+        got = {r.vec_id for r in sys_rows if r.probe_id == pid}
+        assert m[pid].hits == len(got & t)
+        assert abs(m[pid].recall_k - len(got & t) / _BQ_TOPK) < 1e-6
+        assert 0.0 <= m[pid].rr <= 1.0
+        assert 0.0 <= m[pid].ndcg <= 1.0
+        if m[pid].hits == _BQ_TOPK:
+            assert m[pid].rr == 1.0
+            assert abs(m[pid].ndcg - 1.0) < 1e-6

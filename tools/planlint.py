@@ -115,6 +115,16 @@ BNLJ_OK = {
     # checkpointed 168-cell profile — same totals class as above
     "d34_cusum_changepoint",  # extremum/argmax scalar broadcasts over
     # the persisted hourly-bucket cusum frame (<= 8760 rows/year)
+    # r11 vector-search tail: the BQ Hamming scan is the broadcast-
+    # probe design (h15 class) over 8-byte CODES, and the metrics
+    # query embeds both that scan and the h15 exact-truth scan
+    "h16_bq_portable",
+    "h15_retrieval_metrics",
+    # late-interaction MaxSim: the unit-pair fan-out broadcasts the
+    # tiny probe-unit side against candidate units (docstring plan
+    # shape) — shipped un-allowlisted at its own commit (9e7614f),
+    # the r10-review failure class again; caught by this sweep
+    "h15_maxsim",
 }
 PYTHON_OK = {"j1_scalar_udf", "j6_udtf"}  # Python IS the J1/J6 contract
 MAX_EXCHANGES = 8
@@ -171,6 +181,19 @@ EXCHANGE_ALLOWANCE = {
     # two SinglePartition scalar aggs over the distinct-value domain).
     "d22_ks_drift": 7,
     "d26_auc_ranksum": 7,
+    # r11 vector-search tail. The metrics query runs TWO ranked
+    # pipelines (the BQ system tier + the exact truth tier) and the
+    # label join/aggregate: 2 shortlist/topk windows + truth window +
+    # metric agg + the id-join re-rank — 12 printed, each over
+    # probes x shortlist rows at most beyond the two corpus scans.
+    "h15_retrieval_metrics": 12,
+    # NSW: graph build (2 bucket self-joins + 2 per-table degree
+    # windows + edge distinct) executes eagerly at declaration (the
+    # per-hop localCheckpoint discipline); the RETURNED plan still
+    # prints the persisted base under each consumer plus the final
+    # frontier scoring/window chain — 16 printed, executed hops are
+    # checkpoint-truncated (beam rows <= probes x beam x degree).
+    "h16_nsw_portable": 16,
 }
 
 
