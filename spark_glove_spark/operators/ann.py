@@ -18,6 +18,7 @@ tradeoff is the point of ANN, not exactness.
 from __future__ import annotations
 
 import math
+import time
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -2798,12 +2799,18 @@ def _bq_packed(spark: SparkSession, sf_dir: str):
     return packed, vecs
 
 
-def _bq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bq_scored(
+    spark: SparkSession, sf_dir: str, probe_pred: Column | None = None
+) -> DataFrame:
     """The BQ search up to the ranked rerank: (probe_id, vec_id,
     hamming, num, cos_raw, rn). Shared by h16_bq_portable and
-    h15_retrieval_metrics."""
+    h15_retrieval_metrics; ``probe_pred`` overrides the declared
+    probe predicate so the scale probe can PIN the probe set while
+    the corpus grows (tools/scaleprobe_vec_r11.py)."""
+    if probe_pred is None:
+        probe_pred = F.col("vec_id") % 100 == 0
     packed, vecs = _bq_packed(spark, sf_dir)
-    pw = packed.where(F.col("vec_id") % 100 == 0).select(
+    pw = packed.where(probe_pred).select(
         F.col("vec_id").alias("probe_id"),
         F.col("w_lo").alias("p_lo"),
         F.col("w_hi").alias("p_hi"),
@@ -2830,7 +2837,7 @@ def _bq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only (broadcast the <= probes x _BQ_SHORT id list into a second
     # corpus scan: the Spark analog of an index's random-access fetch)
     zero = F.lit(0).cast("long")
-    pq = vecs.where(F.col("vec_id") % 100 == 0).select(
+    pq = vecs.where(probe_pred).select(
         F.col("vec_id").alias("probe_id"),
         F.col("qv").alias("qp"),
         F.col("nn").alias("np"),
@@ -3011,6 +3018,13 @@ def h15_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NB_TABLES = 2  # LSH tables whose bucket joins propose graph edges
 _NB_PLANES = 4  # sign bits per table (16 buckets)
 _NB_DEG = 6  # out-degree kept per (table, node)
+_NB_CHUNK = 128  # per-bucket candidate bound: buckets split into
+# deterministic chunks of this size before the pair join, so a hot
+# bucket contributes occ/chunk * chunk^2 pairs instead of occ^2 —
+# the bound that keeps edge-build ~ n*chunk on SKEWED (clustered)
+# data, where planes ~ log n alone cannot thin hot buckets
+# (measured: sum occ^2 grew 134x on a 30x realistic-growth corpus,
+# max occupancy 20x the mean; see tools/scaleprobe_vec_r11.py)
 _NB_BEAM = 8  # beam width
 _NB_HOPS = 4  # expansion rounds
 _NB_TOPK = 3
@@ -3088,9 +3102,19 @@ bits AS (
 bkt AS (
   SELECT vec_id, t, sum(bit * ({weights})) AS bucket FROM bits GROUP BY 1, 2
 ),
+chunked AS (
+  SELECT vec_id, t, bucket,
+         (row_number() OVER (
+            PARTITION BY t, bucket
+            ORDER BY (1103515245 * (vec_id + 7777 * t) + 12345) % 2147483648,
+                     vec_id
+          ) - 1) // {_NB_CHUNK} AS chunk
+  FROM bkt
+),
 epair AS (
   SELECT a.t, a.vec_id AS src, b.vec_id AS dst
-  FROM bkt a JOIN bkt b ON a.t = b.t AND a.bucket = b.bucket
+  FROM chunked a JOIN chunked b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.chunk = b.chunk
   WHERE a.vec_id <> b.vec_id
 ),
 escore AS (
@@ -3133,31 +3157,29 @@ FROM (
 """
 
 
-@query("h16_nsw_portable", section="H16,C2,E2", oracle=_nb_oracle())
-def h16_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H16, graph-index family (NSW/HNSW/DiskANN shape): build a
-    bounded-degree neighbor graph — each node keeps its top-_NB_DEG
-    strongest neighbors proposed by TWO independent LSH tables (bucket
-    equi-joins, never n^2; the second table is what gives the graph
-    long-range connectivity across bucket boundaries) — then answer
-    probes by GREEDY BEAM SEARCH: enter the graph at an LSH-seeded
-    warm start (the smallest vec_id sharing the probe's table-0
-    bucket — the deterministic analog of DiskANN's medoid descent;
-    measured 2.2x the recall of a fixed global entry at sf0.001), and
-    for _NB_HOPS rounds expand the beam's out-edges, score candidates
-    against the probe, and keep the best _NB_BEAM. All arithmetic is
-    exact integer (fixed-point vectors, LCG hyperplanes, int64 dots;
-    beam ranks on num/sqrt(nn) whose IEEE division/sqrt are
-    engine-identical), so the DuckDB oracle — the hop loop unrolled
-    into CTEs, the h5_glove_fit_micro treatment — hash-matches every
-    frontier, not just the final top-k.
-
-    Scale shape: the graph is an adjacency TABLE (at 100 TB: parquet
-    bucketed by src); each hop is one broadcast of the tiny
-    (probes x beam) frontier into an edge lookup + one broadcast
-    id-join against the corpus for scoring — bounded work per hop,
-    no full scan after the build. Beam recall vs the exact h15 twin
-    is pinned in tests/test_dedup.py."""
+def _nsw_search(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_planes: int = _NB_PLANES,
+    deg: int = _NB_DEG,
+    beam: int = _NB_BEAM,
+    hops: int = _NB_HOPS,
+    topk: int = _NB_TOPK,
+    chunk: int = _NB_CHUNK,
+    probe_pred: Column | None = None,
+    timings: dict | None = None,
+) -> DataFrame:
+    """The NSW build+search pipeline behind h16_nsw_portable, with the
+    graph/beam knobs exposed so the scale probe can PIN the probe set
+    and grow n_planes ~ log2(n) as the corpus grows (bucket occupancy
+    constant -> edge-build pairs per node constant), the same knob
+    discipline as IVF's n_lists ~ sqrt(n). ``timings`` (optional)
+    receives build_s — the eager graph-build wall — so the probe can
+    split build from search."""
+    if probe_pred is None:
+        probe_pred = F.col("vec_id") % 100 == 0
+    t0 = time.time()
     e = parallelized(table(spark, sf_dir, "embeddings"))
     qv = F.transform(
         "embedding",
@@ -3171,7 +3193,7 @@ def h16_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def bucket_col(t: int) -> Column:
         bits = []
-        for j in range(_NB_PLANES):
+        for j in range(n_planes):
             coefs = F.array(
                 *[F.lit(_nb_coef(t, j, d)).cast("long") for d in range(DIM)]
             )
@@ -3182,7 +3204,7 @@ def h16_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             bits.append(F.when(dotj > 0, F.lit(1)).otherwise(F.lit(0)))
         return sum(
-            (b * F.lit(2 ** (_NB_PLANES - 1 - j)) for j, b in enumerate(bits)),
+            (b * F.lit(2 ** (n_planes - 1 - j)) for j, b in enumerate(bits)),
             start=F.lit(0),
         )
 
@@ -3194,22 +3216,36 @@ def h16_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_table = []
     for t in range(_NB_TABLES):
-        tagged = base.select("vec_id", "qv", bucket_col(t).alias("bkt"))
+        # deterministic LCG shuffle key (engine-identical int math, the
+        # _pl_coef discipline) ranks bucket members; chunks of _NB_CHUNK
+        # bound each node's candidates so hot buckets stay linear
+        hkey = (
+            F.lit(1103515245) * (F.col("vec_id") + F.lit(7777 * t)) + F.lit(12345)
+        ) % F.lit(2147483648)
+        wch = Window.partitionBy("bkt").orderBy("hkey", "vec_id")
+        tagged = (
+            base.select("vec_id", "qv", bucket_col(t).alias("bkt"))
+            .withColumn("hkey", hkey)
+            .withColumn(
+                "chunk",
+                ((F.row_number().over(wch) - 1) / F.lit(chunk)).cast("long"),
+            )
+        )
         left = tagged.select(
-            F.col("vec_id").alias("src"), F.col("qv").alias("qv"), "bkt"
+            F.col("vec_id").alias("src"), F.col("qv").alias("qv"), "bkt", "chunk"
         )
         right = tagged.select(
-            F.col("vec_id").alias("dst"), F.col("qv").alias("qv2"), "bkt"
+            F.col("vec_id").alias("dst"), F.col("qv").alias("qv2"), "bkt", "chunk"
         )
         pairs = (
-            left.join(right, "bkt")
+            left.join(right, ["bkt", "chunk"])
             .where(F.col("src") != F.col("dst"))
             .select("src", "dst", num_ab.alias("num"))
         )
         wd = Window.partitionBy("src").orderBy(F.col("num").desc(), "dst")
         per_table.append(
             pairs.withColumn("rn", F.row_number().over(wd))
-            .where(F.col("rn") <= _NB_DEG)
+            .where(F.col("rn") <= deg)
             .select("src", "dst")
         )
     # eager localCheckpoint, not persist: the edge lineage embeds
@@ -3220,16 +3256,18 @@ def h16_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a0754c7 discipline; same non-replicated-blocks caveat, documented
     # there, acceptable for a bounded exhibit build)
     edges = per_table[0].union(per_table[1]).distinct().localCheckpoint(eager=True)
+    if timings is not None:
+        timings["build_s"] = time.time() - t0
 
     # --- beam search: LSH-seeded warm start (each probe enters the
     # graph at the smallest vec_id sharing its table-0 bucket — the
     # deterministic analog of DiskANN's medoid / HNSW's top-layer
     # descent), then _NB_HOPS expand/score/prune rounds ---
-    probes = base.where(F.col("vec_id") % 100 == 0).select(
+    probes = base.where(probe_pred).select(
         F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
     )
     tagged0 = base.select("vec_id", bucket_col(0).alias("bkt"))
-    pb = tagged0.where(F.col("vec_id") % 100 == 0).select(
+    pb = tagged0.where(probe_pred).select(
         F.col("vec_id").alias("probe_id"), "bkt"
     )
     state = (
@@ -3243,7 +3281,7 @@ def h16_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     beam_score = F.col("num").cast("double") / F.sqrt(F.col("nn").cast("double"))
     wb = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), "node")
     scored = None
-    for _hop in range(_NB_HOPS):
+    for _hop in range(hops):
         expanded = (
             F.broadcast(state)
             .join(edges, state["node"] == edges["src"])
@@ -3262,7 +3300,7 @@ def h16_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-iteration discipline applied to graph search
         state = (
             scored.withColumn("rn", F.row_number().over(wb))
-            .where(F.col("rn") <= _NB_BEAM)
+            .where(F.col("rn") <= beam)
             .select("probe_id", "node")
             .localCheckpoint(eager=True)
         )
@@ -3275,7 +3313,7 @@ def h16_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = (
         scored.where(F.col("node") != F.col("probe_id"))
         .withColumn("rn", F.row_number().over(wb))
-        .where(F.col("rn") <= _NB_TOPK)
+        .where(F.col("rn") <= topk)
         .join(F.broadcast(np_), "probe_id")
     )
     cos_q = F.round(
@@ -3286,3 +3324,35 @@ def h16_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "probe_id", F.col("node").alias("vec_id"), "num", cos_q.alias("cos_q")
     )
+
+
+@query("h16_nsw_portable", section="H16,C2,E2", oracle=_nb_oracle())
+def h16_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16, graph-index family (NSW/HNSW/DiskANN shape): build a
+    bounded-degree neighbor graph — each node keeps its top-_NB_DEG
+    strongest neighbors proposed by TWO independent LSH tables (bucket
+    equi-joins with a _NB_CHUNK per-bucket candidate bound: bucket
+    members are deterministically shuffled into fixed-size chunks and
+    pairs form only within a chunk, so a HOT bucket — clustered data
+    skews occupancy ~20x the mean — contributes linear, not occ^2,
+    pair work; the second table is what gives the graph long-range
+    connectivity across bucket and chunk boundaries) — then answer
+    probes by GREEDY BEAM SEARCH: enter the graph at an LSH-seeded
+    warm start (the smallest vec_id sharing the probe's table-0
+    bucket — the deterministic analog of DiskANN's medoid descent;
+    measured 2.2x the recall of a fixed global entry at sf0.001), and
+    for _NB_HOPS rounds expand the beam's out-edges, score candidates
+    against the probe, and keep the best _NB_BEAM. All arithmetic is
+    exact integer (fixed-point vectors, LCG hyperplanes, int64 dots;
+    beam ranks on num/sqrt(nn) whose IEEE division/sqrt are
+    engine-identical), so the DuckDB oracle — the hop loop unrolled
+    into CTEs, the h5_glove_fit_micro treatment — hash-matches every
+    frontier, not just the final top-k.
+
+    Scale shape: the graph is an adjacency TABLE (at 100 TB: parquet
+    bucketed by src); each hop is one broadcast of the tiny
+    (probes x beam) frontier into an edge lookup + one broadcast
+    id-join against the corpus for scoring — bounded work per hop,
+    no full scan after the build. Beam recall vs the exact h15 twin
+    is pinned in tests/test_dedup.py."""
+    return _nsw_search(spark, sf_dir)
