@@ -3025,9 +3025,16 @@ _NB_CHUNK = 128  # per-bucket candidate bound: buckets split into
 # data, where planes ~ log n alone cannot thin hot buckets
 # (measured: sum occ^2 grew 134x on a 30x realistic-growth corpus,
 # max occupancy 20x the mean; see tools/scaleprobe_vec_r11.py)
-_NB_BEAM = 8  # beam width
-_NB_HOPS = 4  # expansion rounds
+_NB_BEAM = 12  # beam width
+_NB_HOPS = 5  # expansion rounds
 _NB_TOPK = 3
+
+
+_NB_STRIDE = 64  # plane-index stride per table: a CONSTANT (not
+# _NB_PLANES) so tables stay independent for any n_planes <= 64 —
+# striding by the live plane count made table 1's first planes
+# duplicate table 0's last ones whenever the scale probe grew
+# n_planes past the default (review finding, r11 tail)
 
 
 def _nb_coef(t: int, j: int, d: int) -> int:
@@ -3035,7 +3042,7 @@ def _nb_coef(t: int, j: int, d: int) -> int:
     _pl_coef discipline; distinct increment so the NSW tables can never
     silently share planes with the LSH twin)."""
     return (
-        (1103515245 * ((t * _NB_PLANES + j) * DIM + d) + 55555) % 2147483648
+        (1103515245 * ((t * _NB_STRIDE + j) * DIM + d) + 55555) % 2147483648
     ) % 2001 - 1000
 
 
@@ -3089,7 +3096,7 @@ nrm AS (
 ),
 coef AS (
   SELECT t, j, d,
-         ((1103515245 * ((t * {_NB_PLANES} + j) * {DIM} + d) + 55555)
+         ((1103515245 * ((t * {_NB_STRIDE} + j) * {DIM} + d) + 55555)
           % 2147483648) % 2001 - 1000 AS c
   FROM range({_NB_TABLES}) a(t), range({_NB_PLANES}) b(j), range({DIM}) e(d)
 ),
@@ -3255,7 +3262,13 @@ def _nsw_search(
     # small and the printed plan equals the executed DAG (the scale_ops
     # a0754c7 discipline; same non-replicated-blocks caveat, documented
     # there, acceptable for a bounded exhibit build)
-    edges = per_table[0].union(per_table[1]).distinct().localCheckpoint(eager=True)
+    import functools
+
+    edges = (
+        functools.reduce(DataFrame.union, per_table)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     if timings is not None:
         timings["build_s"] = time.time() - t0
 
@@ -3340,7 +3353,7 @@ def h16_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes by GREEDY BEAM SEARCH: enter the graph at an LSH-seeded
     warm start (the smallest vec_id sharing the probe's table-0
     bucket — the deterministic analog of DiskANN's medoid descent;
-    measured 2.2x the recall of a fixed global entry at sf0.001), and
+    measured well above a fixed global entry's recall at sf0.001), and
     for _NB_HOPS rounds expand the beam's out-edges, score candidates
     against the probe, and keep the best _NB_BEAM. All arithmetic is
     exact integer (fixed-point vectors, LCG hyperplanes, int64 dots;

@@ -21,6 +21,7 @@ Usage: python tools/scaleprobe_vec_r11.py [factor ...]  (default 10 30)
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -35,6 +36,7 @@ from spark_glove_spark.operators.ann import (  # noqa: E402
     _bq_scored,
     _nsw_search,
 )
+from spark_glove_spark.registry import drain_deferred_unpersist  # noqa: E402
 from spark_glove_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,7 +63,7 @@ def build_emb_nx(spark, n: int) -> str:
     # offset is itself an adversary (it biases every dot's sign the
     # same way, concentrating a whole replica into a few buckets —
     # measured 5x worse than verbatim). LCG-style mix over all three.
-    jitter = F.transform(
+    jittered = F.transform(
         "embedding",
         lambda x, i: (
             x.cast("double")
@@ -69,6 +71,11 @@ def build_emb_nx(spark, n: int) -> str:
               .cast("double") * 0.02
         ).cast("float"),
     )
+    # replica 0 stays VERBATIM: it is the base corpus whose probes the
+    # ladder pins (the vec_id < 10M conjunct selects it), so the n=1
+    # row (raw SF_DIR) and every n>=10 row time identical probe
+    # vectors against identical base content
+    jitter = F.when(F.col("rep") == 0, F.col("embedding")).otherwise(jittered)
     big = e.crossJoin(rep).select(
         (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
         jitter.alias("embedding"),
@@ -110,7 +117,7 @@ def main() -> None:
             .count()
         )
 
-        planes = PLANES[n]
+        planes = PLANES.get(n, round(math.log2(n)) + 4)
 
         def nsw_once():
             t = {}
@@ -121,6 +128,9 @@ def main() -> None:
             return t["build_s"], time.time() - t0 - t["build_s"]
 
         builds, searches = zip(*(nsw_once() for _ in range(2)))
+        # direct _nsw_search calls bypass the @query-wrapper drain; one
+        # corpus-sized persisted base would otherwise pin per call
+        drain_deferred_unpersist()
         print(f"{n:4d} {rows:8d} {bq_s:7.2f} {planes:6d} "
               f"{min(builds):11.2f} {min(searches):12.2f}")
 
