@@ -1173,3 +1173,232 @@ def h15_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _MS_TOPK)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: the query a production retrieval stack actually
+# serves — ONE query's terms drive a lexical BM25 ranker AND a dense
+# embedding ranker, the two top-N candidate lists fuse by reciprocal
+# rank, all hash-matchable.
+
+_HY_TERMS = ("vector", "query", "dup")  # the h10_bm25 query, reused
+_HY_TOPN = 20  # candidates kept per ranker before fusion
+_HY_K = 60  # the standard RRF constant
+_HY_NVEC = 500  # word -> vector-table id: md5 mod 500 (vec_ids 0..499
+# exist at EVERY sf, so the mapping is sf-stable)
+_HY_SCALE = 1000  # fixed-point quantization (the ann._PL_SCALE value)
+
+
+def _hy_terms_sql() -> str:
+    return ", ".join(f"('{t}')" for t in _HY_TERMS)
+
+
+def _hy_oracle() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+bm AS (
+  SELECT tf.doc_id,
+         round(sum(
+             ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS bm25
+  FROM tf
+  JOIN df USING (word)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.word IN {tuple(_HY_TERMS)!r}
+  GROUP BY 1
+),
+stop AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_HY_TOPN}),
+srank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_sparse
+  FROM stop
+),
+q AS (
+  SELECT vec_id, i - 1 AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_HY_SCALE} + 0.5) AS BIGINT) AS v
+  FROM embeddings, range(1, 65) r(i)
+),
+tmap AS (
+  SELECT ('0x' || substr(md5('hv|' || term), 1, 8))::BIGINT % {_HY_NVEC} AS vid
+  FROM (VALUES {_hy_terms_sql()}) s(term)
+),
+qsum AS (
+  SELECT q.d, CAST(sum(q.v) AS BIGINT) AS sv
+  FROM tmap JOIN q ON q.vec_id = tmap.vid GROUP BY 1
+),
+vocab AS (SELECT DISTINCT word FROM t),
+wmap AS (
+  SELECT word,
+         ('0x' || substr(md5('hv|' || word), 1, 8))::BIGINT % {_HY_NVEC} AS vid
+  FROM vocab
+),
+wscore AS (
+  SELECT wmap.word, CAST(sum(q.v * qsum.sv) AS BIGINT) AS ws
+  FROM wmap
+  JOIN q ON q.vec_id = wmap.vid
+  JOIN qsum ON qsum.d = q.d
+  GROUP BY 1
+),
+dense AS (
+  SELECT t.doc_id, CAST(sum(ws) AS BIGINT) AS dense
+  FROM t JOIN wscore USING (word) GROUP BY 1
+),
+dtop AS (SELECT doc_id, dense FROM dense ORDER BY dense DESC, doc_id LIMIT {_HY_TOPN}),
+drank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY dense DESC, doc_id) AS r_dense
+  FROM dtop
+)
+SELECT doc_id,
+       CAST(COALESCE(r_sparse, 0) AS BIGINT) AS r_sparse,
+       CAST(COALESCE(r_dense, 0) AS BIGINT) AS r_dense,
+       round(CASE WHEN r_sparse IS NOT NULL
+                  THEN 1.0 / ({_HY_K} + r_sparse) ELSE 0.0 END
+             + CASE WHEN r_dense IS NOT NULL
+                    THEN 1.0 / ({_HY_K} + r_dense) ELSE 0.0 END, 6) AS rrf
+FROM srank FULL OUTER JOIN drank USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
+@query(
+    "h15_hybrid_retrieval",
+    section="H15,H10,E1",
+    tags=("embeddings", "llm-pipeline"),
+    oracle=_hy_oracle(),
+)
+def h15_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, fully ORACLE-checked: the SAME 3-term query
+    drives (a) the h10 BM25 lexical ranker and (b) a dense ranker over
+    the embeddings table — each vocabulary word hash-maps (md5, engine-
+    identical) to a vector-table row, and by LINEARITY of the dot
+    product a document's dense score is just the sum over its tokens
+    of a per-WORD integer score dot(vec(word), sum of the query terms'
+    vectors): a vocab-sized lookup table, never a per-doc vector
+    materialization. The two rankers each cut to top-_HY_TOPN via
+    orderBy+limit (TakeOrderedAndProject — no corpus-wide window
+    exists anywhere), the ≤20-row lists get rank windows, and
+    reciprocal-rank fusion (1/(60+r), the h15_rrf_fusion math) merges
+    them with rank-0 sentinels for list misses. BM25 ranks on its
+    round-6 score, the dense ranks on exact int64, ties on doc_id —
+    every boundary cuts identically in both engines.
+
+    100 TB: the sparse side is the h10 plan (one persisted (doc,word)
+    aggregate feeds tf/df/dl/stats); the dense side is one vocab-sized
+    broadcast join over the token stream + a map-side sum per doc;
+    fusion touches 2 x _HY_TOPN rows. This is the two-tower serving
+    shape: rankers never exchange more than their candidate lists."""
+    from spark_glove_spark.functions.text import tokenize
+
+    d = parallelized(table(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+    tf = defer_unpersist(
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+
+    # --- sparse ranker: the h10_bm25 math, cut to top-N candidates ---
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    score = (
+        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf")
+        * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    bm = (
+        tf.where(F.col("word").isin(*_HY_TERMS))
+        .join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+    )
+    stop = bm.orderBy(F.desc("bm25"), "doc_id").limit(_HY_TOPN)
+    ws_rank = Window.orderBy(F.desc("bm25"), "doc_id")  # <= _HY_TOPN rows
+    srank = stop.select(
+        "doc_id", F.row_number().over(ws_rank).alias("r_sparse")
+    )
+
+    # --- dense ranker: word -> vector-table id -> per-word int score ---
+    e = table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_HY_SCALE)) + F.lit(0.5)),
+    )
+    q_df = e.select(F.col("vec_id").alias("vid"), qv.alias("qv"))
+    import hashlib
+
+    term_ids = [
+        int(hashlib.md5(f"hv|{t}".encode()).hexdigest()[:8], 16) % _HY_NVEC
+        for t in _HY_TERMS
+    ]
+    # multiplicity matters if two terms hash to one row — keep a row
+    # per TERM, not per distinct id
+    tvecs = spark.createDataFrame([(v,) for v in term_ids], "vid long")
+    qsum = (
+        tvecs.join(q_df, "vid")
+        .select(F.posexplode("qv").alias("d", "v"))
+        .groupBy("d")
+        .agg(F.sum("v").cast("long").alias("sv"))
+    )
+    vocab = tf.select("word").distinct()
+    wvid = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("hv|"), F.col("word"))), 1, 8), 16, 10
+        ).cast("long")
+        % _HY_NVEC
+    )
+    wmap = vocab.select("word", wvid.alias("vid"))
+    wscore = (
+        wmap.join(q_df, "vid")
+        .select("word", F.posexplode("qv").alias("d", "v"))
+        .join(F.broadcast(qsum), "d")
+        .groupBy("word")
+        .agg(F.sum(F.col("v") * F.col("sv")).cast("long").alias("ws"))
+    )
+    dense = (
+        words.join(wscore, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("ws").cast("long").alias("dense"))
+    )
+    dtop = dense.orderBy(F.desc("dense"), "doc_id").limit(_HY_TOPN)
+    wd_rank = Window.orderBy(F.desc("dense"), "doc_id")  # <= _HY_TOPN rows
+    drank = dtop.select(
+        "doc_id", F.row_number().over(wd_rank).alias("r_dense")
+    )
+
+    # --- reciprocal-rank fusion over the two candidate lists ---
+    fused = srank.join(drank, "doc_id", "full")
+    rrf = F.round(
+        F.when(
+            F.col("r_sparse").isNotNull(), 1.0 / (_HY_K + F.col("r_sparse"))
+        ).otherwise(0.0)
+        + F.when(
+            F.col("r_dense").isNotNull(), 1.0 / (_HY_K + F.col("r_dense"))
+        ).otherwise(0.0),
+        6,
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("r_sparse", F.lit(0)).cast("long").alias("r_sparse"),
+            F.coalesce("r_dense", F.lit(0)).cast("long").alias("r_dense"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )

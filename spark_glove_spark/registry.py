@@ -480,10 +480,13 @@ DRIVER_PRIORITY = R11_REMAINDER + R11_NEW + R11_REGREEN
 #     exact ground truth, as one query
 #   h16_nsw_portable — NSW-style graph ANN: LSH-proposed bounded-degree
 #     edges + greedy beam search, hop loop unrolled in the oracle
+#   h15_hybrid_retrieval — BM25 + dense ranker over the SAME query
+#     terms, RRF-fused candidate lists (the two-tower serving shape)
 R12_REMAINDER: tuple[str, ...] = (
     "h16_bq_portable",
     "h15_retrieval_metrics",
     "h16_nsw_portable",
+    "h15_hybrid_retrieval",
 )
 
 

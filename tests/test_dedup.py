@@ -768,3 +768,35 @@ def test_retrieval_metrics_agree_with_set_recall(spark):
         if m[pid].hits == _BQ_TOPK:
             assert m[pid].rr == 1.0
             assert abs(m[pid].ndcg - 1.0) < 1e-6
+
+
+def test_hybrid_retrieval_ranks_consistent_with_parents(spark):
+    """The hybrid query's sparse candidate list must be exactly
+    h10_bm25's top-20 doc set in the same order, its output must obey
+    the RRF formula from its own rank columns, and every fused row
+    must come from at least one list."""
+    from spark_glove_spark.operators.embeddings import (
+        _HY_K,
+        h15_hybrid_retrieval,
+    )
+    from spark_glove_spark.operators.text_analysis import h10_bm25
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = h15_hybrid_retrieval(spark, sf_dir).collect()
+    assert 0 < len(out) <= 10
+    bm = [r.doc_id for r in h10_bm25(spark, sf_dir).collect()]
+    sparse_order = [
+        r.doc_id for r in sorted(out, key=lambda r: r.r_sparse) if r.r_sparse > 0
+    ]
+    # every fused doc with a sparse rank appears in bm25's top-20 at
+    # exactly that rank (bm is LIMIT 20 in the same order)
+    for r in out:
+        if r.r_sparse > 0:
+            assert bm[r.r_sparse - 1] == r.doc_id
+    assert sparse_order == sorted(sparse_order, key=lambda d: bm.index(d))
+    for r in out:
+        assert r.r_sparse > 0 or r.r_dense > 0
+        want = (1.0 / (_HY_K + r.r_sparse) if r.r_sparse > 0 else 0.0) + (
+            1.0 / (_HY_K + r.r_dense) if r.r_dense > 0 else 0.0
+        )
+        assert abs(r.rrf - round(want, 6)) < 1e-9

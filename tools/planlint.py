@@ -120,6 +120,9 @@ BNLJ_OK = {
     # query embeds both that scan and the h15 exact-truth scan
     "h16_bq_portable",
     "h15_retrieval_metrics",
+    # hybrid retrieval: ONE scalar-stats broadcast crossJoin (the h10
+    # BM25 totals class; the dense side is all equi-joins)
+    "h15_hybrid_retrieval",
     # late-interaction MaxSim: the unit-pair fan-out broadcasts the
     # tiny probe-unit side against candidate units (docstring plan
     # shape) — shipped un-allowlisted at its own commit (9e7614f),
@@ -187,6 +190,12 @@ EXCHANGE_ALLOWANCE = {
     # metric agg + the id-join re-rank — 12 printed, each over
     # probes x shortlist rows at most beyond the two corpus scans.
     "h15_retrieval_metrics": 12,
+    # hybrid retrieval: the persisted (doc,word) aggregate re-prints
+    # under its four consumers (tf/df/dl/scored — the h10_bm25
+    # artifact) plus the dense lookup chain; executed shuffles ~10
+    # (tf agg, dl, df, stats, bm agg, vocab distinct, wmap join,
+    # wscore agg, dense agg, two 20-row TakeOrdered + fusion join)
+    "h15_hybrid_retrieval": 20,
     # NSW: graph build (2 bucket self-joins + 2 per-table degree
     # windows + edge distinct) executes eagerly at declaration (the
     # per-hop localCheckpoint discipline); the RETURNED plan still
@@ -229,6 +238,10 @@ GLOBAL_WINDOW_OK: set[str] = {
     # vocab-domain rank for the embedding lookup table — bounded by
     # the trained vocabulary, never the document stream
     "h9_doc_embedding",
+    # two rank windows over the <= _HY_TOPN(=20)-row candidate lists
+    # that orderBy+limit (TakeOrderedAndProject) already cut — never
+    # the corpus
+    "h15_hybrid_retrieval",
 }
 
 
