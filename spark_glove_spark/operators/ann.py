@@ -2777,6 +2777,17 @@ def _bq_packed(spark: SparkSession, sf_dir: str):
     )
     base = e.select("vec_id", qv.alias("qv"))
     zero = F.lit(0).cast("long")
+    packed = _bq_pack(base)
+    nn = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
+    vecs = base.select("vec_id", "qv", nn.alias("nn"))
+    return packed, vecs
+
+
+def _bq_pack(base: DataFrame) -> DataFrame:
+    """Sign-pack a (vec_id, qv) frame into (vec_id, w_lo, w_hi) —
+    a pure map expression (STATELESS: no trained quantizer exists),
+    which is why streamed code ingestion (i24) is trivially exact."""
+    zero = F.lit(0).cast("long")
 
     def word(lo: int, hi: int) -> Column:
         return sum(
@@ -2791,12 +2802,9 @@ def _bq_packed(spark: SparkSession, sf_dir: str):
             ).otherwise(zero),
         )
 
-    packed = base.select(
+    return base.select(
         "vec_id", word(0, 32).alias("w_lo"), word(32, DIM).alias("w_hi")
     )
-    nn = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
-    vecs = base.select("vec_id", "qv", nn.alias("nn"))
-    return packed, vecs
 
 
 def _bq_scored(
@@ -2807,9 +2815,19 @@ def _bq_scored(
     h15_retrieval_metrics; ``probe_pred`` overrides the declared
     probe predicate so the scale probe can PIN the probe set while
     the corpus grows (tools/scaleprobe_vec_r11.py)."""
+    packed, vecs = _bq_packed(spark, sf_dir)
+    return _bq_search(packed, vecs, probe_pred)
+
+
+def _bq_search(
+    packed: DataFrame, vecs: DataFrame, probe_pred: Column | None = None
+) -> DataFrame:
+    """Frame-based BQ search core: ``packed`` carries (vec_id, w_lo,
+    w_hi) — possibly an ACCUMULATED code table (i24's streamed index)
+    rather than a fresh packing — and ``vecs`` the quantized vectors +
+    norms the shortlist rerank fetches by id."""
     if probe_pred is None:
         probe_pred = F.col("vec_id") % 100 == 0
-    packed, vecs = _bq_packed(spark, sf_dir)
     pw = packed.where(probe_pred).select(
         F.col("vec_id").alias("probe_id"),
         F.col("w_lo").alias("p_lo"),

@@ -482,11 +482,16 @@ DRIVER_PRIORITY = R11_REMAINDER + R11_NEW + R11_REGREEN
 #     edges + greedy beam search, hop loop unrolled in the oracle
 #   h15_hybrid_retrieval — BM25 + dense ranker over the SAME query
 #     terms, RRF-fused candidate lists (the two-tower serving shape)
+#   i24_streaming_bq_ingest — streamed 8-byte-code ingest (rows-only:
+#     streaming; in-body teeth pin code-table multiset equality with
+#     batch packing AND served-search equality with the ORACLE-checked
+#     h16_bq_portable — the strongest rows-only evidence class)
 R12_REMAINDER: tuple[str, ...] = (
     "h16_bq_portable",
     "h15_retrieval_metrics",
     "h16_nsw_portable",
     "h15_hybrid_retrieval",
+    "i24_streaming_bq_ingest",
 )
 
 

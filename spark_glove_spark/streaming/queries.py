@@ -1934,3 +1934,139 @@ def i23_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single consumer (the broadcast in _score_lists): no pin needed —
     # ivf_probe_index's eager checkpoint exists for its TWO consumers
     return _score_lists(acc, _probe_lists(probes, cents, 3), 10)
+
+
+@query(
+    "i24_streaming_bq_ingest",
+    section="I5,H16,A6",
+    tags=("streaming", "ann"),
+)
+def i24_streaming_bq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BINARY-QUANTIZATION ingest — the i23 contract pushed
+    to its strongest form: sign-packing has NO trained quantizer (the
+    code is a pure map expression over the vector), so there is no
+    train/freeze split to manage and the streamed code table must
+    equal batch packing EXACTLY — and therefore the search SERVED from
+    the accumulated codes must equal the fully ORACLE-CHECKED batch
+    query (h16_bq_portable) row-for-row. That final equality is this
+    query's load-bearing tooth: a rows-only streaming op pinned, via
+    exact result equality, to a hash-matched twin.
+
+    Per epoch: quantize + pack the arriving batch (map-only, no
+    shuffle, no state) and append the 8-byte codes to a txlog table
+    with one idempotent commit (SetTransaction watermark — replays
+    no-op). In-body teeth (explicit raises): >= 2 epoch commits
+    (replay really was incremental), code-table MULTISET equality
+    with batch packing (a set compare would hide a double-applied
+    epoch), and served-search equality with h16_bq_portable.
+
+    100 TB/day: the code index grows 8 bytes/vector/epoch; packing is
+    whole-stage codegen over the batch; rerank fetches full vectors
+    from the STATIC corpus store by id — arrival order, batching, and
+    epoch replays are provably invisible to served results."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_glove_spark.operators.ann import (
+        _BQ_TOPK,
+        _PL_SCALE,
+        _bq_pack,
+        _bq_packed,
+        _bq_scored,
+        _bq_search,
+    )
+    from spark_glove_spark.sources import txlog
+
+    e = table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="i24_replay_")
+    defer_cleanup(lambda: shutil.rmtree(base, ignore_errors=True))
+    sdf = stage_ranged_stream(
+        e, "vec_id", base, "vec_id long, embedding array<float>, label int"
+    )
+    codes_tbl = os.path.join(base, "codes")
+    empty = (
+        e.limit(0)
+        .select(
+            "vec_id",
+            F.lit(0).cast("long").alias("w_lo"),
+            F.lit(0).cast("long").alias("w_hi"),
+        )
+        .coalesce(1)
+    )
+    txlog.create(empty, codes_tbl)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.count() == 0:
+            return
+        qv = F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)
+            ),
+        )
+        codes = _bq_pack(batch_df.select("vec_id", qv.alias("qv")))
+        txlog.append_idempotent(
+            codes.coalesce(1), codes_tbl, "bq-ingest", int(epoch_id)
+        )
+
+    run_stream_foreach_batch(sdf, process, "append")
+    # load-bearing invariants — explicit raises survive python -O
+    if txlog.current_version(codes_tbl) < 2:
+        raise AssertionError("replay collapsed to a single micro-batch")
+    acc = txlog.read(spark, codes_tbl)
+    packed_batch, vecs = _bq_packed(spark, sf_dir)
+    # MULTISET equality (corpus-bounded collects: the code table is
+    # 3 longs/row): counts + sets together rule out double-applied
+    # epochs that a set-only compare would dedupe away
+    got_rows = acc.select("vec_id", "w_lo", "w_hi").collect()
+    got = {(r["vec_id"], r["w_lo"], r["w_hi"]) for r in got_rows}
+    want = {
+        (r["vec_id"], r["w_lo"], r["w_hi"]) for r in packed_batch.collect()
+    }
+    if len(got_rows) != len(want) or got != want:
+        raise AssertionError(
+            f"streamed code table diverged from batch packing: "
+            f"{len(got_rows)} rows vs {len(want)} expected, "
+            f"{len(got ^ want)} keys differ"
+        )
+    # materialize the <= probes x k served rows NOW (the
+    # h16_*_persisted pattern): the tempdir this plan reads dies at
+    # the NEXT declared query's drain, and the batch-twin comparison
+    # below must not be able to kill the returned result either
+    # (calling the WRAPPED twin would fire this query's own deferred
+    # cleanup — the ADVICE r10 consume-before-next-query class — so
+    # the comparison uses the unwrapped _bq_scored core)
+    served = (
+        _bq_search(acc, vecs)
+        .where(F.col("rn") <= _BQ_TOPK)
+        .select(
+            "probe_id",
+            "vec_id",
+            "hamming",
+            "num",
+            F.round("cos_raw", 6).alias("cos_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # served-from-stream == the ORACLE-CHECKED batch twin, row-for-row
+    # (h16_bq_portable is _bq_scored + this exact projection)
+    want_srv = (
+        _bq_scored(spark, sf_dir)
+        .where(F.col("rn") <= _BQ_TOPK)
+        .select(
+            "probe_id",
+            "vec_id",
+            "hamming",
+            "num",
+            F.round("cos_raw", 6).alias("cos_q"),
+        )
+    )
+    got_rows_srv = {tuple(r) for r in served.collect()}
+    want_rows_srv = {tuple(r) for r in want_srv.collect()}
+    if got_rows_srv != want_rows_srv:
+        raise AssertionError(
+            f"served search diverged from the oracle-checked batch twin: "
+            f"{len(got_rows_srv ^ want_rows_srv)} rows differ"
+        )
+    return served
