@@ -1441,3 +1441,150 @@ def e12_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         F.col("avg_monetary_cents").cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch with SET OPERATIONS —
+# the theta-sketch capability HLL (d31) lacks: two segments sketch
+# independently, and union AND intersection cardinalities derive from
+# merged sketches alone. Public algorithm: Bar-Yossef et al. 2002 /
+# the DataSketches theta family.
+
+_KMV_K = 32
+
+
+_KMV_HASH_SQL = "('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT"
+
+
+@query(
+    "d35_kmv_sketch",
+    section="D4,D3,G7",
+    oracle=f"""
+WITH pairs AS (SELECT DISTINCT o_orderkey % 2 AS g, o_custkey FROM orders),
+hashes AS (SELECT DISTINCT g, {_KMV_HASH_SQL} AS h FROM pairs),
+sk AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hashes
+),
+kth AS (
+  SELECT g, max(h) AS kh FROM sk WHERE rn <= {_KMV_K} GROUP BY g
+),
+seg AS (
+  SELECT 'seg' || CAST(p.g AS VARCHAR) AS part,
+         CAST(count(*) AS BIGINT) AS exact,
+         round(({_KMV_K} - 1) * 4294967296.0 / any_value(kth.kh), 6) AS est
+  FROM pairs p JOIN kth ON kth.g = p.g
+  GROUP BY p.g
+),
+uh AS (SELECT DISTINCT h FROM hashes),
+usk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM uh),
+ukth AS (SELECT max(h) AS kh FROM usk WHERE rn <= {_KMV_K}),
+uni AS (
+  SELECT 'union' AS part,
+         (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS exact,
+         round(({_KMV_K} - 1) * 4294967296.0 / (SELECT kh FROM ukth), 6) AS est
+),
+inboth AS (
+  SELECT o_custkey FROM pairs GROUP BY 1 HAVING count(*) = 2
+),
+inter AS (
+  SELECT 'intersection' AS part,
+         (SELECT CAST(count(*) AS BIGINT) FROM inboth) AS exact,
+         round(
+           (SELECT count(*) FROM usk
+            WHERE rn <= {_KMV_K}
+              AND h IN (SELECT h FROM hashes WHERE g = 0)
+              AND h IN (SELECT h FROM hashes WHERE g = 1))
+           * 1.0 / {_KMV_K}
+           * ({_KMV_K} - 1) * 4294967296.0 / (SELECT kh FROM ukth), 6) AS est
+)
+SELECT part, exact, est FROM seg
+UNION ALL SELECT part, exact, est FROM uni
+UNION ALL SELECT part, exact, est FROM inter
+""",
+)
+def d35_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta distinct-count sketch with set operations, fully
+    ORACLE-checked: customers are hashed (md5, engine-identical) into
+    [0, 2^32); each order-key-parity segment keeps its _KMV_K smallest
+    distinct hashes; the estimator (k-1)/R with R = kth-min/2^32 gives
+    each segment's cardinality; the UNION sketch is the k smallest of
+    the merged hash sets; and the INTERSECTION estimate is the theta
+    rule — the fraction of the union sketch's members present in BOTH
+    segments, scaled by the union estimate. Exact counts ride beside
+    every estimate so the driver hash pins both, and the pytest tooth
+    bounds the relative error.
+
+    This is the capability HLL (d31) cannot provide: HLL unions but
+    never intersects; production theta sketches (the DataSketches
+    family) exist precisely for distinct-intersection across segments.
+    100 TB: each segment's sketch is a k-row aggregate after a
+    map-side distinct — sketches merge with k-row exchange; the exact
+    columns here are the sf-bounded verification tier. Windows
+    partition by segment or run over <= 2k merged rows, never a fact
+    window."""
+    o = table(spark, sf_dir, "orders")
+    pairs = o.select(
+        (F.col("o_orderkey") % 2).cast("long").alias("g"), "o_custkey"
+    ).distinct()
+    h = (
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    hashes = pairs.select("g", h).distinct()
+    wg = Window.partitionBy("g").orderBy("h")
+    sk = hashes.withColumn("rn", F.row_number().over(wg))
+    kth = sk.where(F.col("rn") <= _KMV_K).groupBy("g").agg(F.max("h").alias("kh"))
+    est = F.round(
+        F.lit(float(_KMV_K - 1)) * 4294967296.0 / F.col("kh"), 6
+    )
+    seg = (
+        pairs.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+        .join(kth, "g")
+        .select(
+            F.concat(F.lit("seg"), F.col("g").cast("string")).alias("part"),
+            "exact",
+            est.alias("est"),
+        )
+    )
+    uh = hashes.select("h").distinct()
+    # union sketch: k smallest of the merged hash set — cut with
+    # orderBy+limit (TakeOrderedAndProject), then a <= k-row window
+    usk = uh.orderBy("h").limit(_KMV_K)
+    ukth = usk.agg(F.max("h").alias("kh"))
+    uexact = o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact")
+    )
+    uni = uexact.crossJoin(ukth).select(
+        F.lit("union").alias("part"), "exact", est.alias("est")
+    )
+    g0 = hashes.where(F.col("g") == 0).select("h")
+    g1 = hashes.where(F.col("g") == 1).select("h")
+    in_both = (
+        usk.join(g0, "h", "left_semi").join(g1, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    iexact = (
+        pairs.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 2)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    inter = (
+        iexact.crossJoin(in_both)
+        .crossJoin(ukth)
+        .select(
+            F.lit("intersection").alias("part"),
+            "exact",
+            F.round(
+                F.col("c")
+                / F.lit(float(_KMV_K))
+                * F.lit(float(_KMV_K - 1))
+                * 4294967296.0
+                / F.col("kh"),
+                6,
+            ).alias("est"),
+        )
+    )
+    return seg.unionByName(uni).unionByName(inter)

@@ -3151,3 +3151,134 @@ def h17_langid_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy(
         F.col("true_lang").alias("lang"), F.col("cand").alias("predicted")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Semantic chunking — the 2024+ RAG preprocessing op: split a document
+# where the embedding similarity of ADJACENT text windows drops, so
+# chunk boundaries follow topic shifts instead of fixed offsets.
+
+_SC_SEG = 8  # tokens per scored segment
+_SC_DIMS = 4  # pseudo-embedding dims (the h15_maxsim discipline)
+
+
+def _sc_vec_sql(d: int) -> str:
+    """One segment-vector coordinate: the sum over the segment's words
+    of an exact-integer md5 word embedding — engine-identical."""
+    return (
+        f"list_aggregate(list_transform(words, w ->"
+        f" (('0x' || substr(md5('sc{d}|' || w), 1, 8))::BIGINT % 2001) - 1000),"
+        f" 'sum')"
+    )
+
+
+@query(
+    "h17_semantic_chunking",
+    section="H17,E3,G8",
+    tags=("llm-pipeline",),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+segs AS (
+  SELECT doc_id, s,
+         list_slice(t, s * {_SC_SEG} + 1, s * {_SC_SEG} + {_SC_SEG}) AS words
+  FROM toks, unnest(range(len(t) // {_SC_SEG})) u(s)
+),
+vecs AS (
+  SELECT doc_id, s,
+         [{", ".join(_sc_vec_sql(d) for d in range(_SC_DIMS))}] AS v
+  FROM segs
+),
+dots AS (
+  SELECT doc_id, s, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY s) AS pv
+  FROM vecs
+),
+brk AS (
+  SELECT doc_id, s,
+         CASE WHEN pv IS NOT NULL
+                   AND list_dot_product(v, pv) < 0 THEN 1 ELSE 0 END AS b
+  FROM dots
+),
+chunks AS (
+  SELECT doc_id, s,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM brk
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(min(s) AS BIGINT) AS start_seg
+FROM chunks GROUP BY 1, 2
+""",
+)
+def h17_semantic_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic chunking, fully ORACLE-checked: documents split into
+    fixed _SC_SEG(=8)-token segments, each segment gets an exact-integer
+    pseudo-embedding (sum of md5-derived word vectors — a
+    deterministic stand-in for a learned encoder; the SEARCH ALGEBRA
+    is what this certifies, the h15_maxsim treatment), and a chunk
+    boundary falls wherever the integer dot product of ADJACENT
+    segment vectors goes negative — a topic shift. Chunk ids are the
+    running breakpoint count (per-doc prefix sum), output is one row
+    per (doc, chunk) with its segment count and start offset.
+
+    The boundary rule compares the SIGN of an int64 dot, so no float
+    threshold can split differently across engines; lag + prefix-sum
+    windows partition by doc_id (bounded by segments-per-doc, never a
+    global sort). Docs shorter than one segment have no scored window
+    and drop out, as in the oracle. 100 TB: one scan, per-doc windows,
+    all expression work — embarrassingly parallel; with a real encoder
+    the segment vectors arrive from a batch-inference column and the
+    chunking algebra is IDENTICAL."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    nseg = F.floor(F.size("t") / _SC_SEG).cast("long")
+    segs = toks.where(nseg >= 1).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), nseg - 1)).alias("s"),
+        "t",
+    )
+    words = F.slice("t", (F.col("s") * _SC_SEG + 1).cast("int"), _SC_SEG)
+    zero = F.lit(0).cast("long")
+
+    def coord(dd: int):
+        return F.aggregate(
+            words,
+            zero,
+            lambda acc, w: acc
+            + (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"sc{dd}|"), w)), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            ),
+        )
+
+    vecs = segs.select(
+        "doc_id", "s", F.array(*[coord(dd) for dd in range(_SC_DIMS)]).alias("v")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("s")
+    dots = vecs.withColumn("pv", F.lag("v").over(w_doc))
+    dot = F.aggregate(
+        F.zip_with("v", "pv", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    brk = dots.select(
+        "doc_id",
+        "s",
+        F.when(F.col("pv").isNotNull() & (dot < 0), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("b"),
+    )
+    chunks = brk.withColumn(
+        "chunk_id",
+        F.sum("b").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return chunks.groupBy("doc_id", F.col("chunk_id").cast("long").alias("chunk_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.min("s").cast("long").alias("start_seg"),
+    )

@@ -486,12 +486,18 @@ DRIVER_PRIORITY = R11_REMAINDER + R11_NEW + R11_REGREEN
 #     streaming; in-body teeth pin code-table multiset equality with
 #     batch packing AND served-search equality with the ORACLE-checked
 #     h16_bq_portable — the strongest rows-only evidence class)
+#   h17_semantic_chunking — RAG chunking on embedding topic shifts
+#     (sign-of-integer-dot boundaries, ORACLE-checked)
+#   d35_kmv_sketch — KMV/theta distinct sketch with union AND
+#     intersection estimates beside exact tiers (ORACLE-checked)
 R12_REMAINDER: tuple[str, ...] = (
     "h16_bq_portable",
     "h15_retrieval_metrics",
     "h16_nsw_portable",
     "h15_hybrid_retrieval",
     "i24_streaming_bq_ingest",
+    "h17_semantic_chunking",
+    "d35_kmv_sketch",
 )
 
 

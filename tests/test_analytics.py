@@ -277,3 +277,53 @@ def test_sample_quantiles_plan_is_one_takeordered_no_window(spark):
         - plan.count("RoundRobinPartitioning")
     )
     assert shuffles == 0, plan
+
+
+def test_kmv_sketch_error_bounds_and_identities(spark):
+    """KMV estimates must sit within a loose 3-sigma band of exact
+    (k=32 -> stderr ~ 1/sqrt(30) ~ 18%), the union estimate must be
+    >= each segment's, and exact columns must obey inclusion-
+    exclusion exactly."""
+    from spark_glove_spark.operators.statml import d35_kmv_sketch
+
+    rows = {r.part: r for r in d35_kmv_sketch(spark, "/root/testdata/sf0.1").collect()}
+    assert set(rows) == {"seg0", "seg1", "union", "intersection"}
+    for part, r in rows.items():
+        assert r.exact > 0
+        assert abs(r.est - r.exact) / r.exact < 0.55, (part, r.est, r.exact)
+    assert (
+        rows["seg0"].exact + rows["seg1"].exact
+        == rows["union"].exact + rows["intersection"].exact
+    )
+
+
+def test_semantic_chunking_partitions_segments(spark):
+    """Chunks must PARTITION each doc's segments: ids contiguous from
+    0, segment counts summing to floor(tokens/8), and start offsets
+    consistent with cumulative chunk sizes."""
+    import pyspark.sql.functions as F
+
+    from spark_glove_spark.operators.text_analysis import (
+        _SC_SEG,
+        h17_semantic_chunking,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = h17_semantic_chunking(spark, sf_dir).collect()
+    docs = {}
+    for r in out:
+        docs.setdefault(r.doc_id, []).append(r)
+    lens = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for doc_id, chunks in docs.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert sum(c.n_segments for c in chunks) == lens[doc_id] // _SC_SEG
+        pos = 0
+        for c in chunks:
+            assert c.start_seg == pos
+            pos += c.n_segments

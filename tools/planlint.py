@@ -120,6 +120,9 @@ BNLJ_OK = {
     # query embeds both that scan and the h15 exact-truth scan
     "h16_bq_portable",
     "h15_retrieval_metrics",
+    # KMV sketch: 1-row totals/kth-min crossjoins (the d2_global_agg
+    # class) feeding the union/intersection estimates
+    "d35_kmv_sketch",
     # hybrid retrieval: ONE scalar-stats broadcast crossJoin (the h10
     # BM25 totals class; the dense side is all equi-joins)
     "h15_hybrid_retrieval",
@@ -190,6 +193,11 @@ EXCHANGE_ALLOWANCE = {
     # metric agg + the id-join re-rank — 12 printed, each over
     # probes x shortlist rows at most beyond the two corpus scans.
     "h15_retrieval_metrics": 12,
+    # KMV sketch: segment sketches, union sketch, exact tiers and the
+    # three 1-row estimate combines — every aggregate/window runs over
+    # the distinct-customer domain or a <= k-row sketch, never a fact
+    # window; 14 printed at sf0.001
+    "d35_kmv_sketch": 14,
     # hybrid retrieval: the persisted (doc,word) aggregate re-prints
     # under its four consumers (tf/df/dl/scored — the h10_bm25
     # artifact) plus the dense lookup chain; executed shuffles ~10
