@@ -498,6 +498,10 @@ R12_REMAINDER: tuple[str, ...] = (
     "i24_streaming_bq_ingest",
     "h17_semantic_chunking",
     "d35_kmv_sketch",
+    # i25 — per-epoch recall monitoring of the growing BQ index
+    # (rows-only: streaming; final epoch pinned integer-for-integer to
+    # the batch evaluation in-body)
+    "i25_streaming_index_quality",
 )
 
 

@@ -2070,3 +2070,191 @@ def i24_streaming_bq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{len(got_rows_srv ^ want_rows_srv)} rows differ"
         )
     return served
+
+
+@query(
+    "i25_streaming_index_quality",
+    section="I6,H16,D2",
+    tags=("streaming", "ann"),
+)
+def i25_streaming_index_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INDEX-QUALITY MONITORING — the observability half the
+    ingest lane (i24) needs in production: after every ingest epoch,
+    the monitor re-probes the ACCUMULATED BQ index with the online
+    subset of the pinned probe set, scores recall@k against the exact
+    ground truth over the vectors ingested so far, and merges one
+    idempotent monitor row per epoch — the dashboard a rollout gate
+    reads before widening an index's traffic share.
+
+    In-body teeth (explicit raises): >= 2 monitor epochs (the replay
+    really was incremental); the monitor's FINAL epoch must agree
+    with the fully ORACLE-checked batch evaluation —
+    h15_retrieval_metrics' per-probe hits — integer-for-integer
+    (once everything is ingested, online and batch evaluation are the
+    same computation, and arrival order must not have changed it).
+
+    100 TB/day: the per-epoch probe pass costs one pruned/code scan
+    per probe batch (the monitor SAMPLES probes precisely so this
+    stays cheap); exact truth at scale is the sampled verification
+    tier (h15's role throughout this repo). Output: the monitor table
+    (epoch, n_probes, hits_total, mean_recall)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from spark_glove_spark.operators.ann import (
+        _BQ_TOPK,
+        _PL_SCALE,
+        _bq_pack,
+        _bq_packed,
+        _bq_search,
+    )
+    from spark_glove_spark.sources import txlog
+
+    e = table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="i25_replay_")
+    defer_cleanup(lambda: shutil.rmtree(base, ignore_errors=True))
+    sdf = stage_ranged_stream(
+        e, "vec_id", base, "vec_id long, embedding array<float>, label int"
+    )
+    codes_tbl = os.path.join(base, "codes")
+    mon_tbl = os.path.join(base, "monitor")
+    empty_codes = (
+        e.limit(0)
+        .select(
+            "vec_id",
+            F.lit(0).cast("long").alias("w_lo"),
+            F.lit(0).cast("long").alias("w_hi"),
+        )
+        .coalesce(1)
+    )
+    txlog.create(empty_codes, codes_tbl)
+    empty_mon = spark.createDataFrame(
+        [],
+        "epoch long, n_probes long, hits_total long, mean_recall double",
+    ).coalesce(1)
+    txlog.create(empty_mon, mon_tbl)
+
+    _, vecs_all = _bq_packed(spark, sf_dir)
+
+    def _epoch_monitor_row(epoch_id: int):
+        """Probe the accumulated index; exact truth restricted to the
+        ingested id set. Returns a 1-row DataFrame."""
+        acc = txlog.read(spark, codes_tbl)
+        vecs = vecs_all.join(acc.select("vec_id"), "vec_id", "left_semi")
+        sys_df = (
+            _bq_search(acc, vecs)
+            .where(F.col("rn") <= _BQ_TOPK)
+            .select("probe_id", "vec_id")
+        )
+        zero = F.lit(0).cast("long")
+        pq = vecs.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
+        )
+        num = F.aggregate(
+            F.zip_with("qv", "qp", lambda x, y: x * y), zero, lambda a, x: a + x
+        )
+        tscore = num.cast("double") / F.sqrt(F.col("nn").cast("double"))
+        wt = Window.partitionBy("probe_id").orderBy(
+            F.col("tscore").desc(), "vec_id"
+        )
+        truth = (
+            vecs.crossJoin(F.broadcast(pq))
+            .where(F.col("vec_id") != F.col("probe_id"))
+            .select("probe_id", "vec_id", tscore.alias("tscore"))
+            .withColumn("trn", F.row_number().over(wt))
+            .where(F.col("trn") <= _BQ_TOPK)
+            .select("probe_id", "vec_id")
+        )
+        per_probe = (
+            sys_df.join(truth, ["probe_id", "vec_id"], "left_semi")
+            .groupBy("probe_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        # probes with ZERO hits drop out of the semi-join aggregate —
+        # rebuild over the full online probe set so recall averages
+        # over every probed query, not just the lucky ones
+        all_probes = pq.select("probe_id")
+        hits = all_probes.join(per_probe, "probe_id", "left").select(
+            "probe_id", F.coalesce("hits", F.lit(0)).alias("hits")
+        )
+        return hits.agg(
+            F.lit(int(epoch_id)).cast("long").alias("epoch"),
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum("hits").cast("long").alias("hits_total"),
+            F.round(
+                F.avg(
+                    F.round(F.col("hits") / F.lit(float(_BQ_TOPK)), 6)
+                ),
+                6,
+            ).alias("mean_recall"),
+        )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.count() == 0:
+            return
+        qv = F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)
+            ),
+        )
+        codes = _bq_pack(batch_df.select("vec_id", qv.alias("qv")))
+        txlog.append_idempotent(
+            codes.coalesce(1), codes_tbl, "bq-ingest25", int(epoch_id)
+        )
+        txlog.append_idempotent(
+            _epoch_monitor_row(int(epoch_id)).coalesce(1),
+            mon_tbl,
+            "bq-monitor25",
+            int(epoch_id),
+        )
+
+    run_stream_foreach_batch(sdf, process, "append")
+    if txlog.current_version(mon_tbl) < 2:
+        raise AssertionError("replay collapsed to a single monitor epoch")
+    mon = txlog.read(spark, mon_tbl).localCheckpoint(eager=True)
+    # final-epoch agreement with the ORACLE-checked batch evaluation:
+    # once everything is ingested the online monitor IS the batch
+    # metrics computation — compare per-probe hits integer-for-integer
+    last_epoch = mon.agg(F.max("epoch")).collect()[0][0]
+    final = {
+        (r["n_probes"], r["hits_total"])
+        for r in mon.where(F.col("epoch") == last_epoch).collect()
+    }
+    batch_rows = _bq_search(*_bq_packed(spark, sf_dir)).where(
+        F.col("rn") <= _BQ_TOPK
+    )
+    # reuse the metric pipeline's own building blocks would re-enter a
+    # wrapped query (the i24 drain hazard) — recompute hits directly
+    zero = F.lit(0).cast("long")
+    pq = vecs_all.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
+    )
+    num = F.aggregate(
+        F.zip_with("qv", "qp", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    tscore = num.cast("double") / F.sqrt(F.col("nn").cast("double"))
+    wt = Window.partitionBy("probe_id").orderBy(F.col("tscore").desc(), "vec_id")
+    truth = (
+        vecs_all.crossJoin(F.broadcast(pq))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", tscore.alias("tscore"))
+        .withColumn("trn", F.row_number().over(wt))
+        .where(F.col("trn") <= _BQ_TOPK)
+        .select("probe_id", "vec_id")
+    )
+    bhits = (
+        batch_rows.select("probe_id", "vec_id")
+        .join(truth, ["probe_id", "vec_id"], "left_semi")
+        .count()
+    )
+    nprobes = pq.count()
+    if final != {(nprobes, bhits)}:
+        raise AssertionError(
+            f"final monitor epoch {final} != batch evaluation "
+            f"{(nprobes, bhits)}"
+        )
+    return mon
