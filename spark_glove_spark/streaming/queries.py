@@ -2137,18 +2137,13 @@ def i25_streaming_index_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).coalesce(1)
     txlog.create(empty_mon, mon_tbl)
 
-    _, vecs_all = _bq_packed(spark, sf_dir)
+    packed_all, vecs_all = _bq_packed(spark, sf_dir)
 
-    def _epoch_monitor_row(epoch_id: int):
-        """Probe the accumulated index; exact truth restricted to the
-        ingested id set. Returns a 1-row DataFrame."""
-        acc = txlog.read(spark, codes_tbl)
-        vecs = vecs_all.join(acc.select("vec_id"), "vec_id", "left_semi")
-        sys_df = (
-            _bq_search(acc, vecs)
-            .where(F.col("rn") <= _BQ_TOPK)
-            .select("probe_id", "vec_id")
-        )
+    def _truth_for(vecs):
+        """Exact top-k per online probe over ``vecs`` — ONE definition
+        shared by the per-epoch monitor and the final batch check, so
+        the integer-for-integer tooth can never compare two silently
+        diverged metrics (review finding, r11 tail)."""
         zero = F.lit(0).cast("long")
         pq = vecs.where(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
@@ -2168,6 +2163,19 @@ def i25_streaming_index_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("trn") <= _BQ_TOPK)
             .select("probe_id", "vec_id")
         )
+        return pq.select("probe_id"), truth
+
+    def _epoch_monitor_row(epoch_id: int):
+        """Probe the accumulated index; exact truth restricted to the
+        ingested id set. Returns a 1-row DataFrame."""
+        acc = txlog.read(spark, codes_tbl)
+        vecs = vecs_all.join(acc.select("vec_id"), "vec_id", "left_semi")
+        sys_df = (
+            _bq_search(acc, vecs)
+            .where(F.col("rn") <= _BQ_TOPK)
+            .select("probe_id", "vec_id")
+        )
+        all_probes, truth = _truth_for(vecs)
         per_probe = (
             sys_df.join(truth, ["probe_id", "vec_id"], "left_semi")
             .groupBy("probe_id")
@@ -2176,17 +2184,20 @@ def i25_streaming_index_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # probes with ZERO hits drop out of the semi-join aggregate —
         # rebuild over the full online probe set so recall averages
         # over every probed query, not just the lucky ones
-        all_probes = pq.select("probe_id")
         hits = all_probes.join(per_probe, "probe_id", "left").select(
             "probe_id", F.coalesce("hits", F.lit(0)).alias("hits")
         )
+        # coalesce: an epoch whose ingested range contains NO online
+        # probe must record (0 probes, 0 hits, recall 0.0), not NULLs
+        # (review finding, r11 tail)
         return hits.agg(
             F.lit(int(epoch_id)).cast("long").alias("epoch"),
             F.count(F.lit(1)).cast("long").alias("n_probes"),
-            F.sum("hits").cast("long").alias("hits_total"),
+            F.coalesce(F.sum("hits"), F.lit(0)).cast("long").alias("hits_total"),
             F.round(
-                F.avg(
-                    F.round(F.col("hits") / F.lit(float(_BQ_TOPK)), 6)
+                F.coalesce(
+                    F.avg(F.round(F.col("hits") / F.lit(float(_BQ_TOPK)), 6)),
+                    F.lit(0.0),
                 ),
                 6,
             ).alias("mean_recall"),
@@ -2224,34 +2235,19 @@ def i25_streaming_index_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["n_probes"], r["hits_total"])
         for r in mon.where(F.col("epoch") == last_epoch).collect()
     }
-    batch_rows = _bq_search(*_bq_packed(spark, sf_dir)).where(
+    # calling the WRAPPED metrics query here would re-enter a declared
+    # query and fire this query's own deferred cleanup (the i24 drain
+    # hazard) — use the unwrapped cores + the SHARED truth helper
+    batch_rows = _bq_search(packed_all, vecs_all).where(
         F.col("rn") <= _BQ_TOPK
     )
-    # reuse the metric pipeline's own building blocks would re-enter a
-    # wrapped query (the i24 drain hazard) — recompute hits directly
-    zero = F.lit(0).cast("long")
-    pq = vecs_all.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
-    )
-    num = F.aggregate(
-        F.zip_with("qv", "qp", lambda x, y: x * y), zero, lambda a, x: a + x
-    )
-    tscore = num.cast("double") / F.sqrt(F.col("nn").cast("double"))
-    wt = Window.partitionBy("probe_id").orderBy(F.col("tscore").desc(), "vec_id")
-    truth = (
-        vecs_all.crossJoin(F.broadcast(pq))
-        .where(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", tscore.alias("tscore"))
-        .withColumn("trn", F.row_number().over(wt))
-        .where(F.col("trn") <= _BQ_TOPK)
-        .select("probe_id", "vec_id")
-    )
+    all_probes_b, truth_b = _truth_for(vecs_all)
     bhits = (
         batch_rows.select("probe_id", "vec_id")
-        .join(truth, ["probe_id", "vec_id"], "left_semi")
+        .join(truth_b, ["probe_id", "vec_id"], "left_semi")
         .count()
     )
-    nprobes = pq.count()
+    nprobes = all_probes_b.count()
     if final != {(nprobes, bhits)}:
         raise AssertionError(
             f"final monitor epoch {final} != batch evaluation "

@@ -319,6 +319,8 @@ def test_semantic_chunking_partitions_segments(spark):
         .select("doc_id", F.size(F.split("text", " ")).alias("n"))
         .collect()
     }
+    # coverage: every doc with at least one full segment must appear
+    assert set(docs) == {d for d, n in lens.items() if n >= _SC_SEG}
     for doc_id, chunks in docs.items():
         chunks.sort(key=lambda r: r.chunk_id)
         assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
