@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_glove_spark.registry import query
-from spark_glove_spark.sources import table
+from spark_glove_spark.sources import scalar_bounds, table
 
 # SCD2 open-row convention: the current row's validity ends at a
 # far-future sentinel (avoids NULL-timestamp comparator cells). Not
@@ -1749,8 +1749,7 @@ def a25_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.select(k.alias("k"), F.col("o_totalprice").alias("price"))
     path = tempfile.mkdtemp(prefix="sgs_a25_") + "/t"
     txlog.create(base.repartitionByRange(8, "k"), path)  # v0
-    h8 = int(base.agg(F.floor(F.max("k") / 8.0)).collect()[0][0])
-    h4 = int(base.agg(F.floor(F.max("k") / 4.0)).collect()[0][0])
+    h8, h4 = scalar_bounds(base, "k", 8, 4)  # one agg job for both
     adj = base.where(F.col("k") % 7 == 3).select(
         (F.col("k") + 200000000).alias("k"),
         (F.floor(F.col("price") * 25) / 100).alias("price"),

@@ -42,7 +42,7 @@ from spark_glove_spark.functions.text import shingles, tokenize
 from spark_glove_spark.operators.dedup import prefix_filter_pairs
 from spark_glove_spark.operators.text_analysis import STOPWORDS
 from spark_glove_spark.registry import defer_unpersist, query
-from spark_glove_spark.sources import parallelized, table
+from spark_glove_spark.sources import parallelized, scalar_bounds, table
 
 _T = 0.4  # similarity-join threshold (shared with h14)
 
@@ -399,8 +399,7 @@ def pipeline_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.select(k.alias("k"), F.col("o_totalprice").alias("price"))
     src_path = tempfile.mkdtemp(prefix="sgs_cdcr_") + "/src"
     txlog.create(base.repartitionByRange(8, "k"), src_path)  # v0
-    h8 = int(base.agg(F.floor(F.max("k") / 8.0)).collect()[0][0])
-    h4 = int(base.agg(F.floor(F.max("k") / 4.0)).collect()[0][0])
+    h8, h4 = scalar_bounds(base, "k", 8, 4)  # one agg job for both
     adj = base.where(F.col("k") % 7 == 3).select(
         (F.col("k") + 200000000).alias("k"),
         (F.floor(F.col("price") * 25) / 100).alias("price"),
@@ -516,8 +515,7 @@ def pipeline_cdc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.select(k.alias("k"), F.col("o_totalprice").alias("price"))
     src_path = tempfile.mkdtemp(prefix="sgs_cdcx_") + "/src"
     txlog.create(base.repartitionByRange(8, "k"), src_path)  # v0
-    h8 = int(base.agg(F.floor(F.max("k") / 8.0)).collect()[0][0])
-    h4 = int(base.agg(F.floor(F.max("k") / 4.0)).collect()[0][0])
+    h8, h4 = scalar_bounds(base, "k", 8, 4)  # one agg job for both
     adj = base.where(F.col("k") % 7 == 3).select(
         (F.col("k") + 200000000).alias("k"),
         (F.floor(F.col("price") * 25) / 100).alias("price"),
@@ -651,8 +649,7 @@ def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = tempfile.mkdtemp(prefix="sgs_iagg_") + "/t"
     txlog.create(base.repartitionByRange(8, "k"), path)  # v0
-    h8 = int(base.agg(F.floor(F.max("k") / 8.0)).collect()[0][0])
-    h4 = int(base.agg(F.floor(F.max("k") / 4.0)).collect()[0][0])
+    h8, h4 = scalar_bounds(base, "k", 8, 4)  # one agg job for both
     adj = base.where(F.col("k") % 7 == 3).select(
         (F.col("k") + 200000000).alias("k"),
         (F.floor(F.col("price") * 25) / 100).alias("price"),

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_glove_spark.registry import query
-from spark_glove_spark.sources import table
+from spark_glove_spark.sources import scalar_bounds, table
 
 _N = 50_000
 _PARTS = 8
@@ -514,8 +514,7 @@ def i19_streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     path = tempfile.mkdtemp(prefix="sgs_i19_") + "/t"
     txlog.create(base.repartitionByRange(8, "k"), path)  # v0
-    h8 = int(base.agg(F.floor(F.max("k") / 8.0)).collect()[0][0])
-    h4 = int(base.agg(F.floor(F.max("k") / 4.0)).collect()[0][0])
+    h8, h4 = scalar_bounds(base, "k", 8, 4)  # one agg job for both
     adj = base.where(F.col("k") % 7 == 3).select(
         (F.col("k") + 200000000).alias("k"),
         (F.floor(F.col("price") * 25) / 100).alias("price"),

@@ -1,3 +1,8 @@
-from spark_glove_spark.sources.tables import parallelized, table, write_parquet
+from spark_glove_spark.sources.tables import (
+    parallelized,
+    scalar_bounds,
+    table,
+    write_parquet,
+)
 
-__all__ = ["parallelized", "table", "write_parquet"]
+__all__ = ["parallelized", "scalar_bounds", "table", "write_parquet"]

@@ -519,3 +519,39 @@ def test_global_rank_and_prefix_sum_survive_reexecution(spark):
         acc += id_
         want_run[id_] = acc
     assert dict(a) == want_run
+
+
+def test_scalar_bounds_is_one_job(spark):
+    """VERDICT r11 item 6: the txlog demos' driver-side split points
+    (max/8, max/4) must come from ONE aggregate job, not one job per
+    bound — the copy-pasted two-collect form scanned the table twice
+    for constants derived from the same max."""
+    from spark_glove_spark.sources import scalar_bounds, table
+
+    sc = spark.sparkContext
+    df = table(spark, SF_DIR, "orders").select(F.col("o_orderkey").alias("k"))
+    df.count()  # materialize any scan-side setup outside the probe groups
+
+    def jobs_in(group: str, fn):
+        sc.setJobGroup(group, group)
+        try:
+            out = fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    # AQE materializes each query stage as its own job, so "one action"
+    # is N jobs for some N >= 1 — compare against the replaced form's
+    # TWO actions instead of pinning N.
+    (h8, h4), n_new = jobs_in(
+        "sb_probe_new", lambda: scalar_bounds(df, "k", 8, 4)
+    )
+    old_form = lambda: (  # noqa: E731 — the pre-r12 two-collect shape
+        int(df.agg(F.floor(F.max("k") / 8.0)).collect()[0][0]),
+        int(df.agg(F.floor(F.max("k") / 4.0)).collect()[0][0]),
+    )
+    (o8, o4), n_old = jobs_in("sb_probe_old", old_form)
+    assert (h8, h4) == (o8, o4), "fused bounds must equal the two-job form"
+    assert n_new * 2 == n_old, (
+        f"expected half the jobs of the two-collect form: {n_new} vs {n_old}"
+    )
