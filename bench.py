@@ -56,6 +56,14 @@ BASELINE_SEC = {
     # min-of-3 on the r10 host (BASELINE.md "Round-10 bench expansion").
     "pipeline_curate_corpus": 6.1,
     "pipeline_streaming_curate": 14.8,
+    # r12 addition (VERDICT r11 item 2): the vector-index flagship —
+    # the binary-quantization tier's code-only Hamming scan +
+    # shortlist rerank — joins the contract so the r10-r11 ANN
+    # surface has BENCH regression tracking, not only scale probes.
+    # Baselined at measured min-of-3 on the r12 host (BASELINE.md
+    # "Round-12 bench expansion"; cold first rep 7.4 s, settled
+    # 2.45-2.9 s).
+    "h16_bq_portable": 2.5,
 }
 
 # The original 12-entry suite (r1 contract: 16.1 s min-of-N total);
@@ -91,6 +99,7 @@ HEADLINE = [
     "graph_kcore",
     "pipeline_curate_corpus",
     "pipeline_streaming_curate",
+    "h16_bq_portable",
 ]
 
 
