@@ -3387,3 +3387,400 @@ def h16_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     no full scan after the build. Beam recall vs the exact h15 twin
     is pinned in tests/test_dedup.py."""
     return _nsw_search(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Portable hierarchical graph ANN (HNSW-style): the NSW graph gains 1-2
+# geometrically sparser upper layers (deterministic sampled subsets), so
+# probes enter the base graph through a log-depth coarse-to-fine descent
+# from ONE global entry point instead of an LSH-seeded warm start —
+# the standard rung between NSW and production HNSW/DiskANN serving.
+
+_HN_L1_MOD = 8  # layer-1 membership: vec_id % 8 == 0 (~n/8 nodes)
+_HN_L2_MOD = 64  # layer-2 membership: vec_id % 64 == 0 (~n/64 nodes)
+_HN_T1 = 2  # LSH table index proposing layer-1 edges (planes below)
+_HN_P1 = 2  # sign bits for the layer-1 proposal (4 buckets: the layer
+# is ~8x sparser, so fewer planes keep expected bucket occupancy — and
+# hence edge-proposal density — in the same range as the base layer)
+_HN_T2 = 3  # chunk-shuffle index for layer 2 (0 planes: ONE bucket —
+# the ~n/64-node top layer is small enough that the chunk bound alone
+# caps pair work, and a single connected proposal pool maximizes the
+# long-range links a top layer exists to provide)
+_HN_DEG_UP = 4  # out-degree kept per node on the upper layers
+_HN_B2, _HN_H2 = 4, 2  # top-layer beam width / expansion rounds
+_HN_B1, _HN_H1 = 8, 2  # mid-layer beam width / expansion rounds
+_HN_H0 = 3  # base-layer rounds (beam _NB_BEAM) — NSW needs _NB_HOPS=5
+# from its warm start; the layered descent hands the base layer an
+# already-close frontier, so 3 rounds suffice (recall floor pinned in
+# tests/test_dedup.py; depth-vs-n flatness probed in PLANS.md)
+
+
+def _hn_layer_tables() -> list[tuple[int, int, int, str]]:
+    """(t, planes, deg, membership) per layer, base first. Membership
+    is a SQL predicate over vec_id — the Spark side builds the same
+    predicate with F.col so both engines sample identical subsets."""
+    return [
+        (0, _NB_PLANES, _NB_DEG, "TRUE"),  # base layer, table 0
+        (1, _NB_PLANES, _NB_DEG, "TRUE"),  # base layer, table 1
+        (_HN_T1, _HN_P1, _HN_DEG_UP, f"vec_id % {_HN_L1_MOD} = 0"),
+        (_HN_T2, 0, _HN_DEG_UP, f"vec_id % {_HN_L2_MOD} = 0"),
+    ]
+
+
+def _hn_oracle() -> str:
+    # per-table bucket weights depend on that table's plane count, so
+    # the bkt CTE carries np and weights by 2^(np-1-j)
+    table_rows = ", ".join(
+        f"({t}, {planes}, {deg})" for t, planes, deg, _ in _hn_layer_tables()
+    )
+    member_cases = " ".join(
+        f"WHEN t = {t} THEN ({member})"
+        for t, _, _, member in _hn_layer_tables()
+    )
+
+    def hop_block(tag: str, prev: str, edges: str, beam: int, h: int) -> str:
+        return f"""
+c{tag}{h} AS MATERIALIZED (
+  SELECT probe_id, node FROM {prev}
+  UNION
+  SELECT s.probe_id, e.dst AS node
+  FROM {prev} s JOIN {edges} e ON e.src = s.node
+),
+sc{tag}{h} AS (
+  SELECT c.probe_id, c.node,
+         CAST(list_dot_product(va.lv, vb.lv) AS BIGINT) AS num
+  FROM c{tag}{h} c
+  JOIN vecs va ON va.vec_id = c.probe_id
+  JOIN vecs vb ON vb.vec_id = c.node
+),
+s{tag}{h} AS MATERIALIZED (
+  SELECT probe_id, node FROM (
+    SELECT sc.probe_id, sc.node,
+           row_number() OVER (
+             PARTITION BY sc.probe_id
+             ORDER BY CAST(sc.num AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE)) DESC,
+                      sc.node
+           ) AS rn
+    FROM sc{tag}{h} sc JOIN nrm n ON n.vec_id = sc.node
+  ) WHERE rn <= {beam}
+)"""
+
+    blocks, prev = [], "s0"
+    for h in range(1, _HN_H2 + 1):
+        blocks.append(hop_block("t", prev, "edges2", _HN_B2, h))
+        prev = f"st{h}"
+    for h in range(1, _HN_H1 + 1):
+        blocks.append(hop_block("m", prev, "edges1", _HN_B1, h))
+        prev = f"sm{h}"
+    for h in range(1, _HN_H0 + 1):
+        blocks.append(hop_block("b", prev, "edges0", _NB_BEAM, h))
+        prev = f"sb{h}"
+    hop_sql = ",".join(blocks)
+    last = prev.replace("s", "sc", 1)  # sb{_HN_H0} -> scb{_HN_H0}
+    return f"""
+WITH q AS (
+  SELECT vec_id, i - 1 AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_PL_SCALE} + 0.5) AS BIGINT) AS v
+  FROM embeddings, range(1, {DIM + 1}) r(i)
+),
+vecs AS MATERIALIZED (SELECT vec_id, list(v ORDER BY d) AS lv FROM q GROUP BY 1),
+nrm AS MATERIALIZED (
+  SELECT vec_id, CAST(list_dot_product(lv, lv) AS BIGINT) AS nn FROM vecs
+),
+tp AS (SELECT * FROM (VALUES {table_rows}) v(t, np, deg)),
+coef AS (
+  SELECT tp.t, b.j, e.d,
+         ((1103515245 * ((tp.t * {_NB_STRIDE} + b.j) * {DIM} + e.d) + 55555)
+          % 2147483648) % 2001 - 1000 AS c
+  FROM tp, range({_NB_PLANES}) b(j), range({DIM}) e(d)
+  WHERE b.j < tp.np
+),
+coefvec AS (SELECT t, j, list(c ORDER BY d) AS lc FROM coef GROUP BY 1, 2),
+member AS (
+  SELECT v.vec_id, tp.t, tp.np, tp.deg
+  FROM vecs v, tp
+  WHERE CASE {member_cases} END
+),
+bits AS (
+  SELECT m.vec_id, m.t, cv.j,
+         CASE WHEN list_dot_product(v.lv, cv.lc) > 0 THEN 1 ELSE 0 END AS bit
+  FROM member m
+  JOIN vecs v ON v.vec_id = m.vec_id
+  JOIN coefvec cv ON cv.t = m.t
+),
+bkt AS (
+  SELECT m.vec_id, m.t, m.deg,
+         coalesce(sum(b.bit * CAST(pow(2, m.np - 1 - b.j) AS BIGINT)), 0)
+           AS bucket
+  FROM member m
+  LEFT JOIN bits b ON b.vec_id = m.vec_id AND b.t = m.t
+  GROUP BY 1, 2, 3
+),
+chunked AS (
+  SELECT vec_id, t, deg, bucket,
+         (row_number() OVER (
+            PARTITION BY t, bucket
+            ORDER BY (1103515245 * (vec_id + 7777 * t) + 12345) % 2147483648,
+                     vec_id
+          ) - 1) // {_NB_CHUNK} AS chunk
+  FROM bkt
+),
+epair AS (
+  SELECT a.t, a.deg, a.vec_id AS src, b.vec_id AS dst
+  FROM chunked a JOIN chunked b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.chunk = b.chunk
+  WHERE a.vec_id <> b.vec_id
+),
+escore AS (
+  SELECT p.t, p.deg, p.src, p.dst,
+         CAST(list_dot_product(va.lv, vb.lv) AS BIGINT) AS num
+  FROM epair p
+  JOIN vecs va ON va.vec_id = p.src
+  JOIN vecs vb ON vb.vec_id = p.dst
+),
+ekeep AS MATERIALIZED (
+  SELECT t, src, dst FROM (
+    SELECT t, deg, src, dst,
+           row_number() OVER (PARTITION BY t, src ORDER BY num DESC, dst) AS rn
+    FROM escore
+  ) WHERE rn <= deg
+),
+edges0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ekeep WHERE t IN (0, 1)),
+edges1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ekeep WHERE t = {_HN_T1}),
+edges2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ekeep WHERE t = {_HN_T2}),
+pb AS (SELECT vec_id AS probe_id FROM vecs WHERE vec_id % 100 = 0),
+entry AS (
+  SELECT CAST(min(vec_id) AS BIGINT) AS node
+  FROM vecs WHERE vec_id % {_HN_L2_MOD} = 0
+),
+s0 AS (SELECT pb.probe_id, entry.node FROM pb, entry),
+{hop_sql}
+SELECT probe_id, node AS vec_id, num,
+       round(CAST(num AS DOUBLE) / sqrt(CAST(nn * np AS DOUBLE)), 6) AS cos_q
+FROM (
+  SELECT sc.probe_id, sc.node, sc.num, n.nn, p.nn AS np,
+         row_number() OVER (
+           PARTITION BY sc.probe_id
+           ORDER BY CAST(sc.num AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE)) DESC,
+                    sc.node
+         ) AS rn
+  FROM {last} sc
+  JOIN nrm n ON n.vec_id = sc.node
+  JOIN nrm p ON p.vec_id = sc.probe_id
+  WHERE sc.node <> sc.probe_id
+) WHERE rn <= {_NB_TOPK}
+"""
+
+
+def _hnsw_search(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    probe_pred: Column | None = None,
+    hops: tuple[int, int, int] = (_HN_H2, _HN_H1, _HN_H0),
+    beams: tuple[int, int, int] = (_HN_B2, _HN_B1, _NB_BEAM),
+    topk: int = _NB_TOPK,
+    chunk: int = _NB_CHUNK,
+    timings: dict | None = None,
+) -> DataFrame:
+    """The layered build+descent pipeline behind h16_hnsw_portable,
+    with the hop/beam knobs exposed so the scale probe can PIN the
+    probe set and hold the DESCENT DEPTH constant while the corpus
+    grows — the property a layer hierarchy buys (log-depth entry)
+    measured directly. ``timings`` (optional) receives build_s."""
+    if probe_pred is None:
+        probe_pred = F.col("vec_id") % 100 == 0
+    t0 = time.time()
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
+    )
+    zero = F.lit(0).cast("long")
+    nn = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
+    base = defer_unpersist(
+        e.select("vec_id", qv.alias("qv")).withColumn("nn", nn).persist()
+    )
+
+    def bucket_col(t: int, planes: int) -> Column:
+        if planes == 0:
+            # top layer: ONE proposal pool — the chunk bound alone
+            # caps pair work on the ~n/64-node subset
+            return F.lit(0)
+        bits = []
+        for j in range(planes):
+            coefs = F.array(
+                *[F.lit(_nb_coef(t, j, d)).cast("long") for d in range(DIM)]
+            )
+            dotj = F.aggregate(
+                F.zip_with(F.col("qv"), coefs, lambda x, y: x * y),
+                zero,
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dotj > 0, F.lit(1)).otherwise(F.lit(0)))
+        return sum(
+            (b * F.lit(2 ** (planes - 1 - j)) for j, b in enumerate(bits)),
+            start=F.lit(0),
+        )
+
+    num_ab = F.aggregate(
+        F.zip_with("qv", "qv2", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+
+    def edge_table(
+        t: int, planes: int, deg: int, member: Column | None
+    ) -> DataFrame:
+        """Bucket-proposed bounded-degree edges over one layer — the
+        NSW build (chunked bucket self-join, keep top-deg by exact
+        dot) parameterized by LSH table, plane count, and layer
+        membership. Upper layers run the IDENTICAL shape over ~n/8 /
+        ~n/64 subsets, so the whole hierarchy build stays
+        collision-bounded like the base graph."""
+        layer = base.where(member) if member is not None else base
+        hkey = (
+            F.lit(1103515245) * (F.col("vec_id") + F.lit(7777 * t))
+            + F.lit(12345)
+        ) % F.lit(2147483648)
+        wch = Window.partitionBy("bkt").orderBy("hkey", "vec_id")
+        tagged = (
+            layer.select("vec_id", "qv", bucket_col(t, planes).alias("bkt"))
+            .withColumn("hkey", hkey)
+            .withColumn(
+                "chunk",
+                ((F.row_number().over(wch) - 1) / F.lit(chunk)).cast("long"),
+            )
+        )
+        left = tagged.select(
+            F.col("vec_id").alias("src"), F.col("qv").alias("qv"), "bkt", "chunk"
+        )
+        right = tagged.select(
+            F.col("vec_id").alias("dst"), F.col("qv").alias("qv2"), "bkt", "chunk"
+        )
+        pairs = (
+            left.join(right, ["bkt", "chunk"])
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst", num_ab.alias("num"))
+        )
+        wd = Window.partitionBy("src").orderBy(F.col("num").desc(), "dst")
+        return (
+            pairs.withColumn("rn", F.row_number().over(wd))
+            .where(F.col("rn") <= deg)
+            .select("src", "dst")
+        )
+
+    # base layer: two tables unioned (the NSW long-link trick); upper
+    # layers: one proposal table each. Eager localCheckpoint truncates
+    # the hyperplane-literal lineage exactly as in _nsw_search.
+    l1 = F.col("vec_id") % _HN_L1_MOD == 0
+    l2 = F.col("vec_id") % _HN_L2_MOD == 0
+    edges0 = (
+        edge_table(0, _NB_PLANES, _NB_DEG, None)
+        .union(edge_table(1, _NB_PLANES, _NB_DEG, None))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges1 = edge_table(_HN_T1, _HN_P1, _HN_DEG_UP, l1).localCheckpoint(
+        eager=True
+    )
+    edges2 = edge_table(_HN_T2, 0, _HN_DEG_UP, l2).localCheckpoint(eager=True)
+    if timings is not None:
+        timings["build_s"] = time.time() - t0
+
+    # --- descent: ONE global entry point (min vec_id of the top
+    # layer — a bounded scalar agg, the HNSW top-of-hierarchy entry),
+    # then coarse-to-fine beam rounds: top layer's sparse long links
+    # cross the space in _HN_H2 hops, each lower layer refines the
+    # inherited frontier ---
+    probes = base.where(probe_pred).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
+    )
+    entry_id = int(
+        base.where(l2).agg(F.min("vec_id")).collect()[0][0]
+    )
+    state = probes.select(
+        "probe_id", F.lit(entry_id).cast("long").alias("node")
+    ).localCheckpoint(eager=True)
+    num_pc = F.aggregate(
+        F.zip_with("qv", "qp", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    beam_score = F.col("num").cast("double") / F.sqrt(F.col("nn").cast("double"))
+    scored = None
+    for layer_edges, layer_hops, layer_beam in (
+        (edges2, hops[0], beams[0]),
+        (edges1, hops[1], beams[1]),
+        (edges0, hops[2], beams[2]),
+    ):
+        wb = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), "node")
+        for _hop in range(layer_hops):
+            expanded = (
+                F.broadcast(state)
+                .join(layer_edges, state["node"] == layer_edges["src"])
+                .select("probe_id", F.col("dst").alias("node"))
+            )
+            cand = state.union(expanded).distinct()
+            with_qp = cand.join(probes, "probe_id")  # both tiny
+            scored = (
+                base.join(F.broadcast(with_qp), base["vec_id"] == with_qp["node"])
+                .select("probe_id", "node", num_pc.alias("num"), "nn")
+                .withColumn("score", beam_score)
+            )
+            # per-hop eager localCheckpoint: the _nsw_search lineage
+            # discipline — without it cand = state UNION expand doubles
+            # the beam subtree every round across all three layers
+            state = (
+                scored.withColumn("rn", F.row_number().over(wb))
+                .where(F.col("rn") <= layer_beam)
+                .select("probe_id", "node")
+                .localCheckpoint(eager=True)
+            )
+
+    wf = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), "node")
+    np_ = probes.join(
+        base.select(F.col("vec_id").alias("probe_id"), F.col("nn").alias("np")),
+        "probe_id",
+    ).select("probe_id", "np")
+    final = (
+        scored.where(F.col("node") != F.col("probe_id"))
+        .withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= topk)
+        .join(F.broadcast(np_), "probe_id")
+    )
+    cos_q = F.round(
+        F.col("num").cast("double")
+        / F.sqrt((F.col("nn") * F.col("np")).cast("double")),
+        6,
+    )
+    return final.select(
+        "probe_id", F.col("node").alias("vec_id"), "num", cos_q.alias("cos_q")
+    )
+
+
+@query("h16_hnsw_portable", section="H16,C2,E2", oracle=_hn_oracle())
+def h16_hnsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16, hierarchical graph index (HNSW shape): the NSW base graph
+    gains two geometrically sparser upper layers — deterministic
+    sampled subsets (vec_id % 8, vec_id % 64: every higher-layer node
+    exists on all layers below, the HNSW nesting invariant) with their
+    own bounded-degree edge sets proposed by the same chunked-LSH
+    bucket join (fewer sign bits per sparser layer so proposal
+    density tracks layer density; the ~n/64 top layer uses ONE pool,
+    chunk-bounded). Search descends coarse-to-fine from a SINGLE
+    global entry point (min vec_id of the top layer): _HN_H2 beam
+    rounds over the top layer's long links, _HN_H1 over the mid
+    layer, then _HN_H0 = 3 refinement rounds on the base graph —
+    versus the flat NSW's 5 base-layer rounds from an LSH-seeded
+    start. All arithmetic is exact integer (fixed-point vectors, LCG
+    hyperplanes/shuffle keys, int64 dots; beams rank on num/sqrt(nn),
+    IEEE-identical in both engines), so the DuckDB oracle — all seven
+    hops across three layers unrolled into CTEs — hash-matches every
+    frontier.
+
+    Scale shape: layer tables are ~n/8 and ~n/64 rows, so the extra
+    build cost is a vanishing fraction of the base edge build; each
+    descent hop is one broadcast of the (probes x beam) frontier into
+    an edge lookup + one broadcast id-join for scoring — and because
+    the top layer's links span the whole space, the number of hops to
+    reach a probe's neighborhood stays FLAT as n grows (probed in
+    PLANS.md), where a flat graph's entry distance grows. Recall
+    floor vs the exact h15 twin pinned in tests/test_dedup.py."""
+    return _hnsw_search(spark, sf_dir)

@@ -742,6 +742,29 @@ def test_nsw_beam_recall_vs_exact(spark):
     assert recall >= 0.5, f"NSW beam recall {recall:.2f} below floor"
 
 
+def test_hnsw_descent_recall_vs_exact(spark):
+    """The layered descent — 2 top-layer + 2 mid-layer + 3 base-layer
+    beam rounds from ONE global entry point — must clear at least the
+    flat NSW's 0.5 floor vs the exact top-3 DESPITE using 3 base
+    rounds where NSW needs 5 from its LSH-seeded start (the hierarchy
+    is what buys the shorter base search), and never return the probe
+    itself."""
+    from spark_glove_spark.operators.ann import h16_hnsw_portable
+
+    sf_dir = "/root/testdata/sf0.001"
+    ap = {
+        (r.probe_id, r.vec_id)
+        for r in h16_hnsw_portable(spark, sf_dir).collect()
+    }
+    assert all(p != v for p, v in ap)
+    ex = {
+        (r.probe_id, r.vec_id)
+        for r in _quantized_exact_top3(spark, sf_dir).collect()
+    }
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"HNSW descent recall {recall:.2f} below floor"
+
+
 def test_retrieval_metrics_agree_with_set_recall(spark):
     """h15_retrieval_metrics' per-probe recall_k must EQUAL the set
     recall computed independently from h16_bq_portable vs the exact
