@@ -3182,60 +3182,45 @@ FROM (
 """
 
 
-def _nsw_search(
-    spark: SparkSession,
-    sf_dir: str,
+def _nsw_bucket_col(t: int, n_planes: int) -> Column:
+    """Sign-LSH bucket id of the ``qv`` column under table ``t`` —
+    the expression both the edge build and the warm start hash with
+    (factored out of _nsw_search so h16_nsw_persisted can rebuild the
+    identical artifact)."""
+    zero = F.lit(0).cast("long")
+    bits = []
+    for j in range(n_planes):
+        coefs = F.array(
+            *[F.lit(_nb_coef(t, j, d)).cast("long") for d in range(DIM)]
+        )
+        dotj = F.aggregate(
+            F.zip_with(F.col("qv"), coefs, lambda x, y: x * y),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dotj > 0, F.lit(1)).otherwise(F.lit(0)))
+    return sum(
+        (b * F.lit(2 ** (n_planes - 1 - j)) for j, b in enumerate(bits)),
+        start=F.lit(0),
+    )
+
+
+def _nsw_edges(
+    base: DataFrame,
     *,
     n_planes: int = _NB_PLANES,
     deg: int = _NB_DEG,
-    beam: int = _NB_BEAM,
-    hops: int = _NB_HOPS,
-    topk: int = _NB_TOPK,
     chunk: int = _NB_CHUNK,
-    probe_pred: Column | None = None,
-    timings: dict | None = None,
 ) -> DataFrame:
-    """The NSW build+search pipeline behind h16_nsw_portable, with the
-    graph/beam knobs exposed so the scale probe can PIN the probe set
-    and grow n_planes ~ log2(n) as the corpus grows (bucket occupancy
-    constant -> edge-build pairs per node constant), the same knob
-    discipline as IVF's n_lists ~ sqrt(n). ``timings`` (optional)
-    receives build_s — the eager graph-build wall — so the probe can
-    split build from search."""
-    if probe_pred is None:
-        probe_pred = F.col("vec_id") % 100 == 0
-    t0 = time.time()
-    e = parallelized(table(spark, sf_dir, "embeddings"))
-    qv = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
-    )
+    """The NSW graph build as a standalone artifact producer: per-table
+    bucket self-joins propose edges, each node keeps its top-``deg`` by
+    exact dot (candidates ∝ bucket collisions; the union of
+    _NB_TABLES=2 tables is the NSW long-link trick). Returns the
+    unioned, deduplicated (src, dst) frame UNCHECKPOINTED so callers
+    choose: _nsw_search pins it with an eager localCheckpoint for the
+    beam loop; h16_nsw_persisted WRITES it as a versioned txlog table
+    instead — the graph index as a lakehouse artifact."""
     zero = F.lit(0).cast("long")
-    nn = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
-    base = defer_unpersist(
-        e.select("vec_id", qv.alias("qv")).withColumn("nn", nn).persist()
-    )
-
-    def bucket_col(t: int) -> Column:
-        bits = []
-        for j in range(n_planes):
-            coefs = F.array(
-                *[F.lit(_nb_coef(t, j, d)).cast("long") for d in range(DIM)]
-            )
-            dotj = F.aggregate(
-                F.zip_with(F.col("qv"), coefs, lambda x, y: x * y),
-                zero,
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dotj > 0, F.lit(1)).otherwise(F.lit(0)))
-        return sum(
-            (b * F.lit(2 ** (n_planes - 1 - j)) for j, b in enumerate(bits)),
-            start=F.lit(0),
-        )
-
-    # --- graph build: per-table bucket self-joins propose edges, each
-    # node keeps its top-_NB_DEG by exact dot (candidates ∝ bucket
-    # collisions; the union of 2 tables is the NSW long-link trick) ---
     num_ab = F.aggregate(
         F.zip_with("qv", "qv2", lambda x, y: x * y), zero, lambda a, x: a + x
     )
@@ -3249,7 +3234,7 @@ def _nsw_search(
         ) % F.lit(2147483648)
         wch = Window.partitionBy("bkt").orderBy("hkey", "vec_id")
         tagged = (
-            base.select("vec_id", "qv", bucket_col(t).alias("bkt"))
+            base.select("vec_id", "qv", _nsw_bucket_col(t, n_planes).alias("bkt"))
             .withColumn("hkey", hkey)
             .withColumn(
                 "chunk",
@@ -3273,6 +3258,54 @@ def _nsw_search(
             .where(F.col("rn") <= deg)
             .select("src", "dst")
         )
+    import functools
+
+    return functools.reduce(DataFrame.union, per_table).distinct()
+
+
+def _nsw_search(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_planes: int = _NB_PLANES,
+    deg: int = _NB_DEG,
+    beam: int = _NB_BEAM,
+    hops: int = _NB_HOPS,
+    topk: int = _NB_TOPK,
+    chunk: int = _NB_CHUNK,
+    probe_pred: Column | None = None,
+    timings: dict | None = None,
+    edges_in: DataFrame | None = None,
+    graph_pred: Column | None = None,
+) -> DataFrame:
+    """The NSW build+search pipeline behind h16_nsw_portable, with the
+    graph/beam knobs exposed so the scale probe can PIN the probe set
+    and grow n_planes ~ log2(n) as the corpus grows (bucket occupancy
+    constant -> edge-build pairs per node constant), the same knob
+    discipline as IVF's n_lists ~ sqrt(n). ``timings`` (optional)
+    receives build_s — the eager graph-build wall — so the probe can
+    split build from search.
+
+    ``edges_in`` (h16_nsw_persisted) serves the SAME beam search from
+    a pre-built adjacency table — a txlog snapshot — instead of
+    building edges inline; ``graph_pred`` then restricts the
+    warm-start candidates to nodes the pinned snapshot's graph covers
+    (its corpus watermark), since an entry node absent from the edge
+    table would strand the beam."""
+    if probe_pred is None:
+        probe_pred = F.col("vec_id") % 100 == 0
+    t0 = time.time()
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
+    )
+    zero = F.lit(0).cast("long")
+    nn = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
+    base = defer_unpersist(
+        e.select("vec_id", qv.alias("qv")).withColumn("nn", nn).persist()
+    )
+
     # eager localCheckpoint, not persist: the edge lineage embeds
     # 2 x 4 x 64 hyperplane literals and the bucket self-joins, and the
     # beam loop references edges once per hop — checkpointing truncates
@@ -3280,13 +3313,12 @@ def _nsw_search(
     # small and the printed plan equals the executed DAG (the scale_ops
     # a0754c7 discipline; same non-replicated-blocks caveat, documented
     # there, acceptable for a bounded exhibit build)
-    import functools
-
-    edges = (
-        functools.reduce(DataFrame.union, per_table)
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if edges_in is None:
+        edges = _nsw_edges(
+            base, n_planes=n_planes, deg=deg, chunk=chunk
+        ).localCheckpoint(eager=True)
+    else:
+        edges = edges_in
     if timings is not None:
         timings["build_s"] = time.time() - t0
 
@@ -3297,12 +3329,13 @@ def _nsw_search(
     probes = base.where(probe_pred).select(
         F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
     )
-    tagged0 = base.select("vec_id", bucket_col(0).alias("bkt"))
+    tagged0 = base.select("vec_id", _nsw_bucket_col(0, n_planes).alias("bkt"))
     pb = tagged0.where(probe_pred).select(
         F.col("vec_id").alias("probe_id"), "bkt"
     )
+    entries = tagged0 if graph_pred is None else tagged0.where(graph_pred)
     state = (
-        pb.join(tagged0.select(F.col("vec_id").alias("node"), "bkt"), "bkt")
+        pb.join(entries.select(F.col("vec_id").alias("node"), "bkt"), "bkt")
         .groupBy("probe_id")
         .agg(F.min("node").alias("node"))
     )
@@ -3784,3 +3817,194 @@ def h16_hnsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLANS.md), where a flat graph's entry distance grows. Recall
     floor vs the exact h15 twin pinned in tests/test_dedup.py."""
     return _hnsw_search(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Persisted BQ / NSW serving: the two r11 exhibit indexes become
+# versioned lakehouse artifacts like h16_ivfpq_persisted — the code
+# table and the adjacency table live behind the txlog format, serving
+# pins a snapshot, and growth lands as append (BQ: stateless codes) or
+# versioned rebuild (NSW: the graph is corpus-global state).
+
+
+@query("h16_bq_persisted", section="H16,A3,A1,G14", tags=("ann", "scale"))
+def h16_bq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16 persisted-index form of the binary-quantization tier: the
+    8-byte sign codes are written as a VERSIONED TXLOG TABLE (v0 =
+    first half of the corpus; the second half arrives and lands as a
+    plain APPEND — packing is stateless, no trained quantizer, so
+    incremental ingest is exact, the same property i24 exploits in
+    streaming). Serving reads a PINNED code-table snapshot and runs
+    the identical Hamming-scan + shortlist-rerank search
+    (:func:`_bq_search`) against it, so time travel gives
+    yesterday's index back verbatim.
+
+    In-body teeth (explicit raises, survive -O): the v0-pinned scan
+    can never return a code the snapshot predates, and the v1 code
+    table must cover the corpus row-for-row. Result equality with the
+    fully in-memory h16_bq_portable at v1 — byte-identical, both
+    sides exact integer — is pinned in tests/test_txlog.py together
+    with the codes-only ReadSchema plan guard.
+
+    Rows-only to the driver (the served artifact is an on-disk
+    lifecycle state); the oracle-checked h16_bq_portable twin rides
+    in the same driver wave.
+
+    100 TB: the artifact IS the 32x compression — a float corpus's
+    codes land as ~3 TB of (long, long) parquet whose scan is the
+    whole phase-1 cost; appends are one map pass over the delta; the
+    txlog gives the code table snapshot isolation and rollback like
+    any data table."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    packed, vecs = _bq_packed(spark, sf_dir)
+    vecs = defer_unpersist(vecs.persist())
+    mid = int(vecs.agg(F.max("vec_id")).collect()[0][0]) // 2
+    base_dir = tempfile.mkdtemp(prefix="bq_index_")
+    defer_cleanup(lambda: shutil.rmtree(base_dir, ignore_errors=True))
+    codes_path = os.path.join(base_dir, "codes")
+    txlog.create(packed.where(F.col("vec_id") <= mid), codes_path)  # v0
+    txlog.append(
+        packed.where(F.col("vec_id") > mid), codes_path, operation="ingest-delta"
+    )  # v1
+    n_all = vecs.count()
+    audit = []
+    for snap in (0, 1):
+        codes = txlog.read(spark, codes_path, version=snap)
+        code_rows = codes.count()
+        res = (
+            _bq_search(codes, vecs)
+            .where(F.col("rn") <= _BQ_TOPK)
+            .select("probe_id", "vec_id", "hamming")
+            .collect()
+        )
+        delta_hits = sum(1 for r in res if r["vec_id"] > mid)
+        audit.append(
+            (
+                snap,
+                code_rows,
+                len(res),
+                delta_hits,
+                round(sum(r["hamming"] for r in res) / max(len(res), 1), 4),
+            )
+        )
+    if audit[0][3] != 0:
+        raise AssertionError(
+            f"v0-pinned code table served {audit[0][3]} delta codes it predates"
+        )
+    if audit[1][1] != n_all:
+        raise AssertionError(
+            f"v1 code table covers {audit[1][1]} of {n_all} corpus rows"
+        )
+    return spark.createDataFrame(
+        audit,
+        "snapshot int, code_rows long, n_results long,"
+        " delta_results long, mean_hamming double",
+    )
+
+
+@query("h16_nsw_persisted", section="H16,A3,A1,C2", tags=("ann", "scale"))
+def h16_nsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16 persisted-index form of the NSW graph: the bounded-degree
+    adjacency list (:func:`_nsw_edges`) is written as a VERSIONED
+    TXLOG TABLE beside a catalog recording (version, corpus
+    watermark, edge rows) per build — graph indexes, unlike BQ codes,
+    are corpus-global state (a new node changes its neighbors' edge
+    lists), so growth lands as a REBUILD committing a new table
+    version, and the catalog is what serving pins. Probes answered
+    from snapshot v enter the graph only at nodes that snapshot's
+    watermark covers (:func:`_nsw_search` ``graph_pred``): staleness
+    is explicit — the pinned graph cannot see the delta, by
+    construction rather than by accident.
+
+    In-body teeth (explicit raises, survive -O): the v0-pinned search
+    can never return a delta node (entry and every expansion stay
+    inside the v0 edge set), and the v0 catalog snapshot holds
+    exactly one build row. Result equality of v1 serving with the
+    fully in-memory h16_nsw_portable — identical constants, identical
+    integer math — is pinned in tests/test_txlog.py.
+
+    Rows-only to the driver; the oracle-checked h16_nsw_portable twin
+    rides in the same driver wave.
+
+    100 TB: the adjacency table is n*deg rows of (long, long) parquet
+    (bucket it by src for the hop joins); each serve hop broadcasts
+    the tiny frontier into an edge lookup — the build's bucket
+    self-join is the only corpus-sized stage, and the rebuild cadence
+    is a catalog-visible policy knob exactly as in
+    pipeline_ann_index_lifecycle."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
+    )
+    base = defer_unpersist(e.select("vec_id", qv.alias("qv")).persist())
+    hi = int(base.agg(F.max("vec_id")).collect()[0][0])
+    mid = hi // 2
+    base_dir = tempfile.mkdtemp(prefix="nsw_index_")
+    defer_cleanup(lambda: shutil.rmtree(base_dir, ignore_errors=True))
+    edges_path = os.path.join(base_dir, "edges")
+    catalog = os.path.join(base_dir, "catalog")
+
+    def build(version: int, watermark: int) -> None:
+        edges = _nsw_edges(base.where(F.col("vec_id") <= watermark))
+        if version == 0:
+            txlog.create(edges, edges_path)
+        else:
+            txlog.overwrite(edges, edges_path)
+        row = spark.createDataFrame(
+            [(version, watermark, txlog.read(spark, edges_path).count())],
+            "build_version int, watermark long, edge_rows long",
+        )
+        if version == 0:
+            txlog.create(row, catalog)
+        else:
+            txlog.append(row, catalog, operation=f"graph-rebuild-{version}")
+
+    build(0, mid)  # serve starts here
+    build(1, hi)  # the corpus grew; the graph is global state: rebuild
+    audit = []
+    for snap in (0, 1):
+        cat = txlog.read(spark, catalog, version=snap).collect()
+        if snap == 0 and len(cat) != 1:
+            raise AssertionError(f"catalog snapshot 0 holds {len(cat)} rows")
+        entry = max(cat, key=lambda r: r["build_version"])
+        wm = entry["watermark"]
+        res = _nsw_search(
+            spark,
+            sf_dir,
+            edges_in=txlog.read(spark, edges_path, version=snap).select(
+                "src", "dst"
+            ),
+            graph_pred=F.col("vec_id") <= wm,
+        ).collect()
+        delta_hits = sum(1 for r in res if r["vec_id"] > mid)
+        audit.append(
+            (
+                entry["build_version"],
+                wm,
+                entry["edge_rows"],
+                len(res),
+                delta_hits,
+                round(sum(r["cos_q"] for r in res) / max(len(res), 1), 4),
+            )
+        )
+    if audit[0][4] != 0:
+        raise AssertionError(
+            f"v0-pinned graph served {audit[0][4]} delta nodes it predates"
+        )
+    return spark.createDataFrame(
+        audit,
+        "build_version int, watermark long, edge_rows long,"
+        " n_results long, delta_results long, mean_cos double",
+    )

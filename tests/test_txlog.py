@@ -2238,3 +2238,84 @@ def test_empty_merge_with_txn_publishes_watermark_only_commit(spark, tmp_path):
     )
     assert r3["applied"] is True
     assert txlog.last_txn_version(path, "cdc") == 1
+
+
+def test_bq_persisted_serving_equals_in_memory(spark, tmp_path):
+    """h16_bq_persisted's contract: the Hamming search served from a
+    txlog code-table snapshot must be BYTE-IDENTICAL to the fully
+    in-memory h16_bq_portable (packing is stateless and the search is
+    exact integer — persistence must not perturb a single row), and
+    the phase-1 scan must read the 24-byte code schema, never the
+    float vectors (the 32x compression materialized in the plan)."""
+    from pyspark.sql import functions as F
+
+    from spark_glove_spark.operators.ann import (
+        _BQ_TOPK,
+        _bq_packed,
+        _bq_search,
+        h16_bq_portable,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    packed, vecs = _bq_packed(spark, sf_dir)
+    mid = int(vecs.agg(F.max("vec_id")).collect()[0][0]) // 2
+    path = str(tmp_path / "codes")
+    txlog.create(packed.where(F.col("vec_id") <= mid), path)
+    txlog.append(packed.where(F.col("vec_id") > mid), path)
+    codes = txlog.read(spark, path)
+    served_df = _bq_search(codes, vecs).where(F.col("rn") <= _BQ_TOPK)
+    served = sorted(
+        (r["probe_id"], r["vec_id"], r["hamming"], r["num"])
+        for r in served_df.collect()
+    )
+    mem = sorted(
+        (r["probe_id"], r["vec_id"], r["hamming"], r["num"])
+        for r in h16_bq_portable(spark, sf_dir).collect()
+    )
+    assert served == mem, "persisted serving diverged from in-memory search"
+    # the code-table scan itself carries only the packed words: the
+    # persisted-codes FileScan's ReadSchema is the 24-byte row, and no
+    # scan in the whole plan reads BOTH codes and embeddings (phase 1
+    # touches codes, the rerank fetch touches vectors — never fused)
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    flat = plan.replace(" ", "")
+    assert "struct<vec_id:bigint,w_lo:bigint,w_hi:bigint>" in flat, plan[:800]
+    assert "w_lo:bigint,w_hi:bigint,embedding" not in flat
+
+
+def test_nsw_persisted_serving_equals_in_memory(spark, tmp_path):
+    """h16_nsw_persisted's contract: beam search over an adjacency
+    table read back from a txlog snapshot (full-corpus build, no
+    watermark restriction) must equal the in-memory h16_nsw_portable
+    row-for-row — identical LCG constants, identical integer dots, so
+    the persisted graph serves the exact same frontier."""
+    from pyspark.sql import functions as F
+
+    from spark_glove_spark.operators.ann import (
+        _PL_SCALE,
+        _nsw_edges,
+        _nsw_search,
+        h16_nsw_portable,
+    )
+    from spark_glove_spark.sources import parallelized, table
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
+    )
+    base = e.select("vec_id", qv.alias("qv"))
+    path = str(tmp_path / "edges")
+    txlog.create(_nsw_edges(base), path)
+    served = sorted(
+        (r["probe_id"], r["vec_id"], r["num"], r["cos_q"])
+        for r in _nsw_search(
+            spark, sf_dir, edges_in=txlog.read(spark, path).select("src", "dst")
+        ).collect()
+    )
+    mem = sorted(
+        (r["probe_id"], r["vec_id"], r["num"], r["cos_q"])
+        for r in h16_nsw_portable(spark, sf_dir).collect()
+    )
+    assert served == mem, "persisted graph serving diverged from in-memory"
