@@ -726,3 +726,542 @@ def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp", F.col("n").cast("long").alias("n"),
         F.round("total", 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG serving capstone: chunk -> embed -> index -> hybrid retrieve ->
+# evaluate, as ONE fully oracle-checked composite — the serving-side
+# counterpart of pipeline_curate_corpus' ingest funnel.
+
+_RAG_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "vector scan"),
+    (1, "hash join merge"),
+    (2, "stream window agg"),
+)
+_RAG_CMUL = 1000  # chunk pk: cid = doc_id * 1000 + chunk_id (chunk
+# counts are bounded by words/8 per doc — far under 1000 at any SF)
+_RAG_SHORT = 120  # BQ shortlist depth per query
+_RAG_K = 10  # dense top-k (truth and system lists)
+_RAG_SERVE = 5  # fused results served per query
+_RAG_RRF_K = 60  # the standard RRF constant (h15_rrf_fusion)
+
+
+def _rag_seg_vec_sql(d: int) -> str:
+    """One segment-vector coordinate over a ``words`` list — the
+    h17_semantic_chunking hash space verbatim."""
+    return (
+        f"CAST(list_aggregate(list_transform(words, w ->"
+        f" (('0x' || substr(md5('sc{d}|' || w), 1, 8))::BIGINT % 2001) - 1000),"
+        f" 'sum') AS BIGINT)"
+    )
+
+
+def _rag_qvec(qtext: str) -> list[int]:
+    """Query pseudo-embedding: the SAME md5 word space as the chunk
+    segments, summed over the query's words — computed driver-side
+    (md5 of a literal string is engine-free) and inlined as literals
+    in both engines."""
+    import hashlib
+
+    out = []
+    for d in range(4):
+        acc = 0
+        for w in qtext.split(" "):
+            h = int(hashlib.md5(f"sc{d}|{w}".encode()).hexdigest()[:8], 16)
+            acc += h % 2001 - 1000
+        out.append(acc)
+    return out
+
+
+_RAG_BITS = 16  # BQ code width: sign bits of 16 LCG hyperplane
+# projections of the 4-dim chunk vector (raw coordinate signs alone
+# give 16 buckets over ~1.4k chunks — Hamming ties would make the
+# shortlist arbitrary; 16 projected bits make it a real ranking)
+
+
+def _rag_plane(j: int, d: int) -> int:
+    """Deterministic LCG hyperplane coefficient in [-1000, 1000] (the
+    ann._nb_coef discipline; distinct increment so the RAG code planes
+    never silently share values with the graph-index tables)."""
+    return (
+        (1103515245 * ((j + 9) * 4 + d) + 99991) % 2147483648
+    ) % 2001 - 1000
+
+
+def _rag_code(vec: list[int]) -> int:
+    """Sign-pack the 16 hyperplane projections of a 4-dim integer
+    vector into a 16-bit BQ code."""
+    code = 0
+    for j in range(_RAG_BITS):
+        dot = sum(_rag_plane(j, d) * v for d, v in enumerate(vec))
+        if dot > 0:
+            code |= 1 << j
+    return code
+
+
+def _rag_oracle() -> str:
+    from spark_glove_spark.operators.text_analysis import _SC_DIMS, _SC_SEG
+
+    qrows = ", ".join(f"({i}, '{t}')" for i, t in _RAG_QUERIES)
+    qvec_rows = ", ".join(
+        f"({i}, {_rag_qvec(t)}, {_rag_code(_rag_qvec(t))})"
+        for i, t in _RAG_QUERIES
+    )
+    cv_sum = ", ".join(
+        f"CAST(sum(v[{d + 1}]) AS BIGINT)" for d in range(_SC_DIMS)
+    )
+    code_expr = " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(
+            f"cv[{d + 1}] * ({_rag_plane(j, d)})" for d in range(_SC_DIMS)
+        )
+        + f") > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_RAG_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+segs AS (
+  SELECT doc_id, s,
+         list_slice(t, s * {_SC_SEG} + 1, s * {_SC_SEG} + {_SC_SEG}) AS words
+  FROM toks, unnest(range(len(t) // {_SC_SEG})) u(s)
+),
+vecs AS (
+  SELECT doc_id, s, words,
+         [{", ".join(_rag_seg_vec_sql(d) for d in range(_SC_DIMS))}] AS v
+  FROM segs
+),
+dots AS (
+  SELECT doc_id, s, words, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY s) AS pv
+  FROM vecs
+),
+brk AS (
+  SELECT doc_id, s, words, v,
+         CASE WHEN pv IS NOT NULL
+                   AND list_dot_product(v, pv) < 0 THEN 1 ELSE 0 END AS b
+  FROM dots
+),
+segch AS MATERIALIZED (
+  SELECT doc_id, s, words, v,
+         doc_id * {_RAG_CMUL}
+           + sum(b) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS UNBOUNDED PRECEDING) AS cid
+  FROM brk
+),
+chunks AS MATERIALIZED (
+  SELECT CAST(cid AS BIGINT) AS cid, [{cv_sum}] AS cv
+  FROM segch GROUP BY 1
+),
+ctoks AS MATERIALIZED (
+  SELECT CAST(cid AS BIGINT) AS cid, unnest(words) AS word FROM segch
+),
+queries AS (SELECT * FROM (VALUES {qrows}) q(query_id, qtext)),
+qvecs AS MATERIALIZED (
+  SELECT query_id, qv, qcode FROM (VALUES {qvec_rows}) v(query_id, qv, qcode)
+),
+dnum AS MATERIALIZED (
+  SELECT q.query_id, c.cid,
+         CAST(list_dot_product(q.qv, c.cv) AS BIGINT) AS num
+  FROM qvecs q CROSS JOIN chunks c
+),
+truth AS MATERIALIZED (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY num DESC, cid) AS trn
+    FROM dnum
+  ) WHERE trn <= {_RAG_K}
+),
+codes AS (SELECT cid, {code_expr} AS code FROM chunks),
+short AS MATERIALIZED (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY bit_count(xor(CAST(c.code AS BIGINT),
+                                    CAST(q.qcode AS BIGINT))), c.cid
+           ) AS hrn
+    FROM codes c CROSS JOIN qvecs q
+  ) WHERE hrn <= {_RAG_SHORT}
+),
+sys AS MATERIALIZED (
+  SELECT query_id, cid, srn FROM (
+    SELECT s.query_id, s.cid,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY d.num DESC, s.cid) AS srn
+    FROM short s
+    JOIN dnum d ON d.query_id = s.query_id AND d.cid = s.cid
+  ) WHERE srn <= {_RAG_K}
+),
+tf AS MATERIALIZED (
+  SELECT cid, word, CAST(count(*) AS BIGINT) AS tf FROM ctoks GROUP BY 1, 2
+),
+dl AS (SELECT cid, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks, avg(dl) AS avgdl FROM dl),
+qterms AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS word FROM queries),
+bm AS MATERIALIZED (
+  SELECT qt.query_id, tf.cid,
+         round(sum(
+             ln(1.0 + (stats.n_chunks - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS bm25
+  FROM qterms qt
+  JOIN tf ON tf.word = qt.word
+  JOIN df ON df.word = qt.word
+  JOIN dl ON dl.cid = tf.cid
+  CROSS JOIN stats
+  GROUP BY 1, 2
+),
+srank AS MATERIALIZED (
+  SELECT query_id, cid, r_sparse FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY bm25 DESC, cid) AS r_sparse
+    FROM bm
+  ) WHERE r_sparse <= {_RAG_K}
+),
+fused AS (
+  SELECT coalesce(s.query_id, y.query_id) AS query_id,
+         coalesce(s.cid, y.cid) AS cid,
+         s.r_sparse, y.srn AS r_dense
+  FROM srank s
+  FULL OUTER JOIN sys y ON y.query_id = s.query_id AND y.cid = s.cid
+),
+rrf AS MATERIALIZED (
+  SELECT query_id, cid,
+         CAST(coalesce(r_sparse, 0) AS BIGINT) AS r_sparse,
+         CAST(coalesce(r_dense, 0) AS BIGINT) AS r_dense,
+         round(CASE WHEN r_sparse IS NOT NULL
+                    THEN 1.0 / ({_RAG_RRF_K} + r_sparse) ELSE 0.0 END
+               + CASE WHEN r_dense IS NOT NULL
+                      THEN 1.0 / ({_RAG_RRF_K} + r_dense) ELSE 0.0 END, 6)
+           AS rrf
+  FROM fused
+),
+served AS (
+  SELECT query_id, cid, r_sparse, r_dense, rrf, srv_rank FROM (
+    SELECT query_id, cid, r_sparse, r_dense, rrf,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf DESC, cid) AS srv_rank
+    FROM rrf
+  ) WHERE srv_rank <= {_RAG_SERVE}
+),
+lab AS (
+  SELECT s.query_id, s.srn,
+         CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM sys s
+  LEFT JOIN truth t ON t.query_id = s.query_id AND t.cid = s.cid
+),
+met AS (
+  SELECT query_id,
+         round(CAST(sum(rel) AS DOUBLE) / {_RAG_K}, 6) AS recall_k,
+         round(coalesce(1.0 / min(CASE WHEN rel = 1 THEN srn END), 0.0), 6)
+           AS rr
+  FROM lab GROUP BY 1
+)
+SELECT sv.query_id,
+       CAST(sv.srv_rank AS BIGINT) AS srv_rank,
+       sv.cid,
+       sv.cid // {_RAG_CMUL} AS doc_id,
+       sv.cid % {_RAG_CMUL} AS chunk_id,
+       sv.r_sparse, sv.r_dense, sv.rrf,
+       m.recall_k, m.rr
+FROM served sv JOIN met m USING (query_id)
+"""
+
+
+def _rag_segch(docs: DataFrame) -> DataFrame:
+    """Documents -> scored segments with chunk assignment: the
+    h17_semantic_chunking algebra (8-token segments, md5 integer
+    pseudo-embeddings, sign-of-dot boundaries, per-doc prefix-sum
+    chunk ids) producing (doc_id, s, words, v, b, cid). Per-doc
+    windows only — a micro-batch of WHOLE documents chunks exactly as
+    the full corpus does, which is what makes the streaming ingest
+    tooth (tests/test_streaming.py) an equality, not an
+    approximation."""
+    from spark_glove_spark.operators.text_analysis import _SC_DIMS, _SC_SEG
+
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    nseg = F.floor(F.size("t") / _SC_SEG).cast("long")
+    segs = toks.where(nseg >= 1).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), nseg - 1)).alias("s"),
+        "t",
+    )
+    words = F.slice("t", (F.col("s") * _SC_SEG + 1).cast("int"), _SC_SEG)
+    zero = F.lit(0).cast("long")
+
+    def coord(dd: int):
+        return F.aggregate(
+            words,
+            zero,
+            lambda acc, w: acc
+            + (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"sc{dd}|"), w)), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            ),
+        )
+
+    vecs = segs.select(
+        "doc_id",
+        "s",
+        words.alias("words"),
+        F.array(*[coord(dd) for dd in range(_SC_DIMS)]).alias("v"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("s")
+    sdots = vecs.withColumn("pv", F.lag("v").over(w_doc))
+    segdot = F.aggregate(
+        F.zip_with("v", "pv", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    brk = sdots.select(
+        "doc_id",
+        "s",
+        "words",
+        "v",
+        F.when(F.col("pv").isNotNull() & (segdot < 0), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("b"),
+    )
+    return brk.withColumn(
+        "cid",
+        (
+            F.col("doc_id") * _RAG_CMUL
+            + F.sum("b").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).cast("long"),
+    )
+
+
+def _rag_chunk_frame(segch: DataFrame) -> DataFrame:
+    """(cid, cv): per-chunk summed integer embedding."""
+    from spark_glove_spark.operators.text_analysis import _SC_DIMS
+
+    return segch.groupBy("cid").agg(
+        F.array(
+            *[
+                F.sum(F.col("v").getItem(dd)).cast("long")
+                for dd in range(_SC_DIMS)
+            ]
+        ).alias("cv")
+    )
+
+
+def _rag_code_col():
+    """The 16-bit BQ code of a ``cv`` column: sign bits of _RAG_BITS
+    LCG hyperplane projections, packed little-endian."""
+    from spark_glove_spark.operators.text_analysis import _SC_DIMS
+
+    zero = F.lit(0).cast("long")
+    return sum(
+        (
+            F.when(
+                sum(
+                    (
+                        F.col("cv").getItem(dd) * F.lit(_rag_plane(j, dd))
+                        for dd in range(_SC_DIMS)
+                    ),
+                    start=zero,
+                )
+                > 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            for j in range(_RAG_BITS)
+        ),
+        start=F.lit(0),
+    ).cast("long")
+
+
+@query(
+    "pipeline_rag_serving",
+    section="H15,H16,H17,H10,E1,D1",
+    tags=("pipeline", "llm-pipeline", "ann"),
+    oracle=_rag_oracle(),
+)
+def pipeline_rag_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG SERVING capstone, fully ORACLE-checked end to end — the
+    retrieval-side counterpart of pipeline_curate_corpus' ingest
+    funnel, composing five certified lanes into the query path a
+    production RAG stack runs: (1) documents split into SEMANTIC
+    CHUNKS (the h17_semantic_chunking algebra verbatim: 8-token
+    segments, exact-integer md5 pseudo-embeddings, boundaries where
+    adjacent segment dots go negative); (2) each chunk gets a summed
+    integer embedding and a 16-bit BQ CODE (sign bits of LCG
+    hyperplane projections — the h16_bq_portable tier scaled to the
+    chunk space); (3) three canned queries embed into the SAME word
+    space and search the code table by Hamming distance, shortlist
+    _RAG_SHORT chunks, and rerank ONLY the shortlist by exact dot —
+    the system's dense candidate list; (4) the same query terms drive
+    the h10 BM25 lexical ranker over chunk token streams, and the two
+    lists fuse by reciprocal rank (h15_rrf_fusion math) into the
+    served top-_RAG_SERVE; (5) the BQ tier is EVALUATED in the same
+    query — recall@k and reciprocal rank vs the exact brute-force
+    truth (h15_retrieval_metrics math) ride every served row, the
+    way serving stacks ship their recall dashboards.
+
+    Every stage keeps the house determinism rules (integer dots, LCG
+    planes, round-6 doubles, ties on cid), so ONE DuckDB oracle
+    hash-matches the whole composite.
+
+    100 TB: chunking is one scan with per-doc windows; the code table
+    is ~2 bytes/chunk scanned code-only (phase 1 never touches
+    vectors); rerank fetches <= queries x _RAG_SHORT chunk vectors by
+    id; BM25 reuses one persisted (chunk, word) aggregate; fusion and
+    metrics touch candidate lists only. The only corpus-wide vector
+    pass is the TRUTH side of the metrics — the part a production
+    stack samples, exactly as h15_retrieval_metrics documents."""
+    d = parallelized(table(spark, sf_dir, "documents"))
+    zero = F.lit(0).cast("long")
+
+    segch = defer_unpersist(_rag_segch(d).persist())
+    chunks = defer_unpersist(_rag_chunk_frame(segch).persist())
+    ctoks = segch.select("cid", F.explode("words").alias("word"))
+
+    qvecs = spark.createDataFrame(
+        [(i, _rag_qvec(t), _rag_code(_rag_qvec(t))) for i, t in _RAG_QUERIES],
+        "query_id long, qv array<long>, qcode long",
+    )
+    num = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+
+    # --- exact truth: the one corpus-wide vector pass (broadcast-probe
+    # scan, h15 shape) ---
+    wq_num = Window.partitionBy("query_id").orderBy(F.col("num").desc(), "cid")
+    truth = (
+        chunks.crossJoin(F.broadcast(qvecs.select("query_id", "qv")))
+        .select("query_id", "cid", num.alias("num"))
+        .withColumn("trn", F.row_number().over(wq_num))
+        .where(F.col("trn") <= _RAG_K)
+        .select("query_id", F.col("cid").alias("tcid"))
+    )
+
+    # --- BQ tier: 16-bit codes, Hamming shortlist, id-fetch rerank ---
+    codes = chunks.select("cid", _rag_code_col().alias("code"))
+    hamming = F.bit_count(F.col("code").bitwiseXOR(F.col("qcode")))
+    wq_ham = Window.partitionBy("query_id").orderBy("hamming", "cid")
+    short = (
+        codes.crossJoin(F.broadcast(qvecs.select("query_id", "qcode")))
+        .select("query_id", "cid", hamming.alias("hamming"))
+        .withColumn("hrn", F.row_number().over(wq_ham))
+        .where(F.col("hrn") <= _RAG_SHORT)
+        .select("query_id", "cid")
+    )
+    sys_list = defer_unpersist(
+        chunks.join(F.broadcast(short), "cid")
+        .join(F.broadcast(qvecs.select("query_id", "qv")), "query_id")
+        .select("query_id", "cid", num.alias("num"))
+        .withColumn("srn", F.row_number().over(wq_num))
+        .where(F.col("srn") <= _RAG_K)
+        .select("query_id", "cid", "srn")
+        .persist()
+    )
+
+    # --- sparse ranker: h10 BM25 over the chunk token streams ---
+    tf = defer_unpersist(
+        ctoks.groupBy("cid", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+    dl = tf.groupBy("cid").agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        [(i, w) for i, t in _RAG_QUERIES for w in t.split(" ")],
+        "query_id long, word string",
+    )
+    score = (
+        F.log(
+            1.0 + (F.col("n_chunks") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    bm = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(F.broadcast(dfreq), "word")
+        .join(dl, "cid")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "cid")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+    )
+    wq_bm = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "cid")
+    srank = (
+        bm.withColumn("r_sparse", F.row_number().over(wq_bm))
+        .where(F.col("r_sparse") <= _RAG_K)
+        .select("query_id", "cid", "r_sparse")
+    )
+
+    # --- reciprocal-rank fusion + serve ---
+    fused = srank.join(
+        sys_list.withColumnRenamed("srn", "r_dense"),
+        ["query_id", "cid"],
+        "full",
+    )
+    rrf = F.round(
+        F.when(
+            F.col("r_sparse").isNotNull(), 1.0 / (_RAG_RRF_K + F.col("r_sparse"))
+        ).otherwise(0.0)
+        + F.when(
+            F.col("r_dense").isNotNull(), 1.0 / (_RAG_RRF_K + F.col("r_dense"))
+        ).otherwise(0.0),
+        6,
+    )
+    wq_rrf = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "cid")
+    served = (
+        fused.select(
+            "query_id",
+            "cid",
+            F.coalesce("r_sparse", F.lit(0)).cast("long").alias("r_sparse"),
+            F.coalesce("r_dense", F.lit(0)).cast("long").alias("r_dense"),
+            rrf.alias("rrf"),
+        )
+        .withColumn("srv_rank", F.row_number().over(wq_rrf).cast("long"))
+        .where(F.col("srv_rank") <= _RAG_SERVE)
+    )
+
+    # --- recall dashboard: the h15_retrieval_metrics math ---
+    lab = sys_list.join(
+        truth,
+        (sys_list.query_id == truth.query_id) & (sys_list.cid == truth.tcid),
+        "left",
+    ).select(
+        sys_list.query_id,
+        sys_list.srn,
+        F.col("tcid").isNotNull().cast("int").alias("rel"),
+    )
+    met = lab.groupBy("query_id").agg(
+        F.round(F.sum("rel").cast("double") / F.lit(float(_RAG_K)), 6).alias(
+            "recall_k"
+        ),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.min(F.when(F.col("rel") == 1, F.col("srn"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rr"),
+    )
+    return served.join(F.broadcast(met), "query_id").select(
+        "query_id",
+        "srv_rank",
+        "cid",
+        F.expr(f"cid div {_RAG_CMUL}").alias("doc_id"),
+        (F.col("cid") % _RAG_CMUL).alias("chunk_id"),
+        "r_sparse",
+        "r_dense",
+        "rrf",
+        "recall_k",
+        "rr",
+    )
