@@ -468,7 +468,8 @@ R11_REGREEN: tuple[str, ...] = (
     "sql_tpch_q18",
 )
 
-DRIVER_PRIORITY = R11_REMAINDER + R11_NEW + R11_REGREEN
+# (The r11 window: R11_REMAINDER + R11_NEW + R11_REGREEN — recorded in
+# CORRECTNESS_r11. DRIVER_PRIORITY is assigned below from the r12 waves.)
 
 # Round-12 remainder: queries built AFTER the r11 window froze land
 # here, same discipline as R11_REMAINDER above. All three are the r11
@@ -503,6 +504,80 @@ R12_REMAINDER: tuple[str, ...] = (
     # the batch evaluation in-body)
     "i25_streaming_index_quality",
 )
+
+# Round-12 waves (VERDICT r11 items 1-5): the remainder leads in its
+# pre-committed order; R12_NEW is the round's build (HNSW hierarchy,
+# persisted BQ/NSW artifacts, the RAG serving capstone); R12_REGREEN
+# re-certifies at r12 HEAD (a) the five txlog demos whose scalar-bound
+# derivation was fused this round, (b) the whole ANN/vector family —
+# ann.py changed under every one of them, (c) the GloVe pipeline
+# signature (standing re-cert), and (d) the dedup/capstone anchors.
+R12_NEW: tuple[str, ...] = (
+    # HNSW-style layer hierarchy over the NSW graph — oracle-checked
+    # (all seven hops across three layers unrolled into CTEs)
+    "h16_hnsw_portable",
+    # BQ codes / NSW adjacency as versioned txlog artifacts (rows-only
+    # lifecycle exhibits; byte-equality with the oracle-checked
+    # in-memory twins — riding in R12_REMAINDER's same window — is
+    # pinned in tests/test_txlog.py)
+    "h16_bq_persisted",
+    "h16_nsw_persisted",
+    # RAG serving capstone: chunk -> embed -> BQ index -> hybrid
+    # retrieve -> recall metrics, ONE hash-matched oracle
+    "pipeline_rag_serving",
+)
+
+R12_REGREEN: tuple[str, ...] = (
+    # txlog demos touched by the scalar_bounds fusion (r11 item 6)
+    "pipeline_cdc_replication",
+    "pipeline_cdc_exactly_once",
+    "pipeline_incremental_agg",
+    "i19_streaming_incremental_agg",
+    "a25_txlog_change_feed",
+    # ANN / vector-search family — ann.py changed under all of these
+    # (NSW edge-build refactor, HNSW, persisted serving)
+    "h16_ivf_persisted",
+    "h16_ivfpq_persisted",
+    "h16_ivfpq_portable",
+    "h16_ivf_portable",
+    "h16_pq_portable",
+    "h16_opq_portable",
+    "h16_lsh_portable",
+    "h16_int8_quant",
+    "h16_ivf_filtered",
+    "h16_ivfpq_filtered",
+    "h16_lsh_ann",
+    "h15_knn_bruteforce",
+    "h15_knn_filtered",
+    "h15_range_search",
+    "h15_maxsim",
+    "h15_mmr_portable",
+    "h15_rrf_fusion",
+    "pipeline_ann_index_lifecycle",
+    "pipeline_ann_drift_rebuild",
+    "i23_streaming_ann_ingest",
+    # GloVe pipeline signature (standing re-cert)
+    "h1_token_stats",
+    "h3_cooccurrence_topk",
+    "h4_glove_weighting",
+    "h5_glove_fit_micro",
+    "h5_glove_planted_analogy",
+    "h6_export_portable",
+    "h7_topk_cosine",
+    "h8_analogy",
+    "h9_doc_embedding",
+    "h10_tfidf",
+    # dedup signature + heaviest span lane + batch capstone
+    "h13_minhash_portable",
+    "h17_span_dedup_bucketed",
+    "pipeline_curate_corpus",
+)
+
+DRIVER_PRIORITY = R12_REMAINDER + R12_NEW + R12_REGREEN
+
+# Round-13 remainder: queries built AFTER the r12 window froze land
+# here, same discipline as the prior remainders. Empty at freeze time.
+R13_REMAINDER: tuple[str, ...] = ()
 
 
 def driver_key(rank: int, name: str) -> str:

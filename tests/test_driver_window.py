@@ -6,13 +6,16 @@ the contract that keeps the engine's signature surface inside that
 window, so a future alphabetically-early addition can't silently evict
 e.g. h5_glove_fit from driver verification.
 
-Round-11 semantics (VERDICT r10 items 1+8): the window is
-R11_REMAINDER (the three r10 post-freeze additions — the only
-registered queries with zero driver records after ten rounds) +
-R11_NEW (built this round) + R11_REGREEN (deliberate re-certification
-of driver-green rows at r11 HEAD). The partition guard distinguishes
-"wasted slot" (an already-checked name NOT declared as a re-green)
-from the explicit R11_REGREEN tuple.
+Round-12 semantics (VERDICT r11 items 1-5): the window is
+R12_REMAINDER (the eight r11 post-freeze additions — the only
+registered queries with zero driver records after eleven rounds) +
+R12_NEW (built this round: the HNSW hierarchy, persisted BQ/NSW
+artifacts, the RAG serving capstone) + R12_REGREEN (deliberate
+re-certification at r12 HEAD of the txlog demos the scalar-bound
+fusion touched, the whole ANN family ann.py changed under, the GloVe
+signature, and the dedup/capstone anchors). The partition guard
+distinguishes "wasted slot" (an already-checked name NOT declared as
+a re-green) from the explicit R12_REGREEN tuple.
 
 No SparkSession needed — these are pure registry-shape checks.
 """
@@ -27,9 +30,11 @@ from spark_glove_spark.registry import (
     DRIVER_PRIORITY,
     DRIVER_WINDOW,
     R11_NEW,
-    R11_REGREEN,
     R11_REMAINDER,
+    R12_NEW,
+    R12_REGREEN,
     R12_REMAINDER,
+    R13_REMAINDER,
     driver_key,
     original_name,
 )
@@ -116,6 +121,7 @@ ALL_RECORDS = (
     "CORRECTNESS_r08",
     "CORRECTNESS_r09",
     "CORRECTNESS_r10",
+    "CORRECTNESS_r11",
 )
 
 
@@ -129,60 +135,80 @@ def test_r10_window_landed_green():
         assert n in checked, f"r10 rotation name missing from record: {n}"
 
 
+def test_r11_window_landed_green():
+    """Same guard, one round later: the r11 record must show the r11
+    remainder + the r11-built queries green (or best-possible
+    rows-only), proving the r11 rotation actually executed."""
+    checked = _driver_checked(("CORRECTNESS_r11",))
+    for n in R11_REMAINDER + R11_NEW:
+        assert n in checked, f"r11 rotation name missing from record: {n}"
+
+
 def test_window_slots_are_new_work_or_declared_regreens():
     """Every window slot is either a query with NO driver record in
-    any prior round (closing the evidence gap: R11_REMAINDER + the
-    r11-built queries) or an EXPLICIT member of R11_REGREEN
-    (re-certifying the signature surface at r11 HEAD). An
-    already-checked name outside R11_REGREEN is a wasted slot; an
-    unchecked name inside R11_REGREEN would be new coverage
+    any prior round (closing the evidence gap: R12_REMAINDER + the
+    r12-built queries) or an EXPLICIT member of R12_REGREEN
+    (re-certifying the signature surface at r12 HEAD). An
+    already-checked name outside R12_REGREEN is a wasted slot; an
+    unchecked name inside R12_REGREEN would be new coverage
     masquerading as a re-green."""
     checked = _driver_checked(ALL_RECORDS)
     stale = [
-        n for n in DRIVER_PRIORITY if n in checked and n not in R11_REGREEN
+        n for n in DRIVER_PRIORITY if n in checked and n not in R12_REGREEN
     ]
     assert not stale, f"already-checked slots not declared as regreens: {stale}"
-    fake = [n for n in R11_REGREEN if n not in checked]
-    assert not fake, f"R11_REGREEN names without a prior green record: {fake}"
+    fake = [n for n in R12_REGREEN if n not in checked]
+    assert not fake, f"R12_REGREEN names without a prior green record: {fake}"
 
 
 def test_window_covers_the_rotation_waves():
-    """The r11 rotation carries the VERDICT r10 mandates: R11_REMAINDER
-    leads in its pre-committed order (item 1 — the only three queries
-    without a driver record after ten rounds); R11_NEW (the IVF-PQ
-    composition + drift-rebuild work, items 4+5) follows; and the
-    re-green slate leads with the ANN family r11 code touches, the
-    bisected ml_naive_bayes, and the streaming-curate perf watch."""
-    assert DRIVER_PRIORITY[: len(R11_REMAINDER)] == R11_REMAINDER
-    assert R11_REMAINDER == (
-        "h16_ivf_persisted",
-        "pipeline_ann_index_lifecycle",
-        "i23_streaming_ann_ingest",
+    """The r12 rotation carries the VERDICT r11 mandates: R12_REMAINDER
+    leads in its pre-committed order (item 1 — the only eight queries
+    without a driver record after eleven rounds); R12_NEW (the HNSW
+    hierarchy, persisted BQ/NSW serving, and the RAG capstone — items
+    3, 4, 5) follows; and the re-green slate leads with the five
+    txlog demos the scalar-bound fusion touched (item 6) plus the ANN
+    family ann.py changed under."""
+    assert DRIVER_PRIORITY[: len(R12_REMAINDER)] == R12_REMAINDER
+    assert R12_REMAINDER == (
+        "h16_bq_portable",
+        "h15_retrieval_metrics",
+        "h16_nsw_portable",
+        "h15_hybrid_retrieval",
+        "i24_streaming_bq_ingest",
+        "h17_semantic_chunking",
+        "d35_kmv_sketch",
+        "i25_streaming_index_quality",
     )
-    assert (
-        DRIVER_PRIORITY[len(R11_REMAINDER):len(R11_REMAINDER) + len(R11_NEW)]
-        == R11_NEW
+    n_rem = len(R12_REMAINDER)
+    assert DRIVER_PRIORITY[n_rem:n_rem + len(R12_NEW)] == R12_NEW
+    assert R12_NEW == (
+        "h16_hnsw_portable",
+        "h16_bq_persisted",
+        "h16_nsw_persisted",
+        "pipeline_rag_serving",
     )
-    # the families r11 code touches
-    for n in ("h15_knn_bruteforce", "h16_ivf_portable", "h16_pq_portable",
-              "ml_naive_bayes", "pipeline_streaming_curate",
-              "d23_psi_drift", "i21_streaming_psi_drift",
-              "h17_span_dedup_bucketed"):
-        assert n in R11_REGREEN
+    # the families r12 code touches
+    for n in ("pipeline_cdc_replication", "pipeline_cdc_exactly_once",
+              "pipeline_incremental_agg", "i19_streaming_incremental_agg",
+              "a25_txlog_change_feed", "h16_ivf_persisted",
+              "h16_ivfpq_portable", "h15_knn_bruteforce",
+              "h5_glove_fit_micro", "pipeline_curate_corpus"):
+        assert n in R12_REGREEN
 
 
 def test_remainder_plus_new_closes_the_evidence_contract():
-    """After CORRECTNESS_r11 records the window, every registered
-    query must possess a driver record: prior greens + R11_REMAINDER +
-    R11_NEW must equal the full registry (R12_REMAINDER catches any
-    query built after the r11 freeze)."""
+    """After CORRECTNESS_r12 records the window, every registered
+    query must possess a driver record: prior greens + R12_REMAINDER +
+    R12_NEW must equal the full registry (R13_REMAINDER catches any
+    query built after the r12 freeze)."""
     checked = _driver_checked(ALL_RECORDS)
     uncovered = (
         set(api.queries())
         - checked
-        - set(R11_REMAINDER)
-        - set(R11_NEW)
         - set(R12_REMAINDER)
+        - set(R12_NEW)
+        - set(R13_REMAINDER)
     )
     assert not uncovered, f"queries not slotted in any rotation: {uncovered}"
 
@@ -196,42 +222,39 @@ def test_driver_keys_sort_before_every_organic_name():
 
 
 def test_rotation_plan_partitions_the_registry():
-    """The three r11 plans (REMAINDER / NEW / REGREEN) are disjoint,
-    registered, and every oracle obligation holds: the three
-    R11_REMAINDER queries are rows-only BY DESIGN (k-means cells and
-    streamed epoch state are model-specific) with their documented
-    in-body/pytest teeth; R11_NEW entries ship oracles except the
-    persisted/drift legs, which are rows-only by the same design with
-    the oracle-checked h16_ivfpq_portable twin IN THE SAME WAVE."""
+    """The three r12 plans (REMAINDER / NEW / REGREEN) are disjoint,
+    registered, and every oracle obligation holds. Rows-only by
+    design: in R12_REMAINDER, the two streaming-ingest monitors (i24,
+    i25 — streamed epoch state is replay-specific, with in-body
+    equality teeth against their oracle-checked batch twins); in
+    R12_NEW, the two persisted-serving exhibits (on-disk lifecycle
+    state, byte-equality with the oracle-checked in-memory twins —
+    which ride in R12_REMAINDER's SAME window — pinned in
+    tests/test_txlog.py). Everything else must ship an oracle."""
     from spark_glove_spark.registry import REGISTRY
 
-    parts = [set(R11_REMAINDER), set(R11_NEW), set(R11_REGREEN)]
+    parts = [set(R12_REMAINDER), set(R12_NEW), set(R12_REGREEN)]
     for i in range(len(parts)):
         for j in range(i + 1, len(parts)):
             assert not parts[i] & parts[j], (i, j, parts[i] & parts[j])
     ghost = set(DRIVER_PRIORITY) - set(api.queries())
     assert not ghost, f"plan names not registered: {ghost}"
-    for n in R11_REMAINDER:
-        assert REGISTRY[n].oracle is None, (
-            f"{n} is declared rows-only by design; an oracle appearing "
-            "means the declaration is stale"
-        )
-    rows_only_new = (
-        "h16_ivfpq_persisted",
-        "pipeline_ann_drift_rebuild",
-        # filtered composed-index probe: exact oracle-checked twin
-        # h15_knn_filtered rides in R11_REGREEN's same window
-        "h16_ivfpq_filtered",
-    )
-    for n in R11_NEW:
-        if n in rows_only_new:
+    rows_only_rem = ("i24_streaming_bq_ingest", "i25_streaming_index_quality")
+    for n in R12_REMAINDER:
+        if n in rows_only_rem:
             assert REGISTRY[n].oracle is None
-            assert "h16_ivfpq_portable" in R11_NEW
-            assert "h15_knn_filtered" in R11_REGREEN
         else:
             assert REGISTRY[n].oracle is not None, f"{n} must ship an oracle"
-    for n in R12_REMAINDER:
-        assert n in REGISTRY, f"R12 plan name not registered: {n}"
+    rows_only_new = ("h16_bq_persisted", "h16_nsw_persisted")
+    for n in R12_NEW:
+        if n in rows_only_new:
+            assert REGISTRY[n].oracle is None
+            assert "h16_bq_portable" in R12_REMAINDER
+            assert "h16_nsw_portable" in R12_REMAINDER
+        else:
+            assert REGISTRY[n].oracle is not None, f"{n} must ship an oracle"
+    for n in R13_REMAINDER:
+        assert n in REGISTRY, f"R13 plan name not registered: {n}"
 
 
 def test_original_name_roundtrip():
