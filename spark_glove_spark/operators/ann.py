@@ -3614,6 +3614,9 @@ def _hnsw_search(
     beams: tuple[int, int, int] = (_HN_B2, _HN_B1, _NB_BEAM),
     topk: int = _NB_TOPK,
     chunk: int = _NB_CHUNK,
+    base_planes: int = _NB_PLANES,
+    l1_planes: int = _HN_P1,
+    l2_planes: int = 0,
     timings: dict | None = None,
 ) -> DataFrame:
     """The layered build+descent pipeline behind h16_hnsw_portable,
@@ -3707,15 +3710,17 @@ def _hnsw_search(
     l1 = F.col("vec_id") % _HN_L1_MOD == 0
     l2 = F.col("vec_id") % _HN_L2_MOD == 0
     edges0 = (
-        edge_table(0, _NB_PLANES, _NB_DEG, None)
-        .union(edge_table(1, _NB_PLANES, _NB_DEG, None))
+        edge_table(0, base_planes, _NB_DEG, None)
+        .union(edge_table(1, base_planes, _NB_DEG, None))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    edges1 = edge_table(_HN_T1, _HN_P1, _HN_DEG_UP, l1).localCheckpoint(
+    edges1 = edge_table(_HN_T1, l1_planes, _HN_DEG_UP, l1).localCheckpoint(
         eager=True
     )
-    edges2 = edge_table(_HN_T2, 0, _HN_DEG_UP, l2).localCheckpoint(eager=True)
+    edges2 = edge_table(_HN_T2, l2_planes, _HN_DEG_UP, l2).localCheckpoint(
+        eager=True
+    )
     if timings is not None:
         timings["build_s"] = time.time() - t0
 
@@ -3811,11 +3816,18 @@ def h16_hnsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: layer tables are ~n/8 and ~n/64 rows, so the extra
     build cost is a vanishing fraction of the base edge build; each
     descent hop is one broadcast of the (probes x beam) frontier into
-    an edge lookup + one broadcast id-join for scoring — and because
-    the top layer's links span the whole space, the number of hops to
-    reach a probe's neighborhood stays FLAT as n grows (probed in
-    PLANS.md), where a flat graph's entry distance grows. Recall
-    floor vs the exact h15 twin pinned in tests/test_dedup.py."""
+    an edge lookup + one broadcast id-join for scoring. Search WALL
+    is frontier-bounded and measured flat to 100x. The knob law the
+    100x ladder established (PLANS.md r12): EVERY layer's proposal
+    hash must scale with its layer size (l1/l2 planes track the base
+    log2(n) schedule minus 3/6) — with that, descent from the single
+    global entry matches the per-probe LSH warm start's recall at
+    equal base depth, i.e. the hierarchy replaces serve-time hash
+    tables with pure graph structure; without it the upper layers go
+    geometrically blind and descent recall halves. Fixed-depth recall
+    decays with n for ANY bounded-degree graph at fixed beam — at
+    production scale deg/beam also grow ~ log n. Recall floor vs the
+    exact h15 twin pinned in tests/test_dedup.py."""
     return _hnsw_search(spark, sf_dir)
 
 
