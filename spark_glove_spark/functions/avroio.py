@@ -1,0 +1,314 @@
+"""Avro Object Container File codec, from the public spec (Apache
+Avro 1.11 specification, "Object Container Files" + "Binary Encoding"
+sections) — the functions/jpeg.py discipline applied to the one ingest
+format the environment's Spark build cannot read (the spark-avro
+datasource jar is absent and there is no network to fetch it; the
+pure-Python `avro`/`fastavro` packages are absent too, verified
+empirically — PLANS.md "Environment limits").
+
+Scope: the typed subset a Kafka-adjacent ingest lane actually ships —
+records of {null, boolean, int, long, double, string, bytes} fields,
+nullable via the standard ["null", T] union — with the `null` and
+`deflate` codecs. Arrays/maps/enums/fixed are out of scope and the
+schema parser REJECTS them loudly (honest NotImplementedError, not
+silent misreads).
+
+Wire format implemented here, byte for byte:
+* int/long: zigzag then base-128 little-endian varint (high bit =
+  continuation) — spec "Binary Encoding / Primitive Types".
+* string/bytes: long length prefix + raw bytes (UTF-8 for string).
+* double: 8-byte little-endian IEEE 754; boolean: one byte 0/1;
+  null: zero bytes; union: long branch index, then the value.
+* OCF: magic b"Obj\\x01"; file-metadata map (block count, key/value
+  pairs, zero terminator) carrying avro.schema + avro.codec; a
+  16-byte sync marker; then data blocks of (object count, byte size,
+  payload, sync) — spec "Object Container Files". The deflate codec
+  is RFC 1951 RAW deflate (no zlib header/checksum): zlib with
+  wbits=-15 on both sides.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from typing import Iterable, Iterator
+
+MAGIC = b"Obj\x01"
+_CODECS = ("null", "deflate")
+
+# Spark simpleString type -> Avro primitive for the supported subset
+SPARK_TO_AVRO = {
+    "boolean": "boolean",
+    "int": "int",
+    "bigint": "long",
+    "double": "double",
+    "string": "string",
+    "binary": "bytes",
+}
+AVRO_TO_SPARK = {v: k for k, v in SPARK_TO_AVRO.items()}
+
+
+# --- primitive binary encoding -------------------------------------------
+
+
+def write_long(buf: io.BytesIO, n: int) -> None:
+    """Zigzag + base-128 varint (spec: <<1 ^ >>63 for 64-bit two's
+    complement; Python ints are unbounded, so mask to 64 bits)."""
+    z = ((n << 1) ^ (n >> 63)) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes((b | 0x80,)))
+        else:
+            buf.write(bytes((b,)))
+            return
+
+
+def read_long(buf) -> int:
+    shift, acc = 0, 0
+    while True:
+        raw = buf.read(1)
+        if not raw:
+            raise EOFError("varint truncated")
+        b = raw[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long for a 64-bit value")
+    # un-zigzag back into signed 64-bit space
+    n = (acc >> 1) ^ -(acc & 1)
+    return n
+
+
+def write_value(buf: io.BytesIO, typ: str, nullable: bool, v) -> None:
+    if nullable:
+        if v is None:
+            write_long(buf, 0)  # union branch 0 = "null"
+            return
+        write_long(buf, 1)  # union branch 1 = the value type
+    elif v is None:
+        raise ValueError(f"null in non-nullable {typ} field")
+    if typ in ("long", "int"):
+        write_long(buf, int(v))
+    elif typ == "double":
+        buf.write(struct.pack("<d", float(v)))
+    elif typ == "string":
+        raw = v.encode("utf-8")
+        write_long(buf, len(raw))
+        buf.write(raw)
+    elif typ == "bytes":
+        raw = bytes(v)
+        write_long(buf, len(raw))
+        buf.write(raw)
+    elif typ == "boolean":
+        buf.write(b"\x01" if v else b"\x00")
+    else:
+        raise NotImplementedError(f"avro type {typ!r} out of subset scope")
+
+
+def read_value(buf, typ: str, nullable: bool):
+    if nullable:
+        branch = read_long(buf)
+        if branch == 0:
+            return None
+        if branch != 1:
+            raise ValueError(f"union branch {branch} outside ['null', T]")
+    if typ in ("long", "int"):
+        return read_long(buf)
+    if typ == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if typ in ("string", "bytes"):
+        n = read_long(buf)
+        raw = buf.read(n)
+        if len(raw) != n:
+            raise EOFError("bytes body truncated")
+        return raw.decode("utf-8") if typ == "string" else raw
+    if typ == "boolean":
+        return buf.read(1) == b"\x01"
+    raise NotImplementedError(f"avro type {typ!r} out of subset scope")
+
+
+# --- schema subset --------------------------------------------------------
+
+
+def schema_json(fields: list[tuple[str, str, bool]], name: str = "row") -> str:
+    """Avro record schema JSON for [(name, avro_type, nullable)]."""
+    return json.dumps(
+        {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": n, "type": ["null", t] if nl else t}
+                for n, t, nl in fields
+            ],
+        }
+    )
+
+
+def parse_schema(text: str) -> list[tuple[str, str, bool]]:
+    """Inverse of :func:`schema_json`; rejects anything outside the
+    supported subset instead of misreading it."""
+    sch = json.loads(text)
+    if sch.get("type") != "record":
+        raise NotImplementedError(f"top-level {sch.get('type')!r} unsupported")
+    out = []
+    for f in sch["fields"]:
+        t = f["type"]
+        if isinstance(t, list):
+            if len(t) != 2 or t[0] != "null" or not isinstance(t[1], str):
+                raise NotImplementedError(f"union {t!r} beyond ['null', T]")
+            out.append((f["name"], t[1], True))
+        elif isinstance(t, str):
+            out.append((f["name"], t, False))
+        else:
+            raise NotImplementedError(f"nested schema {t!r} out of scope")
+        if out[-1][1] not in AVRO_TO_SPARK:
+            raise NotImplementedError(f"avro type {out[-1][1]!r} out of scope")
+    return out
+
+
+# --- object container file ------------------------------------------------
+
+
+def _sync_for(seed: str) -> bytes:
+    """Deterministic 16-byte sync marker (md5 of the seed): replayable
+    writes produce byte-identical files, the repo's determinism rule."""
+    import hashlib
+
+    return hashlib.md5(f"sgs-avro-sync|{seed}".encode()).digest()
+
+
+def write_ocf(
+    path: str,
+    rows: Iterable[tuple],
+    fields: list[tuple[str, str, bool]],
+    codec: str = "deflate",
+    block_rows: int = 4096,
+) -> int:
+    """Write an OCF at ``path``; returns the row count. Rows are
+    tuples in field order."""
+    if codec not in _CODECS:
+        raise NotImplementedError(f"codec {codec!r}; supported: {_CODECS}")
+    sync = _sync_for(path)
+    total = 0
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        meta = {
+            "avro.schema": schema_json(fields).encode(),
+            "avro.codec": codec.encode(),
+        }
+        head = io.BytesIO()
+        write_long(head, len(meta))
+        for k, v in sorted(meta.items()):
+            write_value(head, "string", False, k)
+            write_value(head, "bytes", False, v)
+        write_long(head, 0)  # map terminator
+        f.write(head.getvalue())
+        f.write(sync)
+
+        batch: list[tuple] = []
+
+        def flush() -> None:
+            nonlocal total
+            if not batch:
+                return
+            body = io.BytesIO()
+            for row in batch:
+                for (name, typ, nullable), v in zip(fields, row):
+                    write_value(body, typ, nullable, v)
+            payload = body.getvalue()
+            if codec == "deflate":
+                co = zlib.compressobj(9, zlib.DEFLATED, -15)  # RFC1951 raw
+                payload = co.compress(payload) + co.flush()
+            blk = io.BytesIO()
+            write_long(blk, len(batch))
+            write_long(blk, len(payload))
+            f.write(blk.getvalue())
+            f.write(payload)
+            f.write(sync)
+            total += len(batch)
+            batch.clear()
+
+        for row in rows:
+            batch.append(row)
+            if len(batch) >= block_rows:
+                flush()
+        flush()
+    return total
+
+
+def read_header(f) -> tuple[list[tuple[str, str, bool]], str, bytes]:
+    """(fields, codec, sync) from an open OCF."""
+    if f.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = read_long(f)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count is followed by a byte size
+            n = -n
+            read_long(f)
+        for _ in range(n):
+            k = read_value(f, "string", False)
+            meta[k] = read_value(f, "bytes", False)
+    fields = parse_schema(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in _CODECS:
+        raise NotImplementedError(f"codec {codec!r}; supported: {_CODECS}")
+    sync = f.read(16)
+    if len(sync) != 16:
+        raise EOFError("header sync marker truncated")
+    return fields, codec, sync
+
+
+def read_ocf(path: str) -> tuple[list[tuple[str, str, bool]], Iterator[tuple]]:
+    """(fields, row iterator) for an OCF written by any spec-compliant
+    writer within the supported subset."""
+    f = open(path, "rb")
+    fields, codec, sync = read_header(f)
+
+    def rows() -> Iterator[tuple]:
+        with f:
+            while True:
+                first = f.read(1)
+                if not first:
+                    return
+                # re-feed the first byte of the block's count varint
+                count = read_long(_Prefixed(first, f))
+                size = read_long(f)
+                payload = f.read(size)
+                if len(payload) != size:
+                    raise EOFError("block payload truncated")
+                if codec == "deflate":
+                    payload = zlib.decompress(payload, wbits=-15)
+                if f.read(16) != sync:
+                    raise ValueError("sync marker mismatch (corrupt block)")
+                body = io.BytesIO(payload)
+                for _ in range(count):
+                    yield tuple(
+                        read_value(body, t, nl) for _, t, nl in fields
+                    )
+                if body.read(1):
+                    raise ValueError("block decoded short of its byte size")
+
+    return fields, rows()
+
+
+class _Prefixed:
+    """One pushed-back byte in front of a file object (the block-count
+    varint's first byte doubles as the EOF probe)."""
+
+    def __init__(self, first: bytes, f) -> None:
+        self._first, self._f = first, f
+
+    def read(self, n: int):
+        if self._first:
+            b, self._first = self._first, b""
+            return b + (self._f.read(n - 1) if n > 1 else b"")
+        return self._f.read(n)

@@ -187,6 +187,10 @@ def test_window_covers_the_rotation_waves():
         "h16_bq_persisted",
         "h16_nsw_persisted",
         "pipeline_rag_serving",
+        # h16_lsh_ann's regreen slot funded this one: that query keeps
+        # per-round BENCH coverage, so the window slot buys NEW
+        # evidence instead of a third certification lane
+        "a35_avro_roundtrip",
     )
     # the families r12 code touches
     for n in ("pipeline_cdc_replication", "pipeline_cdc_exactly_once",
