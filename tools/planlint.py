@@ -211,6 +211,15 @@ EXCHANGE_ALLOWANCE = {
     # frontier scoring/window chain — 16 printed, executed hops are
     # checkpoint-truncated (beam rows <= probes x beam x degree).
     "h16_nsw_portable": 16,
+    # HNSW: identical artifact to the NSW twin — the three per-layer
+    # edge builds execute eagerly at declaration behind eager
+    # localCheckpoints, and every descent hop truncates its lineage the
+    # same way; the RETURNED plan re-prints the persisted base under
+    # each consumer of the LAST base-layer hop (cand distinct, probe
+    # join, scoring join, final/np windows) — 16 printed at sf0.001,
+    # executed hop work is frontier-bounded (<= probes x beam x degree
+    # rows per round, measured flat to 100x in PLANS.md r12).
+    "h16_hnsw_portable": 16,
 }
 
 
