@@ -2783,10 +2783,13 @@ def _bq_packed(spark: SparkSession, sf_dir: str):
     return packed, vecs
 
 
-def _bq_pack(base: DataFrame) -> DataFrame:
+def _bq_pack(base: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Sign-pack a (vec_id, qv) frame into (vec_id, w_lo, w_hi) —
     a pure map expression (STATELESS: no trained quantizer exists),
-    which is why streamed code ingestion (i24) is trivially exact."""
+    which is why streamed code ingestion (i24) is trivially exact.
+    ``keep`` passes metadata columns through INTO the code table —
+    the h16_ivfpq_filtered design: a filter that lives beside the
+    codes prunes candidates inside the 24-byte scan itself."""
     zero = F.lit(0).cast("long")
 
     def word(lo: int, hi: int) -> Column:
@@ -2803,7 +2806,7 @@ def _bq_pack(base: DataFrame) -> DataFrame:
         )
 
     return base.select(
-        "vec_id", word(0, 32).alias("w_lo"), word(32, DIM).alias("w_hi")
+        "vec_id", *keep, word(0, 32).alias("w_lo"), word(32, DIM).alias("w_hi")
     )
 
 
@@ -2820,12 +2823,19 @@ def _bq_scored(
 
 
 def _bq_search(
-    packed: DataFrame, vecs: DataFrame, probe_pred: Column | None = None
+    packed: DataFrame,
+    vecs: DataFrame,
+    probe_pred: Column | None = None,
+    cand_pred: Column | None = None,
 ) -> DataFrame:
     """Frame-based BQ search core: ``packed`` carries (vec_id, w_lo,
     w_hi) — possibly an ACCUMULATED code table (i24's streamed index)
     rather than a fresh packing — and ``vecs`` the quantized vectors +
-    norms the shortlist rerank fetches by id."""
+    norms the shortlist rerank fetches by id. ``cand_pred``
+    (h16_bq_filtered) PRE-filters the candidate side of the Hamming
+    scan on metadata stored beside the codes; probes are never
+    filtered (a caller asks about any probe, against the sub-corpus
+    its predicate selects)."""
     if probe_pred is None:
         probe_pred = F.col("vec_id") % 100 == 0
     pw = packed.where(probe_pred).select(
@@ -2840,8 +2850,9 @@ def _bq_search(
     # (and through the shortlist window's shuffle) are (long, long,
     # int), ~24 bytes — the 32x compression claim materialized in
     # shuffle bytes, not just storage
+    cands = packed if cand_pred is None else packed.where(cand_pred)
     cand = (
-        packed.crossJoin(F.broadcast(pw))
+        cands.crossJoin(F.broadcast(pw))
         .where(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "vec_id", hamming.cast("int").alias("hamming"))
     )
@@ -4020,3 +4031,119 @@ def h16_nsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "build_version int, watermark long, edge_rows long,"
         " n_results long, delta_results long, mean_cos double",
     )
+
+
+def _bqf_oracle() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, i - 1 AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_PL_SCALE} + 0.5) AS BIGINT) AS v
+  FROM embeddings, range(1, {DIM + 1}) r(i)
+),
+words AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN v > 0 AND d < 32
+                       THEN (1::BIGINT << CAST(d AS INTEGER)) ELSE 0 END)
+              AS BIGINT) AS w_lo,
+         CAST(sum(CASE WHEN v > 0 AND d >= 32
+                       THEN (1::BIGINT << CAST(d - 32 AS INTEGER)) ELSE 0 END)
+              AS BIGINT) AS w_hi
+  FROM q GROUP BY 1
+),
+norm AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS nn FROM q GROUP BY 1),
+pw AS (
+  SELECT vec_id AS probe_id, w_lo AS p_lo, w_hi AS p_hi
+  FROM words WHERE vec_id % 100 = 0
+),
+ham AS (
+  SELECT pw.probe_id, c.vec_id,
+         CAST(bit_count(xor(c.w_lo, pw.p_lo))
+              + bit_count(xor(c.w_hi, pw.p_hi)) AS INTEGER) AS hamming
+  FROM words c
+  JOIN embeddings e ON e.vec_id = c.vec_id AND e.label % 3 = 0
+  JOIN pw ON c.vec_id <> pw.probe_id
+),
+short AS (
+  SELECT probe_id, vec_id, hamming FROM (
+    SELECT probe_id, vec_id, hamming,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY hamming, vec_id) AS hrn
+    FROM ham
+  ) WHERE hrn <= {_BQ_SHORT}
+),
+dots AS (
+  SELECT s.probe_id, s.vec_id, s.hamming,
+         CAST(sum(qa.v * qb.v) AS BIGINT) AS num
+  FROM short s
+  JOIN q qa ON qa.vec_id = s.probe_id
+  JOIN q qb ON qb.vec_id = s.vec_id AND qb.d = qa.d
+  GROUP BY 1, 2, 3
+)
+SELECT probe_id, d.vec_id, CAST(e.label AS BIGINT) AS label, hamming, num,
+       cos_q
+FROM (
+  SELECT d.probe_id, d.vec_id, d.hamming, d.num,
+         round(CAST(d.num AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)), 6)
+           AS cos_q,
+         row_number() OVER (
+           PARTITION BY d.probe_id
+           ORDER BY CAST(d.num AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) DESC,
+                    d.vec_id
+         ) AS rn
+  FROM dots d
+  JOIN norm na ON na.vec_id = d.probe_id
+  JOIN norm nb ON nb.vec_id = d.vec_id
+) d
+JOIN embeddings e ON e.vec_id = d.vec_id
+WHERE d.rn <= {_BQ_TOPK}
+"""
+
+
+@query("h16_bq_filtered", section="H16,B2,G14", oracle=_bqf_oracle())
+def h16_bq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16 FILTERED binary-quantization search, fully ORACLE-checked —
+    the most-requested production vector-store feature (metadata
+    filter + ANN) on the BQ tier: the label rides IN the code table
+    (:func:`_bq_pack` ``keep``), so the candidate side of the Hamming
+    scan PRE-filters to ``label % 3 = 0`` (~40% selectivity) inside
+    the 24-byte-row scan itself — the h16_ivfpq_filtered design, one
+    tier down the compression ladder. Pre-filtering is cheaper AND
+    more correct than post-filtering an unfiltered top-k (which
+    starves probes whose neighborhoods are mostly filtered out);
+    probes themselves are never filtered. The shortlist reranks
+    against full vectors by id exactly as the unfiltered tier.
+
+    Exact integer end to end (codes, Hamming, dots), so the oracle
+    hash-matches the filtered shortlist and rerank row-for-row; the
+    output carries the label so a filter leak is VISIBLE in the
+    hashed values, not just implied.
+
+    100 TB: the filter prunes inside the code scan (a predicate on a
+    24-byte row), shortlist shuffle rows are unchanged, and the
+    rerank fetch is <= probes x _BQ_SHORT ids — the filtered tier
+    costs LESS than the unfiltered one, by the selectivity."""
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
+    )
+    zero = F.lit(0).cast("long")
+    base = e.select("vec_id", qv.alias("qv"), "label")
+    packed = _bq_pack(base, keep=("label",))
+    nn = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
+    vecs = base.select("vec_id", "qv", nn.alias("nn"))
+    res = (
+        _bq_search(packed, vecs, cand_pred=F.col("label") % 3 == 0)
+        .where(F.col("rn") <= _BQ_TOPK)
+        .select(
+            "probe_id",
+            "vec_id",
+            "hamming",
+            "num",
+            F.round("cos_raw", 6).alias("cos_q"),
+        )
+    )
+    return res.join(
+        F.broadcast(e.select("vec_id", F.col("label").cast("long").alias("label"))),
+        "vec_id",
+    ).select("probe_id", "vec_id", "label", "hamming", "num", "cos_q")

@@ -578,8 +578,14 @@ R12_REGREEN: tuple[str, ...] = (
 DRIVER_PRIORITY = R12_REMAINDER + R12_NEW + R12_REGREEN
 
 # Round-13 remainder: queries built AFTER the r12 window froze land
-# here, same discipline as the prior remainders. Empty at freeze time.
-R13_REMAINDER: tuple[str, ...] = ()
+# here, same discipline as the prior remainders.
+#   h16_bq_filtered — metadata-filtered BQ search: the label rides IN
+#     the code table, the Hamming scan pre-filters candidates
+#     (ORACLE-checked at 3 SFs; zero-leak + recall teeth in
+#     tests/test_dedup.py)
+R13_REMAINDER: tuple[str, ...] = (
+    "h16_bq_filtered",
+)
 
 
 def driver_key(rank: int, name: str) -> str:

@@ -722,6 +722,52 @@ def test_bq_recall_vs_exact(spark):
     assert recall >= 0.4, f"BQ recall {recall:.2f} below floor"
 
 
+def test_bq_filtered_zero_leak_and_recall(spark):
+    """h16_bq_filtered: every returned row satisfies the predicate
+    (zero leak — pre-filtering makes this structural, the output
+    label makes it hashed), no probe returns itself, and recall vs
+    the EXACT filtered quantized top-3 clears a floor."""
+    from pyspark.sql import Window
+
+    from spark_glove_spark.operators.ann import (
+        _BQ_TOPK,
+        _bq_packed,
+        h16_bq_filtered,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = h16_bq_filtered(spark, sf_dir).collect()
+    assert out and all(r.label % 3 == 0 for r in out), "filter leak"
+    ap = {(r.probe_id, r.vec_id) for r in out}
+    assert all(p != v for p, v in ap)
+    # exact filtered truth in the same integer-quantized space
+    _, vecs = _bq_packed(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    fv = vecs.join(e, "vec_id").where(F.col("label") % 3 == 0)
+    pq = vecs.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
+    )
+    zero = F.lit(0).cast("long")
+    num = F.aggregate(
+        F.zip_with("qv", "qp", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    score = num.cast("double") / F.sqrt(F.col("nn").cast("double"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), "vec_id")
+    ex = {
+        (r.probe_id, r.vec_id)
+        for r in fv.crossJoin(F.broadcast(pq))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", score.alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _BQ_TOPK)
+        .collect()
+    }
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.4, f"filtered BQ recall {recall:.2f} below floor"
+
+
 def test_nsw_beam_recall_vs_exact(spark):
     """The LSH-seeded beam search must clear a recall floor vs the
     exact top-3 (measured 0.60 at both sf0.001 and sf0.01 with
