@@ -193,3 +193,160 @@ def a35_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reclaims at the next declared query (the h16_ivf_persisted
     # discipline, ADVICE r10)
     return res.localCheckpoint(eager=True)
+
+
+def _register_avro_stream(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class AvroStreamReader(SimpleDataSourceStreamReader):
+        """Offset = count of container files consumed (sorted by
+        name); each micro-batch decodes exactly ONE newly arrived
+        container, so batch boundaries are container boundaries — the
+        Kafka-adjacent drop-directory shape. Replay via
+        readBetweenOffsets re-decodes the same immutable files
+        (containers never mutate once landed), which is the
+        exactly-once contract a file-based offset gives for free."""
+
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+
+        def _files(self) -> list[str]:
+            import glob
+            import os
+
+            return sorted(glob.glob(os.path.join(self.path, "*.avro")))
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def _rows(self, lo: int, hi: int):
+            from spark_glove_spark.functions.avroio import read_ocf
+
+            out = []
+            for f in self._files()[lo:hi]:
+                _, rows = read_ocf(f)
+                out.extend(rows)
+            # a LIST iterator, not a generator: the engine's prefetch
+            # cache copy.copy()s the batch iterator for replay, and
+            # generators are not copyable (observed: planPartitions
+            # dies with "cannot pickle 'generator' object")
+            return iter(out)
+
+        def read(self, start):
+            files = self._files()
+            i = start["i"]
+            if i >= len(files):
+                return iter([]), start  # caught up
+            return self._rows(i, i + 1), {"i": i + 1}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["i"], end["i"])
+
+        def commit(self, end) -> None:
+            pass
+
+    class AvroStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sgs_avro_stream"
+
+        def schema(self) -> str:
+            import json
+            import os
+
+            from spark_glove_spark.functions.avroio import AVRO_TO_SPARK
+
+            with open(os.path.join(self.options["path"], "_FIELDS")) as fh:
+                fields = json.load(fh)["fields"]
+            return ", ".join(
+                f"{n} {AVRO_TO_SPARK[t]}" for n, t, nl in fields
+            )
+
+        def simpleStreamReader(self, schema):  # noqa: D102 — API hook
+            return AvroStreamReader(self.options)
+
+    spark.dataSource.register(AvroStreamSource)
+
+
+@query(
+    "i26_streaming_avro_ingest",
+    section="A5,A1,I1,D1",
+    tags=("streaming", "io"),
+    # the streamed containers must converge to the batch aggregate
+    # over the SAME projection — identical math to a35's oracle
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       round(sum(o_totalprice), 2) AS price_sum,
+       CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_status
+FROM orders
+GROUP BY 1
+""",
+)
+def i26_streaming_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5-for-Avro, fully ORACLE-checked: orders land as FOUR Avro
+    containers in a drop directory (the from-spec writer, one
+    container per partition — a Kafka-connect-style sink's output),
+    and a SimpleDataSourceStreamReader streams them ONE CONTAINER PER
+    MICRO-BATCH into a complete-mode aggregate. The final table
+    hash-matches the batch aggregate over the parquet original, so
+    offset slicing across container boundaries is gap- and
+    overlap-free AND the codec loop is lossless under streaming
+    delivery — the i12 batch-equivalence contract carried by a real
+    wire format. Nulls ride the ['null', T] union (status punched to
+    NULL on every 7th key; the aggregate counts them back out).
+
+    100 TB: the drop-directory offset is a file index, replay
+    re-decodes immutable containers (exactly-once for free); a
+    production deployment swaps the driver-side simple reader for
+    the partition-planning DataSourceStreamReader exactly as
+    pydatasource.py documents for i12."""
+    import shutil
+    import tempfile
+    import uuid
+
+    o = table(spark, sf_dir, "orders")
+    src_df = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    ).repartition(4)
+    path = tempfile.mkdtemp(prefix="sgs_avro_stream_")
+    defer_cleanup(lambda: shutil.rmtree(path, ignore_errors=True))
+    write_avro(src_df, path, codec="deflate")
+    _register_avro_stream(spark)
+    src = spark.readStream.format("sgs_avro_stream").option("path", path).load()
+    agg = src.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        F.sum(F.col("o_orderstatus").isNull().cast("int"))
+        .cast("long")
+        .alias("null_status"),
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # materialize: the memory-sink table outlives the tempdir, but the
+    # RETURNED plan must not reference streaming state after cleanup
+    return spark.table(name).localCheckpoint(eager=True)

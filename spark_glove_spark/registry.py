@@ -583,8 +583,13 @@ DRIVER_PRIORITY = R12_REMAINDER + R12_NEW + R12_REGREEN
 #     the code table, the Hamming scan pre-filters candidates
 #     (ORACLE-checked at 3 SFs; zero-leak + recall teeth in
 #     tests/test_dedup.py)
+#   i26_streaming_avro_ingest — Avro containers streamed one per
+#     micro-batch through a SimpleDataSourceStreamReader into a
+#     complete-mode aggregate (ORACLE-checked at 3 SFs: the i12
+#     batch-equivalence contract carried by a real wire format)
 R13_REMAINDER: tuple[str, ...] = (
     "h16_bq_filtered",
+    "i26_streaming_avro_ingest",
 )
 
 
