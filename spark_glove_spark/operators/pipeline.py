@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from spark_glove_spark.functions.text import shingles, tokenize
 from spark_glove_spark.operators.dedup import prefix_filter_pairs
 from spark_glove_spark.operators.text_analysis import STOPWORDS
-from spark_glove_spark.registry import defer_unpersist, query
+from spark_glove_spark.registry import defer_cleanup, defer_unpersist, query
 from spark_glove_spark.sources import parallelized, scalar_bounds, table
 
 _T = 0.4  # similarity-join threshold (shared with h14)
@@ -799,18 +799,11 @@ def _rag_code(vec: list[int]) -> int:
     return code
 
 
-def _rag_oracle() -> str:
-    from spark_glove_spark.operators.text_analysis import _SC_DIMS, _SC_SEG
+def _rag_code_sql() -> str:
+    """The 16-bit code of a ``cv`` list column, SQL form."""
+    from spark_glove_spark.operators.text_analysis import _SC_DIMS
 
-    qrows = ", ".join(f"({i}, '{t}')" for i, t in _RAG_QUERIES)
-    qvec_rows = ", ".join(
-        f"({i}, {_rag_qvec(t)}, {_rag_code(_rag_qvec(t))})"
-        for i, t in _RAG_QUERIES
-    )
-    cv_sum = ", ".join(
-        f"CAST(sum(v[{d + 1}]) AS BIGINT)" for d in range(_SC_DIMS)
-    )
-    code_expr = " + ".join(
+    return " + ".join(
         "(CASE WHEN ("
         + " + ".join(
             f"cv[{d + 1}] * ({_rag_plane(j, d)})" for d in range(_SC_DIMS)
@@ -818,8 +811,19 @@ def _rag_oracle() -> str:
         + f") > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(_RAG_BITS)
     )
-    return f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+
+
+def _rag_chunk_ctes() -> str:
+    """The chunking CTE chain (toks .. chunks/ctoks) shared by the
+    batch capstone's oracle and the streaming ingest twin's oracle —
+    ONE SQL definition of the chunk space, so the two queries cannot
+    drift apart."""
+    from spark_glove_spark.operators.text_analysis import _SC_DIMS, _SC_SEG
+
+    cv_sum = ", ".join(
+        f"CAST(sum(v[{d + 1}]) AS BIGINT)" for d in range(_SC_DIMS)
+    )
+    return f"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 segs AS (
   SELECT doc_id, s,
          list_slice(t, s * {_SC_SEG} + 1, s * {_SC_SEG} + {_SC_SEG}) AS words
@@ -854,7 +858,18 @@ chunks AS MATERIALIZED (
 ),
 ctoks AS MATERIALIZED (
   SELECT CAST(cid AS BIGINT) AS cid, unnest(words) AS word FROM segch
-),
+)"""
+
+
+def _rag_oracle() -> str:
+    qrows = ", ".join(f"({i}, '{t}')" for i, t in _RAG_QUERIES)
+    qvec_rows = ", ".join(
+        f"({i}, {_rag_qvec(t)}, {_rag_code(_rag_qvec(t))})"
+        for i, t in _RAG_QUERIES
+    )
+    code_expr = _rag_code_sql()
+    return f"""
+WITH {_rag_chunk_ctes()},
 queries AS (SELECT * FROM (VALUES {qrows}) q(query_id, qtext)),
 qvecs AS MATERIALIZED (
   SELECT query_id, qv, qcode FROM (VALUES {qvec_rows}) v(query_id, qv, qcode)
@@ -1265,3 +1280,88 @@ def pipeline_rag_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall_k",
         "rr",
     )
+
+
+@query(
+    "i27_streaming_rag_ingest",
+    section="A5,I5,H16,H17",
+    tags=("streaming", "pipeline", "ann", "llm-pipeline"),
+    # the oracle recomputes the chunk space in one shot from the SAME
+    # CTE chain the batch capstone's oracle uses (no drift possible)
+    oracle=(
+        f"WITH {_rag_chunk_ctes()}\n"
+        f"SELECT cid, CAST({_rag_code_sql()} AS BIGINT) AS code FROM chunks"
+    ),
+)
+def i27_streaming_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_rag_serving's INGEST lane as a registered streaming
+    query, fully ORACLE-checked: documents replay as a key-ranged file
+    stream, each micro-batch is chunked and BQ-coded (the capstone's
+    exact algebra — per-doc windows, stateless planes, so micro-batch
+    boundaries cannot change a single code) and appended to a txlog
+    code table under IDEMPOTENT epoch commits. The returned frame is
+    the ACCUMULATED code table itself, and the oracle recomputes the
+    whole chunk space from the documents table in one shot — a hash
+    match proves streamed index ingest converges to the batch index
+    row-for-row, the strongest batch-equivalence contract available
+    (the i24 discipline, carried by the RAG chunk space).
+
+    In-body tooth (explicit raise, survives -O): the replay must have
+    delivered >= 2 micro-batches, or the equality is vacuous.
+
+    100 TB: per-trigger cost is chunk+code over the batch's documents
+    (one map pass + per-doc windows) + one 10-byte-row append; the
+    txn watermark makes restart re-deliveries no-ops, so the serving
+    tier (h16_bq_persisted's pinned snapshots) can trail ingest
+    without ever seeing a double-counted chunk."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+    from spark_glove_spark.streaming.jobs import (
+        run_stream_foreach_batch,
+        stage_ranged_stream,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    base_dir = tempfile.mkdtemp(prefix="sgs_rag_ingest_")
+    defer_cleanup(lambda: shutil.rmtree(base_dir, ignore_errors=True))
+    schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sdf = stage_ranged_stream(
+        d, "doc_id", os.path.join(base_dir, "docs"), schema, n_files=3
+    )
+    codes_path = os.path.join(base_dir, "codes")
+    seen: list[int] = []
+
+    def apply_epoch(batch_df, epoch_id):
+        codes = _rag_chunk_frame(_rag_segch(batch_df)).select(
+            "cid", _rag_code_col().alias("code")
+        )
+        if not os.path.exists(os.path.join(codes_path, "_txlog")):
+            txlog.create(codes, codes_path)
+            txlog.append_idempotent(
+                spark.createDataFrame([], "cid long, code long"),
+                codes_path,
+                "rag-codes",
+                int(epoch_id),
+            )
+        else:
+            txlog.append_idempotent(
+                codes, codes_path, "rag-codes", int(epoch_id)
+            )
+        seen.append(int(epoch_id))
+
+    run_stream_foreach_batch(sdf, apply_epoch, output_mode="append")
+    if len(seen) < 2:
+        raise AssertionError(
+            f"expected >= 2 micro-batches, saw epochs {seen}"
+        )
+    # materialize: the code table lives in the tempdir the deferred
+    # cleanup reclaims at the next declared query
+    return txlog.read(spark, codes_path).select("cid", "code").localCheckpoint(
+        eager=True
+    )
+

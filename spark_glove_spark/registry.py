@@ -587,9 +587,14 @@ DRIVER_PRIORITY = R12_REMAINDER + R12_NEW + R12_REGREEN
 #     micro-batch through a SimpleDataSourceStreamReader into a
 #     complete-mode aggregate (ORACLE-checked at 3 SFs: the i12
 #     batch-equivalence contract carried by a real wire format)
+#   i27_streaming_rag_ingest — the RAG capstone's ingest lane as a
+#     streaming query: chunk+code per micro-batch, idempotent epoch
+#     appends; the ACCUMULATED code table hash-matches the one-shot
+#     oracle built from the capstone's shared chunk CTEs (3 SFs)
 R13_REMAINDER: tuple[str, ...] = (
     "h16_bq_filtered",
     "i26_streaming_avro_ingest",
+    "i27_streaming_rag_ingest",
 )
 
 
