@@ -3616,6 +3616,57 @@ FROM (
 """
 
 
+def _hn_edge_table(
+    base: DataFrame,
+    t: int,
+    planes: int,
+    deg: int,
+    member: Column | None = None,
+    chunk: int = _NB_CHUNK,
+) -> DataFrame:
+    """Bucket-proposed bounded-degree edges over one layer — the NSW
+    build (chunked bucket self-join, keep top-deg by exact dot)
+    parameterized by LSH table, plane count, and layer membership.
+    Module-level so h16_hnsw_persisted rebuilds the identical
+    artifact the in-memory search builds inline; planes=0 degrades to
+    ONE proposal pool (the top layer), where the chunk bound alone
+    caps pair work."""
+    zero = F.lit(0).cast("long")
+    num_ab = F.aggregate(
+        F.zip_with("qv", "qv2", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    layer = base.where(member) if member is not None else base
+    hkey = (
+        F.lit(1103515245) * (F.col("vec_id") + F.lit(7777 * t)) + F.lit(12345)
+    ) % F.lit(2147483648)
+    wch = Window.partitionBy("bkt").orderBy("hkey", "vec_id")
+    tagged = (
+        layer.select("vec_id", "qv", _nsw_bucket_col(t, planes).alias("bkt"))
+        .withColumn("hkey", hkey)
+        .withColumn(
+            "chunk",
+            ((F.row_number().over(wch) - 1) / F.lit(chunk)).cast("long"),
+        )
+    )
+    left = tagged.select(
+        F.col("vec_id").alias("src"), F.col("qv").alias("qv"), "bkt", "chunk"
+    )
+    right = tagged.select(
+        F.col("vec_id").alias("dst"), F.col("qv").alias("qv2"), "bkt", "chunk"
+    )
+    pairs = (
+        left.join(right, ["bkt", "chunk"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", num_ab.alias("num"))
+    )
+    wd = Window.partitionBy("src").orderBy(F.col("num").desc(), "dst")
+    return (
+        pairs.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") <= deg)
+        .select("src", "dst")
+    )
+
+
 def _hnsw_search(
     spark: SparkSession,
     sf_dir: str,
@@ -3628,13 +3679,22 @@ def _hnsw_search(
     base_planes: int = _NB_PLANES,
     l1_planes: int = _HN_P1,
     l2_planes: int = 0,
+    edges_in: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    graph_pred: Column | None = None,
     timings: dict | None = None,
 ) -> DataFrame:
     """The layered build+descent pipeline behind h16_hnsw_portable,
     with the hop/beam knobs exposed so the scale probe can PIN the
     probe set and hold the DESCENT DEPTH constant while the corpus
     grows — the property a layer hierarchy buys (log-depth entry)
-    measured directly. ``timings`` (optional) receives build_s."""
+    measured directly. ``timings`` (optional) receives build_s.
+
+    ``edges_in`` (h16_hnsw_persisted) serves the SAME descent from
+    pre-built (edges0, edges1, edges2) adjacency frames — a txlog
+    snapshot split by layer — instead of building inline;
+    ``graph_pred`` then restricts the GLOBAL ENTRY to top-layer nodes
+    the pinned snapshot's watermark covers (expansions are confined
+    to the stored edges by construction)."""
     if probe_pred is None:
         probe_pred = F.col("vec_id") % 100 == 0
     t0 = time.time()
@@ -3649,89 +3709,26 @@ def _hnsw_search(
         e.select("vec_id", qv.alias("qv")).withColumn("nn", nn).persist()
     )
 
-    def bucket_col(t: int, planes: int) -> Column:
-        if planes == 0:
-            # top layer: ONE proposal pool — the chunk bound alone
-            # caps pair work on the ~n/64-node subset
-            return F.lit(0)
-        bits = []
-        for j in range(planes):
-            coefs = F.array(
-                *[F.lit(_nb_coef(t, j, d)).cast("long") for d in range(DIM)]
-            )
-            dotj = F.aggregate(
-                F.zip_with(F.col("qv"), coefs, lambda x, y: x * y),
-                zero,
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dotj > 0, F.lit(1)).otherwise(F.lit(0)))
-        return sum(
-            (b * F.lit(2 ** (planes - 1 - j)) for j, b in enumerate(bits)),
-            start=F.lit(0),
-        )
-
-    num_ab = F.aggregate(
-        F.zip_with("qv", "qv2", lambda x, y: x * y), zero, lambda a, x: a + x
-    )
-
-    def edge_table(
-        t: int, planes: int, deg: int, member: Column | None
-    ) -> DataFrame:
-        """Bucket-proposed bounded-degree edges over one layer — the
-        NSW build (chunked bucket self-join, keep top-deg by exact
-        dot) parameterized by LSH table, plane count, and layer
-        membership. Upper layers run the IDENTICAL shape over ~n/8 /
-        ~n/64 subsets, so the whole hierarchy build stays
-        collision-bounded like the base graph."""
-        layer = base.where(member) if member is not None else base
-        hkey = (
-            F.lit(1103515245) * (F.col("vec_id") + F.lit(7777 * t))
-            + F.lit(12345)
-        ) % F.lit(2147483648)
-        wch = Window.partitionBy("bkt").orderBy("hkey", "vec_id")
-        tagged = (
-            layer.select("vec_id", "qv", bucket_col(t, planes).alias("bkt"))
-            .withColumn("hkey", hkey)
-            .withColumn(
-                "chunk",
-                ((F.row_number().over(wch) - 1) / F.lit(chunk)).cast("long"),
-            )
-        )
-        left = tagged.select(
-            F.col("vec_id").alias("src"), F.col("qv").alias("qv"), "bkt", "chunk"
-        )
-        right = tagged.select(
-            F.col("vec_id").alias("dst"), F.col("qv").alias("qv2"), "bkt", "chunk"
-        )
-        pairs = (
-            left.join(right, ["bkt", "chunk"])
-            .where(F.col("src") != F.col("dst"))
-            .select("src", "dst", num_ab.alias("num"))
-        )
-        wd = Window.partitionBy("src").orderBy(F.col("num").desc(), "dst")
-        return (
-            pairs.withColumn("rn", F.row_number().over(wd))
-            .where(F.col("rn") <= deg)
-            .select("src", "dst")
-        )
-
     # base layer: two tables unioned (the NSW long-link trick); upper
     # layers: one proposal table each. Eager localCheckpoint truncates
     # the hyperplane-literal lineage exactly as in _nsw_search.
     l1 = F.col("vec_id") % _HN_L1_MOD == 0
     l2 = F.col("vec_id") % _HN_L2_MOD == 0
-    edges0 = (
-        edge_table(0, base_planes, _NB_DEG, None)
-        .union(edge_table(1, base_planes, _NB_DEG, None))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    edges1 = edge_table(_HN_T1, l1_planes, _HN_DEG_UP, l1).localCheckpoint(
-        eager=True
-    )
-    edges2 = edge_table(_HN_T2, l2_planes, _HN_DEG_UP, l2).localCheckpoint(
-        eager=True
-    )
+    if edges_in is None:
+        edges0 = (
+            _hn_edge_table(base, 0, base_planes, _NB_DEG, None, chunk)
+            .union(_hn_edge_table(base, 1, base_planes, _NB_DEG, None, chunk))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges1 = _hn_edge_table(
+            base, _HN_T1, l1_planes, _HN_DEG_UP, l1, chunk
+        ).localCheckpoint(eager=True)
+        edges2 = _hn_edge_table(
+            base, _HN_T2, l2_planes, _HN_DEG_UP, l2, chunk
+        ).localCheckpoint(eager=True)
+    else:
+        edges0, edges1, edges2 = edges_in
     if timings is not None:
         timings["build_s"] = time.time() - t0
 
@@ -3743,9 +3740,10 @@ def _hnsw_search(
     probes = base.where(probe_pred).select(
         F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
     )
-    entry_id = int(
-        base.where(l2).agg(F.min("vec_id")).collect()[0][0]
+    entry_src = base.where(l2) if graph_pred is None else base.where(
+        l2 & graph_pred
     )
+    entry_id = int(entry_src.agg(F.min("vec_id")).collect()[0][0])
     state = probes.select(
         "probe_id", F.lit(entry_id).cast("long").alias("node")
     ).localCheckpoint(eager=True)
@@ -4147,3 +4145,124 @@ def h16_bq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(e.select("vec_id", F.col("label").cast("long").alias("label"))),
         "vec_id",
     ).select("probe_id", "vec_id", "label", "hamming", "num", "cos_q")
+
+
+@query("h16_hnsw_persisted", section="H16,A3,A1,C2", tags=("ann", "scale"))
+def h16_hnsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16 persisted-index form of the HNSW hierarchy: all three
+    layers' adjacency lists land in ONE versioned txlog table with a
+    ``layer`` column (at 100 TB: partition by layer, bucket by src —
+    the descent reads one layer at a time), beside a catalog of
+    (build_version, watermark, edge_rows). Like the flat NSW graph,
+    the hierarchy is corpus-global state, so growth is a versioned
+    REBUILD; serving pins a snapshot and enters the graph at the
+    min top-layer node its WATERMARK covers, so a pinned snapshot's
+    staleness is structural (entry and every expansion stay inside
+    the stored edge set).
+
+    In-body teeth (explicit raises, survive -O): the v0-pinned
+    descent can never return a delta node, the v0 catalog snapshot
+    holds exactly one build row, and every layer must be non-empty in
+    both builds. Byte-equality of v1 serving with the in-memory
+    h16_hnsw_portable — identical LCG planes, identical descent — is
+    pinned in tests/test_txlog.py.
+
+    Rows-only to the driver; the oracle-checked h16_hnsw_portable
+    twin carries the algebra certification."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
+    )
+    base = defer_unpersist(e.select("vec_id", qv.alias("qv")).persist())
+    hi = int(base.agg(F.max("vec_id")).collect()[0][0])
+    mid = hi // 2
+    base_dir = tempfile.mkdtemp(prefix="hnsw_index_")
+    defer_cleanup(lambda: shutil.rmtree(base_dir, ignore_errors=True))
+    edges_path = os.path.join(base_dir, "edges")
+    catalog = os.path.join(base_dir, "catalog")
+    l1 = F.col("vec_id") % _HN_L1_MOD == 0
+    l2 = F.col("vec_id") % _HN_L2_MOD == 0
+
+    def build(version: int, watermark: int) -> None:
+        sub = base.where(F.col("vec_id") <= watermark)
+        e0 = (
+            _hn_edge_table(sub, 0, _NB_PLANES, _NB_DEG)
+            .union(_hn_edge_table(sub, 1, _NB_PLANES, _NB_DEG))
+            .distinct()
+        )
+        e1 = _hn_edge_table(sub, _HN_T1, _HN_P1, _HN_DEG_UP, l1)
+        e2 = _hn_edge_table(sub, _HN_T2, 0, _HN_DEG_UP, l2)
+        allE = (
+            e0.select(F.lit(0).alias("layer"), "src", "dst")
+            .union(e1.select(F.lit(1).alias("layer"), "src", "dst"))
+            .union(e2.select(F.lit(2).alias("layer"), "src", "dst"))
+        )
+        if version == 0:
+            txlog.create(allE, edges_path)
+        else:
+            txlog.overwrite(allE, edges_path)
+        per_layer = {
+            r["layer"]: r["n"]
+            for r in txlog.read(spark, edges_path)
+            .groupBy("layer")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if sorted(per_layer) != [0, 1, 2]:
+            raise AssertionError(f"build v{version} lost a layer: {per_layer}")
+        row = spark.createDataFrame(
+            [(version, watermark, sum(per_layer.values()))],
+            "build_version int, watermark long, edge_rows long",
+        )
+        if version == 0:
+            txlog.create(row, catalog)
+        else:
+            txlog.append(row, catalog, operation=f"graph-rebuild-{version}")
+
+    build(0, mid)  # serve starts here
+    build(1, hi)  # the corpus grew; hierarchy is global state: rebuild
+    audit = []
+    for snap in (0, 1):
+        cat = txlog.read(spark, catalog, version=snap).collect()
+        if snap == 0 and len(cat) != 1:
+            raise AssertionError(f"catalog snapshot 0 holds {len(cat)} rows")
+        entry = max(cat, key=lambda r: r["build_version"])
+        wm = entry["watermark"]
+        snapdf = txlog.read(spark, edges_path, version=snap)
+        eds = tuple(
+            snapdf.where(F.col("layer") == i).select("src", "dst")
+            for i in (0, 1, 2)
+        )
+        res = _hnsw_search(
+            spark,
+            sf_dir,
+            edges_in=eds,
+            graph_pred=F.col("vec_id") <= wm,
+        ).collect()
+        delta_hits = sum(1 for r in res if r["vec_id"] > mid)
+        audit.append(
+            (
+                entry["build_version"],
+                wm,
+                entry["edge_rows"],
+                len(res),
+                delta_hits,
+                round(sum(r["cos_q"] for r in res) / max(len(res), 1), 4),
+            )
+        )
+    if audit[0][4] != 0:
+        raise AssertionError(
+            f"v0-pinned hierarchy served {audit[0][4]} delta nodes it predates"
+        )
+    return spark.createDataFrame(
+        audit,
+        "build_version int, watermark long, edge_rows long,"
+        " n_results long, delta_results long, mean_cos double",
+    )

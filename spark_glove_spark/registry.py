@@ -591,10 +591,15 @@ DRIVER_PRIORITY = R12_REMAINDER + R12_NEW + R12_REGREEN
 #     streaming query: chunk+code per micro-batch, idempotent epoch
 #     appends; the ACCUMULATED code table hash-matches the one-shot
 #     oracle built from the capstone's shared chunk CTEs (3 SFs)
+#   h16_hnsw_persisted — the three-layer hierarchy as ONE versioned
+#     txlog adjacency table (layer column) + watermark catalog;
+#     pinned serving enters at watermark-covered top-layer nodes
+#     (rows-only; equality-with-in-memory tooth in tests/test_txlog.py)
 R13_REMAINDER: tuple[str, ...] = (
     "h16_bq_filtered",
     "i26_streaming_avro_ingest",
     "i27_streaming_rag_ingest",
+    "h16_hnsw_persisted",
 )
 
 

@@ -2319,3 +2319,71 @@ def test_nsw_persisted_serving_equals_in_memory(spark, tmp_path):
         for r in h16_nsw_portable(spark, sf_dir).collect()
     )
     assert served == mem, "persisted graph serving diverged from in-memory"
+
+
+def test_hnsw_persisted_serving_equals_in_memory(spark, tmp_path):
+    """h16_hnsw_persisted's contract: descent over the three-layer
+    adjacency table read back from a txlog snapshot (full-corpus
+    build, watermark = max id) must equal the in-memory
+    h16_hnsw_portable row-for-row — identical LCG planes, identical
+    coarse-to-fine descent, so persistence perturbs nothing."""
+    from pyspark.sql import functions as F
+
+    from spark_glove_spark.operators.ann import (
+        _HN_DEG_UP,
+        _HN_L1_MOD,
+        _HN_L2_MOD,
+        _HN_P1,
+        _HN_T1,
+        _HN_T2,
+        _NB_DEG,
+        _NB_PLANES,
+        _PL_SCALE,
+        _hn_edge_table,
+        _hnsw_search,
+        h16_hnsw_portable,
+    )
+    from spark_glove_spark.sources import parallelized, table
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
+    )
+    base = e.select("vec_id", qv.alias("qv"))
+    l1 = F.col("vec_id") % _HN_L1_MOD == 0
+    l2 = F.col("vec_id") % _HN_L2_MOD == 0
+    e0 = (
+        _hn_edge_table(base, 0, _NB_PLANES, _NB_DEG)
+        .union(_hn_edge_table(base, 1, _NB_PLANES, _NB_DEG))
+        .distinct()
+    )
+    allE = (
+        e0.select(F.lit(0).alias("layer"), "src", "dst")
+        .union(
+            _hn_edge_table(base, _HN_T1, _HN_P1, _HN_DEG_UP, l1).select(
+                F.lit(1).alias("layer"), "src", "dst"
+            )
+        )
+        .union(
+            _hn_edge_table(base, _HN_T2, 0, _HN_DEG_UP, l2).select(
+                F.lit(2).alias("layer"), "src", "dst"
+            )
+        )
+    )
+    path = str(tmp_path / "hnsw_edges")
+    txlog.create(allE, path)
+    snap = txlog.read(spark, path)
+    eds = tuple(
+        snap.where(F.col("layer") == i).select("src", "dst") for i in (0, 1, 2)
+    )
+    served = sorted(
+        (r["probe_id"], r["vec_id"], r["num"], r["cos_q"])
+        for r in _hnsw_search(spark, sf_dir, edges_in=eds).collect()
+    )
+    mem = sorted(
+        (r["probe_id"], r["vec_id"], r["num"], r["cos_q"])
+        for r in h16_hnsw_portable(spark, sf_dir).collect()
+    )
+    assert served == mem, "persisted hierarchy serving diverged from in-memory"
