@@ -38,12 +38,18 @@ def spark_fields(df: DataFrame) -> list[tuple[str, str, bool]]:
     return out
 
 
-def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
+def write_avro(
+    df: DataFrame, path: str, codec: str = "deflate", prefix: str = "part"
+) -> None:
     """A3-for-Avro: each partition writes ONE object container file
     under ``path`` via mapPartitions (task-local, no shuffle); a
     _FIELDS sidecar records the schema for readers that want it
     without opening a container (the OCF headers stay authoritative —
-    every file is self-describing per the spec)."""
+    every file is self-describing per the spec). ``prefix`` lets
+    successive writer GENERATIONS share a directory (the a36 schema-
+    evolution lane); the sidecar then records the LATEST generation's
+    schema, which is exactly the reader schema the spec's resolution
+    rules expect."""
     import json
     import os
 
@@ -56,7 +62,7 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
         rows = [tuple(r) for r in it]
         if rows:
             write_ocf(
-                os.path.join(path, f"part-{idx:05d}.avro"),
+                os.path.join(path, f"{prefix}-{idx:05d}.avro"),
                 rows,
                 fields,
                 codec=codec,
@@ -80,7 +86,14 @@ def _register_avro(spark: SparkSession) -> None:
 
     class AvroOcfReader(DataSourceReader):
         def __init__(self, options: dict) -> None:
+            import json
+            import os
+
             self.path = options["path"]
+            with open(os.path.join(self.path, "_FIELDS")) as fh:
+                self.reader_fields = [
+                    tuple(f) for f in json.load(fh)["fields"]
+                ]
 
         def partitions(self):  # noqa: D102 — API hook
             import glob
@@ -94,10 +107,29 @@ def _register_avro(spark: SparkSession) -> None:
             return [InputPartition(f) for f in files]
 
         def read(self, partition):  # noqa: D102 — API hook
+            """Schema RESOLUTION per the spec: each container decodes
+            under its own writer schema (the self-describing header),
+            then projects to the reader schema BY NAME — a field the
+            writer lacked reads as null (it must be nullable in the
+            reader schema), a field the reader dropped is skipped.
+            This is what lets old containers live forever under new
+            readers — the Kafka-world compatibility contract."""
             from spark_glove_spark.functions.avroio import read_ocf
 
-            _, rows = read_ocf(partition.value)
-            yield from rows
+            writer_fields, rows = read_ocf(partition.value)
+            names = [n for n, _, _ in writer_fields]
+            if names == [n for n, _, _ in self.reader_fields]:
+                yield from rows
+                return
+            pos = {n: i for i, n in enumerate(names)}
+            for n, _, nullable in self.reader_fields:
+                if n not in pos and not nullable:
+                    raise ValueError(
+                        f"writer lacks non-nullable reader field {n!r}"
+                    )
+            idxs = [pos.get(n) for n, _, _ in self.reader_fields]
+            for row in rows:
+                yield tuple(None if i is None else row[i] for i in idxs)
 
     class AvroOcfDataSource(DataSource):
         @classmethod
@@ -350,3 +382,69 @@ def i26_streaming_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize: the memory-sink table outlives the tempdir, but the
     # RETURNED plan must not reference streaming state after cleanup
     return spark.table(name).localCheckpoint(eager=True)
+
+
+@query(
+    "a36_avro_schema_evolution",
+    section="A1,A3,D1,B4",
+    tags=("io",),
+    oracle="""
+WITH mid AS (SELECT CAST(max(o_orderkey) // 2 AS BIGINT) AS m FROM orders)
+SELECT CASE WHEN o.o_orderkey <= mid.m THEN 'LEGACY'
+            ELSE o.o_orderpriority END AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum,
+       round(sum(o.o_totalprice), 2) AS price_sum
+FROM orders o CROSS JOIN mid
+GROUP BY 1
+""",
+)
+def a36_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro SCHEMA RESOLUTION, fully ORACLE-checked: two writer
+    GENERATIONS share one drop directory — generation 1 shipped
+    (key, price), generation 2 added a nullable priority column — and
+    the reader resolves every container against the LATEST schema per
+    the spec's rules: fields matched BY NAME, a field the old writer
+    lacked reads as null. The aggregate labels those nulls 'LEGACY',
+    so the oracle can reconstruct the exact same split from the
+    parquet original (old generation = keys at or below max/2), and a
+    hash match proves the resolution path neither drops a legacy row
+    nor leaks a null into the new generation.
+
+    This is the compatibility contract that makes Avro the Kafka
+    lingua franca: topics re-read years of mixed-schema segments
+    under today's reader. 100 TB: resolution is a per-container
+    column mapping computed once from the self-describing header —
+    zero per-row cost beyond the projection."""
+    import shutil
+    import tempfile
+
+    from spark_glove_spark.sources import scalar_bounds
+
+    o = table(spark, sf_dir, "orders")
+    (mid,) = scalar_bounds(o, "o_orderkey", 2)
+    path = tempfile.mkdtemp(prefix="sgs_avro_evo_")
+    defer_cleanup(lambda: shutil.rmtree(path, ignore_errors=True))
+    gen1 = (
+        o.where(F.col("o_orderkey") <= mid)
+        .select("o_orderkey", "o_totalprice")
+        .repartition(2)
+    )
+    write_avro(gen1, path, codec="deflate", prefix="gen1")
+    gen2 = (
+        o.where(F.col("o_orderkey") > mid)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartition(2)
+    )
+    write_avro(gen2, path, codec="deflate", prefix="gen2")  # sidecar ->
+    # the generation-2 schema becomes the READER schema for the dir
+    _register_avro(spark)
+    back = spark.read.format("sgs_avro").option("path", path).load()
+    res = back.groupBy(
+        F.coalesce("o_orderpriority", F.lit("LEGACY")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )
+    return res.localCheckpoint(eager=True)

