@@ -119,6 +119,9 @@ BNLJ_OK = {
     # probe design (h15 class) over 8-byte CODES, and the metrics
     # query embeds both that scan and the h15 exact-truth scan
     "h16_bq_portable",
+    # same broadcast-probe code scan, over the ~40% label-filtered
+    # candidate side (the h15_knn_filtered precedent one tier down)
+    "h16_bq_filtered",
     "h15_retrieval_metrics",
     # KMV sketch: 1-row totals/kth-min crossjoins (the d2_global_agg
     # class) feeding the union/intersection estimates
