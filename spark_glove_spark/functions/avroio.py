@@ -7,18 +7,31 @@ pure-Python `avro`/`fastavro` packages are absent too, verified
 empirically — PLANS.md "Environment limits").
 
 Scope: the typed subset a Kafka-adjacent ingest lane actually ships —
-records of {null, boolean, int, long, double, string, bytes} fields,
-nullable via the standard ["null", T] union — with the `null` and
-`deflate` codecs. Arrays/maps/enums/fixed are out of scope and the
-schema parser REJECTS them loudly (honest NotImplementedError, not
-silent misreads).
+records of {null, boolean, int, long, float, double, string, bytes}
+fields, nullable via the standard ["null", T] union, plus the three
+complex types that subset composes into (r13, VERDICT r12 missing-item
+2): arrays of a primitive (`{"type": "array", "items": T}` — the
+`embeddings` table's `list<float>` lane), string-keyed maps
+(`{"type": "map", "values": T}`), and enums (symbols encoded as the
+spec's int position). Field types are carried internally as compact
+strings — `"array<float>"`, `"map<long>"`, `"enum<F|O|P>"` — so the
+`_FIELDS` sidecar stays plain JSON. Recursive nesting (array of
+array, record in record) and fixed stay out of scope and the schema
+parser REJECTS them loudly (honest NotImplementedError, not silent
+misreads). Codecs: `null` and `deflate`.
 
 Wire format implemented here, byte for byte:
 * int/long: zigzag then base-128 little-endian varint (high bit =
   continuation) — spec "Binary Encoding / Primitive Types".
 * string/bytes: long length prefix + raw bytes (UTF-8 for string).
-* double: 8-byte little-endian IEEE 754; boolean: one byte 0/1;
-  null: zero bytes; union: long branch index, then the value.
+* float/double: 4/8-byte little-endian IEEE 754; boolean: one byte
+  0/1; null: zero bytes; union: long branch index, then the value.
+* array/map: a series of blocks, each a long item count then the
+  items (map items = string key + value), terminated by a zero
+  count; a negative count is followed by the block's byte size
+  (readers honor both, this writer emits one positive block) — spec
+  "Binary Encoding / Complex Types". enum: int position into the
+  schema's symbol list.
 * OCF: magic b"Obj\\x01"; file-metadata map (block count, key/value
   pairs, zero terminator) carrying avro.schema + avro.codec; a
   16-byte sync marker; then data blocks of (object count, byte size,
@@ -43,11 +56,47 @@ SPARK_TO_AVRO = {
     "boolean": "boolean",
     "int": "int",
     "bigint": "long",
+    "float": "float",
     "double": "double",
     "string": "string",
     "binary": "bytes",
 }
 AVRO_TO_SPARK = {v: k for k, v in SPARK_TO_AVRO.items()}
+
+
+def spark_type_to_avro(t: str) -> str:
+    """Spark simpleString -> this module's compact type string.
+    ``array<float>`` -> ``"array<float>"``; ``map<string,bigint>`` ->
+    ``"map<long>"`` (avro map keys are always strings). Loud
+    NotImplementedError outside the subset."""
+    if t in SPARK_TO_AVRO:
+        return SPARK_TO_AVRO[t]
+    if t.startswith("array<") and t.endswith(">"):
+        inner = t[6:-1]
+        if inner in SPARK_TO_AVRO:
+            return f"array<{SPARK_TO_AVRO[inner]}>"
+    if t.startswith("map<string,") and t.endswith(">"):
+        inner = t[11:-1]
+        if inner in SPARK_TO_AVRO:
+            return f"map<{SPARK_TO_AVRO[inner]}>"
+    raise NotImplementedError(f"spark type {t!r} not avro-mappable")
+
+
+def avro_type_to_spark(typ: str) -> str:
+    """Compact type string -> Spark DDL type."""
+    if typ in AVRO_TO_SPARK:
+        return AVRO_TO_SPARK[typ]
+    if typ.startswith("array<") and typ.endswith(">"):
+        return f"array<{AVRO_TO_SPARK[typ[6:-1]]}>"
+    if typ.startswith("map<") and typ.endswith(">"):
+        return f"map<string,{AVRO_TO_SPARK[typ[4:-1]]}>"
+    if typ.startswith("enum<") and typ.endswith(">"):
+        return "string"  # enums surface as their symbol strings
+    raise NotImplementedError(f"avro type {typ!r} out of subset scope")
+
+
+def _enum_symbols(typ: str) -> list[str]:
+    return typ[5:-1].split("|")
 
 
 # --- primitive binary encoding -------------------------------------------
@@ -93,10 +142,21 @@ def write_value(buf: io.BytesIO, typ: str, nullable: bool, v) -> None:
         write_long(buf, 1)  # union branch 1 = the value type
     elif v is None:
         raise ValueError(f"null in non-nullable {typ} field")
-    if typ in ("long", "int"):
+    if typ == "int":
+        v = int(v)
+        # ADVICE r12: 'int' is a 32-bit type in the spec even though
+        # the varint wire form is unbounded — reject out-of-range
+        # loudly instead of emitting a container strict readers call
+        # an int overflow.
+        if not -(2**31) <= v < 2**31:
+            raise ValueError(f"value {v} out of range for avro int")
+        write_long(buf, v)
+    elif typ == "long":
         write_long(buf, int(v))
     elif typ == "double":
         buf.write(struct.pack("<d", float(v)))
+    elif typ == "float":
+        buf.write(struct.pack("<f", float(v)))
     elif typ == "string":
         raw = v.encode("utf-8")
         write_long(buf, len(raw))
@@ -107,6 +167,33 @@ def write_value(buf: io.BytesIO, typ: str, nullable: bool, v) -> None:
         buf.write(raw)
     elif typ == "boolean":
         buf.write(b"\x01" if v else b"\x00")
+    elif typ.startswith("array<"):
+        inner = typ[6:-1]
+        items = list(v)
+        if items:
+            write_long(buf, len(items))
+            for item in items:
+                if item is None:
+                    raise ValueError("null array item outside subset scope")
+                write_value(buf, inner, False, item)
+        write_long(buf, 0)  # block terminator
+    elif typ.startswith("map<"):
+        inner = typ[4:-1]
+        entries = sorted(v.items())  # deterministic bytes for replay
+        if entries:
+            write_long(buf, len(entries))
+            for k, item in entries:
+                if item is None:
+                    raise ValueError("null map value outside subset scope")
+                write_value(buf, "string", False, k)
+                write_value(buf, inner, False, item)
+        write_long(buf, 0)
+    elif typ.startswith("enum<"):
+        syms = _enum_symbols(typ)
+        try:
+            write_long(buf, syms.index(v))
+        except ValueError:
+            raise ValueError(f"value {v!r} not in enum symbols {syms}")
     else:
         raise NotImplementedError(f"avro type {typ!r} out of subset scope")
 
@@ -121,7 +208,15 @@ def read_value(buf, typ: str, nullable: bool):
     if typ in ("long", "int"):
         return read_long(buf)
     if typ == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        raw = buf.read(8)
+        if len(raw) != 8:
+            raise EOFError("double body truncated")
+        return struct.unpack("<d", raw)[0]
+    if typ == "float":
+        raw = buf.read(4)
+        if len(raw) != 4:
+            raise EOFError("float body truncated")
+        return struct.unpack("<f", raw)[0]
     if typ in ("string", "bytes"):
         n = read_long(buf)
         raw = buf.read(n)
@@ -129,11 +224,95 @@ def read_value(buf, typ: str, nullable: bool):
             raise EOFError("bytes body truncated")
         return raw.decode("utf-8") if typ == "string" else raw
     if typ == "boolean":
-        return buf.read(1) == b"\x01"
+        # ADVICE r12: a truncated block used to read as False; keep
+        # the module-wide reject-loudly contract instead.
+        raw = buf.read(1)
+        if not raw:
+            raise EOFError("boolean body truncated")
+        if raw not in (b"\x00", b"\x01"):
+            raise ValueError(f"boolean byte {raw!r} outside 0/1")
+        return raw == b"\x01"
+    if typ.startswith("array<"):
+        inner = typ[6:-1]
+        out = []
+        while True:
+            count = read_long(buf)
+            if count == 0:
+                return out
+            if count < 0:  # spec: negative count, then block byte size
+                count = -count
+                read_long(buf)
+            for _ in range(count):
+                out.append(read_value(buf, inner, False))
+    if typ.startswith("map<"):
+        inner = typ[4:-1]
+        out = {}
+        while True:
+            count = read_long(buf)
+            if count == 0:
+                return out
+            if count < 0:
+                count = -count
+                read_long(buf)
+            for _ in range(count):
+                k = read_value(buf, "string", False)
+                out[k] = read_value(buf, inner, False)
+    if typ.startswith("enum<"):
+        syms = _enum_symbols(typ)
+        i = read_long(buf)
+        if not 0 <= i < len(syms):
+            raise ValueError(f"enum index {i} outside {len(syms)} symbols")
+        return syms[i]
     raise NotImplementedError(f"avro type {typ!r} out of subset scope")
 
 
 # --- schema subset --------------------------------------------------------
+
+
+def _type_json(typ: str, field_name: str):
+    """Compact type string -> the spec's schema-JSON type node."""
+    if typ in AVRO_TO_SPARK:
+        return typ
+    if typ.startswith("array<") and typ.endswith(">"):
+        inner = typ[6:-1]
+        if inner in AVRO_TO_SPARK:
+            return {"type": "array", "items": inner}
+    if typ.startswith("map<") and typ.endswith(">"):
+        inner = typ[4:-1]
+        if inner in AVRO_TO_SPARK:
+            return {"type": "map", "values": inner}
+    if typ.startswith("enum<") and typ.endswith(">"):
+        return {
+            "type": "enum",
+            "name": f"{field_name}_enum",
+            "symbols": _enum_symbols(typ),
+        }
+    raise NotImplementedError(f"avro type {typ!r} out of subset scope")
+
+
+def _type_compact(t, where: str) -> str:
+    """Schema-JSON type node -> compact type string; rejects loudly
+    outside the subset (nested complex types, fixed, records)."""
+    if isinstance(t, str):
+        if t in AVRO_TO_SPARK:
+            return t
+        raise NotImplementedError(f"avro type {t!r} out of scope ({where})")
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "array" and isinstance(t.get("items"), str) \
+                and t["items"] in AVRO_TO_SPARK:
+            return f"array<{t['items']}>"
+        if kind == "map" and isinstance(t.get("values"), str) \
+                and t["values"] in AVRO_TO_SPARK:
+            return f"map<{t['values']}>"
+        if kind == "enum":
+            syms = t.get("symbols", [])
+            if syms and all(
+                isinstance(s, str) and s and "|" not in s for s in syms
+            ):
+                return f"enum<{'|'.join(syms)}>"
+        raise NotImplementedError(f"schema node {t!r} out of scope ({where})")
+    raise NotImplementedError(f"schema node {t!r} out of scope ({where})")
 
 
 def schema_json(fields: list[tuple[str, str, bool]], name: str = "row") -> str:
@@ -143,7 +322,12 @@ def schema_json(fields: list[tuple[str, str, bool]], name: str = "row") -> str:
             "type": "record",
             "name": name,
             "fields": [
-                {"name": n, "type": ["null", t] if nl else t}
+                {
+                    "name": n,
+                    "type": ["null", _type_json(t, n)]
+                    if nl
+                    else _type_json(t, n),
+                }
                 for n, t, nl in fields
             ],
         }
@@ -160,15 +344,11 @@ def parse_schema(text: str) -> list[tuple[str, str, bool]]:
     for f in sch["fields"]:
         t = f["type"]
         if isinstance(t, list):
-            if len(t) != 2 or t[0] != "null" or not isinstance(t[1], str):
+            if len(t) != 2 or t[0] != "null":
                 raise NotImplementedError(f"union {t!r} beyond ['null', T]")
-            out.append((f["name"], t[1], True))
-        elif isinstance(t, str):
-            out.append((f["name"], t, False))
+            out.append((f["name"], _type_compact(t[1], f["name"]), True))
         else:
-            raise NotImplementedError(f"nested schema {t!r} out of scope")
-        if out[-1][1] not in AVRO_TO_SPARK:
-            raise NotImplementedError(f"avro type {out[-1][1]!r} out of scope")
+            out.append((f["name"], _type_compact(t, f["name"]), False))
     return out
 
 

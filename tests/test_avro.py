@@ -72,12 +72,136 @@ def test_double_is_ieee754_little_endian():
 def test_schema_roundtrip_and_scope_guard():
     fields = [("k", "long", False), ("v", "string", True), ("p", "double", False)]
     assert avroio.parse_schema(avroio.schema_json(fields)) == fields
+    # r13: arrays of a primitive are now IN scope (VERDICT r12 item 3)
+    assert avroio.parse_schema(
+        '{"type":"record","name":"r","fields":'
+        '[{"name":"a","type":{"type":"array","items":"long"}}]}'
+    ) == [("a", "array<long>", False)]
+    # ... but recursive nesting stays a loud scope guard
     with pytest.raises(NotImplementedError):
-        avroio.parse_schema('{"type":"record","name":"r","fields":'
-                            '[{"name":"a","type":{"type":"array","items":"long"}}]}')
+        avroio.parse_schema(
+            '{"type":"record","name":"r","fields":[{"name":"a","type":'
+            '{"type":"array","items":{"type":"array","items":"long"}}}]}'
+        )
     with pytest.raises(NotImplementedError):
         avroio.parse_schema('{"type":"record","name":"r","fields":'
                             '[{"name":"a","type":["string","long"]}]}')
+
+
+def test_complex_schema_roundtrip():
+    """array/map/enum survive schema_json -> parse_schema, including
+    inside the ['null', T] union, and emit the spec's JSON nodes."""
+    import json
+
+    fields = [
+        ("emb", "array<float>", True),
+        ("attrs", "map<long>", False),
+        ("st", "enum<F|O|P>", False),
+    ]
+    text = avroio.schema_json(fields)
+    assert avroio.parse_schema(text) == fields
+    node = json.loads(text)["fields"]
+    assert node[0]["type"] == ["null", {"type": "array", "items": "float"}]
+    assert node[1]["type"] == {"type": "map", "values": "long"}
+    assert node[2]["type"] == {
+        "type": "enum", "name": "st_enum", "symbols": ["F", "O", "P"],
+    }
+
+
+def test_float_is_ieee754_little_endian():
+    buf = io.BytesIO()
+    avroio.write_value(buf, "float", False, 1.5)
+    assert buf.getvalue() == struct.pack("<f", 1.5)
+
+
+def test_complex_value_roundtrip():
+    cases = [
+        ("array<float>", False, [0.5, -1.25, 3.0]),
+        ("array<long>", False, []),
+        ("array<string>", True, None),
+        ("array<double>", True, [1e-9, -0.0]),
+        ("map<long>", False, {"a": 7, "b": -2}),
+        ("map<string>", False, {}),
+        ("map<double>", True, None),
+        ("enum<F|O|P>", False, "P"),
+        ("enum<F|O|P>", True, None),
+    ]
+    for typ, nullable, v in cases:
+        buf = io.BytesIO()
+        avroio.write_value(buf, typ, nullable, v)
+        got = avroio.read_value(io.BytesIO(buf.getvalue()), typ, nullable)
+        assert got == v, (typ, v, got)
+
+
+def test_array_wire_form_is_spec_blocks():
+    """Spec worked form: [10, 20] as array<long> = count 2 (zigzag 04),
+    items 14 28 (zigzag of 10, 20), terminator 00."""
+    buf = io.BytesIO()
+    avroio.write_value(buf, "array<long>", False, [10, 20])
+    assert buf.getvalue() == bytes.fromhex("04 14 28 00".replace(" ", ""))
+    # readers also honor the negative-count + byte-size block form
+    alt = io.BytesIO()
+    avroio.write_long(alt, -2)
+    avroio.write_long(alt, 2)  # block byte size
+    avroio.write_long(alt, 10)
+    avroio.write_long(alt, 20)
+    avroio.write_long(alt, 0)
+    assert avroio.read_value(
+        io.BytesIO(alt.getvalue()), "array<long>", False
+    ) == [10, 20]
+
+
+def test_enum_wire_form_is_symbol_position():
+    buf = io.BytesIO()
+    avroio.write_value(buf, "enum<F|O|P>", False, "P")
+    assert buf.getvalue() == bytes.fromhex("04")  # zigzag(2)
+    with pytest.raises(ValueError, match="not in enum symbols"):
+        avroio.write_value(io.BytesIO(), "enum<F|O|P>", False, "Z")
+    with pytest.raises(ValueError, match="enum index"):
+        avroio.read_value(io.BytesIO(b"\x08"), "enum<F|O|P>", False)
+
+
+def test_int_range_and_boolean_reject_loudly():
+    """ADVICE r12: avro 'int' is 32-bit (reject overflow at write);
+    a truncated or non-0/1 boolean byte raises instead of reading
+    False."""
+    with pytest.raises(ValueError, match="avro int"):
+        avroio.write_value(io.BytesIO(), "int", False, 2**31)
+    with pytest.raises(ValueError, match="avro int"):
+        avroio.write_value(io.BytesIO(), "int", False, -(2**31) - 1)
+    buf = io.BytesIO()
+    avroio.write_value(buf, "int", False, -(2**31))  # boundary is legal
+    assert avroio.read_value(io.BytesIO(buf.getvalue()), "int", False) == -(2**31)
+    with pytest.raises(EOFError):
+        avroio.read_value(io.BytesIO(b""), "boolean", False)
+    with pytest.raises(ValueError, match="outside 0/1"):
+        avroio.read_value(io.BytesIO(b"\x02"), "boolean", False)
+
+
+def test_spark_type_mapping_complex():
+    assert avroio.spark_type_to_avro("array<float>") == "array<float>"
+    assert avroio.spark_type_to_avro("map<string,bigint>") == "map<long>"
+    assert avroio.avro_type_to_spark("array<double>") == "array<double>"
+    assert avroio.avro_type_to_spark("map<long>") == "map<string,bigint>"
+    assert avroio.avro_type_to_spark("enum<F|O>") == "string"
+    with pytest.raises(NotImplementedError):
+        avroio.spark_type_to_avro("array<array<float>>")
+    with pytest.raises(NotImplementedError):
+        avroio.spark_type_to_avro("map<bigint,bigint>")  # non-string keys
+
+
+def test_resolution_rejects_type_change(tmp_path):
+    """ADVICE r12: a name match with a DIFFERENT writer/reader type
+    must raise loudly — promotions are outside the subset."""
+    from spark_glove_spark.operators.avro_queries import _resolved_rows
+
+    p = str(tmp_path / "g1.avro")
+    avroio.write_ocf(p, [(1, "x")], [("k", "long", False), ("v", "string", False)])
+    with pytest.raises(NotImplementedError, match="promotions"):
+        list(_resolved_rows(p, [("k", "int", False), ("v", "string", False)]))
+    # unchanged types still resolve (drop v, add nullable tag)
+    out = list(_resolved_rows(p, [("k", "long", False), ("tag", "string", True)]))
+    assert out == [(1, None)]
 
 
 @pytest.mark.parametrize("codec", ["null", "deflate"])
