@@ -3459,6 +3459,32 @@ _HN_H0 = 3  # base-layer rounds (beam _NB_BEAM) — NSW needs _NB_HOPS=5
 # tests/test_dedup.py; depth-vs-n flatness probed in PLANS.md)
 
 
+_HN_SCHED_REF_ROWS = 2_000  # the r12 100x ladder's base corpus size
+# (sf0.1 embeddings): the rung where the authored fixture constants
+# (base 4 / l1 2 / l2 0) are the measured-correct schedule
+
+
+def hnsw_plane_schedule(n_rows: int) -> tuple[int, int, int]:
+    """(base, l1, l2) proposal-hash widths derived from corpus size —
+    the r13 encoding of the r12 100x ladder's bisected DESCENT LAW
+    (PLANS.md "Round-12: 100x vector ladder"): every layer's proposal
+    hash must scale with ITS OWN layer size, or the upper layers go
+    geometrically blind (measured: fixed 2/0-plane upper hashes read
+    recall 0.07 vs NSW's 0.12 at 100x, unfixable by extra depth;
+    l1 = base-3, l2 = base-6 restored parity at 1x/10x/100x). Base
+    grows ~log2(growth) from the reference corpus exactly as the NSW
+    schedule does; each upper layer is ~n/8 / ~n/64 of its parent, so
+    its hash is 3/6 bits narrower. Floors keep the three test scale
+    factors (50/500/2,000 rows, all <= the reference rung) on the
+    authored constants bit-for-bit — derivation changes nothing the
+    oracles check, only what a 10^9-vector user inherits."""
+    import math
+
+    grow = max(1.0, n_rows / _HN_SCHED_REF_ROWS)
+    base = _NB_PLANES + round(math.log2(grow))
+    return base, max(_HN_P1, base - 3), max(0, base - 6)
+
+
 def _hn_layer_tables() -> list[tuple[int, int, int, str]]:
     """(t, planes, deg, membership) per layer, base first. Membership
     is a SQL predicate over vec_id — the Spark side builds the same
@@ -3676,9 +3702,9 @@ def _hnsw_search(
     beams: tuple[int, int, int] = (_HN_B2, _HN_B1, _NB_BEAM),
     topk: int = _NB_TOPK,
     chunk: int = _NB_CHUNK,
-    base_planes: int = _NB_PLANES,
-    l1_planes: int = _HN_P1,
-    l2_planes: int = 0,
+    base_planes: int | None = None,
+    l1_planes: int | None = None,
+    l2_planes: int | None = None,
     edges_in: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     graph_pred: Column | None = None,
     timings: dict | None = None,
@@ -3715,6 +3741,14 @@ def _hnsw_search(
     l1 = F.col("vec_id") % _HN_L1_MOD == 0
     l2 = F.col("vec_id") % _HN_L2_MOD == 0
     if edges_in is None:
+        # knobs not pinned by the caller derive from corpus size (the
+        # r12 descent law; one count on the persisted base frame) —
+        # the fixture SFs all land on the authored constants
+        if base_planes is None or l1_planes is None or l2_planes is None:
+            sb, s1, s2 = hnsw_plane_schedule(base.count())
+            base_planes = sb if base_planes is None else base_planes
+            l1_planes = s1 if l1_planes is None else l1_planes
+            l2_planes = s2 if l2_planes is None else l2_planes
         edges0 = (
             _hn_edge_table(base, 0, base_planes, _NB_DEG, None, chunk)
             .union(_hn_edge_table(base, 1, base_planes, _NB_DEG, None, chunk))
@@ -4192,13 +4226,18 @@ def h16_hnsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(version: int, watermark: int) -> None:
         sub = base.where(F.col("vec_id") <= watermark)
+        # plane widths from the descent law (r13): at the fixture SFs
+        # the schedule returns the authored constants, so the stored
+        # bytes — and the byte-equality tooth vs the in-memory twin —
+        # are unchanged; a production corpus inherits scaled hashes
+        pb, p1, p2 = hnsw_plane_schedule(sub.count())
         e0 = (
-            _hn_edge_table(sub, 0, _NB_PLANES, _NB_DEG)
-            .union(_hn_edge_table(sub, 1, _NB_PLANES, _NB_DEG))
+            _hn_edge_table(sub, 0, pb, _NB_DEG)
+            .union(_hn_edge_table(sub, 1, pb, _NB_DEG))
             .distinct()
         )
-        e1 = _hn_edge_table(sub, _HN_T1, _HN_P1, _HN_DEG_UP, l1)
-        e2 = _hn_edge_table(sub, _HN_T2, 0, _HN_DEG_UP, l2)
+        e1 = _hn_edge_table(sub, _HN_T1, p1, _HN_DEG_UP, l1)
+        e2 = _hn_edge_table(sub, _HN_T2, p2, _HN_DEG_UP, l2)
         allE = (
             e0.select(F.lit(0).alias("layer"), "src", "dst")
             .union(e1.select(F.lit(1).alias("layer"), "src", "dst"))

@@ -869,3 +869,30 @@ def test_hybrid_retrieval_ranks_consistent_with_parents(spark):
             1.0 / (_HY_K + r.r_dense) if r.r_dense > 0 else 0.0
         )
         assert abs(r.rrf - round(want, 6)) < 1e-9
+
+
+def test_hnsw_plane_schedule_law():
+    """The r12 100x ladder's bisected descent law, encoded as the
+    build-path default (VERDICT r12 item 7): base proposal hash grows
+    ~log2(growth) from the 2,000-row reference rung, each sparser
+    layer's hash is 3/6 bits narrower, and the three test scale
+    factors (<= the reference rung) land on the authored fixture
+    constants bit-for-bit so every oracle hash is unchanged."""
+    from spark_glove_spark.operators.ann import hnsw_plane_schedule
+
+    # fixture SFs: sf0.001 (50), sf0.01 (500), sf0.1 (2,000 rows)
+    for n in (1, 50, 500, 2_000):
+        assert hnsw_plane_schedule(n) == (4, 2, 0), n
+    # the ladder rungs measured in PLANS.md (l1 = base-3, l2 = base-6)
+    assert hnsw_plane_schedule(20_000) == (7, 4, 1)
+    assert hnsw_plane_schedule(60_000) == (9, 6, 3)
+    assert hnsw_plane_schedule(200_000) == (11, 8, 5)
+    # a 10^9-vector user inherits scaled hashes, not fixture constants
+    base, l1, l2 = hnsw_plane_schedule(1_000_000_000)
+    assert base == 4 + 19 and l1 == base - 3 and l2 == base - 6
+    # monotone non-decreasing in n
+    prev = (0, 0, 0)
+    for n in (1, 2_000, 4_000, 20_000, 10**6, 10**9):
+        cur = hnsw_plane_schedule(n)
+        assert all(c >= p for c, p in zip(cur, prev)), (n, cur, prev)
+        prev = cur
