@@ -575,8 +575,6 @@ R12_REGREEN: tuple[str, ...] = (
     "pipeline_curate_corpus",
 )
 
-DRIVER_PRIORITY = R12_REMAINDER + R12_NEW + R12_REGREEN
-
 # Round-13 remainder: queries built AFTER the r12 window froze land
 # here, same discipline as the prior remainders.
 #   h16_bq_filtered — metadata-filtered BQ search: the label rides IN
@@ -606,6 +604,92 @@ R13_REMAINDER: tuple[str, ...] = (
     "h16_hnsw_persisted",
     "a36_avro_schema_evolution",
 )
+
+# Round-13 build (VERDICT r12 items 3, 5, 9): the Avro complex-type
+# lanes and the incremental HNSW insert lane.
+#   a37_avro_array_roundtrip — the embeddings table's array<float>
+#     through block-encoded avro arrays, integer element checksums
+#     (ORACLE-checked at 3 SFs)
+#   a38_avro_map_enum_roundtrip — string-keyed maps + a real avro
+#     enum via the writer's type-override hook, exploded and
+#     aggregated (ORACLE-checked at 3 SFs)
+#   i28_streaming_avro_evolution — a36 + i26 composed: two writer
+#     generations streamed one container per micro-batch, resolved
+#     under the latest reader schema inside the offset range
+#     (ORACLE-checked at 3 SFs)
+#   h16_hnsw_incremental — epoch-batched search-then-connect inserts
+#     on the persisted hierarchy under the frozen layer schedule;
+#     per-epoch txlog versions with watermark catalog rows (rows-only;
+#     recall-vs-rebuild budget pinned in tests/test_txlog.py)
+R13_NEW: tuple[str, ...] = (
+    "a37_avro_array_roundtrip",
+    "a38_avro_map_enum_roundtrip",
+    "i28_streaming_avro_evolution",
+    "h16_hnsw_incremental",
+)
+
+# Round-13 re-certification at r13 HEAD: (a) the whole ANN/vector
+# family — ann.py changed under every one of them (the derived plane
+# schedule now feeds the inline AND persisted HNSW builders, and the
+# incremental lane shares their machinery); (b) a35 — the Avro codec
+# gained float/array/map/enum wire paths and the reader was
+# refactored onto the shared resolution helper beneath it; (c) the
+# GloVe pipeline signature (standing re-cert) and the dedup anchor.
+# Benched entries (h10_tfidf, h17_span_dedup_bucketed, the curate
+# capstones) cede window slots — BENCH_r13 tracks them per-round.
+R13_REGREEN: tuple[str, ...] = (
+    # ANN / vector-search family
+    "h16_hnsw_portable",
+    "h16_bq_portable",
+    "h16_nsw_portable",
+    "h16_bq_persisted",
+    "h16_nsw_persisted",
+    "h16_ivf_portable",
+    "h16_ivf_persisted",
+    "h16_ivfpq_portable",
+    "h16_ivfpq_persisted",
+    "h16_pq_portable",
+    "h16_opq_portable",
+    "h16_lsh_portable",
+    "h16_lsh_ann",
+    "h16_int8_quant",
+    "h16_ivf_filtered",
+    "h16_ivfpq_filtered",
+    "h15_knn_bruteforce",
+    "h15_knn_filtered",
+    "h15_range_search",
+    "h15_maxsim",
+    "h15_mmr_portable",
+    "h15_rrf_fusion",
+    "h15_retrieval_metrics",
+    "h15_hybrid_retrieval",
+    "pipeline_ann_index_lifecycle",
+    "pipeline_ann_drift_rebuild",
+    "pipeline_rag_serving",
+    "i23_streaming_ann_ingest",
+    "i24_streaming_bq_ingest",
+    "i25_streaming_index_quality",
+    # Avro anchor — the codec beneath it changed this round
+    "a35_avro_roundtrip",
+    # GloVe pipeline signature (standing re-cert)
+    "h1_token_stats",
+    "h3_cooccurrence_topk",
+    "h4_glove_weighting",
+    "h5_glove_fit_micro",
+    "h5_glove_planted_analogy",
+    "h6_export_portable",
+    "h7_topk_cosine",
+    "h8_analogy",
+    "h9_doc_embedding",
+    # dedup signature anchor
+    "h13_minhash_portable",
+)
+
+DRIVER_PRIORITY = R13_REMAINDER + R13_NEW + R13_REGREEN
+
+# Round-14 remainder: queries built AFTER the r13 window freezes land
+# here, same discipline as the prior remainders.
+R14_REMAINDER: tuple[str, ...] = ()
 
 
 def driver_key(rank: int, name: str) -> str:

@@ -883,13 +883,15 @@ def test_hnsw_plane_schedule_law():
     # fixture SFs: sf0.001 (50), sf0.01 (500), sf0.1 (2,000 rows)
     for n in (1, 50, 500, 2_000):
         assert hnsw_plane_schedule(n) == (4, 2, 0), n
-    # the ladder rungs measured in PLANS.md (l1 = base-3, l2 = base-6)
+    # the ladder rungs (l1 = base-3, l2 = base-6; floor keeps bucket
+    # occupancy >= the reference rung's — the r13 probe measured
+    # base 11 at 100x costing recall 0.07 vs 0.12 at base 10)
     assert hnsw_plane_schedule(20_000) == (7, 4, 1)
-    assert hnsw_plane_schedule(60_000) == (9, 6, 3)
-    assert hnsw_plane_schedule(200_000) == (11, 8, 5)
+    assert hnsw_plane_schedule(60_000) == (8, 5, 2)
+    assert hnsw_plane_schedule(200_000) == (10, 7, 4)
     # a 10^9-vector user inherits scaled hashes, not fixture constants
     base, l1, l2 = hnsw_plane_schedule(1_000_000_000)
-    assert base == 4 + 19 and l1 == base - 3 and l2 == base - 6
+    assert base == 4 + 18 and l1 == base - 3 and l2 == base - 6
     # monotone non-decreasing in n
     prev = (0, 0, 0)
     for n in (1, 2_000, 4_000, 20_000, 10**6, 10**9):

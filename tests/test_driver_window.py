@@ -34,7 +34,10 @@ from spark_glove_spark.registry import (
     R12_NEW,
     R12_REGREEN,
     R12_REMAINDER,
+    R13_NEW,
+    R13_REGREEN,
     R13_REMAINDER,
+    R14_REMAINDER,
     driver_key,
     original_name,
 )
@@ -122,6 +125,7 @@ ALL_RECORDS = (
     "CORRECTNESS_r09",
     "CORRECTNESS_r10",
     "CORRECTNESS_r11",
+    "CORRECTNESS_r12",
 )
 
 
@@ -144,75 +148,76 @@ def test_r11_window_landed_green():
         assert n in checked, f"r11 rotation name missing from record: {n}"
 
 
+def test_r12_window_landed_green():
+    """Same guard at r12: the record must show the r12 remainder + the
+    r12-built queries green (or best-possible rows-only)."""
+    checked = _driver_checked(("CORRECTNESS_r12",))
+    for n in R12_REMAINDER + R12_NEW:
+        assert n in checked, f"r12 rotation name missing from record: {n}"
+
+
 def test_window_slots_are_new_work_or_declared_regreens():
     """Every window slot is either a query with NO driver record in
-    any prior round (closing the evidence gap: R12_REMAINDER + the
-    r12-built queries) or an EXPLICIT member of R12_REGREEN
-    (re-certifying the signature surface at r12 HEAD). An
-    already-checked name outside R12_REGREEN is a wasted slot; an
-    unchecked name inside R12_REGREEN would be new coverage
+    any prior round (closing the evidence gap: R13_REMAINDER + the
+    r13-built queries) or an EXPLICIT member of R13_REGREEN
+    (re-certifying the signature surface at r13 HEAD). An
+    already-checked name outside R13_REGREEN is a wasted slot; an
+    unchecked name inside R13_REGREEN would be new coverage
     masquerading as a re-green."""
     checked = _driver_checked(ALL_RECORDS)
     stale = [
-        n for n in DRIVER_PRIORITY if n in checked and n not in R12_REGREEN
+        n for n in DRIVER_PRIORITY if n in checked and n not in R13_REGREEN
     ]
     assert not stale, f"already-checked slots not declared as regreens: {stale}"
-    fake = [n for n in R12_REGREEN if n not in checked]
-    assert not fake, f"R12_REGREEN names without a prior green record: {fake}"
+    fake = [n for n in R13_REGREEN if n not in checked]
+    assert not fake, f"R13_REGREEN names without a prior green record: {fake}"
 
 
 def test_window_covers_the_rotation_waves():
-    """The r12 rotation carries the VERDICT r11 mandates: R12_REMAINDER
-    leads in its pre-committed order (item 1 — the only eight queries
-    without a driver record after eleven rounds); R12_NEW (the HNSW
-    hierarchy, persisted BQ/NSW serving, and the RAG capstone — items
-    3, 4, 5) follows; and the re-green slate leads with the five
-    txlog demos the scalar-bound fusion touched (item 6) plus the ANN
-    family ann.py changed under."""
-    assert DRIVER_PRIORITY[: len(R12_REMAINDER)] == R12_REMAINDER
-    assert R12_REMAINDER == (
-        "h16_bq_portable",
-        "h15_retrieval_metrics",
-        "h16_nsw_portable",
-        "h15_hybrid_retrieval",
-        "i24_streaming_bq_ingest",
-        "h17_semantic_chunking",
-        "d35_kmv_sketch",
-        "i25_streaming_index_quality",
+    """The r13 rotation carries the VERDICT r12 mandates: R13_REMAINDER
+    leads in its pre-committed order (item 1 — the only five queries
+    without a driver record after twelve rounds); R13_NEW (the Avro
+    complex-type lanes and the incremental HNSW insert lane — items
+    3, 5, 9) follows; and the re-green slate covers the ANN family
+    ann.py changed under, the a35 anchor over the extended codec, and
+    the GloVe/dedup signature."""
+    assert DRIVER_PRIORITY[: len(R13_REMAINDER)] == R13_REMAINDER
+    assert R13_REMAINDER == (
+        "h16_bq_filtered",
+        "i26_streaming_avro_ingest",
+        "i27_streaming_rag_ingest",
+        "h16_hnsw_persisted",
+        "a36_avro_schema_evolution",
     )
-    n_rem = len(R12_REMAINDER)
-    assert DRIVER_PRIORITY[n_rem:n_rem + len(R12_NEW)] == R12_NEW
-    assert R12_NEW == (
-        "h16_hnsw_portable",
-        "h16_bq_persisted",
-        "h16_nsw_persisted",
-        "pipeline_rag_serving",
-        # h16_lsh_ann's regreen slot funded this one: that query keeps
-        # per-round BENCH coverage, so the window slot buys NEW
-        # evidence instead of a third certification lane
-        "a35_avro_roundtrip",
+    n_rem = len(R13_REMAINDER)
+    assert DRIVER_PRIORITY[n_rem:n_rem + len(R13_NEW)] == R13_NEW
+    assert R13_NEW == (
+        "a37_avro_array_roundtrip",
+        "a38_avro_map_enum_roundtrip",
+        "i28_streaming_avro_evolution",
+        "h16_hnsw_incremental",
     )
-    # the families r12 code touches
-    for n in ("pipeline_cdc_replication", "pipeline_cdc_exactly_once",
-              "pipeline_incremental_agg", "i19_streaming_incremental_agg",
-              "a25_txlog_change_feed", "h16_ivf_persisted",
+    # the families r13 code touches
+    for n in ("h16_hnsw_portable", "h16_bq_persisted", "h16_nsw_persisted",
+              "a35_avro_roundtrip", "h16_ivf_persisted",
               "h16_ivfpq_portable", "h15_knn_bruteforce",
-              "h5_glove_fit_micro", "pipeline_curate_corpus"):
-        assert n in R12_REGREEN
+              "pipeline_rag_serving", "h5_glove_fit_micro",
+              "h13_minhash_portable"):
+        assert n in R13_REGREEN
 
 
 def test_remainder_plus_new_closes_the_evidence_contract():
-    """After CORRECTNESS_r12 records the window, every registered
-    query must possess a driver record: prior greens + R12_REMAINDER +
-    R12_NEW must equal the full registry (R13_REMAINDER catches any
-    query built after the r12 freeze)."""
+    """After CORRECTNESS_r13 records the window, every registered
+    query must possess a driver record: prior greens + R13_REMAINDER +
+    R13_NEW must equal the full registry (R14_REMAINDER catches any
+    query built after the r13 freeze)."""
     checked = _driver_checked(ALL_RECORDS)
     uncovered = (
         set(api.queries())
         - checked
-        - set(R12_REMAINDER)
-        - set(R12_NEW)
         - set(R13_REMAINDER)
+        - set(R13_NEW)
+        - set(R14_REMAINDER)
     )
     assert not uncovered, f"queries not slotted in any rotation: {uncovered}"
 
@@ -259,6 +264,30 @@ def test_rotation_plan_partitions_the_registry():
             assert REGISTRY[n].oracle is not None, f"{n} must ship an oracle"
     for n in R13_REMAINDER:
         assert n in REGISTRY, f"R13 plan name not registered: {n}"
+    # r13 plans: disjoint, registered, oracle obligations. Rows-only
+    # by design in R13_REMAINDER: h16_hnsw_persisted (on-disk
+    # lifecycle state; byte-equality with the oracle-checked
+    # in-memory twin in tests/test_txlog.py). In R13_NEW:
+    # h16_hnsw_incremental (iterative graph growth; recall-vs-rebuild
+    # budget in tests/test_txlog.py, descent algebra carried by the
+    # oracle-checked h16_hnsw_portable riding the regreen slate).
+    parts13 = [set(R13_REMAINDER), set(R13_NEW), set(R13_REGREEN)]
+    for i in range(len(parts13)):
+        for j in range(i + 1, len(parts13)):
+            assert not parts13[i] & parts13[j], (i, j, parts13[i] & parts13[j])
+    for n in R13_REMAINDER:
+        if n == "h16_hnsw_persisted":
+            assert REGISTRY[n].oracle is None
+        else:
+            assert REGISTRY[n].oracle is not None, f"{n} must ship an oracle"
+    for n in R13_NEW:
+        if n == "h16_hnsw_incremental":
+            assert REGISTRY[n].oracle is None
+            assert "h16_hnsw_portable" in R13_REGREEN
+        else:
+            assert REGISTRY[n].oracle is not None, f"{n} must ship an oracle"
+    for n in R14_REMAINDER:
+        assert n in REGISTRY, f"R14 plan name not registered: {n}"
 
 
 def test_original_name_roundtrip():

@@ -2387,3 +2387,77 @@ def test_hnsw_persisted_serving_equals_in_memory(spark, tmp_path):
         for r in h16_hnsw_portable(spark, sf_dir).collect()
     )
     assert served == mem, "persisted hierarchy serving diverged from in-memory"
+
+
+def test_hnsw_incremental_recall_vs_rebuild(spark):
+    """h16_hnsw_incremental's contract (VERDICT r12 item 5): growing
+    the hierarchy by epoch-batched search-then-connect INSERTS must
+    serve the final corpus with recall comparable to the O(corpus)
+    full REBUILD on the same corpus — the insert lane trades graph
+    optimality for O(new x beam) maintenance, and this pins how much
+    it trades. Also re-asserts the lane's watermark discipline from
+    the returned audit: v0 predates every insert, watermarks
+    strictly increase, both epochs added edges and nodes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_glove_spark.operators.ann import (
+        _NB_TOPK,
+        _PL_SCALE,
+        _hnsw_search,
+        h16_hnsw_incremental,
+    )
+    from spark_glove_spark.registry import drain_deferred_unpersist
+    from spark_glove_spark.sources import parallelized, table
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = {
+        r["build_version"]: r
+        for r in h16_hnsw_incremental(spark, sf_dir).collect()
+    }
+    assert rows[0]["watermark"] < rows[1]["watermark"] < rows[2]["watermark"]
+    assert rows[1]["new_nodes"] > 0 and rows[2]["new_nodes"] > 0
+    assert rows[1]["edge_rows"] > 0 and rows[2]["edge_rows"] > 0
+    incr_recall = rows[2]["recall"]
+    drain_deferred_unpersist()
+
+    # full-rebuild recall on the same corpus, same probes, same truth
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
+    )
+    zero = F.lit(0).cast("long")
+    nn = F.aggregate(
+        F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x
+    )
+    base = e.select("vec_id", qv.alias("qv")).withColumn("nn", nn)
+    probes = base.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
+    )
+    num = F.aggregate(
+        F.zip_with("qv", "qp", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), "vec_id")
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in base.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (num.cast("double") / F.sqrt(F.col("nn").cast("double"))).alias("s"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _NB_TOPK)
+        .collect()
+    }
+    rebuilt = {
+        (r["probe_id"], r["vec_id"])
+        for r in _hnsw_search(spark, sf_dir).collect()
+    }
+    rebuild_recall = len(rebuilt & exact) / len(exact)
+    assert incr_recall >= rebuild_recall - 0.15, (
+        f"incremental recall {incr_recall:.2f} trails the full rebuild's "
+        f"{rebuild_recall:.2f} by more than the pinned 0.15 budget"
+    )
