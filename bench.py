@@ -64,6 +64,16 @@ BASELINE_SEC = {
     # "Round-12 bench expansion"; cold first rep 7.4 s, settled
     # 2.45-2.9 s).
     "h16_bq_portable": 2.5,
+    # r13 addition (VERDICT r12 item 4): the retrieval flagship — the
+    # RAG serving capstone (chunk -> integer chunk embeddings -> BQ
+    # code table -> Hamming shortlist + rerank -> chunk BM25 -> RRF ->
+    # per-row recall/RR) joins the contract so the round's headline
+    # composite has per-round BENCH regression tracking like the
+    # curate capstones. Baselined at the r13 host's measured reps
+    # [19.0, 10.1, 9.9, 8.7] (cold first rep = codegen for the packed
+    # code expressions + chunker; min-of-3 settles at 8.7-10.1 s) —
+    # BASELINE.md "Round-13 bench expansion".
+    "pipeline_rag_serving": 8.7,
 }
 
 # The original 12-entry suite (r1 contract: 16.1 s min-of-N total);
@@ -100,6 +110,7 @@ HEADLINE = [
     "pipeline_curate_corpus",
     "pipeline_streaming_curate",
     "h16_bq_portable",
+    "pipeline_rag_serving",
 ]
 
 
