@@ -36,36 +36,67 @@ def spark_fields(df: DataFrame) -> list[tuple[str, str, bool]]:
     ]
 
 
+# The spec's schema-resolution promotion table ("Schema Resolution"):
+# the writer's type may be promoted to the reader's exactly along
+# these edges. Value converters run at projection time on the decoded
+# writer-typed value; int->long and float->double need none (Python
+# ints/floats already carry the widened value exactly).
+_PROMOTIONS: dict[tuple[str, str], object] = {
+    ("int", "long"): None,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): None,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
 def _resolved_rows(container: str, reader_fields: list[tuple[str, str, bool]]):
     """Decode one container under its OWN writer schema, then project
-    to ``reader_fields`` per the spec's resolution rules (the add/drop
-    subset): fields matched BY NAME; a field the writer lacked reads
-    as null (must be nullable in the reader); a field the reader
-    dropped is skipped; a name match with a DIFFERENT type raises
-    loudly — promotions are outside the supported subset (ADVICE
-    r12). Shared by the batch and streaming readers so both lanes
-    carry identical compatibility semantics."""
+    to ``reader_fields`` per the spec's resolution rules: fields
+    matched BY NAME; a field the writer lacked reads as null (must be
+    nullable in the reader); a field the reader dropped is skipped; a
+    name match with a different type resolves ONLY along the spec's
+    promotion table (_PROMOTIONS — int->long/float/double,
+    long->float/double, float->double, string<->bytes) and raises
+    loudly otherwise (ADVICE r12: never flow wrongly-typed values
+    into Spark). Shared by the batch and streaming readers so both
+    lanes carry identical compatibility semantics."""
     from spark_glove_spark.functions.avroio import read_ocf
 
     writer_fields, rows = read_ocf(container)
     wtypes = {n: t for n, t, _ in writer_fields}
+    convs: dict[str, object] = {}
     for n, t, _ in reader_fields:
         if n in wtypes and wtypes[n] != t:
-            raise NotImplementedError(
-                f"field {n!r}: writer type {wtypes[n]!r} != reader type "
-                f"{t!r}; promotions are outside the supported subset"
-            )
+            if (wtypes[n], t) not in _PROMOTIONS:
+                raise NotImplementedError(
+                    f"field {n!r}: writer type {wtypes[n]!r} does not "
+                    f"resolve to reader type {t!r}; only the spec's "
+                    "promotion table is supported"
+                )
+            convs[n] = _PROMOTIONS[(wtypes[n], t)]
     names = [n for n, _, _ in writer_fields]
-    if names == [n for n, _, _ in reader_fields]:
+    if names == [n for n, _, _ in reader_fields] and not any(
+        convs.get(n) for n, _, _ in reader_fields
+    ):
         yield from rows
         return
     pos = {n: i for i, n in enumerate(names)}
     for n, _, nullable in reader_fields:
         if n not in pos and not nullable:
             raise ValueError(f"writer lacks non-nullable reader field {n!r}")
-    idxs = [pos.get(n) for n, _, _ in reader_fields]
+    plan = [
+        (pos.get(n), convs.get(n)) for n, _, _ in reader_fields
+    ]
     for row in rows:
-        yield tuple(None if i is None else row[i] for i in idxs)
+        yield tuple(
+            None if i is None
+            else (row[i] if c is None or row[i] is None else c(row[i]))
+            for i, c in plan
+        )
 
 
 def write_avro(
@@ -732,3 +763,85 @@ def i28_streaming_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).localCheckpoint(eager=True)
+
+
+@query(
+    "a39_avro_type_promotion",
+    section="A1,A3,B4,D1",
+    tags=("io",),
+    oracle="""
+WITH mid AS (SELECT CAST(max(o_orderkey) // 2 AS BIGINT) AS m FROM orders)
+SELECT o.o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(floor(
+         CASE WHEN o.o_orderkey <= mid.m
+              THEN CAST(CAST(o.o_totalprice AS REAL) AS DOUBLE)
+              ELSE o.o_totalprice END * 10.0) AS BIGINT)) AS BIGINT)
+         AS price_checksum
+FROM orders o CROSS JOIN mid
+GROUP BY 1
+""",
+)
+def a39_avro_type_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro TYPE PROMOTIONS, fully ORACLE-checked THROUGH the format
+    (spec "Schema Resolution"): generation 1 shipped narrow types —
+    int keys, float prices, string statuses — and generation 2
+    widened to long/double and switched statuses to bytes. The reader
+    resolves every gen-1 container along the spec's promotion table
+    (int->long, float->double, string->bytes) while gen-2 containers
+    pass through untouched. The integer checksum floor(price * 10)
+    makes the float->double lane bit-exact-checkable: the oracle
+    reproduces the precision split from the parquet original (old
+    generation = keys at or below max/2 widened through REAL), so one
+    wrongly-promoted value — or a float read as its raw bits — moves
+    a group's sum. Statuses decode from the promoted bytes back to
+    strings for grouping, closing the string->bytes->string loop.
+
+    This is the second half of the Kafka compatibility contract a36
+    started: fields get ADDED over a topic's life (a36) and fields
+    get WIDENED (this lane); both resolve per-container from the
+    self-describing header at zero per-row cost beyond the
+    projection. 100 TB: same write/read parallelism as a35."""
+    import shutil
+    import tempfile
+
+    from spark_glove_spark.sources import scalar_bounds
+
+    o = table(spark, sf_dir, "orders")
+    (mid,) = scalar_bounds(o, "o_orderkey", 2)
+    path = tempfile.mkdtemp(prefix="sgs_avro_promo_")
+    defer_cleanup(lambda: shutil.rmtree(path, ignore_errors=True))
+    gen1 = (
+        o.where(F.col("o_orderkey") <= mid)
+        .select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            F.col("o_totalprice").cast("float").alias("o_totalprice"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .repartition(2)
+    )
+    write_avro(gen1, path, codec="deflate", prefix="gen1")
+    gen2 = (
+        o.where(F.col("o_orderkey") > mid)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.encode(F.col("o_orderstatus"), "utf-8").alias("status"),
+        )
+        .repartition(2)
+    )
+    write_avro(gen2, path, codec="deflate", prefix="gen2")  # sidecar ->
+    # the wide generation-2 schema becomes the directory's READER schema
+    _register_avro(spark)
+    back = spark.read.format("sgs_avro").option("path", path).load()
+    res = back.groupBy(
+        F.decode(F.col("status"), "utf-8").alias("status")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(10.0)))
+        .cast("long")
+        .alias("price_checksum"),
+    )
+    return res.localCheckpoint(eager=True)

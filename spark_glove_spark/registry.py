@@ -621,11 +621,16 @@ R13_REMAINDER: tuple[str, ...] = (
 #     on the persisted hierarchy under the frozen layer schedule;
 #     per-epoch txlog versions with watermark catalog rows (rows-only;
 #     recall-vs-rebuild budget pinned in tests/test_txlog.py)
+#   a39_avro_type_promotion — the spec's promotion table at
+#     resolution: gen-1 int/float/string containers widen to
+#     long/double/bytes under the gen-2 reader schema (ORACLE-checked
+#     at 3 SFs through a float->double precision checksum)
 R13_NEW: tuple[str, ...] = (
     "a37_avro_array_roundtrip",
     "a38_avro_map_enum_roundtrip",
     "i28_streaming_avro_evolution",
     "h16_hnsw_incremental",
+    "a39_avro_type_promotion",
 )
 
 # Round-13 re-certification at r13 HEAD: (a) the whole ANN/vector
@@ -676,7 +681,9 @@ R13_REGREEN: tuple[str, ...] = (
     "h3_cooccurrence_topk",
     "h4_glove_weighting",
     "h5_glove_fit_micro",
-    "h5_glove_planted_analogy",
+    # (h5_glove_planted_analogy's slot funded a39: the planted-analogy
+    # invariant is pinned per-commit by tests/test_glove.py, so the
+    # window slot buys NEW evidence instead of a third certification)
     "h6_export_portable",
     "h7_topk_cosine",
     "h8_analogy",

@@ -191,17 +191,53 @@ def test_spark_type_mapping_complex():
 
 
 def test_resolution_rejects_type_change(tmp_path):
-    """ADVICE r12: a name match with a DIFFERENT writer/reader type
-    must raise loudly — promotions are outside the subset."""
+    """ADVICE r12: a name match whose type change is NOT in the
+    spec's promotion table (here long -> int, a narrowing) must raise
+    loudly instead of flowing wrongly-typed values into Spark."""
     from spark_glove_spark.operators.avro_queries import _resolved_rows
 
     p = str(tmp_path / "g1.avro")
     avroio.write_ocf(p, [(1, "x")], [("k", "long", False), ("v", "string", False)])
-    with pytest.raises(NotImplementedError, match="promotions"):
+    with pytest.raises(NotImplementedError, match="promotion"):
         list(_resolved_rows(p, [("k", "int", False), ("v", "string", False)]))
     # unchanged types still resolve (drop v, add nullable tag)
     out = list(_resolved_rows(p, [("k", "long", False), ("tag", "string", True)]))
     assert out == [(1, None)]
+
+
+def test_resolution_promotes_along_the_spec_table(tmp_path):
+    """Spec "Schema Resolution": int->long/double, float->double,
+    string<->bytes promote with exact values; the fast path must not
+    skip conversion when names align but types differ."""
+    from spark_glove_spark.operators.avro_queries import _resolved_rows
+
+    p = str(tmp_path / "g2.avro")
+    avroio.write_ocf(
+        p,
+        [(7, 1.5, "ab", None), (8, -2.25, "c", 3)],
+        [
+            ("k", "int", False),
+            ("x", "float", False),
+            ("s", "string", False),
+            ("m", "int", True),
+        ],
+    )
+    out = list(
+        _resolved_rows(
+            p,
+            [
+                ("k", "long", False),
+                ("x", "double", False),
+                ("s", "bytes", False),
+                ("m", "double", True),  # nulls survive promotion
+            ],
+        )
+    )
+    assert out == [(7, 1.5, b"ab", None), (8, -2.25, b"c", 3.0)]
+    # bytes -> string, the reverse lane
+    p2 = str(tmp_path / "g3.avro")
+    avroio.write_ocf(p2, [(b"xy",)], [("b", "bytes", False)])
+    assert list(_resolved_rows(p2, [("b", "string", False)])) == [("xy",)]
 
 
 @pytest.mark.parametrize("codec", ["null", "deflate"])

@@ -196,6 +196,9 @@ def test_window_covers_the_rotation_waves():
         "a38_avro_map_enum_roundtrip",
         "i28_streaming_avro_evolution",
         "h16_hnsw_incremental",
+        # (funded by h5_glove_planted_analogy's regreen slot — that
+        # invariant is pinned per-commit in tests/test_glove.py)
+        "a39_avro_type_promotion",
     )
     # the families r13 code touches
     for n in ("h16_hnsw_portable", "h16_bq_persisted", "h16_nsw_persisted",
