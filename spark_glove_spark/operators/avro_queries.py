@@ -845,3 +845,90 @@ def a39_avro_type_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_checksum"),
     )
     return res.localCheckpoint(eager=True)
+
+
+@query(
+    "i29_streaming_avro_egress",
+    section="A6,A3,A1,D1",
+    tags=("streaming", "io"),
+    # the streamed containers, read back as a batch, must equal the
+    # batch aggregate over the original events
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       round(sum(value), 2) AS total
+FROM events
+GROUP BY 1
+""",
+)
+def i29_streaming_avro_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6-for-Avro — the EGRESS half of the streaming story (i26/i28
+    are ingest): events stream in four micro-batches through a
+    foreachBatch sink that lands each epoch as its own immutable Avro
+    containers (prefix = epoch id, one container per batch
+    partition). Idempotence is the file-format twin of the txlog
+    epoch commit: a REPLAYED epoch finds its prefix already on disk
+    and skips, so crash-and-restart never writes a torn or duplicate
+    container — exactly the property the i26 reader's file-index
+    offsets rely on from the producing side. The whole directory read
+    back through the batch DataSource hash-matches the batch
+    aggregate over the parquet original at 3 SFs, so the epoch
+    slicing is gap- and overlap-free THROUGH the wire format.
+
+    In-body teeth (explicit raises): four epoch prefixes land, and a
+    replayed epoch leaves the container set byte-identical (the
+    idempotence contract exercised, not assumed). 100 TB: each
+    epoch's write is embarrassingly
+    parallel (a task streams its partition through the codec); the
+    directory IS the Kafka-connect-sink layout the ingest lanes
+    consume."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from spark_glove_spark.streaming.jobs import run_stream_foreach_batch
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="sgs_avro_egress_")
+    defer_cleanup(lambda: shutil.rmtree(base, ignore_errors=True))
+    src = os.path.join(base, "src")
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = os.path.join(base, "avro")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        prefix = f"epoch{epoch_id:05d}"
+        if glob.glob(os.path.join(out, f"{prefix}-*.avro")):
+            return  # replayed epoch: containers are immutable, skip
+        write_avro(batch_df, out, codec="deflate", prefix=prefix)
+
+    run_stream_foreach_batch(sdf, sink, "append")
+    epochs = {
+        os.path.basename(f).split("-")[0]
+        for f in glob.glob(os.path.join(out, "*.avro"))
+    }
+    if len(epochs) != 4:
+        raise AssertionError(f"expected 4 epoch prefixes, got {sorted(epochs)}")
+    # replay tooth: re-delivering epoch 0 must be a no-op
+    before = sorted(glob.glob(os.path.join(out, "*.avro")))
+    replay = spark.read.schema(
+        "event_id long, event_type string, value double"
+    ).parquet(src).limit(5)
+    sink(replay, 0)
+    after = sorted(glob.glob(os.path.join(out, "*.avro")))
+    if before != after:
+        raise AssertionError("replayed epoch 0 mutated the container set")
+    _register_avro(spark)
+    back = spark.read.format("sgs_avro").option("path", out).load()
+    res = back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    return res.localCheckpoint(eager=True)

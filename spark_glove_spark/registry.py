@@ -625,12 +625,17 @@ R13_REMAINDER: tuple[str, ...] = (
 #     resolution: gen-1 int/float/string containers widen to
 #     long/double/bytes under the gen-2 reader schema (ORACLE-checked
 #     at 3 SFs through a float->double precision checksum)
+#   i29_streaming_avro_egress — the EGRESS half: foreachBatch lands
+#     each epoch as immutable containers, replayed epochs skip (the
+#     idempotence tooth runs in-body); directory read back
+#     hash-matches the batch aggregate (ORACLE-checked at 3 SFs)
 R13_NEW: tuple[str, ...] = (
     "a37_avro_array_roundtrip",
     "a38_avro_map_enum_roundtrip",
     "i28_streaming_avro_evolution",
     "h16_hnsw_incremental",
     "a39_avro_type_promotion",
+    "i29_streaming_avro_egress",
 )
 
 # Round-13 re-certification at r13 HEAD: (a) the whole ANN/vector
@@ -686,7 +691,9 @@ R13_REGREEN: tuple[str, ...] = (
     # window slot buys NEW evidence instead of a third certification)
     "h6_export_portable",
     "h7_topk_cosine",
-    "h8_analogy",
+    # (h8_analogy's slot funded i29: its vector-offset algebra rides
+    # h7's machinery — unchanged this round — and its invariants are
+    # pinned per-commit in tests)
     "h9_doc_embedding",
     # dedup signature anchor
     "h13_minhash_portable",

@@ -199,6 +199,8 @@ def test_window_covers_the_rotation_waves():
         # (funded by h5_glove_planted_analogy's regreen slot — that
         # invariant is pinned per-commit in tests/test_glove.py)
         "a39_avro_type_promotion",
+        # (funded by h8_analogy's regreen slot — same rationale)
+        "i29_streaming_avro_egress",
     )
     # the families r13 code touches
     for n in ("h16_hnsw_portable", "h16_bq_persisted", "h16_nsw_persisted",
