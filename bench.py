@@ -202,9 +202,9 @@ def main() -> None:
                 "queries": times,
                 "ratios_vs_baseline": ratios,
                 # the r1-contract subset (16.1 s) — comparable across
-                # all rounds; `value` covers the full 17-entry suite
-                # (r10 contract 44.6 s = r8's 23.7 s + the two
-                # capstones' 20.9 s, BASELINE.md)
+                # all rounds; `value` covers the full 19-entry suite
+                # (r13 contract 55.8 s = r12's 47.1 s + the RAG
+                # capstone's 8.7 s, BASELINE.md)
                 "legacy12_total": round(
                     sum(times[n] for n in LEGACY12 if n in times), 3
                 ),

@@ -205,8 +205,15 @@ def read_value(buf, typ: str, nullable: bool):
             return None
         if branch != 1:
             raise ValueError(f"union branch {branch} outside ['null', T]")
-    if typ in ("long", "int"):
+    if typ == "long":
         return read_long(buf)
+    if typ == "int":
+        n = read_long(buf)
+        # symmetric with the write-side bound: a spec-violating
+        # container must fail at the codec, not deep in Arrow
+        if not -(2**31) <= n < 2**31:
+            raise ValueError(f"value {n} out of range for avro int")
+        return n
     if typ == "double":
         raw = buf.read(8)
         if len(raw) != 8:
@@ -219,6 +226,8 @@ def read_value(buf, typ: str, nullable: bool):
         return struct.unpack("<f", raw)[0]
     if typ in ("string", "bytes"):
         n = read_long(buf)
+        if n < 0:  # read(-1) would return the block tail as "data"
+            raise ValueError(f"negative {typ} length {n}")
         raw = buf.read(n)
         if len(raw) != n:
             raise EOFError("bytes body truncated")

@@ -4405,9 +4405,10 @@ def h16_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in (0, 1, 2)
         )
 
-    def connect(new_lo: int, new_hi: int, version: int) -> tuple[int, int]:
-        """Search-then-connect one epoch: returns (new_nodes,
-        edges_added) and appends txlog version ``version``."""
+    def connect(new_lo: int, new_hi: int, version: int) -> int:
+        """Search-then-connect one epoch: returns the epoch's new-node
+        count and appends txlog version ``version`` (its edge count
+        lands in the catalog row)."""
         newp = (F.col("vec_id") > new_lo) & (F.col("vec_id") <= new_hi)
         n_new = base.where(newp).count()
         eds = snapshot_edges(version - 1)
@@ -4419,8 +4420,17 @@ def h16_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         parts = []
         for layer, pred, hops, deg in lanes:
-            if base.where(pred).limit(1).count() == 0:
+            # layer 0's membership is the whole epoch (n_new already
+            # counted); only the sparser layers need an emptiness probe
+            if layer == 0:
+                if n_new == 0:
+                    continue
+            elif base.where(pred).limit(1).count() == 0:
                 continue  # no new members on this layer this epoch
+            # eager checkpoint: the beam search is the epoch's
+            # expensive job and BOTH the layer-0 coverage tooth and
+            # the final append consume nb — without it the descent
+            # re-executes per consumer
             nb = _hnsw_search(
                 spark,
                 sf_dir,
@@ -4429,7 +4439,7 @@ def h16_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 graph_pred=covered,
                 hops=hops,
                 topk=deg,
-            )
+            ).localCheckpoint(eager=True)
             fw = nb.select(
                 F.lit(layer).alias("layer"),
                 F.col("probe_id").alias("src"),
@@ -4464,7 +4474,9 @@ def h16_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in parts[1:]:
             allnew = allnew.union(p)
         allnew = allnew.select("layer", "src", "dst").distinct()
-        allnew = allnew.localCheckpoint(eager=True)  # count + append read once
+        # one distinct-shuffle shared by the count and the append (the
+        # underlying beam searches are already checkpointed above)
+        allnew = allnew.localCheckpoint(eager=True)
         added = allnew.count()
         txlog.append(allnew, edges_path, operation=f"graph-insert-{version}")
         txlog.append(
@@ -4475,10 +4487,10 @@ def h16_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             catalog,
             operation=f"graph-insert-{version}",
         )
-        return n_new, added
+        return n_new
 
-    new1, add1 = connect(w0, w1, 1)
-    new2, add2 = connect(w1, w2, 2)
+    new1 = connect(w0, w1, 1)
+    new2 = connect(w1, w2, 2)
 
     # --- serve every pinned snapshot + audit ---
     cat = {
@@ -4489,8 +4501,7 @@ def h16_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(f"watermarks not increasing: {cat}")
     probe_pred = F.col("vec_id") % 100 == 0
     probes = base.where(probe_pred).select(
-        F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp"),
-        F.col("nn").alias("np"),
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
     )
     num_x = F.aggregate(
         F.zip_with("qv", "qp", lambda x, y: x * y), zero, lambda a, x: a + x

@@ -68,9 +68,16 @@ def _resolved_rows(container: str, reader_fields: list[tuple[str, str, bool]]):
 
     writer_fields, rows = read_ocf(container)
     wtypes = {n: t for n, t, _ in writer_fields}
+    wnull = {n: nl for n, _, nl in writer_fields}
     convs: dict[str, object] = {}
-    for n, t, _ in reader_fields:
-        if n in wtypes and wtypes[n] != t:
+    narrowed: set[str] = set()  # nullable writer -> non-null reader:
+    # the values themselves must prove null-free (checked per row
+    # below) or the reader schema's not-null promise is silently
+    # violated downstream, where Spark does not re-check it
+    for n, t, nullable in reader_fields:
+        if n not in wtypes:
+            continue
+        if wtypes[n] != t:
             if (wtypes[n], t) not in _PROMOTIONS:
                 raise NotImplementedError(
                     f"field {n!r}: writer type {wtypes[n]!r} does not "
@@ -78,10 +85,10 @@ def _resolved_rows(container: str, reader_fields: list[tuple[str, str, bool]]):
                     "promotion table is supported"
                 )
             convs[n] = _PROMOTIONS[(wtypes[n], t)]
+        if wnull[n] and not nullable:
+            narrowed.add(n)
     names = [n for n, _, _ in writer_fields]
-    if names == [n for n, _, _ in reader_fields] and not any(
-        convs.get(n) for n, _, _ in reader_fields
-    ):
+    if names == [n for n, _, _ in reader_fields] and not convs and not narrowed:
         yield from rows
         return
     pos = {n: i for i, n in enumerate(names)}
@@ -89,14 +96,25 @@ def _resolved_rows(container: str, reader_fields: list[tuple[str, str, bool]]):
         if n not in pos and not nullable:
             raise ValueError(f"writer lacks non-nullable reader field {n!r}")
     plan = [
-        (pos.get(n), convs.get(n)) for n, _, _ in reader_fields
+        (n, pos.get(n), convs.get(n), n in narrowed)
+        for n, _, _ in reader_fields
     ]
+
+    def cell(row, n, i, c, strict):
+        if i is None:
+            return None
+        v = row[i]
+        if v is None:
+            if strict:
+                raise ValueError(
+                    f"null in writer field {n!r} cannot satisfy the "
+                    "non-nullable reader field"
+                )
+            return None
+        return v if c is None else c(v)
+
     for row in rows:
-        yield tuple(
-            None if i is None
-            else (row[i] if c is None or row[i] is None else c(row[i]))
-            for i, c in plan
-        )
+        yield tuple(cell(row, n, i, c, s) for n, i, c, s in plan)
 
 
 def write_avro(

@@ -318,3 +318,44 @@ def test_schema_resolution_projection(tmp_path):
         (3, 3.0, "t3"),
         (4, 4.0, None),
     ]
+
+
+def test_read_side_rejects_malformed_bytes():
+    """r13 review findings: the read path matches the write path's
+    reject-loudly contract — negative string/bytes length prefixes
+    (read(-1) would return the block tail as 'data') and out-of-range
+    'int' values from spec-violating writers raise at the codec."""
+    neg = io.BytesIO()
+    avroio.write_long(neg, -1)  # length -1
+    with pytest.raises(ValueError, match="negative"):
+        avroio.read_value(io.BytesIO(neg.getvalue()), "string", False)
+    big = io.BytesIO()
+    avroio.write_long(big, 2**40)
+    with pytest.raises(ValueError, match="avro int"):
+        avroio.read_value(io.BytesIO(big.getvalue()), "int", False)
+    # boundary stays legal on the read side too
+    edge = io.BytesIO()
+    avroio.write_long(edge, -(2**31))
+    assert avroio.read_value(io.BytesIO(edge.getvalue()), "int", False) == -(2**31)
+
+
+def test_resolution_rejects_null_into_non_nullable_reader(tmp_path):
+    """r13 review finding: a nullable writer field resolving to a
+    NON-nullable reader field must prove its values null-free — a
+    None reaching a not-null Spark column would be silently wrong
+    downstream (Spark does not re-check datasource nullability)."""
+    from spark_glove_spark.operators.avro_queries import _resolved_rows
+
+    p = str(tmp_path / "n.avro")
+    avroio.write_ocf(
+        p, [(1, "a"), (2, None)], [("k", "long", False), ("v", "string", True)]
+    )
+    reader = [("k", "long", False), ("v", "string", False)]
+    with pytest.raises(ValueError, match="non-nullable reader"):
+        list(_resolved_rows(p, reader))
+    # null-free values under the same narrowed schema DO resolve
+    p2 = str(tmp_path / "n2.avro")
+    avroio.write_ocf(
+        p2, [(1, "a"), (2, "b")], [("k", "long", False), ("v", "string", True)]
+    )
+    assert list(_resolved_rows(p2, reader)) == [(1, "a"), (2, "b")]
