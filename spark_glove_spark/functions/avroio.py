@@ -64,11 +64,29 @@ SPARK_TO_AVRO = {
 AVRO_TO_SPARK = {v: k for k, v in SPARK_TO_AVRO.items()}
 
 
+# Logical types (spec "Logical Types"): an annotation over a primitive
+# wire type. Carried internally as their own compact strings; the wire
+# bytes are exactly the underlying primitive's.
+_LOGICAL = {
+    "timestamp-micros": "long",  # micros since epoch UTC
+    "date": "int",  # days since epoch
+}
+_EPOCH_DT = None  # lazy datetime(1970, 1, 1), see _ts_codec
+
+
 def spark_type_to_avro(t: str) -> str:
     """Spark simpleString -> this module's compact type string.
     ``array<float>`` -> ``"array<float>"``; ``map<string,bigint>`` ->
-    ``"map<long>"`` (avro map keys are always strings). Loud
+    ``"map<long>"`` (avro map keys are always strings); ``timestamp``
+    / ``date`` -> the spec's logical types over long/int. Loud
     NotImplementedError outside the subset."""
+    if t in ("timestamp", "timestamp_ntz"):
+        # the repo reads parquet timestamps session-tz-pinned to UTC
+        # (registry wrapper), so both spark types carry the same wall
+        # micros — the logical type's epoch-UTC definition
+        return "timestamp-micros"
+    if t == "date":
+        return "date"
     if t in SPARK_TO_AVRO:
         return SPARK_TO_AVRO[t]
     if t.startswith("array<") and t.endswith(">"):
@@ -84,6 +102,10 @@ def spark_type_to_avro(t: str) -> str:
 
 def avro_type_to_spark(typ: str) -> str:
     """Compact type string -> Spark DDL type."""
+    if typ == "timestamp-micros":
+        return "timestamp"
+    if typ == "date":
+        return "date"
     if typ in AVRO_TO_SPARK:
         return AVRO_TO_SPARK[typ]
     if typ.startswith("array<") and typ.endswith(">"):
@@ -142,7 +164,24 @@ def write_value(buf: io.BytesIO, typ: str, nullable: bool, v) -> None:
         write_long(buf, 1)  # union branch 1 = the value type
     elif v is None:
         raise ValueError(f"null in non-nullable {typ} field")
-    if typ == "int":
+    if typ == "timestamp-micros":
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            td = v.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
+            v = (
+                td.days * 86_400_000_000
+                + td.seconds * 1_000_000
+                + td.microseconds
+            )
+        write_long(buf, int(v))
+    elif typ == "date":
+        import datetime as _dt
+
+        if isinstance(v, _dt.date):
+            v = v.toordinal() - _dt.date(1970, 1, 1).toordinal()
+        write_value(buf, "int", False, v)
+    elif typ == "int":
         v = int(v)
         # ADVICE r12: 'int' is a 32-bit type in the spec even though
         # the varint wire form is unbounded — reject out-of-range
@@ -205,6 +244,18 @@ def read_value(buf, typ: str, nullable: bool):
             return None
         if branch != 1:
             raise ValueError(f"union branch {branch} outside ['null', T]")
+    if typ == "timestamp-micros":
+        import datetime as _dt
+
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=read_long(buf)
+        )
+    if typ == "date":
+        import datetime as _dt
+
+        return _dt.date.fromordinal(
+            _dt.date(1970, 1, 1).toordinal() + read_value(buf, "int", False)
+        )
     if typ == "long":
         return read_long(buf)
     if typ == "int":
@@ -280,6 +331,8 @@ def read_value(buf, typ: str, nullable: bool):
 
 def _type_json(typ: str, field_name: str):
     """Compact type string -> the spec's schema-JSON type node."""
+    if typ in _LOGICAL:
+        return {"type": _LOGICAL[typ], "logicalType": typ}
     if typ in AVRO_TO_SPARK:
         return typ
     if typ.startswith("array<") and typ.endswith(">"):
@@ -308,6 +361,19 @@ def _type_compact(t, where: str) -> str:
         raise NotImplementedError(f"avro type {t!r} out of scope ({where})")
     if isinstance(t, dict):
         kind = t.get("type")
+        lt = t.get("logicalType")
+        if lt is not None:
+            # a KNOWN logical type must ride its prescribed primitive;
+            # an unknown one falls back to the raw type per the spec
+            if lt in _LOGICAL:
+                if kind != _LOGICAL[lt]:
+                    raise NotImplementedError(
+                        f"logicalType {lt!r} over {kind!r} (expected "
+                        f"{_LOGICAL[lt]!r}) out of scope ({where})"
+                    )
+                return lt
+            if isinstance(kind, str) and kind in AVRO_TO_SPARK:
+                return kind  # spec: ignore unknown logical types
         if kind == "array" and isinstance(t.get("items"), str) \
                 and t["items"] in AVRO_TO_SPARK:
             return f"array<{t['items']}>"

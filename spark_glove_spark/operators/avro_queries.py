@@ -950,3 +950,61 @@ def i29_streaming_avro_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total"),
     )
     return res.localCheckpoint(eager=True)
+
+
+@query(
+    "a40_avro_logical_types",
+    section="A1,A3,G4,D1",
+    tags=("io",),
+    oracle="""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(epoch_us(o_orderdate)) AS BIGINT) AS micros_sum,
+       strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_day,
+       strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_day
+FROM orders
+GROUP BY 1
+""",
+)
+def a40_avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro LOGICAL TYPES, fully ORACLE-checked THROUGH the format
+    (spec "Logical Types"): order timestamps ride the wire as
+    timestamp-micros (a long of microseconds since epoch UTC — the
+    type every event pipeline actually ships) and their calendar days
+    as date (an int of days since epoch). The aggregate sums the RAW
+    MICROSECONDS per month, so the hash match proves every timestamp
+    survived datetime -> micros -> varint -> deflate -> datetime to
+    the exact microsecond: one tick lost anywhere moves a month's
+    64-bit sum. Day boundaries (min/max per month, rendered as
+    strings) pin the date lane's epoch arithmetic including
+    pre-epoch negative days.
+
+    Schema JSON carries the annotation per the spec
+    ({"type": "long", "logicalType": "timestamp-micros"}); UNKNOWN
+    logical types fall back to their raw primitive exactly as the
+    spec prescribes (codec tooth in tests/test_avro.py). 100 TB:
+    identical write/read parallelism to a35 — logical types add zero
+    wire bytes over their primitives."""
+    import shutil
+    import tempfile
+
+    o = table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.to_date("o_orderdate").alias("o_day"),
+    ).repartition(3)
+    path = tempfile.mkdtemp(prefix="sgs_avro_lt_")
+    defer_cleanup(lambda: shutil.rmtree(path, ignore_errors=True))
+    write_avro(src, path, codec="deflate")
+    _register_avro(spark)
+    back = spark.read.format("sgs_avro").option("path", path).load()
+    res = back.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.unix_micros("o_orderdate")).cast("long").alias("micros_sum"),
+        F.date_format(F.min("o_day"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("o_day"), "yyyy-MM-dd").alias("last_day"),
+    )
+    return res.localCheckpoint(eager=True)

@@ -629,6 +629,9 @@ R13_REMAINDER: tuple[str, ...] = (
 #     each epoch as immutable containers, replayed epochs skip (the
 #     idempotence tooth runs in-body); directory read back
 #     hash-matches the batch aggregate (ORACLE-checked at 3 SFs)
+#   a40_avro_logical_types — timestamp-micros/date annotations over
+#     long/int; per-month raw-microsecond sums make the roundtrip
+#     tick-exact-checkable (ORACLE-checked at 3 SFs)
 R13_NEW: tuple[str, ...] = (
     "a37_avro_array_roundtrip",
     "a38_avro_map_enum_roundtrip",
@@ -636,6 +639,7 @@ R13_NEW: tuple[str, ...] = (
     "h16_hnsw_incremental",
     "a39_avro_type_promotion",
     "i29_streaming_avro_egress",
+    "a40_avro_logical_types",
 )
 
 # Round-13 re-certification at r13 HEAD: (a) the whole ANN/vector
@@ -661,7 +665,9 @@ R13_REGREEN: tuple[str, ...] = (
     "h16_pq_portable",
     "h16_opq_portable",
     "h16_lsh_portable",
-    "h16_lsh_ann",
+    # (h16_lsh_ann's slot funded a40 — the r12 precedent: that entry
+    # keeps per-round BENCH coverage, so the window slot buys NEW
+    # evidence instead of a certification it gets elsewhere)
     "h16_int8_quant",
     "h16_ivf_filtered",
     "h16_ivfpq_filtered",

@@ -359,3 +359,48 @@ def test_resolution_rejects_null_into_non_nullable_reader(tmp_path):
         p2, [(1, "a"), (2, "b")], [("k", "long", False), ("v", "string", True)]
     )
     assert list(_resolved_rows(p2, reader)) == [(1, "a"), (2, "b")]
+
+
+def test_logical_types_wire_and_schema():
+    """Spec "Logical Types": timestamp-micros rides a long of epoch
+    micros, date an int of epoch days — zero extra wire bytes; the
+    schema JSON carries the annotation; a KNOWN logical type over the
+    wrong primitive rejects; an UNKNOWN logical type falls back to
+    its raw primitive exactly as the spec prescribes."""
+    import datetime as dt
+    import json
+
+    ts = dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    buf = io.BytesIO()
+    avroio.write_value(buf, "timestamp-micros", False, ts)
+    micros = (ts - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+    assert buf.getvalue() == _enc_long(micros)  # long wire form, exactly
+    assert avroio.read_value(
+        io.BytesIO(buf.getvalue()), "timestamp-micros", False
+    ) == ts
+    d = dt.date(1969, 6, 15)  # pre-epoch: negative day count
+    buf = io.BytesIO()
+    avroio.write_value(buf, "date", False, d)
+    assert buf.getvalue() == _enc_long(
+        d.toordinal() - dt.date(1970, 1, 1).toordinal()
+    )
+    assert avroio.read_value(io.BytesIO(buf.getvalue()), "date", False) == d
+
+    fields = [("ts", "timestamp-micros", False), ("d", "date", True)]
+    node = json.loads(avroio.schema_json(fields))["fields"]
+    assert node[0]["type"] == {"type": "long", "logicalType": "timestamp-micros"}
+    assert node[1]["type"] == ["null", {"type": "int", "logicalType": "date"}]
+    assert avroio.parse_schema(avroio.schema_json(fields)) == fields
+    with pytest.raises(NotImplementedError):
+        avroio.parse_schema(
+            '{"type":"record","name":"r","fields":'
+            '[{"name":"d","type":{"type":"string","logicalType":"date"}}]}'
+        )
+    assert avroio.parse_schema(
+        '{"type":"record","name":"r","fields":'
+        '[{"name":"u","type":{"type":"long","logicalType":"time-weird"}}]}'
+    ) == [("u", "long", False)]
+    assert avroio.spark_type_to_avro("timestamp") == "timestamp-micros"
+    assert avroio.spark_type_to_avro("timestamp_ntz") == "timestamp-micros"
+    assert avroio.avro_type_to_spark("timestamp-micros") == "timestamp"
+    assert avroio.avro_type_to_spark("date") == "date"

@@ -201,6 +201,9 @@ def test_window_covers_the_rotation_waves():
         "a39_avro_type_promotion",
         # (funded by h8_analogy's regreen slot — same rationale)
         "i29_streaming_avro_egress",
+        # (funded by h16_lsh_ann's regreen slot — the r12 precedent:
+        # that entry keeps per-round BENCH coverage)
+        "a40_avro_logical_types",
     )
     # the families r13 code touches
     for n in ("h16_hnsw_portable", "h16_bq_persisted", "h16_nsw_persisted",
