@@ -66,12 +66,20 @@ AVRO_TO_SPARK = {v: k for k, v in SPARK_TO_AVRO.items()}
 
 # Logical types (spec "Logical Types"): an annotation over a primitive
 # wire type. Carried internally as their own compact strings; the wire
-# bytes are exactly the underlying primitive's.
+# bytes are exactly the underlying primitive's. decimal(p,s) is the
+# parameterized member: bytes carrying the big-endian two's-complement
+# UNSCALED integer (spec "decimal"), the exact-money type Kafka
+# pipelines ship.
 _LOGICAL = {
     "timestamp-micros": "long",  # micros since epoch UTC
     "date": "int",  # days since epoch
 }
-_EPOCH_DT = None  # lazy datetime(1970, 1, 1), see _ts_codec
+
+
+def _decimal_params(typ: str) -> tuple[int, int]:
+    """('decimal(12,2)') -> (12, 2); raises on malformed."""
+    p, s = typ[8:-1].split(",")
+    return int(p), int(s)
 
 
 def spark_type_to_avro(t: str) -> str:
@@ -87,6 +95,9 @@ def spark_type_to_avro(t: str) -> str:
         return "timestamp-micros"
     if t == "date":
         return "date"
+    if t.startswith("decimal(") and t.endswith(")"):
+        _decimal_params(t)  # validate
+        return t
     if t in SPARK_TO_AVRO:
         return SPARK_TO_AVRO[t]
     if t.startswith("array<") and t.endswith(">"):
@@ -106,6 +117,8 @@ def avro_type_to_spark(typ: str) -> str:
         return "timestamp"
     if typ == "date":
         return "date"
+    if typ.startswith("decimal("):
+        return typ  # spark DDL spells decimal(p,s) identically
     if typ in AVRO_TO_SPARK:
         return AVRO_TO_SPARK[typ]
     if typ.startswith("array<") and typ.endswith(">"):
@@ -164,7 +177,22 @@ def write_value(buf: io.BytesIO, typ: str, nullable: bool, v) -> None:
         write_long(buf, 1)  # union branch 1 = the value type
     elif v is None:
         raise ValueError(f"null in non-nullable {typ} field")
-    if typ == "timestamp-micros":
+    if typ.startswith("decimal("):
+        import decimal as _dec
+
+        prec, scale = _decimal_params(typ)
+        d = _dec.Decimal(v)
+        unscaled = int(d.scaleb(scale))
+        if _dec.Decimal(unscaled).scaleb(-scale) != d:
+            raise ValueError(f"value {v} not exact at scale {scale}")
+        if len(str(abs(unscaled))) > prec:
+            raise ValueError(f"value {v} exceeds precision {prec}")
+        # spec: bytes of the big-endian two's-complement unscaled int
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        write_value(
+            buf, "bytes", False, unscaled.to_bytes(nbytes, "big", signed=True)
+        )
+    elif typ == "timestamp-micros":
         import datetime as _dt
 
         if isinstance(v, _dt.datetime):
@@ -244,6 +272,14 @@ def read_value(buf, typ: str, nullable: bool):
             return None
         if branch != 1:
             raise ValueError(f"union branch {branch} outside ['null', T]")
+    if typ.startswith("decimal("):
+        import decimal as _dec
+
+        raw = read_value(buf, "bytes", False)
+        _, scale = _decimal_params(typ)
+        return _dec.Decimal(
+            int.from_bytes(raw, "big", signed=True)
+        ).scaleb(-scale)
     if typ == "timestamp-micros":
         import datetime as _dt
 
@@ -333,6 +369,14 @@ def _type_json(typ: str, field_name: str):
     """Compact type string -> the spec's schema-JSON type node."""
     if typ in _LOGICAL:
         return {"type": _LOGICAL[typ], "logicalType": typ}
+    if typ.startswith("decimal("):
+        prec, scale = _decimal_params(typ)
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": prec,
+            "scale": scale,
+        }
     if typ in AVRO_TO_SPARK:
         return typ
     if typ.startswith("array<") and typ.endswith(">"):
@@ -365,6 +409,18 @@ def _type_compact(t, where: str) -> str:
         if lt is not None:
             # a KNOWN logical type must ride its prescribed primitive;
             # an unknown one falls back to the raw type per the spec
+            if lt == "decimal":
+                if (
+                    kind == "bytes"
+                    and isinstance(t.get("precision"), int)
+                    and isinstance(t.get("scale"), int)
+                    and 0 < t["precision"]
+                    and 0 <= t["scale"] <= t["precision"]
+                ):
+                    return f"decimal({t['precision']},{t['scale']})"
+                raise NotImplementedError(
+                    f"decimal node {t!r} out of scope ({where})"
+                )
             if lt in _LOGICAL:
                 if kind != _LOGICAL[lt]:
                     raise NotImplementedError(

@@ -1008,3 +1008,58 @@ def a40_avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("o_day"), "yyyy-MM-dd").alias("last_day"),
     )
     return res.localCheckpoint(eager=True)
+
+
+@query(
+    "a41_avro_decimal",
+    section="A1,A3,G5,D1",
+    tags=("io",),
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+            AS VARCHAR) AS price_total,
+       CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS price_min,
+       CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS price_max
+FROM orders
+GROUP BY 1
+""",
+)
+def a41_avro_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro DECIMAL, fully ORACLE-checked THROUGH the format (spec
+    "Logical Types / decimal"): order prices ride the wire as
+    decimal(12,2) — bytes carrying the big-endian two's-complement
+    UNSCALED integer, the exact-money representation Kafka pipelines
+    ship where float drift is unacceptable. The aggregate sums the
+    decimals EXACTLY (no rounding anywhere downstream of the one
+    double->decimal cast both engines perform identically on the
+    same parquet doubles) and renders totals as strings, so the hash
+    match proves every cent of every price survived
+    Decimal -> unscaled-int -> bytes -> deflate -> Decimal: one cent
+    lost in one row moves a priority group's total string.
+
+    The writer rejects values that are inexact at the declared scale
+    or exceed the declared precision (codec teeth in
+    tests/test_avro.py) — the loud-contract twin of the int 32-bit
+    bound. 100 TB: unscaled-int bytes are 5-6 bytes per price here —
+    denser than the 8-byte double they replace."""
+    import shutil
+    import tempfile
+
+    o = table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    ).repartition(3)
+    path = tempfile.mkdtemp(prefix="sgs_avro_dec_")
+    defer_cleanup(lambda: shutil.rmtree(path, ignore_errors=True))
+    write_avro(src, path, codec="deflate")
+    _register_avro(spark)
+    back = spark.read.format("sgs_avro").option("path", path).load()
+    res = back.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("price").cast("decimal(18,2)").cast("string").alias("price_total"),
+        F.min("price").cast("string").alias("price_min"),
+        F.max("price").cast("string").alias("price_max"),
+    )
+    return res.localCheckpoint(eager=True)

@@ -707,9 +707,15 @@ R13_REGREEN: tuple[str, ...] = (
 
 DRIVER_PRIORITY = R13_REMAINDER + R13_NEW + R13_REGREEN
 
-# Round-14 remainder: queries built AFTER the r13 window freezes land
+# Round-14 remainder: queries built AFTER the r13 window froze land
 # here, same discipline as the prior remainders.
-R14_REMAINDER: tuple[str, ...] = ()
+#   a41_avro_decimal — the spec's decimal logical type (unscaled
+#     big-endian two's-complement int in bytes); exact cent-for-cent
+#     totals rendered as strings (ORACLE-checked at 3 SFs; wire/bound
+#     teeth in tests/test_avro.py)
+R14_REMAINDER: tuple[str, ...] = (
+    "a41_avro_decimal",
+)
 
 
 def driver_key(rank: int, name: str) -> str:

@@ -404,3 +404,40 @@ def test_logical_types_wire_and_schema():
     assert avroio.spark_type_to_avro("timestamp_ntz") == "timestamp-micros"
     assert avroio.avro_type_to_spark("timestamp-micros") == "timestamp"
     assert avroio.avro_type_to_spark("date") == "date"
+
+
+def test_decimal_wire_and_bounds():
+    """Spec "decimal": bytes of the big-endian two's-complement
+    UNSCALED integer; exact roundtrip including negatives and nulls;
+    inexact-at-scale and precision-overflow values reject at write;
+    schema JSON carries precision/scale."""
+    import json
+    from decimal import Decimal
+
+    fields = [("price", "decimal(12,2)", False), ("adj", "decimal(6,3)", True)]
+    buf = io.BytesIO()
+    avroio.write_value(buf, "decimal(4,2)", False, Decimal("-1.00"))
+    raw = avroio.read_value(io.BytesIO(buf.getvalue()), "bytes", False)
+    assert int.from_bytes(raw, "big", signed=True) == -100
+    for v in (Decimal("12345.67"), Decimal("-999.99"), Decimal("0.00")):
+        b = io.BytesIO()
+        avroio.write_value(b, "decimal(12,2)", False, v)
+        assert avroio.read_value(
+            io.BytesIO(b.getvalue()), "decimal(12,2)", False
+        ) == v
+    with pytest.raises(ValueError, match="not exact"):
+        avroio.write_value(io.BytesIO(), "decimal(12,2)", False, Decimal("1.005"))
+    with pytest.raises(ValueError, match="precision"):
+        avroio.write_value(io.BytesIO(), "decimal(4,2)", False, Decimal("123.45"))
+    node = json.loads(avroio.schema_json(fields))["fields"]
+    assert node[0]["type"] == {
+        "type": "bytes", "logicalType": "decimal", "precision": 12, "scale": 2,
+    }
+    assert avroio.parse_schema(avroio.schema_json(fields)) == fields
+    with pytest.raises(NotImplementedError):  # decimal must ride bytes
+        avroio.parse_schema(
+            '{"type":"record","name":"r","fields":[{"name":"d","type":'
+            '{"type":"long","logicalType":"decimal","precision":4,"scale":2}}]}'
+        )
+    assert avroio.spark_type_to_avro("decimal(12,2)") == "decimal(12,2)"
+    assert avroio.avro_type_to_spark("decimal(6,3)") == "decimal(6,3)"
