@@ -99,10 +99,22 @@ class GloveConfig:
 
 @dataclass
 class GloveModel:
-    """H6: trained model — word → vector (W + W̃, paper §4.2)."""
+    """H6: trained model — word → vector (W + W̃, paper §4.2).
+
+    ``state`` (r13) is the FULL optimizer state keyed by word —
+    (word, w, wc, b, bc, gw, gwc, gb, gbc), i.e. both embedding
+    matrices, biases, and the AdaGrad accumulators — the thing a
+    training CONTINUATION needs that the summed export vectors cannot
+    reconstruct. It is an ordinary DataFrame: persist it as parquet to
+    continue in another session, or pass it straight to
+    ``Glove.fit(docs, initial_state=...)``. Warm-started training on
+    the same corpus is bit-for-bit the uninterrupted run (pinned in
+    tests/test_glove.py) because the fit is deterministic in (X,
+    state)."""
 
     vectors: DataFrame  # (word: string, id: long, vector: array<double>)
     losses: list[float] = field(default_factory=list)
+    state: DataFrame | None = None
 
     def find_synonyms(self, word: str, k: int = 10) -> DataFrame:
         """H7: top-k nearest words by cosine (join-free: broadcast the
@@ -458,9 +470,22 @@ class Glove:
     def __init__(self, **kwargs):
         self.config = GloveConfig(**kwargs)
 
-    def fit(self, docs: DataFrame, text_col: str = "text") -> GloveModel:
+    def fit(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        initial_state: DataFrame | None = None,
+    ) -> GloveModel:
         """text_col: raw string column (tokenized internally) or a
-        pre-tokenized array<string> column — both corpus shapes work."""
+        pre-tokenized array<string> column — both corpus shapes work.
+
+        ``initial_state`` (r13): a prior model's full optimizer state
+        (``GloveModel.state``) to WARM-START from — the growing-corpus
+        workflow. Words present in the state inherit their embeddings,
+        biases, AND AdaGrad accumulators (matched BY WORD, so the new
+        corpus's id assignment is free to differ); new vocabulary gets
+        the fresh init. On an unchanged corpus, continuation is
+        exactly the uninterrupted run."""
         cfg = self.config
         vocab = build_vocabulary(docs, cfg, text_col)
         vocab.persist(StorageLevel.MEMORY_AND_DISK)
@@ -492,7 +517,21 @@ class Glove:
         )
         x.count()  # materialize once; reused every iteration
 
-        params = _init_params(vocab, cfg).localCheckpoint(eager=True)
+        if initial_state is None:
+            params = _init_params(vocab, cfg).localCheckpoint(eager=True)
+        else:
+            cols = ["w", "wc", "b", "bc", "gw", "gwc", "gb", "gbc"]
+            carried = vocab.join(initial_state, "word").select("id", *cols)
+            missing = vocab.join(
+                initial_state.select("word"), "word", "left_anti"
+            )
+            # fresh init ONLY for words the state lacks — the carried
+            # rows keep their embeddings AND accumulators verbatim
+            params = (
+                _init_params(missing, cfg)
+                .unionByName(carried)
+                .localCheckpoint(eager=True)
+            )
         losses: list[float] = []
         step_kernel = _make_step_kernel(cfg.eta)
         blk = F.pmod(F.col("id"), F.lit(blocks)).alias("blk")
@@ -549,6 +588,9 @@ class Glove:
             "id",
             F.zip_with("w", "wc", lambda a, b: a + b).alias("vector"),
         )
+        state = params.join(vocab, "id").select(
+            "word", "w", "wc", "b", "bc", "gw", "gwc", "gb", "gbc"
+        )
         x.unpersist()
         vocab.unpersist()
-        return GloveModel(vectors=vectors, losses=losses)
+        return GloveModel(vectors=vectors, losses=losses, state=state)

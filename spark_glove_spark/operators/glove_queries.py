@@ -310,3 +310,64 @@ def h5_glove_planted_analogy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a string, b string, c string, expected string, "
         "predicted string, hit int",
     )
+
+
+@query("h5_glove_warmstart", section="H5,H6,A3", tags=("training",))
+def h5_glove_warmstart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5 training CONTINUATION (r13): the growing-corpus workflow —
+    fit, persist the FULL optimizer state (embeddings, biases, AdaGrad
+    accumulators; GloveModel.state), and later resume with
+    ``fit(docs, initial_state=...)``. The in-body tooth pins the
+    strongest property a warm start can have: a 2+2-iteration split
+    run (state round-tripped through parquet between the halves, the
+    cross-session shape) produces BIT-IDENTICAL losses and vectors at
+    9 dp to one uninterrupted 4-iteration run — continuation is
+    provably lossless because the fit is deterministic in (X, state)
+    and the state carries everything the optimizer knows. The summed
+    W + W~ export (h6) cannot do this; that is exactly why the state
+    exists.
+
+    Rows-only to the driver (iterative training); the same machinery's
+    value-hash certification is h5_glove_fit_micro. Returns the loss
+    trajectories of both runs, equality visible in the rows. 100 TB:
+    the state is one parquet table of vocab rows — resuming costs a
+    read + one anti-join instead of re-training from scratch."""
+    import shutil
+
+    docs = table(spark, sf_dir, "documents")
+    cfg = dict(dim=2, window=2, min_count=5, eta=0.2, init="grid")
+    full = Glove(iterations=4, **cfg).fit(docs)
+    half = Glove(iterations=2, **cfg).fit(docs)
+    path = tempfile.mkdtemp(prefix="glove_warm_")
+    try:
+        half.state.write.mode("overwrite").parquet(os.path.join(path, "s"))
+        resumed = Glove(iterations=2, **cfg).fit(
+            docs, initial_state=spark.read.parquet(os.path.join(path, "s"))
+        )
+        if [round(x, 9) for x in resumed.losses] != [
+            round(x, 9) for x in full.losses[2:]
+        ]:
+            raise AssertionError(
+                f"continuation diverged: {resumed.losses} vs "
+                f"{full.losses[2:]}"
+            )
+        fv = {
+            r["word"]: tuple(round(v, 9) for v in r["vector"])
+            for r in full.vectors.collect()
+        }
+        rv = {
+            r["word"]: tuple(round(v, 9) for v in r["vector"])
+            for r in resumed.vectors.collect()
+        }
+        if fv != rv:
+            raise AssertionError("warm-started vectors diverged from full run")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    rows = [
+        ("uninterrupted", i + 1, round(loss, 6))
+        for i, loss in enumerate(full.losses)
+    ] + [
+        ("resumed", i + 3, round(loss, 6))
+        for i, loss in enumerate(resumed.losses)
+    ]
+    return spark.createDataFrame(rows, "phase string, iteration int, loss double")

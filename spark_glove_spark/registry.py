@@ -713,8 +713,14 @@ DRIVER_PRIORITY = R13_REMAINDER + R13_NEW + R13_REGREEN
 #     big-endian two's-complement int in bytes); exact cent-for-cent
 #     totals rendered as strings (ORACLE-checked at 3 SFs; wire/bound
 #     teeth in tests/test_avro.py)
+#   h5_glove_warmstart — training CONTINUATION from the persisted
+#     full optimizer state; in-body tooth: a 2+2 split run (state
+#     through parquet between halves) is bit-identical at 9 dp to the
+#     uninterrupted 4-iteration run (rows-only; pytest twin in
+#     tests/test_glove.py)
 R14_REMAINDER: tuple[str, ...] = (
     "a41_avro_decimal",
+    "h5_glove_warmstart",
 )
 
 

@@ -258,3 +258,56 @@ def test_planted_analogy_recovery(spark):
             ).collect()[0].word
             hits += got == target[(s, 1)]
     assert hits >= total - 2, f"analogy recovery {hits}/{total}"
+
+
+def test_warmstart_continuation_equals_uninterrupted(spark, docs):
+    """r13: Glove.fit(initial_state=...) must make a 2+2-iteration
+    split run IDENTICAL to one uninterrupted 4-iteration run — the
+    fit is deterministic in (X, state) and the state carries the
+    embeddings, biases, AND AdaGrad accumulators, so continuation is
+    provably lossless, not merely 'helpful'. Also pins that the state
+    survives a parquet round trip (the cross-session workflow) and
+    that new vocabulary warm-starts fresh while carried words keep
+    their vectors."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_glove_spark.glove import Glove
+
+    cfg = dict(dim=2, window=2, min_count=5, eta=0.2, init="grid")
+    full = Glove(iterations=4, **cfg).fit(docs)
+    half = Glove(iterations=2, **cfg).fit(docs)
+    # cross-session shape: state -> parquet -> state
+    path = tempfile.mkdtemp(prefix="glove_state_") + "/state"
+    half.state.write.mode("overwrite").parquet(path)
+    resumed = Glove(iterations=2, **cfg).fit(
+        docs, initial_state=spark.read.parquet(path)
+    )
+    # losses: the resumed run's 2 iterations are the full run's last 2
+    assert [round(x, 9) for x in resumed.losses] == [
+        round(x, 9) for x in full.losses[2:]
+    ]
+    # vectors: bit-for-bit at 9 dp
+    def vecs(m):
+        return {
+            r["word"]: tuple(round(v, 9) for v in r["vector"])
+            for r in m.vectors.collect()
+        }
+
+    assert vecs(resumed) == vecs(full)
+    # vocabulary shift: dropping rows shrinks the vocab; carried words
+    # inherit state (not fresh init), new-corpus fit still works
+    sub = docs.limit(120)
+    shifted = Glove(iterations=1, **cfg).fit(sub, initial_state=half.state)
+    carried = (
+        shifted.state.join(half.state.select("word"), "word").count()
+    )
+    assert 0 < carried <= shifted.state.count()
+    # a carried word's accumulators must exceed the fresh-init 1.0
+    some = (
+        shifted.state.join(half.state.select("word"), "word")
+        .select(F.max("gb").alias("g"))
+        .collect()[0]["g"]
+    )
+    assert some > 1.0, "carried words lost their AdaGrad accumulators"
