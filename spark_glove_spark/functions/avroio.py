@@ -14,11 +14,15 @@ complex types that subset composes into (r13, VERDICT r12 missing-item
 `embeddings` table's `list<float>` lane), string-keyed maps
 (`{"type": "map", "values": T}`), and enums (symbols encoded as the
 spec's int position). Field types are carried internally as compact
-strings — `"array<float>"`, `"map<long>"`, `"enum<F|O|P>"` — so the
-`_FIELDS` sidecar stays plain JSON. Recursive nesting (array of
-array, record in record) and fixed stay out of scope and the schema
-parser REJECTS them loudly (honest NotImplementedError, not silent
-misreads). Codecs: `null` and `deflate`.
+strings — `"array<float>"`, `"map<long>"`, `"enum<F|O|P>"`,
+`"fixed<16>"`, `"decimal(12,2)"` — so the `_FIELDS` sidecar stays
+plain JSON. Logical types (timestamp-micros, date, decimal) annotate
+their primitives per the spec, unknown annotations fall back to the
+raw type, and fixed carries exactly its size bytes unprefixed.
+Recursive nesting (array of array, record in record) stays out of
+scope and the schema parser REJECTS it loudly (honest
+NotImplementedError, not silent misreads). Codecs: `null` and
+`deflate`.
 
 Wire format implemented here, byte for byte:
 * int/long: zigzag then base-128 little-endian varint (high bit =
@@ -127,6 +131,8 @@ def avro_type_to_spark(typ: str) -> str:
         return f"map<string,{AVRO_TO_SPARK[typ[4:-1]]}>"
     if typ.startswith("enum<") and typ.endswith(">"):
         return "string"  # enums surface as their symbol strings
+    if typ.startswith("fixed<") and typ.endswith(">"):
+        return "binary"  # fixed surfaces as plain bytes
     raise NotImplementedError(f"avro type {typ!r} out of subset scope")
 
 
@@ -261,6 +267,12 @@ def write_value(buf: io.BytesIO, typ: str, nullable: bool, v) -> None:
             write_long(buf, syms.index(v))
         except ValueError:
             raise ValueError(f"value {v!r} not in enum symbols {syms}")
+    elif typ.startswith("fixed<"):
+        size = int(typ[6:-1])
+        raw = bytes(v)
+        if len(raw) != size:
+            raise ValueError(f"fixed({size}) value has {len(raw)} bytes")
+        buf.write(raw)  # spec: exactly size bytes, NO length prefix
     else:
         raise NotImplementedError(f"avro type {typ!r} out of subset scope")
 
@@ -353,6 +365,12 @@ def read_value(buf, typ: str, nullable: bool):
             for _ in range(count):
                 k = read_value(buf, "string", False)
                 out[k] = read_value(buf, inner, False)
+    if typ.startswith("fixed<"):
+        size = int(typ[6:-1])
+        raw = buf.read(size)
+        if len(raw) != size:
+            raise EOFError(f"fixed({size}) body truncated")
+        return raw
     if typ.startswith("enum<"):
         syms = _enum_symbols(typ)
         i = read_long(buf)
@@ -387,6 +405,12 @@ def _type_json(typ: str, field_name: str):
         inner = typ[4:-1]
         if inner in AVRO_TO_SPARK:
             return {"type": "map", "values": inner}
+    if typ.startswith("fixed<") and typ.endswith(">"):
+        return {
+            "type": "fixed",
+            "name": f"{field_name}_fixed",
+            "size": int(typ[6:-1]),
+        }
     if typ.startswith("enum<") and typ.endswith(">"):
         return {
             "type": "enum",
@@ -436,6 +460,9 @@ def _type_compact(t, where: str) -> str:
         if kind == "map" and isinstance(t.get("values"), str) \
                 and t["values"] in AVRO_TO_SPARK:
             return f"map<{t['values']}>"
+        if kind == "fixed" and isinstance(t.get("size"), int) \
+                and t["size"] > 0:
+            return f"fixed<{t['size']}>"
         if kind == "enum":
             syms = t.get("symbols", [])
             if syms and all(

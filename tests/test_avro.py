@@ -441,3 +441,39 @@ def test_decimal_wire_and_bounds():
         )
     assert avroio.spark_type_to_avro("decimal(12,2)") == "decimal(12,2)"
     assert avroio.avro_type_to_spark("decimal(6,3)") == "decimal(6,3)"
+
+
+def test_fixed_wire_and_bounds():
+    """Spec "Fixed": exactly size bytes, NO length prefix; wrong-size
+    values reject at write, truncation raises at read; schema JSON
+    carries the named fixed node; surfaces to Spark as binary.
+    Reachable from a Spark binary column via write_avro's overrides
+    hook, same as enum."""
+    import json
+
+    buf = io.BytesIO()
+    avroio.write_value(buf, "fixed<4>", False, b"\x01\x02\x03\x04")
+    assert buf.getvalue() == b"\x01\x02\x03\x04"  # raw, unprefixed
+    assert avroio.read_value(
+        io.BytesIO(buf.getvalue()), "fixed<4>", False
+    ) == b"\x01\x02\x03\x04"
+    with pytest.raises(ValueError, match="fixed"):
+        avroio.write_value(io.BytesIO(), "fixed<4>", False, b"\x01")
+    with pytest.raises(EOFError, match="truncated"):
+        avroio.read_value(io.BytesIO(b"\x01\x02"), "fixed<4>", False)
+    fields = [("digest", "fixed<16>", False)]
+    node = json.loads(avroio.schema_json(fields))["fields"]
+    assert node[0]["type"] == {
+        "type": "fixed", "name": "digest_fixed", "size": 16,
+    }
+    assert avroio.parse_schema(avroio.schema_json(fields)) == fields
+    assert avroio.avro_type_to_spark("fixed<16>") == "binary"
+    # container roundtrip, nullable union included
+    import tempfile, os
+    p = tempfile.mktemp(suffix=".avro")
+    f2 = [("digest", "fixed<4>", True), ("k", "long", False)]
+    rows = [(b"abcd", 1), (None, 2)]
+    avroio.write_ocf(p, rows, f2)
+    fs, it = avroio.read_ocf(p)
+    assert fs == f2 and list(it) == rows
+    os.remove(p)
