@@ -477,3 +477,82 @@ def test_fixed_wire_and_bounds():
     fs, it = avroio.read_ocf(p)
     assert fs == f2 and list(it) == rows
     os.remove(p)
+
+
+def test_struct_wire_form_is_concatenated_fields():
+    """Spec "Complex Types / Records": a record encodes as the
+    concatenation of its field encodings — no length, no tag. The
+    spec's own worked example: {"a": 27, "b": "foo"} over
+    record{a: long, b: string} = 36 06 66 6f 6f."""
+    buf = io.BytesIO()
+    avroio.write_value(
+        buf, "struct<a:long,b:string>", False, {"a": 27, "b": "foo"}
+    )
+    assert buf.getvalue() == bytes.fromhex("3606666f6f")
+
+
+def test_struct_value_roundtrip_and_nullable_members():
+    typ = "struct<seg:string,bal:decimal(12,2)?,pp:string?>"
+    from decimal import Decimal
+
+    cases = [
+        {"seg": "AUTO", "bal": Decimal("12.34"), "pp": "27"},
+        {"seg": "BLDG", "bal": None, "pp": None},
+    ]
+    for v in cases:
+        buf = io.BytesIO()
+        avroio.write_value(buf, typ, False, v)
+        got = avroio.read_value(io.BytesIO(buf.getvalue()), typ, False)
+        assert got == tuple(v.values()), (v, got)
+    # a nullable struct itself rides the ["null", T] union too
+    buf = io.BytesIO()
+    avroio.write_value(buf, typ, True, None)
+    assert avroio.read_value(io.BytesIO(buf.getvalue()), typ, True) is None
+    # tuple/list values are accepted positionally, arity-checked
+    buf = io.BytesIO()
+    avroio.write_value(buf, "struct<a:long,b:string>", False, (5, "x"))
+    assert avroio.read_value(
+        io.BytesIO(buf.getvalue()), "struct<a:long,b:string>", False
+    ) == (5, "x")
+    with pytest.raises(ValueError, match="members"):
+        avroio.write_value(io.BytesIO(), "struct<a:long,b:string>", False, (5,))
+
+
+def test_struct_schema_json_roundtrip_and_depth_guard():
+    typ = "struct<seg:string,bal:decimal(12,2)?,ts:timestamp-micros>"
+    fields = [("id", "long", False), ("profile", typ, True)]
+    js = avroio.schema_json(fields, name="t")
+    back = avroio.parse_schema(js)
+    assert back == fields
+    # one level only: a struct member that is itself a container or
+    # record rejects loudly on BOTH sides
+    with pytest.raises(NotImplementedError, match="scope"):
+        avroio.write_value(
+            io.BytesIO(), "struct<a:struct<b:long>>", False, {"a": {"b": 1}}
+        )
+    with pytest.raises(NotImplementedError, match="scope"):
+        avroio.write_value(
+            io.BytesIO(), "struct<a:array<long>>", False, {"a": [1]}
+        )
+    import json
+
+    node = json.loads(
+        '{"type":"record","name":"r","fields":[{"name":"x","type":'
+        '{"type":"record","name":"inner","fields":[{"name":"y","type":'
+        '{"type":"record","name":"deep","fields":[]}}]}}]}'
+    )
+    with pytest.raises(NotImplementedError):
+        avroio.parse_schema(json.dumps(node))
+
+
+def test_struct_spark_type_mapping():
+    assert (
+        avroio.spark_type_to_avro("struct<lat:double,lon:double>")
+        == "struct<lat:double,lon:double>"
+    )
+    assert (
+        avroio.avro_type_to_spark("struct<seg:string,bal:decimal(12,2)?>")
+        == "struct<seg: string, bal: decimal(12,2)>"
+    )
+    with pytest.raises(NotImplementedError):
+        avroio.spark_type_to_avro("struct<a:struct<b:long>>")
