@@ -2696,15 +2696,18 @@ _BQ_SHORT = 12  # Hamming shortlist per probe (4x the final k)
 _BQ_TOPK = 3
 
 
-def _bq_with() -> str:
-    """Shared WITH-clause body for the BQ pipeline, composed by both
-    _bq_oracle (the search itself) and _rm_oracle (the retrieval-
-    quality metrics computed against the exact ground truth)."""
+def _bq_with(corpus_where: str = "") -> str:
+    """Shared WITH-clause body for the BQ pipeline, composed by
+    _bq_oracle (the search itself), _rm_oracle (the retrieval-
+    quality metrics computed against the exact ground truth), and
+    _bq_deletes_oracle (``corpus_where`` drops a deleted slice at the
+    source — every downstream CTE, probes included, then sees only
+    survivors, exactly what DV-subtracted serving must equal)."""
     return f"""
 q AS (
   SELECT vec_id, i - 1 AS d,
          CAST(floor(CAST(embedding[i] AS DOUBLE) * {_PL_SCALE} + 0.5) AS BIGINT) AS v
-  FROM embeddings, range(1, {DIM + 1}) r(i)
+  FROM embeddings, range(1, {DIM + 1}) r(i) {corpus_where}
 ),
 words AS (
   SELECT vec_id,
@@ -2761,6 +2764,20 @@ scored AS (
 def _bq_oracle() -> str:
     return f"""
 WITH {_bq_with()}
+SELECT probe_id, vec_id, hamming, num, cos_q FROM scored WHERE rn <= {_BQ_TOPK}
+"""
+
+
+# GDPR-slice predicate shared by the vector-delete lanes (h16_bq_deletes,
+# h16_nsw_deletes): every 10th vector, offset 3 — ~10% of the corpus,
+# spread across every code/edge file so the delete touches the whole
+# index, not one partition.
+_DEL_MOD, _DEL_REM = 10, 3
+
+
+def _bq_deletes_oracle() -> str:
+    return f"""
+WITH {_bq_with(corpus_where=f"WHERE vec_id % {_DEL_MOD} <> {_DEL_REM}")}
 SELECT probe_id, vec_id, hamming, num, cos_q FROM scored WHERE rn <= {_BQ_TOPK}
 """
 
@@ -3075,7 +3092,19 @@ def _nb_coef(t: int, j: int, d: int) -> int:
     ) % 2001 - 1000
 
 
-def _nb_oracle() -> str:
+def _nb_oracle(deleted: str | None = None) -> str:
+    """Unrolled-CTE oracle for the NSW beam search. ``deleted`` is a
+    predicate template over a vec_id column (``"{col} % 10 = 3"``)
+    marking tombstoned nodes: excluded from the probe set and the
+    final ranked results but NOT from the graph or the beam — the
+    exact routing-node semantics _nsw_search(tombstones=...)
+    implements, expressed over the FULL corpus's edges."""
+    probe_excl = (
+        f" AND NOT ({deleted.format(col='vec_id')})" if deleted else ""
+    )
+    result_excl = (
+        f" AND NOT ({deleted.format(col='sc.node')})" if deleted else ""
+    )
     weights = " + ".join(
         f"(CASE j WHEN {j} THEN {2 ** (_NB_PLANES - 1 - j)} ELSE 0 END)"
         for j in range(_NB_PLANES)
@@ -3168,7 +3197,8 @@ edges AS (
   ) WHERE rn <= {_NB_DEG}
 ),
 pb AS (
-  SELECT vec_id AS probe_id, bucket FROM bkt WHERE t = 0 AND vec_id % 100 = 0
+  SELECT vec_id AS probe_id, bucket
+  FROM bkt WHERE t = 0 AND vec_id % 100 = 0{probe_excl}
 ),
 s0 AS (
   SELECT pb.probe_id, CAST(min(b.vec_id) AS BIGINT) AS node
@@ -3188,7 +3218,7 @@ FROM (
   FROM sc{_NB_HOPS} sc
   JOIN nrm n ON n.vec_id = sc.node
   JOIN nrm p ON p.vec_id = sc.probe_id
-  WHERE sc.node <> sc.probe_id
+  WHERE sc.node <> sc.probe_id{result_excl}
 ) WHERE rn <= {_NB_TOPK}
 """
 
@@ -3219,7 +3249,7 @@ def _nsw_bucket_col(t: int, n_planes: int) -> Column:
 def _nsw_edges(
     base: DataFrame,
     *,
-    n_planes: int = _NB_PLANES,
+    n_planes: int | None = None,
     deg: int = _NB_DEG,
     chunk: int = _NB_CHUNK,
 ) -> DataFrame:
@@ -3231,6 +3261,10 @@ def _nsw_edges(
     choose: _nsw_search pins it with an eager localCheckpoint for the
     beam loop; h16_nsw_persisted WRITES it as a versioned txlog table
     instead — the graph index as a lakehouse artifact."""
+    if n_planes is None:
+        # unpinned hash width derives from THIS graph's node count
+        # (plane law floors keep fixture SFs on the authored constant)
+        n_planes = hnsw_plane_schedule(base.count())[0]
     zero = F.lit(0).cast("long")
     num_ab = F.aggregate(
         F.zip_with("qv", "qv2", lambda x, y: x * y), zero, lambda a, x: a + x
@@ -3278,16 +3312,17 @@ def _nsw_search(
     spark: SparkSession,
     sf_dir: str,
     *,
-    n_planes: int = _NB_PLANES,
+    n_planes: int | None = None,
     deg: int = _NB_DEG,
-    beam: int = _NB_BEAM,
-    hops: int = _NB_HOPS,
+    beam: int | None = None,
+    hops: int | None = None,
     topk: int = _NB_TOPK,
     chunk: int = _NB_CHUNK,
     probe_pred: Column | None = None,
     timings: dict | None = None,
     edges_in: DataFrame | None = None,
     graph_pred: Column | None = None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """The NSW build+search pipeline behind h16_nsw_portable, with the
     graph/beam knobs exposed so the scale probe can PIN the probe set
@@ -3302,7 +3337,14 @@ def _nsw_search(
     building edges inline; ``graph_pred`` then restricts the
     warm-start candidates to nodes the pinned snapshot's graph covers
     (its corpus watermark), since an entry node absent from the edge
-    table would strand the beam."""
+    table would strand the beam.
+
+    ``tombstones`` (h16_nsw_deletes) is a (vec_id) frame of logically
+    DELETED nodes: excluded from the probe set and from the final
+    ranked results, but still present as ROUTING nodes in the beam
+    (the Lucene/Vespa deleted-doc semantics — edges through a
+    tombstone stay navigable until a rebuild/compaction physically
+    drops it, so deletes never disconnect the graph)."""
     if probe_pred is None:
         probe_pred = F.col("vec_id") % 100 == 0
     t0 = time.time()
@@ -3316,6 +3358,17 @@ def _nsw_search(
     base = defer_unpersist(
         e.select("vec_id", qv.alias("qv")).withColumn("nn", nn).persist()
     )
+    # knobs not pinned by the caller derive from corpus size (the r13
+    # build-side plane law + the r14 search-side beam law; one count
+    # on the persisted base frame) — the fixture SFs all land on the
+    # authored constants, so oracle hashes are untouched
+    if n_planes is None or beam is None or hops is None:
+        n_rows = base.count()
+        if n_planes is None:
+            n_planes = hnsw_plane_schedule(n_rows)[0]
+        sched_beam, sched_hops = nsw_search_schedule(n_rows)
+        beam = sched_beam if beam is None else beam
+        hops = sched_hops if hops is None else hops
 
     # eager localCheckpoint, not persist: the edge lineage embeds
     # 2 x 4 x 64 hyperplane literals and the bucket self-joins, and the
@@ -3340,6 +3393,16 @@ def _nsw_search(
     probes = base.where(probe_pred).select(
         F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
     )
+    ts = None
+    if tombstones is not None:
+        ts = F.broadcast(
+            tombstones.select(F.col("vec_id").alias("_ts_id")).distinct()
+        )
+        # a deleted user neither queries nor appears — drop doomed
+        # probes here; result exclusion happens at the final rank
+        probes = probes.join(
+            ts, probes["probe_id"] == ts["_ts_id"], "left_anti"
+        )
     tagged0 = base.select("vec_id", _nsw_bucket_col(0, n_planes).alias("bkt"))
     pb = tagged0.where(probe_pred).select(
         F.col("vec_id").alias("probe_id"), "bkt"
@@ -3385,9 +3448,13 @@ def _nsw_search(
         base.select(F.col("vec_id").alias("probe_id"), F.col("nn").alias("np")),
         "probe_id",
     ).select("probe_id", "np")
+    last = scored.where(F.col("node") != F.col("probe_id"))
+    if ts is not None:
+        # tombstoned nodes routed the beam but must never be RETURNED;
+        # excluding BEFORE the rank keeps k live results per probe
+        last = last.join(ts, last["node"] == ts["_ts_id"], "left_anti")
     final = (
-        scored.where(F.col("node") != F.col("probe_id"))
-        .withColumn("rn", F.row_number().over(wb))
+        last.withColumn("rn", F.row_number().over(wb))
         .where(F.col("rn") <= topk)
         .join(F.broadcast(np_), "probe_id")
     )
@@ -3490,6 +3557,64 @@ def hnsw_plane_schedule(n_rows: int) -> tuple[int, int, int]:
     # density at every n, trading bounded extra pair work instead.
     base = _NB_PLANES + int(math.floor(math.log2(grow)))
     return base, max(_HN_P1, base - 3), max(0, base - 6)
+
+
+def _sched_decades(n_rows: int) -> int:
+    """Whole decades of corpus growth past the reference rung —
+    the search laws' shared scale variable. Floor, not round: the
+    fixture SFs (50/500/2,000 rows, all <= the reference rung) must
+    land on the authored constants bit-for-bit, and a fractional
+    decade keeps the CURRENT rung's calibrated knobs rather than
+    paying the next rung's wall early."""
+    import math
+
+    grow = max(1.0, n_rows / _HN_SCHED_REF_ROWS)
+    return int(math.floor(math.log10(grow)))
+
+
+def nsw_search_schedule(n_rows: int) -> tuple[int, int]:
+    """(beam, hops) for the NSW beam search derived from corpus size —
+    the r14 SEARCH-side law completing r13's build-side plane law.
+    Measured basis (tools/scaleprobe_beam_r14.py, PLANS.md r14): at
+    FIXED (beam 12, hops 5) recall falls 0.37 -> 0.27 -> 0.12 across
+    the 1x/10x/100x ladder while the search wall FALLS — the graph's
+    diameter grows ~log n, so the frontier needs one extra HOP per
+    decade to reach the true neighborhood at all, and double the BEAM
+    to hold frontier density against the bigger bucket fan-out.
+    Grid-validated: (12,5)=0.37 @1x, (24,6)=0.52 @10x, (48,7)=0.35
+    @100x — recall restored to the fixture band at ~1.7x the fixed
+    constants' wall (15.2 s vs 8.9 s at 100x, 200k vectors). Floors
+    keep the test SFs on the authored constants (oracle hashes
+    unchanged); a 10^9-vector user inherits beam 384 / hops 10 —
+    production-HNSW-sized ef, derived not guessed."""
+    dec = _sched_decades(n_rows)
+    return _NB_BEAM * (2**dec), _NB_HOPS + dec
+
+
+def hnsw_search_schedule(
+    n_rows: int,
+) -> tuple[tuple[int, int, int], tuple[int, int, int]]:
+    """((b2, b1, b0), (h2, h1, h0)) for the HNSW descent derived from
+    corpus size — the hierarchical half of the r14 search law. The
+    base layer needs a STEEPER beam ramp than NSW (x2 per decade plus
+    one extra doubling): the descent's single global entry lands
+    farther from the probe than NSW's per-probe LSH warm start once
+    the upper layers sparsify, and base hops carry the recovery —
+    measured (tools/scaleprobe_hnswhops_r14.py): base beam 48 / hops
+    7 reads 0.22 at 100x while beam 96 / hops 8 restores 0.37, the
+    1x fixture's recall, at a FALLING wall (11.4 s vs 14.9 s at 1x).
+    Grid-validated: (4,8,12) @1x = 0.38 (probe ran base hops 5; the
+    authored (2,2,3) default is the dec=0 floor the fixtures pin),
+    (8,16,48)+(2,2,6) @10x = 0.63, (8,24,96)+(2,2,8) @100x = 0.37.
+    Upper layers stay cheap (they are ~n/8 and ~n/64 nodes): top
+    beam saturates at 8, mid beam grows linearly."""
+    dec = _sched_decades(n_rows)
+    if dec == 0:
+        return (_HN_B2, _HN_B1, _NB_BEAM), (_HN_H2, _HN_H1, _HN_H0)
+    return (
+        (_HN_B2 * 2, _HN_B1 * (1 + dec), _NB_BEAM * (2 ** (dec + 1))),
+        (_HN_H2, _HN_H1, _HN_H0 + 2 * dec + 1),
+    )
 
 
 def _hn_layer_tables() -> list[tuple[int, int, int, str]]:
@@ -3705,8 +3830,8 @@ def _hnsw_search(
     sf_dir: str,
     *,
     probe_pred: Column | None = None,
-    hops: tuple[int, int, int] = (_HN_H2, _HN_H1, _HN_H0),
-    beams: tuple[int, int, int] = (_HN_B2, _HN_B1, _NB_BEAM),
+    hops: tuple[int, int, int] | None = None,
+    beams: tuple[int, int, int] | None = None,
     topk: int = _NB_TOPK,
     chunk: int = _NB_CHUNK,
     base_planes: int | None = None,
@@ -3747,12 +3872,21 @@ def _hnsw_search(
     # the hyperplane-literal lineage exactly as in _nsw_search.
     l1 = F.col("vec_id") % _HN_L1_MOD == 0
     l2 = F.col("vec_id") % _HN_L2_MOD == 0
+    # knobs not pinned by the caller derive from corpus size (the r12
+    # descent/plane law for the build, the r14 search law for the
+    # descent's beams/hops; one count on the persisted base frame) —
+    # the fixture SFs all land on the authored constants
+    n_rows: int | None = None
+    if beams is None or hops is None:
+        n_rows = base.count()
+        sched_beams, sched_hops = hnsw_search_schedule(n_rows)
+        beams = sched_beams if beams is None else beams
+        hops = sched_hops if hops is None else hops
     if edges_in is None:
-        # knobs not pinned by the caller derive from corpus size (the
-        # r12 descent law; one count on the persisted base frame) —
-        # the fixture SFs all land on the authored constants
         if base_planes is None or l1_planes is None or l2_planes is None:
-            sb, s1, s2 = hnsw_plane_schedule(base.count())
+            sb, s1, s2 = hnsw_plane_schedule(
+                base.count() if n_rows is None else n_rows
+            )
             base_planes = sb if base_planes is None else base_planes
             l1_planes = s1 if l1_planes is None else l1_planes
             l2_planes = s2 if l2_planes is None else l2_planes
@@ -3969,6 +4103,122 @@ def h16_bq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "h16_bq_deletes",
+    section="H16,A3,F5,B4",
+    tags=("ann", "scale"),
+    oracle=_bq_deletes_oracle(),
+)
+def h16_bq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR DELETES through the persisted BQ index (VERDICT r13
+    missing-item 3): the GDPR-removal lifecycle a production vector
+    store must prove — *delete a slice of corpus vectors and the
+    served search never returns them again, at any later version,
+    while time travel still serves the pre-delete snapshot verbatim*.
+
+    Lifecycle, all through the txlog: v0 = the full corpus's sign
+    codes; :func:`txlog.delete_mor` removes the ~10% GDPR slice
+    (``vec_id % 10 = 3``) as DELETION VECTORS — O(matched) positions
+    in the commit entry, zero file rewrites, the Delta/Iceberg
+    position-delete shape — making v1; :func:`txlog.purge_dvs` then
+    re-materializes survivors (v2), physically dropping the deleted
+    rows' bytes (the actual GDPR erasure step; DV-only deletes still
+    hold bytes on disk).
+
+    In-body teeth (explicit raises, survive -O): (1) the v0-pinned
+    search DOES surface doomed ids (time travel intact, and the
+    delete demonstrably changes served results); (2) post-delete
+    serving contains NO deleted id — as candidate or as probe — with
+    the exclusion coming from the DV-subtracted READ, not from any
+    predicate on the search path; (3) v1 (merge-on-read) and v2
+    (purged) serve IDENTICAL results row-for-row; (4) v2 carries no
+    deletion vectors. The returned frame is the post-delete search
+    itself, hash-checked against the BQ pipeline SQL over
+    corpus-minus-slice — deletion correctness as an oracle equality,
+    not an assertion.
+
+    100 TB: the DV path writes O(deleted positions) metadata — a
+    point/slice delete on a ~3 TB code table commits in seconds and
+    serving pays one KB-sized broadcast anti-join until purge; purge
+    rewrites only files that carry vectors. Probes in the deleted
+    slice stop probing automatically (their codes are gone), which is
+    the right GDPR semantics: the erased user neither appears nor
+    queries."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    packed, vecs = _bq_packed(spark, sf_dir)
+    vecs = defer_unpersist(vecs.persist())
+    base_dir = tempfile.mkdtemp(prefix="bq_del_")
+    defer_cleanup(lambda: shutil.rmtree(base_dir, ignore_errors=True))
+    codes_path = os.path.join(base_dir, "codes")
+    txlog.create(packed, codes_path)  # v0: full corpus
+
+    doomed = (F.col("vec_id") % _DEL_MOD == _DEL_REM) | (
+        F.col("probe_id") % _DEL_MOD == _DEL_REM
+    )
+
+    def serve(version: int | None, topk_only: bool = True):
+        codes = txlog.read(spark, codes_path, version=version)
+        out = _bq_search(codes, vecs)
+        if topk_only:
+            out = out.where(F.col("rn") <= _BQ_TOPK)
+        return out.select(
+            "probe_id",
+            "vec_id",
+            "hamming",
+            "num",
+            F.round("cos_raw", 6).alias("cos_q"),
+        )
+
+    # teeth run on the FULL reranked shortlist (the phase-1 served
+    # artifact, _BQ_SHORT rows per probe) — at tiny SFs the final
+    # top-k can legitimately miss a 10% slice, the shortlist cannot
+    pre = serve(0, topk_only=False).localCheckpoint(eager=True)
+    n_doomed_pre = pre.where(doomed).count()
+    if n_doomed_pre == 0:
+        raise AssertionError(
+            "pre-delete serving surfaced no doomed ids — the delete "
+            "tooth would be vacuous"
+        )
+
+    info = txlog.delete_mor(
+        spark, codes_path, f"vec_id % {_DEL_MOD} = {_DEL_REM}"
+    )
+    if info["rows_deleted"] == 0:
+        raise AssertionError("delete_mor matched nothing")
+    # v1: DV-subtracted serving — no deleted id anywhere in the
+    # shortlist, as candidate or as probe
+    n_doomed_post = (
+        serve(None, topk_only=False).where(doomed).count()
+    )
+    if n_doomed_post != 0:
+        raise AssertionError(
+            f"DV-subtracted serving returned {n_doomed_post} deleted rows"
+        )
+    served_mor = serve(None).localCheckpoint(eager=True)
+    # time travel: the PRE-delete snapshot still serves the slice
+    if serve(0, topk_only=False).where(doomed).count() != n_doomed_pre:
+        raise AssertionError("v0 time travel no longer serves the slice")
+
+    txlog.purge_dvs(spark, codes_path)  # v2: survivors re-materialized
+    if txlog.snapshot_dvs(codes_path):
+        raise AssertionError("purged snapshot still carries deletion vectors")
+    served_purged = serve(None).localCheckpoint(eager=True)
+    if (
+        served_purged.count() != served_mor.count()
+        or served_purged.exceptAll(served_mor).count() != 0
+    ):
+        raise AssertionError(
+            "purge changed served results — DV subtraction and physical "
+            "re-materialization disagree"
+        )
+    return served_purged
+
+
 @query("h16_nsw_persisted", section="H16,A3,A1,C2", tags=("ann", "scale"))
 def h16_nsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H16 persisted-index form of the NSW graph: the bounded-degree
@@ -4136,6 +4386,115 @@ FROM (
 JOIN embeddings e ON e.vec_id = d.vec_id
 WHERE d.rn <= {_BQ_TOPK}
 """
+
+
+@query(
+    "h16_nsw_deletes",
+    section="H16,A3,F5,C5",
+    tags=("ann", "scale"),
+    oracle=_nb_oracle(deleted=f"{{col}} % {_DEL_MOD} = {_DEL_REM}"),
+)
+def h16_nsw_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR DELETES through the persisted GRAPH index (VERDICT r13
+    missing-item 3, graph half): tombstone semantics for an adjacency
+    structure, where — unlike the stateless BQ codes — a node cannot
+    simply vanish, because its edges carry OTHER nodes' reachability.
+    The production answer (Lucene HNSW deleted docs, Vespa, Qdrant):
+    deleted nodes stay in the graph as ROUTING nodes and are filtered
+    from results, until a rebuild/compaction physically drops them.
+
+    Lifecycle, all through the txlog: the full-corpus edge table and
+    a NODES CATALOG land as v0; a copy-on-write
+    :func:`txlog.delete` removes the GDPR slice (``vec_id % 10 = 3``)
+    from the catalog — rewriting only the files that hold matches —
+    making v1. Serving derives its tombstone set as *catalog v0
+    EXCEPT catalog v1* (the log is the source of truth, not the
+    delete predicate) and runs :func:`_nsw_search` with
+    ``tombstones=``: doomed probes never enter, doomed nodes still
+    route the beam, and the final rank excludes them BEFORE top-k so
+    every surviving probe keeps k live results.
+
+    In-body teeth (explicit raises, survive -O): (1) the tombstone
+    set is non-empty and exactly the committed delete's row count;
+    (2) pre-delete serving DOES surface doomed ids in its ranked
+    frontier (the delete demonstrably changes serving, and catalog
+    time travel still holds the slice); (3) post-delete serving
+    returns no doomed id as probe or result. The returned frame is
+    the post-delete search itself, hash-checked against the unrolled
+    beam-search SQL over the FULL graph with tombstone-filtered
+    probes and results — routing-through-deleted included in the
+    equality, not assumed.
+
+    100 TB: the catalog delete is a COW rewrite of O(matched files);
+    serving adds one broadcast anti-join of a tombstone id list per
+    query batch. When the tombstone fraction crosses a policy
+    threshold, the drift-rebuild lane (pipeline_ann_drift_rebuild)
+    is the compaction path — rebuild from surviving vectors, new
+    catalog version, tombstone list resets to empty."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
+    )
+    base = defer_unpersist(e.select("vec_id", qv.alias("qv")).persist())
+    base_dir = tempfile.mkdtemp(prefix="nsw_del_")
+    defer_cleanup(lambda: shutil.rmtree(base_dir, ignore_errors=True))
+    edges_path = os.path.join(base_dir, "edges")
+    catalog = os.path.join(base_dir, "nodes")
+    edges = _nsw_edges(base).localCheckpoint(eager=True)
+    txlog.create(edges, edges_path)  # v0: full-corpus adjacency
+    txlog.create(base.select("vec_id"), catalog)  # v0: node catalog
+    n_all = base.count()
+
+    # pre-delete: the ranked beam FRONTIER (top _NB_BEAM per probe —
+    # at tiny SFs the top-k can legitimately miss a 10% slice, the
+    # frontier cannot) must surface doomed ids
+    doomed_node = F.col("vec_id") % _DEL_MOD == _DEL_REM
+    pre = _nsw_search(
+        spark, sf_dir, edges_in=edges, topk=_NB_BEAM
+    ).localCheckpoint(eager=True)
+    n_doomed_pre = pre.where(doomed_node).count()
+    if n_doomed_pre == 0:
+        raise AssertionError(
+            "pre-delete frontier surfaced no doomed ids — the delete "
+            "tooth would be vacuous"
+        )
+
+    info = txlog.delete(
+        spark, catalog, f"vec_id % {_DEL_MOD} = {_DEL_REM}"
+    )
+    if info["rows_deleted"] == 0:
+        raise AssertionError("catalog delete matched nothing")
+    # tombstones from the LOG: v0 catalog minus current catalog
+    tombstones = txlog.read(spark, catalog, version=0).exceptAll(
+        txlog.read(spark, catalog)
+    )
+    n_ts = tombstones.count()
+    if n_ts != info["rows_deleted"]:
+        raise AssertionError(
+            f"tombstone set {n_ts} != committed delete {info['rows_deleted']}"
+        )
+    # catalog time travel still holds the slice
+    if txlog.read(spark, catalog, version=0).count() != n_all:
+        raise AssertionError("v0 catalog time travel lost rows")
+
+    served = _nsw_search(
+        spark, sf_dir, edges_in=edges, tombstones=tombstones
+    ).localCheckpoint(eager=True)
+    bad = served.where(
+        doomed_node | (F.col("probe_id") % _DEL_MOD == _DEL_REM)
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"post-delete serving returned {bad} tombstoned rows"
+        )
+    return served
 
 
 @query("h16_bq_filtered", section="H16,B2,G14", oracle=_bqf_oracle())
@@ -4314,6 +4673,122 @@ def h16_hnsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hn_snapshot_edges(spark: SparkSession, edges_path: str, version: int):
+    """(edges0, edges1, edges2) layer frames of one pinned snapshot of
+    a layer-stamped txlog edge table — the shape _hnsw_search's
+    ``edges_in`` serves from."""
+    from spark_glove_spark.sources import txlog
+
+    snap = txlog.read(spark, edges_path, version=version)
+    return tuple(
+        snap.where(F.col("layer") == i).select("src", "dst")
+        for i in (0, 1, 2)
+    )
+
+
+def _hn_insert_epoch(
+    spark: SparkSession,
+    sf_dir: str,
+    base: DataFrame,
+    edges_path: str,
+    catalog: str,
+    new_lo: int,
+    new_hi: int,
+    version: int,
+) -> int:
+    """Search-then-connect one insert epoch against the CURRENT stored
+    hierarchy (module-level so h16_hnsw_incremental and the r14
+    compaction lane share one implementation): the (new_lo, new_hi]
+    batch beam-descends snapshot ``version - 1`` (entry + expansions
+    watermark-confined), acquires forward edges new->neighbor plus
+    degree-bounded reverse edges neighbor->new per layer, and lands
+    ONE txlog version with its watermark in the catalog. Returns the
+    epoch's new-node count."""
+    from spark_glove_spark.sources import txlog
+
+    l1m = F.col("vec_id") % _HN_L1_MOD == 0
+    l2m = F.col("vec_id") % _HN_L2_MOD == 0
+    newp = (F.col("vec_id") > new_lo) & (F.col("vec_id") <= new_hi)
+    n_new = base.where(newp).count()
+    eds = _hn_snapshot_edges(spark, edges_path, version - 1)
+    covered = F.col("vec_id") <= new_lo
+    lanes = [
+        (0, newp, (_HN_H2, _HN_H1, _HN_H0), _NB_DEG),
+        (1, newp & l1m, (_HN_H2, _HN_H1, 0), _HN_DEG_UP),
+        (2, newp & l2m, (_HN_H2, 0, 0), _HN_DEG_UP),
+    ]
+    parts = []
+    for layer, pred, hops, deg in lanes:
+        # layer 0's membership is the whole epoch (n_new already
+        # counted); only the sparser layers need an emptiness probe
+        if layer == 0:
+            if n_new == 0:
+                continue
+        elif base.where(pred).limit(1).count() == 0:
+            continue  # no new members on this layer this epoch
+        # eager checkpoint: the beam search is the epoch's
+        # expensive job and BOTH the layer-0 coverage tooth and
+        # the final append consume nb — without it the descent
+        # re-executes per consumer
+        nb = _hnsw_search(
+            spark,
+            sf_dir,
+            probe_pred=pred,
+            edges_in=eds,
+            graph_pred=covered,
+            hops=hops,
+            topk=deg,
+        ).localCheckpoint(eager=True)
+        fw = nb.select(
+            F.lit(layer).alias("layer"),
+            F.col("probe_id").alias("src"),
+            F.col("vec_id").alias("dst"),
+            "num",
+        )
+        # reverse edges, degree-bounded per EXISTING node per epoch
+        wrev = Window.partitionBy("vec_id").orderBy(
+            F.col("num").desc(), "probe_id"
+        )
+        rv = (
+            nb.withColumn("rrn", F.row_number().over(wrev))
+            .where(F.col("rrn") <= deg)
+            .select(
+                F.lit(layer).alias("layer"),
+                F.col("vec_id").alias("src"),
+                F.col("probe_id").alias("dst"),
+                "num",
+            )
+        )
+        if layer == 0:
+            got = fw.select("src").distinct().count()
+            if got != n_new:
+                raise AssertionError(
+                    f"epoch v{version}: {got}/{n_new} new nodes "
+                    "acquired layer-0 edges"
+                )
+        parts.append(fw.union(rv))
+    if not parts:
+        raise AssertionError(f"epoch v{version} produced no edges")
+    allnew = parts[0]
+    for p in parts[1:]:
+        allnew = allnew.union(p)
+    allnew = allnew.select("layer", "src", "dst").distinct()
+    # one distinct-shuffle shared by the count and the append (the
+    # underlying beam searches are already checkpointed above)
+    allnew = allnew.localCheckpoint(eager=True)
+    added = allnew.count()
+    txlog.append(allnew, edges_path, operation=f"graph-insert-{version}")
+    txlog.append(
+        spark.createDataFrame(
+            [(version, new_hi, added)],
+            "build_version int, watermark long, edge_rows long",
+        ),
+        catalog,
+        operation=f"graph-insert-{version}",
+    )
+    return n_new
+
+
 @query("h16_hnsw_incremental", section="H16,A3,A5,C2", tags=("ann", "scale"))
 def h16_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H16 INCREMENTAL graph growth (VERDICT r12 item 5): real HNSW
@@ -4399,95 +4874,12 @@ def h16_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def snapshot_edges(version: int):
-        snap = txlog.read(spark, edges_path, version=version)
-        return tuple(
-            snap.where(F.col("layer") == i).select("src", "dst")
-            for i in (0, 1, 2)
-        )
+        return _hn_snapshot_edges(spark, edges_path, version)
 
     def connect(new_lo: int, new_hi: int, version: int) -> int:
-        """Search-then-connect one epoch: returns the epoch's new-node
-        count and appends txlog version ``version`` (its edge count
-        lands in the catalog row)."""
-        newp = (F.col("vec_id") > new_lo) & (F.col("vec_id") <= new_hi)
-        n_new = base.where(newp).count()
-        eds = snapshot_edges(version - 1)
-        covered = F.col("vec_id") <= new_lo
-        lanes = [
-            (0, newp, (_HN_H2, _HN_H1, _HN_H0), _NB_DEG),
-            (1, newp & l1m, (_HN_H2, _HN_H1, 0), _HN_DEG_UP),
-            (2, newp & l2m, (_HN_H2, 0, 0), _HN_DEG_UP),
-        ]
-        parts = []
-        for layer, pred, hops, deg in lanes:
-            # layer 0's membership is the whole epoch (n_new already
-            # counted); only the sparser layers need an emptiness probe
-            if layer == 0:
-                if n_new == 0:
-                    continue
-            elif base.where(pred).limit(1).count() == 0:
-                continue  # no new members on this layer this epoch
-            # eager checkpoint: the beam search is the epoch's
-            # expensive job and BOTH the layer-0 coverage tooth and
-            # the final append consume nb — without it the descent
-            # re-executes per consumer
-            nb = _hnsw_search(
-                spark,
-                sf_dir,
-                probe_pred=pred,
-                edges_in=eds,
-                graph_pred=covered,
-                hops=hops,
-                topk=deg,
-            ).localCheckpoint(eager=True)
-            fw = nb.select(
-                F.lit(layer).alias("layer"),
-                F.col("probe_id").alias("src"),
-                F.col("vec_id").alias("dst"),
-                "num",
-            )
-            # reverse edges, degree-bounded per EXISTING node per epoch
-            wrev = Window.partitionBy("vec_id").orderBy(
-                F.col("num").desc(), "probe_id"
-            )
-            rv = (
-                nb.withColumn("rrn", F.row_number().over(wrev))
-                .where(F.col("rrn") <= deg)
-                .select(
-                    F.lit(layer).alias("layer"),
-                    F.col("vec_id").alias("src"),
-                    F.col("probe_id").alias("dst"),
-                    "num",
-                )
-            )
-            if layer == 0:
-                got = fw.select("src").distinct().count()
-                if got != n_new:
-                    raise AssertionError(
-                        f"epoch v{version}: {got}/{n_new} new nodes "
-                        "acquired layer-0 edges"
-                    )
-            parts.append(fw.union(rv))
-        if not parts:
-            raise AssertionError(f"epoch v{version} produced no edges")
-        allnew = parts[0]
-        for p in parts[1:]:
-            allnew = allnew.union(p)
-        allnew = allnew.select("layer", "src", "dst").distinct()
-        # one distinct-shuffle shared by the count and the append (the
-        # underlying beam searches are already checkpointed above)
-        allnew = allnew.localCheckpoint(eager=True)
-        added = allnew.count()
-        txlog.append(allnew, edges_path, operation=f"graph-insert-{version}")
-        txlog.append(
-            spark.createDataFrame(
-                [(version, new_hi, added)],
-                "build_version int, watermark long, edge_rows long",
-            ),
-            catalog,
-            operation=f"graph-insert-{version}",
+        return _hn_insert_epoch(
+            spark, sf_dir, base, edges_path, catalog, new_lo, new_hi, version
         )
-        return n_new
 
     new1 = connect(w0, w1, 1)
     new2 = connect(w1, w2, 2)
@@ -4568,4 +4960,204 @@ def h16_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit,
         "build_version int, watermark long, edge_rows long,"
         " new_nodes long, n_results long, recall double",
+    )
+
+
+@query("h16_hnsw_compaction", section="H16,A3,F5,E2", tags=("ann", "scale"))
+def h16_hnsw_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style EDGE COMPACTION for the incremental graph lane
+    (r14, VERDICT r13 item 9): insert epochs accrete reverse-edge
+    mass — each epoch may add up to ``deg`` reverse edges per
+    EXISTING node, so after N epochs a popular node's out-degree can
+    reach (N+1) x deg and every beam hop pays the bloat. Real stores
+    run a periodic compaction (Lucene's merge, Qdrant's optimizer):
+    re-rank each node's accumulated edge UNION by exact score and
+    keep the best ``deg``, committing ONE copy-on-write version — no
+    rebuild, no re-search, and time travel to the pre-compaction
+    graph stays intact.
+
+    Lifecycle: v0 full build at the half-corpus watermark, two
+    search-then-connect insert epochs (v1, v2 — the shared
+    :func:`_hn_insert_epoch` machinery), then v3 = compaction: score
+    every stored (layer, src, dst) by the exact integer dot and keep
+    the top-_NB_DEG (base) / top-_HN_DEG_UP (upper) per (layer, src)
+    — two id-joins against the corpus and one window, work ∝ edge
+    rows, never ∝ corpus².
+
+    In-body teeth (explicit raises, survive -O): (1) the degree bound
+    really was exceeded pre-compaction (else the lane is vacuous);
+    (2) compaction strictly reduces edge rows and (3) restores the
+    per-layer degree invariant exactly; (4) served recall moves at
+    most 0.02 from the pre-compaction graph (the kept edges are the
+    STRONGEST — recall is allowed to rise); (5) the pre-compaction
+    snapshot time-travels back row-for-row. Rows-only to the driver
+    (graph lifecycle state); the descent algebra's oracle
+    certification is h16_hnsw_portable.
+
+    100 TB: compaction cost is one scan of the edge table + two
+    broadcast-id fetches and a (layer, src) window — independent of
+    insert history length; the COW commit rewrites only the edge
+    table, and the catalog row makes the optimize visible to serving
+    exactly like Delta's OPTIMIZE."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_glove_spark.sources import txlog
+
+    e = parallelized(table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
+    )
+    zero = F.lit(0).cast("long")
+    nn = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
+    base = defer_unpersist(
+        e.select("vec_id", qv.alias("qv")).withColumn("nn", nn).persist()
+    )
+    hi = int(base.agg(F.max("vec_id")).collect()[0][0])
+    w0, w1, w2 = hi // 2, (3 * hi) // 4, hi
+    base_dir = tempfile.mkdtemp(prefix="hnsw_opt_")
+    defer_cleanup(lambda: shutil.rmtree(base_dir, ignore_errors=True))
+    edges_path = os.path.join(base_dir, "edges")
+    catalog = os.path.join(base_dir, "catalog")
+    l1m = F.col("vec_id") % _HN_L1_MOD == 0
+    l2m = F.col("vec_id") % _HN_L2_MOD == 0
+
+    sub = base.where(F.col("vec_id") <= w0)
+    pb, p1, p2 = hnsw_plane_schedule(sub.count())
+    v0 = (
+        _hn_edge_table(sub, 0, pb, _NB_DEG)
+        .union(_hn_edge_table(sub, 1, pb, _NB_DEG))
+        .distinct()
+        .select(F.lit(0).alias("layer"), "src", "dst")
+        .union(
+            _hn_edge_table(sub, _HN_T1, p1, _HN_DEG_UP, l1m).select(
+                F.lit(1).alias("layer"), "src", "dst"
+            )
+        )
+        .union(
+            _hn_edge_table(sub, _HN_T2, p2, _HN_DEG_UP, l2m).select(
+                F.lit(2).alias("layer"), "src", "dst"
+            )
+        )
+    )
+    txlog.create(v0, edges_path)
+    txlog.create(
+        spark.createDataFrame(
+            [(0, w0, txlog.read(spark, edges_path).count())],
+            "build_version int, watermark long, edge_rows long",
+        ),
+        catalog,
+    )
+    _hn_insert_epoch(spark, sf_dir, base, edges_path, catalog, w0, w1, 1)
+    _hn_insert_epoch(spark, sf_dir, base, edges_path, catalog, w1, w2, 2)
+
+    deg_cap = F.when(F.col("layer") == 0, F.lit(_NB_DEG)).otherwise(
+        F.lit(_HN_DEG_UP)
+    )
+    pre = txlog.read(spark, edges_path)
+    pre_rows = pre.count()
+    degs = pre.groupBy("layer", "src").agg(F.count(F.lit(1)).alias("deg"))
+    over = degs.where(F.col("deg") > deg_cap).count()
+    if over == 0:
+        raise AssertionError(
+            "no node exceeded its degree bound after two insert epochs "
+            "— the compaction tooth would be vacuous"
+        )
+
+    # --- v3: the compaction itself — re-rank each node's union to
+    # top-deg by exact integer dot, ONE copy-on-write commit ---
+    num_e = F.aggregate(
+        F.zip_with("sq", "dq", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    scored = (
+        pre.join(base.select(F.col("vec_id").alias("src"), F.col("qv").alias("sq")), "src")
+        .join(base.select(F.col("vec_id").alias("dst"), F.col("qv").alias("dq")), "dst")
+        .select("layer", "src", "dst", num_e.alias("num"))
+    )
+    wdeg = Window.partitionBy("layer", "src").orderBy(F.col("num").desc(), "dst")
+    kept = (
+        scored.withColumn("rn", F.row_number().over(wdeg))
+        .where(F.col("rn") <= deg_cap)
+        .select("layer", "src", "dst")
+    )
+    txlog.overwrite(kept, edges_path)
+    txlog.append(
+        spark.createDataFrame(
+            [(3, w2, txlog.read(spark, edges_path).count())],
+            "build_version int, watermark long, edge_rows long",
+        ),
+        catalog,
+        operation="graph-compaction",
+    )
+    post = txlog.read(spark, edges_path)
+    post_rows = post.count()
+    if post_rows >= pre_rows:
+        raise AssertionError(
+            f"compaction did not reduce edges: {pre_rows} -> {post_rows}"
+        )
+    still_over = (
+        post.groupBy("layer", "src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") > deg_cap)
+        .count()
+    )
+    if still_over:
+        raise AssertionError(
+            f"{still_over} nodes still exceed the degree bound "
+            "post-compaction"
+        )
+    # time travel: the pre-compaction snapshot reads back row-for-row
+    pre_version = txlog.current_version(edges_path) - 1
+    if txlog.read(spark, edges_path, version=pre_version).count() != pre_rows:
+        raise AssertionError("pre-compaction snapshot no longer time-travels")
+
+    # --- recall before/after within 0.02 (allowed to rise) ---
+    probes = base.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
+    )
+    num_x = F.aggregate(
+        F.zip_with("qv", "qp", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    wx = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), "vec_id")
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in base.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (num_x.cast("double") / F.sqrt(F.col("nn").cast("double"))).alias(
+                "s"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wx))
+        .where(F.col("rn") <= _NB_TOPK)
+        .collect()
+    }
+
+    def recall_at(version: int) -> float:
+        got = {
+            (r["probe_id"], r["vec_id"])
+            for r in _hnsw_search(
+                spark,
+                sf_dir,
+                edges_in=_hn_snapshot_edges(spark, edges_path, version),
+            ).collect()
+        }
+        return round(len(got & exact) / max(len(exact), 1), 4)
+
+    r_pre = recall_at(pre_version)
+    r_post = recall_at(pre_version + 1)
+    if r_pre - r_post > 0.02:
+        raise AssertionError(
+            f"compaction cost recall {r_pre} -> {r_post} (> 0.02 budget)"
+        )
+    return spark.createDataFrame(
+        [
+            ("pre_compaction", pre_rows, int(over), r_pre),
+            ("post_compaction", post_rows, 0, r_post),
+        ],
+        "phase string, edge_rows long, nodes_over_degree long, recall double",
     )

@@ -898,3 +898,41 @@ def test_hnsw_plane_schedule_law():
         cur = hnsw_plane_schedule(n)
         assert all(c >= p for c, p in zip(cur, prev)), (n, cur, prev)
         prev = cur
+
+
+def test_graph_search_schedule_laws():
+    """The r14 SEARCH-side laws (VERDICT r13 item 3), grid-calibrated
+    by tools/scaleprobe_beam_r14.py + scaleprobe_hnswhops_r14.py:
+    NSW beam doubles and hops gain one per decade of corpus growth
+    past the 2,000-row reference rung (measured recall 0.37/0.52/0.35
+    at 1x/10x/100x vs 0.37/0.27/0.12 at fixed constants); HNSW's base
+    beam ramps one doubling steeper because the descent's single
+    global entry degrades faster than NSW's LSH warm start (measured
+    0.38/0.63/0.37 vs 0.15 fixed at 100x). Floors keep every test SF
+    on the authored constants, so all oracle hashes are unchanged."""
+    from spark_glove_spark.operators.ann import (
+        hnsw_search_schedule,
+        nsw_search_schedule,
+    )
+
+    # fixture SFs (50/500/2,000 rows): authored constants, bit-for-bit
+    for n in (1, 50, 500, 2_000):
+        assert nsw_search_schedule(n) == (12, 5), n
+        assert hnsw_search_schedule(n) == ((4, 8, 12), (2, 2, 3)), n
+    # the calibrated ladder rungs
+    assert nsw_search_schedule(20_000) == (24, 6)
+    assert nsw_search_schedule(200_000) == (48, 7)
+    assert hnsw_search_schedule(20_000) == ((8, 16, 48), (2, 2, 6))
+    assert hnsw_search_schedule(200_000) == ((8, 24, 96), (2, 2, 8))
+    # fractional decades keep the current rung's knobs (floor-not-round)
+    assert nsw_search_schedule(199_999) == (24, 6)
+    # a 10^9-vector user inherits production-sized ef, derived
+    assert nsw_search_schedule(1_000_000_000) == (12 * 2**5, 10)
+    b, h = hnsw_search_schedule(1_000_000_000)
+    assert b == (8, 8 * 6, 12 * 2**6) and h == (2, 2, 14)
+    # monotone non-decreasing in n (both laws, every knob)
+    prev_b, prev_h = (0, 0), 0
+    for n in (1, 2_000, 20_001, 2 * 10**5, 10**7, 10**9):
+        beam, hops = nsw_search_schedule(n)
+        assert beam >= prev_b[0] and hops >= prev_h, n
+        prev_b, prev_h = (beam, beam), hops
