@@ -63,7 +63,16 @@ def _resolved_rows(container: str, reader_fields: list[tuple[str, str, bool]]):
     long->float/double, float->double, string<->bytes) and raises
     loudly otherwise (ADVICE r12: never flow wrongly-typed values
     into Spark). Shared by the batch and streaming readers so both
-    lanes carry identical compatibility semantics."""
+    lanes carry identical compatibility semantics.
+
+    Fast path (ADVICE r13): a container whose writer schema already
+    matches the reader name-for-name with no promotions and no
+    null-narrowing yields rows verbatim — zero per-cell work. Any
+    resolution (reorder, promotion, or a nullable-writer field read
+    under a non-null reader field) switches the WHOLE container to
+    the projecting path; the per-row null proof runs only for the
+    narrowed fields, and a writer field that is itself non-nullable
+    never pays it (its schema is the proof)."""
     from spark_glove_spark.functions.avroio import read_ocf
 
     writer_fields, rows = read_ocf(container)

@@ -705,8 +705,6 @@ R13_REGREEN: tuple[str, ...] = (
     "h13_minhash_portable",
 )
 
-DRIVER_PRIORITY = R13_REMAINDER + R13_NEW + R13_REGREEN
-
 # Round-14 remainder: queries built AFTER the r13 window froze land
 # here, same discipline as the prior remainders.
 #   a41_avro_decimal — the spec's decimal logical type (unscaled
@@ -722,6 +720,108 @@ R14_REMAINDER: tuple[str, ...] = (
     "a41_avro_decimal",
     "h5_glove_warmstart",
 )
+
+# Round-14 build (VERDICT r13 items 3, 4, 5, 6, 9): vector deletes,
+# the search-side beam law's lanes, Avro nested records, streaming
+# training continuation, and graph compaction.
+#   a42_avro_nested_struct — one-level record-in-record (concatenated
+#     member encodings per spec) with a nullable decimal + string
+#     member inside the struct (ORACLE-checked at 3 SFs; spec
+#     worked-example + depth-guard teeth in tests/test_avro.py)
+#   h16_bq_deletes — GDPR slice through the persisted BQ index:
+#     deletion-vector delete -> DV-subtracted serving -> purge; the
+#     returned post-delete search is ORACLE-checked against the BQ
+#     pipeline SQL over corpus-minus-slice at 3 SFs; time-travel +
+#     purge-equality teeth in-body
+#   h16_nsw_deletes — tombstone semantics for the graph index:
+#     catalog COW delete, tombstones derived from the LOG (v0 EXCEPT
+#     current), deleted nodes still ROUTE but never return, doomed
+#     probes never enter; ORACLE-checked against the unrolled beam
+#     SQL with tombstone-filtered probes/results at 3 SFs
+#   i30_streaming_glove_continuation — corpus slices arrive as
+#     micro-batches; each epoch fits from the accumulated corpus with
+#     initial_state=prev and commits the full optimizer state
+#     idempotently; in-body teeth: re-fired epoch is a no-op, and the
+#     streamed final state is bit-identical at 9 dp to the same
+#     schedule run in batch (rows-only; the h5 equality, streamed)
+#   h16_hnsw_compaction — OPTIMIZE for the insert lane: re-rank each
+#     node's accreted edge union to top-deg by exact dot, one COW
+#     version; teeth: degree bound provably exceeded before, restored
+#     after, edge rows reduced, recall within 0.02, pre-compaction
+#     snapshot time-travels (rows-only)
+R14_NEW: tuple[str, ...] = (
+    "a42_avro_nested_struct",
+    "h16_bq_deletes",
+    "h16_nsw_deletes",
+    "i30_streaming_glove_continuation",
+    "h16_hnsw_compaction",
+)
+
+# Round-14 re-certification at r14 HEAD: (a) the whole Avro family —
+# avroio.py gained the nested-record codec paths and the ADVICE r13
+# fixes (guarded inner-type lookups, aware-datetime UTC conversion)
+# beneath every lane; (b) the graph/BQ ANN family — ann.py gained the
+# derived search schedules (all unpinned beam/hop/plane knobs now
+# flow through nsw_search_schedule / hnsw_search_schedule /
+# hnsw_plane_schedule), the _bq_with oracle CTE grew the corpus_where
+# parameter under h16_bq_portable/h15_retrieval_metrics, _nsw_search
+# grew the tombstone hook, and the incremental lane's epoch connect
+# moved to the shared _hn_insert_epoch; (c) the GloVe pipeline
+# signature (standing re-cert — i30 rides the same trainer).
+R14_REGREEN: tuple[str, ...] = (
+    # Avro family (codec beneath them changed)
+    "a35_avro_roundtrip",
+    "a36_avro_schema_evolution",
+    "a37_avro_array_roundtrip",
+    "a38_avro_map_enum_roundtrip",
+    "a39_avro_type_promotion",
+    "a40_avro_logical_types",
+    "i26_streaming_avro_ingest",
+    "i28_streaming_avro_evolution",
+    "i29_streaming_avro_egress",
+    # graph + BQ ANN family (search schedules + oracle CTE changes)
+    "h16_nsw_portable",
+    "h16_hnsw_portable",
+    "h16_nsw_persisted",
+    "h16_hnsw_persisted",
+    "h16_hnsw_incremental",
+    "h16_bq_portable",
+    "h16_bq_persisted",
+    "h16_bq_filtered",
+    "h15_retrieval_metrics",
+    "i23_streaming_ann_ingest",
+    "i24_streaming_bq_ingest",
+    "i25_streaming_index_quality",
+    "pipeline_ann_index_lifecycle",
+    "pipeline_ann_drift_rebuild",
+    "pipeline_rag_serving",
+    # IVF/PQ + exact-search families (share the probe corpus + the
+    # schedule reference; cheap certification, window has room)
+    "h16_ivf_portable",
+    "h16_ivf_persisted",
+    "h16_ivf_filtered",
+    "h16_ivfpq_portable",
+    "h16_ivfpq_persisted",
+    "h16_ivfpq_filtered",
+    "h16_pq_portable",
+    "h16_opq_portable",
+    "h16_lsh_portable",
+    "h16_int8_quant",
+    "h15_knn_bruteforce",
+    "h15_maxsim",
+    "h15_rrf_fusion",
+    "h15_hybrid_retrieval",
+    # GloVe pipeline signature (standing re-cert; i30 shares the
+    # trainer and state machinery)
+    "h3_cooccurrence_topk",
+    "h5_glove_fit_micro",
+    "h6_export_portable",
+    "h7_topk_cosine",
+    # dedup signature anchor
+    "h13_minhash_portable",
+)
+
+DRIVER_PRIORITY = R14_REMAINDER + R14_NEW + R14_REGREEN
 
 
 def driver_key(rank: int, name: str) -> str:
