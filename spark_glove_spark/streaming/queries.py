@@ -1526,14 +1526,17 @@ def _curate_tables_init(spark: SparkSession, docs: DataFrame, base: str) -> dict
         "cur": os.path.join(base, "curated"),
         "mon": os.path.join(base, "monitor"),
     }
+    # create_empty (r14): schema-only creates via pyarrow — the four
+    # zero-row Spark write jobs this used to pay were pure fixed
+    # overhead on the benched entry's clock
     sh_empty = portable_shingles(docs.select("doc_id", "text").limit(0))
-    txlog.create(sh_empty.coalesce(1), tables["sh"])
-    txlog.create(portable_band_buckets(sh_empty).coalesce(1), tables["bk"])
-    txlog.create(
+    txlog.create_empty(sh_empty, tables["sh"])
+    txlog.create_empty(portable_band_buckets(sh_empty), tables["bk"])
+    txlog.create_empty(
         spark.createDataFrame([], "doc_id long, lang string, n int"),
         tables["cur"],
     )
-    txlog.create(
+    txlog.create_empty(
         spark.createDataFrame(
             [], "lang string, n_docs long, total_tokens long"
         ),
@@ -1893,8 +1896,8 @@ def i23_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", base, "vec_id long, embedding array<float>, label int"
     )
     lists_tbl = os.path.join(base, "lists")
-    txlog.create(
-        e.limit(0).withColumn("list_id", F.lit(0)).coalesce(1), lists_tbl
+    txlog.create_empty(
+        e.limit(0).withColumn("list_id", F.lit(0)), lists_tbl
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -2304,7 +2307,7 @@ def i30_streaming_glove_continuation(
     )
     corpus_tbl = os.path.join(base, "corpus")
     state_tbl = os.path.join(base, "state")
-    txlog.create(docs.limit(0), corpus_tbl)
+    txlog.create_empty(docs.limit(0), corpus_tbl)
     cfg = dict(dim=2, window=2, min_count=5, eta=0.2, init="grid", iterations=1)
     epoch_losses: dict[int, float] = {}
 
