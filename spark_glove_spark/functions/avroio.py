@@ -45,7 +45,12 @@ Wire format implemented here, byte for byte:
   16-byte sync marker; then data blocks of (object count, byte size,
   payload, sync) — spec "Object Container Files". The deflate codec
   is RFC 1951 RAW deflate (no zlib header/checksum): zlib with
-  wbits=-15 on both sides.
+  wbits=-15 on both sides. The snappy codec (spec "Required Codecs /
+  snappy") is the snappy BLOCK format followed by the 4-byte
+  BIG-endian CRC32 of the UNCOMPRESSED block payload; the block
+  format itself lives in functions/snappy.py (pure-Python, decoder
+  complete for foreign files, writer emits spec-valid literal
+  framing — deflate stays the compressing default).
 """
 
 from __future__ import annotations
@@ -56,8 +61,10 @@ import struct
 import zlib
 from typing import Iterable, Iterator
 
+from spark_glove_spark.functions import snappy as _snappy
+
 MAGIC = b"Obj\x01"
-_CODECS = ("null", "deflate")
+_CODECS = ("null", "deflate", "snappy")
 
 # Spark simpleString type -> Avro primitive for the supported subset
 SPARK_TO_AVRO = {
@@ -713,6 +720,11 @@ def write_ocf(
             if codec == "deflate":
                 co = zlib.compressobj(9, zlib.DEFLATED, -15)  # RFC1951 raw
                 payload = co.compress(payload) + co.flush()
+            elif codec == "snappy":
+                # spec: snappy block + 4-byte big-endian CRC32 of the
+                # UNCOMPRESSED data
+                crc = zlib.crc32(payload) & 0xFFFFFFFF
+                payload = _snappy.compress(payload) + crc.to_bytes(4, "big")
             blk = io.BytesIO()
             write_long(blk, len(batch))
             write_long(blk, len(payload))
@@ -775,6 +787,17 @@ def read_ocf(path: str) -> tuple[list[tuple[str, str, bool]], Iterator[tuple]]:
                     raise EOFError("block payload truncated")
                 if codec == "deflate":
                     payload = zlib.decompress(payload, wbits=-15)
+                elif codec == "snappy":
+                    if size < 4:
+                        raise ValueError("snappy block too short for CRC")
+                    comp, tail = payload[:-4], payload[-4:]
+                    payload = _snappy.decompress(comp)
+                    if zlib.crc32(payload) & 0xFFFFFFFF != int.from_bytes(
+                        tail, "big"
+                    ):
+                        raise ValueError(
+                            "snappy CRC mismatch (corrupt block)"
+                        )
                 if f.read(16) != sync:
                     raise ValueError("sync marker mismatch (corrupt block)")
                 body = io.BytesIO(payload)

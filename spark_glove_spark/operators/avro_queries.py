@@ -1150,3 +1150,67 @@ def a42_avro_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("profile.pp").alias("pp_min"),
     )
     return res.localCheckpoint(eager=True)
+
+
+@query(
+    "a43_avro_snappy",
+    section="A1,A3,D1",
+    tags=("io",),
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(length(text)) AS BIGINT) AS char_sum,
+       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+         AS text_sum
+FROM documents
+GROUP BY 1
+""",
+)
+def a43_avro_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro SNAPPY codec, fully ORACLE-checked THROUGH the format
+    (spec "Required Codecs / snappy": snappy-block-format payload +
+    4-byte big-endian CRC32 of the uncompressed data). The snappy
+    block format itself is implemented from the public format
+    description in functions/snappy.py — pure Python, stdlib-only,
+    decoder complete (all tag kinds, overlapping-copy RLE) so
+    containers written by foreign conformant writers decode; the
+    writer emits spec-valid literal framing (matching in Python would
+    put a per-byte loop on the write path; deflate stays the
+    compressing default — snappy here is the INTEROP codec, the one
+    Kafka-adjacent Avro pipelines actually ship).
+
+    Documents (the natural-text table — real string traffic through
+    the byte-exact CRC) ride snappy containers and come back through
+    the registered DataSource; the per-lang aggregate sums an
+    md5-derived long per text, so ONE flipped or duplicated byte in
+    any block moves the hash. Wire-level teeth (format vectors,
+    copy-tag decodes, malformed-input raises, CRC corruption,
+    greedy-compressed foreign blocks) live in tests/test_avro.py.
+
+    100 TB: identical plan shape to a35 — embarrassingly parallel
+    container-per-partition write, split-per-container read, d1-shape
+    aggregate; the CRC check is a per-block O(bytes) pass inside the
+    task, no coordination."""
+    import shutil
+    import tempfile
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    ).repartition(4)
+    path = tempfile.mkdtemp(prefix="sgs_avro_snappy_")
+    defer_cleanup(lambda: shutil.rmtree(path, ignore_errors=True))
+    write_avro(d, path, codec="snappy")
+    _register_avro(spark)
+    back = spark.read.format("sgs_avro").option("path", path).load()
+    res = back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum(F.length("text")).cast("long").alias("char_sum"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        )
+        .cast("long")
+        .alias("text_sum"),
+    )
+    return res.localCheckpoint(eager=True)

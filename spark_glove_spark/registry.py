@@ -821,6 +821,20 @@ R14_REGREEN: tuple[str, ...] = (
     "h13_minhash_portable",
 )
 
+# Round-15 remainder: queries built AFTER the r14 window froze
+# (fc05822 rotated the window before these landed), same post-freeze
+# discipline as every prior remainder — each is parity-verified at
+# two+ SFs when it lands and leads the NEXT rotation.
+#   a43_avro_snappy — the spec's snappy codec (block-format payload +
+#     big-endian CRC32 of the uncompressed bytes; functions/snappy.py
+#     implements the public block format stdlib-only, decoder
+#     complete for foreign files); documents through snappy
+#     containers, ORACLE-checked at 3 SFs, wire teeth in
+#     tests/test_avro.py
+R15_REMAINDER: tuple[str, ...] = (
+    "a43_avro_snappy",
+)
+
 DRIVER_PRIORITY = R14_REMAINDER + R14_NEW + R14_REGREEN
 
 

@@ -240,7 +240,7 @@ def test_resolution_promotes_along_the_spec_table(tmp_path):
     assert list(_resolved_rows(p2, [("b", "string", False)])) == [("xy",)]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_ocf_roundtrip(tmp_path, codec):
     fields = [("k", "long", False), ("name", "string", True), ("x", "double", False)]
     rows = [(i, None if i % 3 == 0 else f"n{i}", i * 0.25) for i in range(-50, 5000)]
@@ -556,3 +556,130 @@ def test_struct_spark_type_mapping():
     )
     with pytest.raises(NotImplementedError):
         avroio.spark_type_to_avro("struct<a:struct<b:long>>")
+
+
+# --- snappy codec (functions/snappy.py + OCF integration) ----------
+# The snappy BLOCK format (google/snappy format_description.txt) has
+# no worked byte examples in its description, so the vectors below
+# are hand-derived from its rules: preamble = uncompressed length as
+# LE base-128 varint; tag low bits 00=literal (len-1 in the upper 6
+# bits, 60..63 switch to 1..4 extra LE length bytes), 01=copy with
+# len 4..11 and an 11-bit offset split (3 bits in the tag, 1 byte
+# following), 10=copy with len 1..64 and a 2-byte LE offset.
+
+from spark_glove_spark.functions import snappy  # noqa: E402
+
+
+def test_snappy_literal_wire_form():
+    # "abc" -> preamble 0x03, tag (3-1)<<2 = 0x08, then the bytes
+    assert snappy.compress(b"abc") == b"\x03\x08abc"
+    assert snappy.decompress(b"\x03\x08abc") == b"abc"
+    # 100-byte literal: len-1=99 >= 60 -> tag 60<<2=0xF0, 1 LE byte
+    body = bytes(range(100))
+    assert snappy.compress(body) == b"\x64\xf0\x63" + body
+
+
+def test_snappy_copy_tags_decode():
+    # 1-byte-offset copy: "a" then (off=1, len=7) -> "a"*8, the
+    # overlapping-copy RLE idiom. tag = 0b01 | (len-4)<<2 | (off>>8)<<5
+    stream = b"\x08" + b"\x00a" + bytes([0x01 | (3 << 2), 0x01])
+    assert snappy.decompress(stream) == b"a" * 8
+    # 2-byte-offset copy: "abcd" then (off=4, len=4) -> "abcdabcd"
+    stream = b"\x08" + b"\x0cabcd" + bytes([0x02 | (3 << 2), 0x04, 0x00])
+    assert snappy.decompress(stream) == b"abcdabcd"
+
+
+def test_snappy_rejects_malformed():
+    for bad, why in [
+        (b"\x02\x00a" + bytes([0x01 | (0 << 2), 0x00]), "zero.*offset"),
+        (b"\x09\x00a" + bytes([0x01 | (3 << 2), 0x05]), "before window"),
+        (b"\x05\x08abc", "output.*!= preamble"),
+        (b"\x03\x0cabc", "truncated literal"),
+        (b"\x80", "truncated preamble"),
+    ]:
+        with pytest.raises(ValueError, match=why):
+            snappy.decompress(bad)
+
+
+def test_snappy_greedy_roundtrips_and_compresses():
+    data = (b"the quick brown fox. " * 400) + bytes(range(256)) * 4
+    enc = snappy.compress(data, "greedy")
+    assert snappy.decompress(enc) == data
+    assert len(enc) < len(data) // 2  # repetitive input really shrinks
+    # literal mode: spec-valid, never shrinks, always roundtrips
+    lit = snappy.compress(data, "literal")
+    assert snappy.decompress(lit) == data
+    assert len(lit) >= len(data)
+
+
+def test_snappy_ocf_structure_and_crc(tmp_path):
+    """Avro framing: compressed block ends in the 4-byte BIG-endian
+    CRC32 of the UNCOMPRESSED payload (spec 'Required Codecs')."""
+    fields = [("k", "long", False)]
+    path = str(tmp_path / "sn.avro")
+    avroio.write_ocf(path, [(i,) for i in range(10)], fields, codec="snappy")
+    f = open(path, "rb")
+    _, codec, sync = avroio.read_header(f)
+    assert codec == "snappy"
+    count = avroio.read_long(f)
+    size = avroio.read_long(f)
+    payload = f.read(size)
+    assert count == 10
+    raw = snappy.decompress(payload[:-4])
+    assert int.from_bytes(payload[-4:], "big") == zlib.crc32(raw)
+    body = io.BytesIO(raw)
+    assert [avroio.read_value(body, "long", False) for _ in range(10)] == list(
+        range(10)
+    )
+    assert f.read(16) == sync
+
+
+def test_snappy_ocf_crc_corruption_detected(tmp_path):
+    fields = [("k", "long", False)]
+    path = str(tmp_path / "snc.avro")
+    avroio.write_ocf(path, [(i,) for i in range(100)], fields, codec="snappy")
+    raw = bytearray(open(path, "rb").read())
+    raw[-21] ^= 0xFF  # a CRC byte (last block: ...crc4 | sync16)
+    open(path, "wb").write(bytes(raw))
+    _, it = avroio.read_ocf(path)
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        list(it)
+
+
+def test_snappy_ocf_reads_foreign_greedy_blocks(tmp_path):
+    """A conformant writer may emit copy-bearing streams; the reader
+    must accept them (the greedy encoder stands in for 'foreign')."""
+    fields = [("k", "long", False), ("s", "string", False)]
+    rows = [(i, f"tok-{i % 5}") for i in range(200)]
+    body = io.BytesIO()
+    for r in rows:
+        for (_, t, nl), v in zip(fields, r):
+            avroio.write_value(body, t, nl, v)
+    raw = body.getvalue()
+    payload = snappy.compress(raw, "greedy") + zlib.crc32(raw).to_bytes(
+        4, "big"
+    )
+    assert len(payload) < len(raw)  # the block really carries copies
+    path = str(tmp_path / "fg.avro")
+    with open(path, "wb") as out:
+        out.write(avroio.MAGIC)
+        head = io.BytesIO()
+        avroio.write_long(head, 2)
+        for k, v in [
+            ("avro.codec", b"snappy"),
+            ("avro.schema", avroio.schema_json(fields).encode()),
+        ]:
+            avroio.write_value(head, "string", False, k)
+            avroio.write_value(head, "bytes", False, v)
+        avroio.write_long(head, 0)
+        out.write(head.getvalue())
+        out.write(b"S" * 16)
+        blk = io.BytesIO()
+        avroio.write_long(blk, len(rows))
+        avroio.write_long(blk, len(payload))
+        out.write(blk.getvalue())
+        out.write(payload)
+        out.write(b"S" * 16)
+    got_fields, it = avroio.read_ocf(path)
+    assert got_fields == fields
+    assert list(it) == rows

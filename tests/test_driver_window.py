@@ -6,16 +6,17 @@ the contract that keeps the engine's signature surface inside that
 window, so a future alphabetically-early addition can't silently evict
 e.g. h5_glove_fit from driver verification.
 
-Round-12 semantics (VERDICT r11 items 1-5): the window is
-R12_REMAINDER (the eight r11 post-freeze additions — the only
-registered queries with zero driver records after eleven rounds) +
-R12_NEW (built this round: the HNSW hierarchy, persisted BQ/NSW
-artifacts, the RAG serving capstone) + R12_REGREEN (deliberate
-re-certification at r12 HEAD of the txlog demos the scalar-bound
-fusion touched, the whole ANN family ann.py changed under, the GloVe
-signature, and the dedup/capstone anchors). The partition guard
-distinguishes "wasted slot" (an already-checked name NOT declared as
-a re-green) from the explicit R12_REGREEN tuple.
+Round-14 semantics (VERDICT r13 items 1, 3-6, 9): the window is
+R14_REMAINDER (the two r13 post-freeze additions — the only
+registered queries with zero driver records after thirteen rounds) +
+R14_NEW (built this round: Avro nested records, the BQ/NSW vector
+delete lanes, streaming GloVe continuation, HNSW edge compaction) +
+R14_REGREEN (deliberate re-certification at r14 HEAD of the Avro
+family the nested-codec/ADVICE changes sit beneath, the graph/BQ ANN
+family the derived search schedules changed under, and the GloVe/
+dedup signature). The partition guard distinguishes "wasted slot"
+(an already-checked name NOT declared as a re-green) from the
+explicit R14_REGREEN tuple. R15_REMAINDER catches post-freeze work.
 
 No SparkSession needed — these are pure registry-shape checks.
 """
@@ -37,7 +38,10 @@ from spark_glove_spark.registry import (
     R13_NEW,
     R13_REGREEN,
     R13_REMAINDER,
+    R14_NEW,
+    R14_REGREEN,
     R14_REMAINDER,
+    R15_REMAINDER,
     driver_key,
     original_name,
 )
@@ -126,6 +130,7 @@ ALL_RECORDS = (
     "CORRECTNESS_r10",
     "CORRECTNESS_r11",
     "CORRECTNESS_r12",
+    "CORRECTNESS_r13",
 )
 
 
@@ -156,76 +161,73 @@ def test_r12_window_landed_green():
         assert n in checked, f"r12 rotation name missing from record: {n}"
 
 
+def test_r13_window_landed_green():
+    """Same guard at r13: the record must show the r13 remainder + the
+    r13-built queries green (or best-possible rows-only)."""
+    checked = _driver_checked(("CORRECTNESS_r13",))
+    for n in R13_REMAINDER + R13_NEW:
+        assert n in checked, f"r13 rotation name missing from record: {n}"
+
+
 def test_window_slots_are_new_work_or_declared_regreens():
     """Every window slot is either a query with NO driver record in
-    any prior round (closing the evidence gap: R13_REMAINDER + the
-    r13-built queries) or an EXPLICIT member of R13_REGREEN
-    (re-certifying the signature surface at r13 HEAD). An
-    already-checked name outside R13_REGREEN is a wasted slot; an
-    unchecked name inside R13_REGREEN would be new coverage
+    any prior round (closing the evidence gap: R14_REMAINDER + the
+    r14-built queries) or an EXPLICIT member of R14_REGREEN
+    (re-certifying the signature surface at r14 HEAD). An
+    already-checked name outside R14_REGREEN is a wasted slot; an
+    unchecked name inside R14_REGREEN would be new coverage
     masquerading as a re-green."""
     checked = _driver_checked(ALL_RECORDS)
     stale = [
-        n for n in DRIVER_PRIORITY if n in checked and n not in R13_REGREEN
+        n for n in DRIVER_PRIORITY if n in checked and n not in R14_REGREEN
     ]
     assert not stale, f"already-checked slots not declared as regreens: {stale}"
-    fake = [n for n in R13_REGREEN if n not in checked]
-    assert not fake, f"R13_REGREEN names without a prior green record: {fake}"
+    fake = [n for n in R14_REGREEN if n not in checked]
+    assert not fake, f"R14_REGREEN names without a prior green record: {fake}"
 
 
 def test_window_covers_the_rotation_waves():
-    """The r13 rotation carries the VERDICT r12 mandates: R13_REMAINDER
-    leads in its pre-committed order (item 1 — the only five queries
-    without a driver record after twelve rounds); R13_NEW (the Avro
-    complex-type lanes and the incremental HNSW insert lane — items
-    3, 5, 9) follows; and the re-green slate covers the ANN family
-    ann.py changed under, the a35 anchor over the extended codec, and
-    the GloVe/dedup signature."""
-    assert DRIVER_PRIORITY[: len(R13_REMAINDER)] == R13_REMAINDER
-    assert R13_REMAINDER == (
-        "h16_bq_filtered",
-        "i26_streaming_avro_ingest",
-        "i27_streaming_rag_ingest",
-        "h16_hnsw_persisted",
-        "a36_avro_schema_evolution",
+    """The r14 rotation carries the VERDICT r13 mandates: R14_REMAINDER
+    leads in its pre-committed order (item 1 — the only two queries
+    without a driver record after thirteen rounds); R14_NEW (the
+    nested-record lane, the two vector-delete lanes, the streaming
+    training continuation, edge compaction — items 3-6, 9) follows;
+    and the re-green slate covers the Avro family the codec changes
+    sit beneath, the ANN family the derived search schedules changed
+    under, and the GloVe/dedup signature."""
+    assert DRIVER_PRIORITY[: len(R14_REMAINDER)] == R14_REMAINDER
+    assert R14_REMAINDER == ("a41_avro_decimal", "h5_glove_warmstart")
+    n_rem = len(R14_REMAINDER)
+    assert DRIVER_PRIORITY[n_rem:n_rem + len(R14_NEW)] == R14_NEW
+    assert R14_NEW == (
+        "a42_avro_nested_struct",
+        "h16_bq_deletes",
+        "h16_nsw_deletes",
+        "i30_streaming_glove_continuation",
+        "h16_hnsw_compaction",
     )
-    n_rem = len(R13_REMAINDER)
-    assert DRIVER_PRIORITY[n_rem:n_rem + len(R13_NEW)] == R13_NEW
-    assert R13_NEW == (
-        "a37_avro_array_roundtrip",
-        "a38_avro_map_enum_roundtrip",
-        "i28_streaming_avro_evolution",
-        "h16_hnsw_incremental",
-        # (funded by h5_glove_planted_analogy's regreen slot — that
-        # invariant is pinned per-commit in tests/test_glove.py)
-        "a39_avro_type_promotion",
-        # (funded by h8_analogy's regreen slot — same rationale)
-        "i29_streaming_avro_egress",
-        # (funded by h16_lsh_ann's regreen slot — the r12 precedent:
-        # that entry keeps per-round BENCH coverage)
-        "a40_avro_logical_types",
-    )
-    # the families r13 code touches
-    for n in ("h16_hnsw_portable", "h16_bq_persisted", "h16_nsw_persisted",
-              "a35_avro_roundtrip", "h16_ivf_persisted",
-              "h16_ivfpq_portable", "h15_knn_bruteforce",
+    # the families r14 code touches
+    for n in ("a35_avro_roundtrip", "a40_avro_logical_types",
+              "i29_streaming_avro_egress", "h16_nsw_portable",
+              "h16_hnsw_portable", "h16_hnsw_incremental",
+              "h16_bq_persisted", "h15_retrieval_metrics",
               "pipeline_rag_serving", "h5_glove_fit_micro",
               "h13_minhash_portable"):
-        assert n in R13_REGREEN
+        assert n in R14_REGREEN
 
 
 def test_remainder_plus_new_closes_the_evidence_contract():
-    """After CORRECTNESS_r13 records the window, every registered
-    query must possess a driver record: prior greens + R13_REMAINDER +
-    R13_NEW must equal the full registry (R14_REMAINDER catches any
-    query built after the r13 freeze)."""
+    """After CORRECTNESS_r14 records the window, every registered
+    query must possess a driver record: prior greens + R14_REMAINDER +
+    R14_NEW must equal the full registry (R15_REMAINDER catches any
+    query built after the r14 freeze)."""
     checked = _driver_checked(ALL_RECORDS)
     uncovered = (
         set(api.queries())
         - checked
-        - set(R13_REMAINDER)
-        - set(R13_NEW)
         - set(R14_REMAINDER)
+        - set(R14_NEW)
+        - set(R15_REMAINDER)
     )
     assert not uncovered, f"queries not slotted in any rotation: {uncovered}"
 
