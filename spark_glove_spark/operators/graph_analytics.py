@@ -498,15 +498,21 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     and restrict the edge set to survivors — the dense-subgraph
     extractor community detection and spam/anomaly pipelines run
     (the k-core is where the real cluster lives; the shedding tail
-    is noise). Both engines unroll the SAME fixed 8 peeling rounds,
-    so the result is engine-identical by construction; the body
-    additionally asserts the fixpoint was reached (round 8 == round
-    7), making the round cap a verified bound rather than a hope.
+    is noise). The oracle unrolls a fixed 8 peeling rounds; the Spark
+    side peels until the edge count STABILIZES and raises if that
+    takes more than the oracle's 8 — once a round removes nothing the
+    edge set is a fixpoint of the peel, so every further unrolled
+    round is the identity and the two engines agree by construction.
+    (r14: the fixture graph stabilizes at round 1; the previous
+    always-8-rounds body spent ~6 no-op checkpoint+count rounds —
+    measured ~2.5 s at sf0.1 — re-proving the fixpoint it had already
+    observed.)
 
     100 TB: each round is one degree aggregate + two semi joins —
     vertex/edge-sized state, and peeling converges in O(log n)-ish
-    rounds on real graphs; localCheckpoint per round keeps the plan
-    flat (the iterative-stats discipline)."""
+    rounds on real graphs, which the early-exit now exploits instead
+    of paying a worst-case cap; localCheckpoint per round keeps the
+    plan flat (the iterative-stats discipline)."""
     docs = table(spark, sf_dir, "documents")
     e = top_cooccurrence_edges(docs)
     und = (
@@ -515,6 +521,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_edges = und.count()
+    stable = False
     for r in range(_KCORE_ROUNDS):
         surv = (
             und.groupBy("u")
@@ -529,11 +536,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         n = und.count()
-        if r == _KCORE_ROUNDS - 1 and n != prev_edges:
-            raise AssertionError(
-                f"k-core did not reach fixpoint in {_KCORE_ROUNDS} rounds"
-            )
+        if n == prev_edges:  # fixpoint observed — rounds r+1..8 are
+            stable = True  # the identity on both engines
+            break
         prev_edges = n
+    if not stable:
+        raise AssertionError(
+            f"k-core did not reach fixpoint in {_KCORE_ROUNDS} rounds"
+        )
     return und.groupBy(F.col("u").alias("word")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )
