@@ -9,6 +9,7 @@ from __future__ import annotations
 # imports are deliberate — each module registers its declared queries).
 import spark_glove_spark.operators.analytics  # noqa: F401
 import spark_glove_spark.operators.ann  # noqa: F401
+import spark_glove_spark.operators.arrow_queries  # noqa: F401
 import spark_glove_spark.operators.avro_queries  # noqa: F401
 import spark_glove_spark.operators.bpe  # noqa: F401
 import spark_glove_spark.operators.clustering  # noqa: F401

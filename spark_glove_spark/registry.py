@@ -831,8 +831,15 @@ R14_REGREEN: tuple[str, ...] = (
 #     complete for foreign files); documents through snappy
 #     containers, ORACLE-checked at 3 SFs, wire teeth in
 #     tests/test_avro.py
+#   a44_arrow_ipc — Arrow IPC (Feather v2) source + sink behind the
+#     Python DataSource API: record batches flow file -> Python ->
+#     JVM with no per-row decode, writer is file-per-task via
+#     mapInArrow; the embeddings table roundtrips with the a37
+#     bit-exactness checksum, ORACLE-checked at 3 SFs; writer/reader
+#     teeth in tests/test_arrow.py
 R15_REMAINDER: tuple[str, ...] = (
     "a43_avro_snappy",
+    "a44_arrow_ipc",
 )
 
 DRIVER_PRIORITY = R14_REMAINDER + R14_NEW + R14_REGREEN
