@@ -240,3 +240,199 @@ def a44_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("label").cast("long").alias("label_sum"),
     )
     return res.localCheckpoint(eager=True)
+
+
+def _register_arrow_stream(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class ArrowStreamReader(SimpleDataSourceStreamReader):
+        """Offset = count of .arrow files consumed (sorted by name);
+        each micro-batch reads exactly ONE newly arrived file — batch
+        boundaries are file boundaries, the same drop-directory shape
+        as the Avro stream (i26). Files are immutable once landed, so
+        readBetweenOffsets replay is exactly-once for free."""
+
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+
+        def _files(self) -> list[str]:
+            import glob
+            import os
+
+            return sorted(glob.glob(os.path.join(self.path, "*.arrow")))
+
+        def _rows(self, lo: int, hi: int):
+            import pyarrow.ipc as ipc
+
+            # a LIST, not a generator: the engine's prefetch cache
+            # copy.copy()s the iterator for replay (i26's lesson).
+            # The simple reader is driver-side and row-oriented by
+            # API contract — to_pylist here is the documented demo
+            # trade; the BATCH path (sgs_arrow) stays batch-native.
+            out = []
+            for f in self._files()[lo:hi]:
+                with ipc.open_file(f) as r:
+                    for i in range(r.num_record_batches):
+                        for row in r.get_batch(i).to_pylist():
+                            out.append(tuple(row.values()))
+            return iter(out)
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            files = self._files()
+            i = start["i"]
+            if i >= len(files):
+                return iter([]), start  # caught up
+            return self._rows(i, i + 1), {"i": i + 1}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["i"], end["i"])
+
+        def commit(self, end) -> None:
+            pass
+
+    class ArrowStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sgs_arrow_stream"
+
+        def schema(self):  # noqa: D102 — API hook
+            import glob
+            import os
+
+            import pyarrow.ipc as ipc
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            files = sorted(
+                glob.glob(os.path.join(self.options["path"], "*.arrow"))
+            )
+            if not files:
+                raise FileNotFoundError(
+                    f"no .arrow files under {self.options['path']}"
+                )
+            with ipc.open_file(files[0]) as r:
+                return from_arrow_schema(r.schema)
+
+        def simpleStreamReader(self, schema):  # noqa: D102 — API hook
+            return ArrowStreamReader(self.options)
+
+    spark.dataSource.register(ArrowStreamSource)
+
+
+@query(
+    "i31_streaming_arrow_ingest",
+    section="A5,A1,I1,D1,G6",
+    tags=("streaming", "io", "vectors"),
+    # the streamed files must converge to the batch aggregate over
+    # the SAME projection — identical math to a44's oracle
+    oracle="""
+SELECT CAST(vec_id % 8 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN embedding IS NULL THEN 1 END) AS BIGINT)
+         AS null_emb,
+       CAST(sum(CASE WHEN embedding IS NULL THEN 0 ELSE len(embedding) END)
+         AS BIGINT) AS dims,
+       CAST(sum(CASE WHEN embedding IS NULL THEN 0 ELSE
+         list_sum(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)))
+       END) AS BIGINT) AS checksum,
+       CAST(sum(label) AS BIGINT) AS label_sum
+FROM (
+  SELECT vec_id,
+         CASE WHEN vec_id % 11 = 0 THEN NULL ELSE embedding END AS embedding,
+         label
+  FROM embeddings
+)
+GROUP BY 1
+""",
+)
+def i31_streaming_arrow_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5-for-Arrow, fully ORACLE-checked: the embeddings table lands
+    as four Arrow IPC files in a drop directory (the a44 writer) and
+    streams ONE FILE PER MICRO-BATCH into a complete-mode aggregate
+    that hash-matches the batch aggregate over the parquet original —
+    offset slicing across file boundaries is gap- and overlap-free
+    and every vector element survives streamed delivery bit-exactly
+    (the a44 checksum, streamed). This closes the format symmetry:
+    Avro has batch + streaming + evolution lanes, Arrow IPC now has
+    batch + streaming — the feature-store drop-directory a training
+    job tails.
+
+    100 TB: the offset is a file index over immutable files
+    (exactly-once replay for free); the simple reader is the
+    documented driver-side demo — a production deployment swaps in
+    the partition-planning DataSourceStreamReader exactly as
+    pydatasource.py documents for i12, and the BATCH lane (a44)
+    already plans one split per file."""
+    import shutil
+    import tempfile
+    import uuid
+
+    e = table(spark, sf_dir, "embeddings")
+    src_df = e.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 11 == 0, F.lit(None))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+        "label",
+    ).repartition(4)
+    path = tempfile.mkdtemp(prefix="sgs_arrow_stream_")
+    defer_cleanup(lambda: shutil.rmtree(path, ignore_errors=True))
+    write_arrow_ipc(src_df, path, batch_rows=2048)
+    _register_arrow_stream(spark)
+    src = (
+        spark.readStream.format("sgs_arrow_stream")
+        .option("path", path)
+        .load()
+    )
+    agg = src.groupBy((F.col("vec_id") % 8).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("embedding").isNull(), 1))
+        .cast("long")
+        .alias("null_emb"),
+        F.sum(
+            F.when(F.col("embedding").isNull(), F.lit(0)).otherwise(
+                F.size("embedding")
+            )
+        )
+        .cast("long")
+        .alias("dims"),
+        F.sum(
+            F.when(F.col("embedding").isNull(), F.lit(0)).otherwise(
+                F.aggregate(
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x: F.floor(
+                            x.cast("double") * F.lit(1000.0)
+                        ).cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+            )
+        )
+        .cast("long")
+        .alias("checksum"),
+        F.sum("label").cast("long").alias("label_sum"),
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).localCheckpoint(eager=True)

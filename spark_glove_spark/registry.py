@@ -837,9 +837,15 @@ R14_REGREEN: tuple[str, ...] = (
 #     mapInArrow; the embeddings table roundtrips with the a37
 #     bit-exactness checksum, ORACLE-checked at 3 SFs; writer/reader
 #     teeth in tests/test_arrow.py
+#   i31_streaming_arrow_ingest — the a44 drop directory streamed one
+#     file per micro-batch (offset = file index over immutable
+#     files); the complete-mode aggregate hash-matches a44's batch
+#     oracle at 3 SFs — Arrow gains the batch+streaming symmetry the
+#     Avro lane established
 R15_REMAINDER: tuple[str, ...] = (
     "a43_avro_snappy",
     "a44_arrow_ipc",
+    "i31_streaming_arrow_ingest",
 )
 
 DRIVER_PRIORITY = R14_REMAINDER + R14_NEW + R14_REGREEN
