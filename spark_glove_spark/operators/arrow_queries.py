@@ -19,11 +19,13 @@ the schema from the first footer). Optional ``compression``
 
 100 TB: file-per-task at write, split-per-file at read — the same
 scale shape as the built-in sources; record batches bound both
-writer and reader memory. Column pruning does NOT reach the file
-scan (the Python DataSource API exposes no prune hook to Python
-readers yet) — Spark prunes immediately after the scan, and the
-docstring of a44 carries that honest caveat; parquet stays the
-column-pruned landing format, Arrow IPC is the EXCHANGE format.
+writer and reader memory. AUTOMATIC column pruning does not reach
+the file scan (the Python DataSource API exposes no prune hook to
+Python readers yet), but the reader takes a ``columns`` option —
+``.option("columns", "vec_id,label")`` selects zero-copy off the
+footer, so dropped columns' buffers never cross into the JVM; left
+unset, Spark prunes immediately after the scan. Parquet stays the
+landing format; Arrow IPC is the EXCHANGE format.
 """
 
 from __future__ import annotations
@@ -96,6 +98,10 @@ def _register_arrow(spark: SparkSession) -> None:
     class ArrowIpcReader(DataSourceReader):
         def __init__(self, options: dict) -> None:
             self.path = options["path"]
+            cols = options.get("columns")
+            self.columns = (
+                [c.strip() for c in cols.split(",")] if cols else None
+            )
 
         def partitions(self):  # noqa: D102 — API hook
             import glob
@@ -107,13 +113,17 @@ def _register_arrow(spark: SparkSession) -> None:
             return [InputPartition(f) for f in files]
 
         def read(self, partition):  # noqa: D102 — API hook
-            # memory_map keeps the task's resident set at one batch:
-            # get_batch() materializes lazily off the mapped footer
+            # get_batch() materializes lazily off the file footer;
+            # with a columns= option the select() is zero-copy and the
+            # dropped columns' buffers are never sent over Arrow IPC
+            # to the JVM (the user-driven prune path — the DataSource
+            # API itself exposes no automatic prune hook to Python)
             import pyarrow.ipc as ipc
 
             with ipc.open_file(partition.value) as r:
                 for i in range(r.num_record_batches):
-                    yield r.get_batch(i)
+                    b = r.get_batch(i)
+                    yield b.select(self.columns) if self.columns else b
 
     class ArrowIpcDataSource(DataSource):
         @classmethod
@@ -135,7 +145,17 @@ def _register_arrow(spark: SparkSession) -> None:
                     f"no .arrow files under {self.options['path']}"
                 )
             with ipc.open_file(files[0]) as r:
-                return from_arrow_schema(r.schema)
+                schema = r.schema
+            cols = self.options.get("columns")
+            if cols:
+                keep = [c.strip() for c in cols.split(",")]
+                missing = [c for c in keep if schema.field(c) is None]
+                if missing:  # pragma: no cover — pyarrow raises first
+                    raise KeyError(f"columns not in IPC schema: {missing}")
+                schema = __import__("pyarrow").schema(
+                    [schema.field(c) for c in keep]
+                )
+            return from_arrow_schema(schema)
 
         def reader(self, schema):  # noqa: D102 — API hook
             return ArrowIpcReader(self.options)

@@ -105,3 +105,26 @@ def test_files_are_foreign_readable(spark, tmp_path):
     ]
     got = sorted(pa.concat_tables(tables)["k"].to_pylist())
     assert got == list(range(100))
+
+
+def test_columns_option_prunes_at_the_scan(spark, tmp_path):
+    """.option('columns', ...) selects zero-copy at the file walk:
+    the pruned column's buffers never cross into the JVM, and the
+    inferred schema shrinks to match."""
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.lit("HEAVY" * 100).alias("payload"),
+        (F.col("id") * 2).alias("v"),
+    )
+    path = str(tmp_path / "ipc")
+    write_arrow_ipc(df.repartition(2), path)
+    _register_arrow(spark)
+    back = (
+        spark.read.format("sgs_arrow")
+        .option("path", path)
+        .option("columns", "v,k")
+        .load()
+    )
+    assert [f.name for f in back.schema.fields] == ["v", "k"]
+    rows = back.orderBy("k").collect()
+    assert len(rows) == 500 and rows[7].v == 14 and rows[7].k == 7
