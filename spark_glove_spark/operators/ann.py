@@ -207,16 +207,39 @@ def _lloyd(sample, n_lists: int, max_iter: int, seed: int):
             + (centers * centers).sum(axis=1)[None, :]
         )
         assign = d.argmin(axis=1)
-        moved = 0.0
-        for c in range(len(centers)):
-            members = sample[assign == c]
-            if len(members) == 0:
+        k = len(centers)
+        if k <= _IVF_LITERAL_MAX:
+            # legacy per-center loop: bit-exact with the seeds the
+            # small-index equality tests pin (summation order differs
+            # from the bincount path below)
+            moved = 0.0
+            for c in range(k):
+                members = sample[assign == c]
+                if len(members) == 0:
+                    far = d.min(axis=1).argmax()
+                    centers[c] = sample[far]
+                    continue
+                new = members.mean(axis=0)
+                moved = max(moved, float(((new - centers[c]) ** 2).sum()))
+                centers[c] = new
+        else:
+            # wide quantizer: the per-center masks cost O(n*k) Python
+            # passes per iteration (measured: they, not the distance
+            # matrix, dominated a 447-list fit); one bincount +
+            # scatter-add computes every mean in O(n)
+            counts = np.bincount(assign, minlength=k)
+            sums = np.zeros_like(centers)
+            np.add.at(sums, assign, sample)
+            occupied = counts > 0
+            new_centers = centers.copy()
+            new_centers[occupied] = (
+                sums[occupied] / counts[occupied][:, None]
+            )
+            if not occupied.all():
                 far = d.min(axis=1).argmax()
-                centers[c] = sample[far]
-                continue
-            new = members.mean(axis=0)
-            moved = max(moved, float(((new - centers[c]) ** 2).sum()))
-            centers[c] = new
+                new_centers[~occupied] = sample[far]
+            moved = float(((new_centers - centers) ** 2).sum(axis=1).max())
+            centers = new_centers
         if moved < 1e-12:
             break
     return centers
@@ -311,6 +334,50 @@ def _centroid_literals(centers) -> Column:
     )
 
 
+_IVF_LITERAL_MAX = 64  # widest centroid set the literal/codegen paths
+# carry well: the assign argmin inlines n_lists × dim float literals
+# into ONE expression, and past ~64 lists codegen cost grows faster
+# than the work it fuses (measured, tools/scaleprobe_ivflaw_r14.py:
+# a 447-list assign over 200k rows read 127 s as a literal expression
+# vs seconds as the Arrow-batched numpy kernel below)
+
+
+def _assign_lists_np(vectors: DataFrame, centers) -> DataFrame:
+    """Wide-index assign: each Arrow batch scores X @ C.T once
+    (ranking by cnorm − 2x·c, ties to the lower list_id — the same
+    argmin the literal expression computes) and appends list_id.
+    O(batch × n_lists × dim) VECTORIZED flops per task; the centroid
+    matrix rides the task closure (n_lists × dim float64 — ~100 MB
+    at 512 lists × 32k dims, far under executor memory at any real
+    geometry). This is the production IVF assign shape (FAISS's
+    train/add split): the literal path stays the small-nlist default
+    because it is codegen-fused and oracle-exact."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centers, dtype=np.float64)
+    cnorm = (C * C).sum(axis=1)
+    # a FRESH StructType: StructType.add mutates the shared schema
+    # object cached on the input DataFrame (observed: the phantom
+    # list_id column then breaks mapInPandas's input-column binding)
+    out_schema = StructType(
+        vectors.schema.fields
+        + [StructField("list_id", IntegerType(), False)]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d = cnorm[None, :] - 2.0 * (X @ C.T)
+            out = pdf.copy()
+            # np.argmin takes the FIRST minimum — the lower list_id,
+            # matching the literal expression's (d, list_id) sort
+            out["list_id"] = np.argmin(d, axis=1).astype("int32")
+            yield out
+
+    return vectors.mapInPandas(kernel, out_schema)
+
+
 def _nearest_list_expr(cents: Column) -> Column:
     """Row → nearest centroid, as a pure sort_array expression over
     the centroid literals (n_lists structs per row, stays codegen —
@@ -326,6 +393,33 @@ def _nearest_list_expr(cents: Column) -> Column:
             ),
         )
     )[0]["list_id"]
+
+
+def _probe_lists_df(
+    probes: DataFrame, cent_df: DataFrame, n_probe: int
+) -> DataFrame:
+    """Wide-index probe→lists: the same (cnorm − 2q·c) ranking as
+    :func:`_probe_lists`, but against the centroid TABLE broadcast as
+    a DataFrame instead of re-inlined literals — a 512-list centroid
+    literal would put tens of thousands of float constants into one
+    expression tree. Probes × n_lists rows through one broadcast
+    join + window: bounded (probes are a pinned set)."""
+    pc = probes.crossJoin(
+        F.broadcast(cent_df.select("list_id", "cv", "cnorm"))
+    ).select(
+        "probe_id",
+        F.col("embedding").alias("q"),
+        "list_id",
+        (F.col("cnorm") - 2 * dot(F.col("embedding"), F.col("cv"))).alias(
+            "cdist"
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cdist").asc(), "list_id")
+    return (
+        pc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probe)
+        .select("probe_id", "q", "list_id")
+    )
 
 
 def _probe_lists(probes: DataFrame, cents: Column, n_probe: int) -> DataFrame:
@@ -371,7 +465,7 @@ def _score_lists(assigned: DataFrame, plists: DataFrame, k: int) -> DataFrame:
 def ivf_build_index(
     vectors: DataFrame,
     path: str,
-    n_lists: int = 8,
+    n_lists: int | None = None,
     seed: int = 42,
     max_iter: int = 10,
 ) -> None:
@@ -383,12 +477,27 @@ def ivf_build_index(
     docstring claim "at 100 TB a probe's n_probe lists prune to
     n_probe partitions at scan time" into an actual on-disk layout:
     the index is built ONCE per corpus snapshot and every later query
-    pays only a pruned scan (see :func:`ivf_probe_index`)."""
+    pays only a pruned scan (see :func:`ivf_probe_index`). With
+    ``n_lists`` unpinned, the width derives from corpus size via
+    :func:`ivf_list_schedule` (one count against the source) — the
+    r14 no-fixture-constant-escapes default."""
     import os
 
+    if n_lists is None:
+        n_lists = ivf_list_schedule(vectors.count())[0]
     centers = _ivf_centroids(vectors, n_lists, seed, max_iter)
-    cents = _centroid_literals(centers)
-    assigned = vectors.withColumn("list_id", _nearest_list_expr(cents))
+    if n_lists <= _IVF_LITERAL_MAX:
+        cents = _centroid_literals(centers)
+        assigned = vectors.withColumn("list_id", _nearest_list_expr(cents))
+    else:  # wide index: codegen literals stop paying — numpy kernel
+        # ...and cluster the write: without it every task writes into
+        # every list directory (tasks x n_lists small files — 14k at
+        # 447 lists, the lakehouse small-file trap); one shuffle keyed
+        # by list_id lands ONE file per list, and each list holds
+        # >= _IVF_MIN_LIST_ROWS rows so write parallelism stays wide
+        assigned = _assign_lists_np(vectors, centers).repartition(
+            F.col("list_id")
+        )
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(
         os.path.join(path, "lists")
     )
@@ -448,7 +557,7 @@ def ivf_probe_index(
     path: str,
     probes: DataFrame,
     k: int = 10,
-    n_probe: int = 2,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """Probe a PERSISTED IVF index (:func:`ivf_build_index`) without
     ever scanning the full corpus: the ≤ n_lists centroid rows are
@@ -460,15 +569,28 @@ def ivf_probe_index(
     tests/test_dedup.py together with result equality vs the in-memory
     :func:`ivf_knn` at the same seed). At 100 TB with hundreds of
     lists, a 10-probe batch reads tens of partitions instead of the
-    corpus — the difference between an index and a scan."""
+    corpus — the difference between an index and a scan. With
+    ``n_probe`` unpinned it derives as ~sqrt(n_lists) from the
+    stored centroid table (the :func:`ivf_list_schedule` probe rule),
+    so the scanned fraction falls as the index widens."""
+    import math
     import os
 
-    cents = _read_centroid_literals(spark, path)
+    cent_df = spark.read.parquet(os.path.join(path, "centroids"))
+    n_lists = cent_df.count()  # ≤ n_lists rows — a metadata-cheap job
+    if n_probe is None:
+        n_probe = max(_IVF_SCHED_DEF[1], round(math.sqrt(n_lists)))
+    if n_lists <= _IVF_LITERAL_MAX:
+        plists_raw = _probe_lists(
+            probes, _read_centroid_literals(spark, path), n_probe
+        )
+    else:  # wide index: broadcast the centroid TABLE, not a literal
+        plists_raw = _probe_lists_df(probes, cent_df, n_probe)
     # pin the probe-assignment job's result: BOTH consumers below (the
     # wanted-list collect and the broadcast into _score_lists) read the
     # checkpointed rows instead of re-running the window job (r10
     # review finding: un-pinned, the probe side executed twice)
-    plists = _probe_lists(probes, cents, n_probe).localCheckpoint(eager=True)
+    plists = plists_raw.localCheckpoint(eager=True)
     # bounded collect (≤ n_lists values): the wanted-list union becomes
     # a LITERAL partition predicate, which is what makes pruning static
     wanted = sorted(
@@ -3615,6 +3737,48 @@ def hnsw_search_schedule(
         (_HN_B2 * 2, _HN_B1 * (1 + dec), _NB_BEAM * (2 ** (dec + 1))),
         (_HN_H2, _HN_H1, _HN_H0 + 2 * dec + 1),
     )
+
+
+_IVF_SCHED_REF_ROWS = 8_192  # largest authored-constant rung: every
+# test SF's embeddings table (50/500/5,000 rows) sits below it
+_IVF_SCHED_DEF = (8, 2)  # the authored (n_lists, n_probe) floor
+_IVF_MIN_LIST_ROWS = 64  # a list below this can't amortize its probe
+_IVF_TRAIN_MAX_LISTS = _SAMPLE_CAP // _IVF_MIN_LIST_ROWS  # 512: the
+# widest coarse quantizer the driver-side Lloyd fit trains WELL from
+# its 32k-row sample (~64 training points per centroid — FAISS's own
+# guidance is >= 39). The schedule refuses to hand out widths the
+# fit can't honor; a corpus wanting more lists should swap in the
+# repo's distributed k-means (operators/clustering.py) for the
+# train step — an explicit extension, not a silent degradation.
+
+
+def ivf_list_schedule(n_rows: int) -> tuple[int, int]:
+    """(n_lists, n_probe) for the IVF family derived from corpus
+    size — the r14 extension of the graph-search laws to the
+    cell-probing tier, so no IVF fixture constant escapes to
+    production either. Law: n_lists ~ sqrt(n) (the classical
+    balance point where cells and cell-members cost the same to
+    scan), bounded so every list keeps >= 64 vectors AND by the
+    width the driver-side coarse fit can train from its 32k sample
+    (512 lists; wider wants the distributed k-means — see
+    _IVF_TRAIN_MAX_LISTS); n_probe ~ sqrt(n_lists), so the SCANNED
+    FRACTION n_probe/n_lists falls toward ~4% at the width cap
+    where the authored (8, 2) scans 25-30% of ANY corpus forever.
+    Measured basis: tools/scaleprobe_ivflaw_r14.py (PLANS.md r14).
+    Floors keep every test SF on the authored constants (all lanes
+    additionally PIN their knobs explicitly, so oracle hashes
+    cannot move)."""
+    import math
+
+    if n_rows <= _IVF_SCHED_REF_ROWS:
+        return _IVF_SCHED_DEF
+    n_lists = min(
+        n_rows // _IVF_MIN_LIST_ROWS,
+        round(math.sqrt(n_rows)),
+        _IVF_TRAIN_MAX_LISTS,
+    )
+    n_probe = max(_IVF_SCHED_DEF[1], round(math.sqrt(n_lists)))
+    return n_lists, n_probe
 
 
 def _hn_layer_tables() -> list[tuple[int, int, int, str]]:

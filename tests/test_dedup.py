@@ -936,3 +936,32 @@ def test_graph_search_schedule_laws():
         beam, hops = nsw_search_schedule(n)
         assert beam >= prev_b[0] and hops >= prev_h, n
         prev_b, prev_h = (beam, beam), hops
+
+
+def test_ivf_list_schedule_law():
+    """The r14 IVF law (the graph laws' discipline on the cell tier):
+    n_lists ~ sqrt(n) bounded to >= 64 rows/list, n_probe ~
+    sqrt(n_lists), so the scanned fraction n_probe/n_lists falls like
+    n^(-1/4). Floors keep every test SF (embeddings tables: 50/500/
+    5,000 rows) on the authored (8, 2); the lanes also pin their
+    knobs explicitly, so oracle hashes cannot move either way."""
+    from spark_glove_spark.operators.ann import ivf_list_schedule
+
+    for n in (1, 50, 500, 5_000, 8_192):
+        assert ivf_list_schedule(n) == (8, 2), n
+    assert ivf_list_schedule(20_000) == (141, 12)
+    assert ivf_list_schedule(200_000) == (447, 21)
+    # the trainable-width cap binds at large n: the driver-side fit
+    # trains <= 512 lists well from its 32k sample (wider wants the
+    # distributed k-means; the schedule never hands out widths the
+    # coarse fit can't honor)
+    nl, np_ = ivf_list_schedule(1_000_000_000)
+    assert (nl, np_) == (512, 23)
+    # the >=64-rows-per-list bound binds just past the reference rung
+    nl_small, _ = ivf_list_schedule(9_000)
+    assert nl_small <= 9_000 // 64
+    # scanned fraction strictly falls across the ladder
+    fracs = [
+        p / l for l, p in map(ivf_list_schedule, (20_000, 200_000, 10**9))
+    ]
+    assert fracs == sorted(fracs, reverse=True) and fracs[-1] < 0.05
