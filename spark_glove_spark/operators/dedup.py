@@ -14,7 +14,7 @@ and fully oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_glove_spark.functions.hashing import (
@@ -731,22 +731,38 @@ def portable_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def portable_band_buckets(sh: DataFrame) -> DataFrame:
-    """The portable-MinHash banding stage over a (doc_id, shingles)
-    frame (:func:`portable_shingles`): (doc_id, band, bucket) rows
-    under the module's (_MH_HASHES, _MH_BANDS) constants — md5-seeded
-    min-hashes, band bucket = md5(concat of the band's mins). Shared
-    by the verify-style pairs (:func:`portable_minhash_pairs`) and the
-    bucketed exact-span pass (text_analysis.h17_span_dedup_bucketed),
-    so every consumer blocks on the IDENTICAL buckets the hash-matched
-    twin proves."""
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sig = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"m{i}|"), F.col("s")))).alias(f"m{i}")
-            for i in range(_MH_HASHES)
-        ]
+def portable_sig(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingles, m0..m{_MH_HASHES-1}): the portable-MinHash
+    signature as a NARROW projection — each min-hash is
+    array_min(transform(shingles, md5)) instead of the former
+    explode + groupBy(doc_id) aggregation, which paid a full shuffle
+    of the exploded shingle stream (~shingles-per-doc × rows) for
+    mins a per-row fold computes in place. Values are identical:
+    array_min and the min aggregate are both UTF8 binary mins over
+    the same lowercase-hex md5 strings (r14 optimization round,
+    guide §2.4 — remove shuffles outright). Exposed so incremental
+    consumers (the streaming curate/dedup epochs) can checkpoint ONE
+    frame carrying both the shingle sets and the signature."""
+
+    def mh(i: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat(F.lit(f"m{i}|"), s)),
+            )
+        )
+
+    return sh.select(
+        "doc_id", "shingles", *[mh(i).alias(f"m{i}") for i in range(_MH_HASHES)]
     )
+
+
+def buckets_from_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) banding rows from a :func:`portable_sig`
+    frame — band bucket = md5(concat of the band's mins), exploded to
+    one row per band. Split from :func:`portable_band_buckets` so a
+    checkpointed signature frame can derive buckets without
+    recomputing the per-shingle md5 mins."""
     rows = _MH_HASHES // _MH_BANDS
     return sig.select(
         "doc_id",
@@ -764,6 +780,20 @@ def portable_band_buckets(sh: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def portable_band_buckets(sh: DataFrame) -> DataFrame:
+    """The portable-MinHash banding stage over a (doc_id, shingles)
+    frame (:func:`portable_shingles`): (doc_id, band, bucket) rows
+    under the module's (_MH_HASHES, _MH_BANDS) constants — md5-seeded
+    min-hashes, band bucket = md5(concat of the band's mins). Shared
+    by the verify-style pairs (:func:`portable_minhash_pairs`) and the
+    bucketed exact-span pass (text_analysis.h17_span_dedup_bucketed),
+    so every consumer blocks on the IDENTICAL buckets the hash-matched
+    twin proves. Shuffle-free since the r14 optimization round: the
+    signature is a projection (:func:`portable_sig`), so banding adds
+    no Exchange to any consumer's plan."""
+    return buckets_from_sig(portable_sig(sh))
 
 
 def portable_band_candidates(docs: DataFrame) -> DataFrame:

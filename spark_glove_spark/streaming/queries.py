@@ -1411,8 +1411,9 @@ def i22_streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from spark_glove_spark.operators.dedup import (
-        portable_band_buckets,
+        buckets_from_sig,
         portable_shingles,
+        portable_sig,
     )
     from spark_glove_spark.sources import txlog
 
@@ -1431,9 +1432,16 @@ def i22_streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.count() == 0:
             return
-        sh_new = portable_shingles(batch_df.select("doc_id", "text"))
-        sh_new = sh_new.localCheckpoint(eager=True)
-        bk_new = portable_band_buckets(sh_new).localCheckpoint(eager=True)
+        # ONE eager checkpoint carrying shingle sets AND the minhash
+        # signature (r14 optimization round): banding derives from the
+        # checkpointed mins as a trivial projection, where the former
+        # second checkpoint re-read the shingles and recomputed every
+        # per-shingle md5 min as a separate job per epoch.
+        sig_new = portable_sig(
+            portable_shingles(batch_df.select("doc_id", "text"))
+        ).localCheckpoint(eager=True)
+        sh_new = sig_new.select("doc_id", "shingles")
+        bk_new = buckets_from_sig(sig_new)
         have_hist = txlog.current_version(bk_tbl) >= 0
         bk_all = (
             txlog.read(spark, bk_tbl).unionByName(bk_new)
@@ -1565,8 +1573,9 @@ def _curate_epoch(
     doc_ids never pair, so ``kept`` recomputes identically and the
     downstream no-ops see the same payload."""
     from spark_glove_spark.operators.dedup import (
-        portable_band_buckets,
+        buckets_from_sig,
         portable_shingles,
+        portable_sig,
     )
     from spark_glove_spark.sources import txlog
 
@@ -1587,10 +1596,16 @@ def _curate_epoch(
     if passed.count() == 0:
         return
     # 2. online near-dup filter (i22's incremental banding)
-    sh_new = portable_shingles(
-        passed.select("doc_id", "text")
+    # ONE eager checkpoint carrying shingle sets AND the minhash
+    # signature (r14 optimization round): banding derives from the
+    # checkpointed mins as a trivial projection, where the former
+    # second checkpoint re-read the shingles and recomputed every
+    # per-shingle md5 min as a separate job per epoch.
+    sig_new = portable_sig(
+        portable_shingles(passed.select("doc_id", "text"))
     ).localCheckpoint(eager=True)
-    bk_new = portable_band_buckets(sh_new).localCheckpoint(eager=True)
+    sh_new = sig_new.select("doc_id", "shingles")
+    bk_new = buckets_from_sig(sig_new)
     bk_all = txlog.read(spark, tables["bk"]).unionByName(bk_new)
     sh_all = txlog.read(spark, tables["sh"]).unionByName(sh_new)
     a = bk_all.alias("a")
