@@ -105,9 +105,11 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit p = sign(vec · plane_p). Vectors within
     a bucket are cos-similar with high probability; collision prob for
     angle θ is (1 − θ/π)^n_planes."""
+    from spark_glove_spark.functions.vector import lit_double_array
+
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        lits = F.array(*[F.lit(float(v)) for v in plane])
+        lits = lit_double_array(plane)
         d = F.aggregate(
             F.zip_with(vec, lits, lambda x, h: x.cast("double") * h),
             F.lit(0.0),

@@ -24,7 +24,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_glove_spark.functions.hashing import hyperplane_bucket, random_hyperplanes
-from spark_glove_spark.functions.vector import dot
+from spark_glove_spark.functions.vector import (
+    dot,
+    lit_double_array,
+    lit_long_array,
+)
 from spark_glove_spark.registry import defer_cleanup, defer_unpersist, query
 from spark_glove_spark.sources import parallelized, table
 
@@ -326,7 +330,7 @@ def _centroid_literals(centers) -> Column:
         *[
             F.struct(
                 F.lit(i).alias("list_id"),
-                F.array(*[F.lit(float(v)) for v in c]).alias("cv"),
+                lit_double_array(c).alias("cv"),
                 F.lit(float((c * c).sum())).alias("cnorm"),
             )
             for i, c in enumerate(centers)
@@ -544,7 +548,7 @@ def _read_centroid_literals(spark: SparkSession, path: str) -> Column:
         *[
             F.struct(
                 F.lit(r["list_id"]).alias("list_id"),
-                F.array(*[F.lit(float(v)) for v in r["cv"]]).alias("cv"),
+                lit_double_array(r["cv"]).alias("cv"),
                 F.lit(float(r["cnorm"])).alias("cnorm"),
             )
             for r in cent_rows
@@ -978,9 +982,7 @@ def _coarse_cv_lit(coarse) -> Column:
     float sequences ordered by list_id (numpy rows at build time, the
     parquet centroids table's cv column at probe time — float64
     roundtrips exactly through both)."""
-    return F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in coarse]
-    )
+    return F.array(*[lit_double_array(c) for c in coarse])
 
 
 def _pq_cv_lists(books) -> list[list[list[float]]]:
@@ -1004,7 +1006,7 @@ def _pq_encode_expr(cvs: list[list[list[float]]], vec: Column) -> Column:
             *[
                 F.struct(
                     F.lit(c).alias("code"),
-                    F.array(*[F.lit(v) for v in cvs[j][c]]).alias("cv"),
+                    lit_double_array(cvs[j][c]).alias("cv"),
                     F.lit(float(sum(v * v for v in cvs[j][c]))).alias("cnorm"),
                 )
                 for c in range(len(cvs[j]))
@@ -1043,7 +1045,7 @@ def _ivfpq_score(
 
     def adc_term(j: int):
         cv_lit = F.array(
-            *[F.array(*[F.lit(v) for v in cvs[j][c]]) for c in range(len(cvs[j]))]
+            *[lit_double_array(cvs[j][c]) for c in range(len(cvs[j]))]
         )
         chosen = F.element_at(cv_lit, F.element_at(F.col("codes"), j + 1) + 1)
         return dot(chosen, F.slice(F.col("q"), j * subdim + 1, subdim))
@@ -1169,7 +1171,7 @@ def ivfpq_probe_index(
         *[
             F.struct(
                 F.lit(r["list_id"]).alias("list_id"),
-                F.array(*[F.lit(float(v)) for v in r["cv"]]).alias("cv"),
+                lit_double_array(r["cv"]).alias("cv"),
                 F.lit(float(r["cnorm"])).alias("cnorm"),
             )
             for r in cent_rows
@@ -1561,7 +1563,7 @@ def h16_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[
                 F.struct(
                     F.lit(c).alias("code"),
-                    F.array(*[F.lit(float(v)) for v in book[c]]).alias("cv"),
+                    lit_double_array(book[c]).alias("cv"),
                     F.lit(float((book[c] * book[c]).sum())).alias("cnorm"),
                 )
                 for c in range(len(book))
@@ -1699,7 +1701,7 @@ def h16_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[
                 F.struct(
                     F.lit(c).alias("code"),
-                    F.array(*[F.lit(float(v)) for v in book[c]]).alias("cv"),
+                    lit_double_array(book[c]).alias("cv"),
                     F.lit(float((book[c] * book[c]).sum())).alias("cnorm"),
                 )
                 for c in range(len(book))
@@ -1711,7 +1713,7 @@ def h16_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rotated(col):
         return F.array(
             *[
-                dot(col, F.array(*[F.lit(float(v)) for v in comp]))
+                dot(col, lit_double_array(comp))
                 for comp in comps
             ]
         )
@@ -1891,7 +1893,7 @@ def h16_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("long")
     bits = []
     for j in range(_PL_PLANES):
-        coefs = F.array(*[F.lit(_pl_coef(j, d)).cast("long") for d in range(DIM)])
+        coefs = lit_long_array(_pl_coef(j, d) for d in range(DIM))
         dotj = F.aggregate(
             F.zip_with(F.col("qv"), coefs, lambda x, y: x * y),
             zero,
@@ -3353,9 +3355,7 @@ def _nsw_bucket_col(t: int, n_planes: int) -> Column:
     zero = F.lit(0).cast("long")
     bits = []
     for j in range(n_planes):
-        coefs = F.array(
-            *[F.lit(_nb_coef(t, j, d)).cast("long") for d in range(DIM)]
-        )
+        coefs = lit_long_array(_nb_coef(t, j, d) for d in range(DIM))
         dotj = F.aggregate(
             F.zip_with(F.col("qv"), coefs, lambda x, y: x * y),
             zero,
@@ -3445,6 +3445,7 @@ def _nsw_search(
     edges_in: DataFrame | None = None,
     graph_pred: Column | None = None,
     tombstones: DataFrame | None = None,
+    captured: dict | None = None,
 ) -> DataFrame:
     """The NSW build+search pipeline behind h16_nsw_portable, with the
     graph/beam knobs exposed so the scale probe can PIN the probe set
@@ -3570,6 +3571,17 @@ def _nsw_search(
         base.select(F.col("vec_id").alias("probe_id"), F.col("nn").alias("np")),
         "probe_id",
     ).select("probe_id", "np")
+    if captured is not None:
+        # expose the last hop's full scored frontier (+ the rank window
+        # and the probe-norm frame) so a caller can derive a SECOND
+        # serving view — e.g. the deletes lane's tombstone-filtered
+        # ranking — without re-running the whole multi-hop descent:
+        # beams are per-probe independent, so filtering rows of this
+        # frontier equals re-searching with the filtered probe set
+        # (r14 optimization round).
+        captured["scored"] = scored
+        captured["np"] = np_
+        captured["wb"] = wb
     last = scored.where(F.col("node") != F.col("probe_id"))
     if ts is not None:
         # tombstoned nodes routed the beam but must never be RETURNED;
@@ -4618,10 +4630,16 @@ def h16_nsw_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # pre-delete: the ranked beam FRONTIER (top _NB_BEAM per probe —
     # at tiny SFs the top-k can legitimately miss a 10% slice, the
-    # frontier cannot) must surface doomed ids
+    # frontier cannot) must surface doomed ids. ``captured`` keeps the
+    # descent's final scored frontier so post-delete serving filters
+    # it instead of re-running the whole multi-hop search (beams are
+    # per-probe independent and tombstoned nodes still ROUTE, so the
+    # surviving probes' frontiers are identical either way — r14
+    # optimization round; the oracle equality below is unchanged).
     doomed_node = F.col("vec_id") % _DEL_MOD == _DEL_REM
+    cap: dict = {}
     pre = _nsw_search(
-        spark, sf_dir, edges_in=edges, topk=_NB_BEAM
+        spark, sf_dir, edges_in=edges, topk=_NB_BEAM, captured=cap
     ).localCheckpoint(eager=True)
     n_doomed_pre = pre.where(doomed_node).count()
     if n_doomed_pre == 0:
@@ -4648,8 +4666,29 @@ def h16_nsw_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     if txlog.read(spark, catalog, version=0).count() != n_all:
         raise AssertionError("v0 catalog time travel lost rows")
 
-    served = _nsw_search(
-        spark, sf_dir, edges_in=edges, tombstones=tombstones
+    # post-delete serving from the captured frontier: doomed probes
+    # and tombstoned result nodes are filtered out, then the rank and
+    # cosine computation replay _nsw_search's tail expressions exactly
+    # (same window, same rounding) — one cached-corpus scoring pass
+    # instead of a second 5-hop descent.
+    ts = F.broadcast(
+        tombstones.select(F.col("vec_id").alias("_ts_id")).distinct()
+    )
+    last = cap["scored"].where(F.col("node") != F.col("probe_id"))
+    last = last.join(ts, last["node"] == ts["_ts_id"], "left_anti")
+    last = last.join(ts, last["probe_id"] == ts["_ts_id"], "left_anti")
+    final = (
+        last.withColumn("rn", F.row_number().over(cap["wb"]))
+        .where(F.col("rn") <= _NB_TOPK)
+        .join(F.broadcast(cap["np"]), "probe_id")
+    )
+    cos_q = F.round(
+        F.col("num").cast("double")
+        / F.sqrt((F.col("nn") * F.col("np")).cast("double")),
+        6,
+    )
+    served = final.select(
+        "probe_id", F.col("node").alias("vec_id"), "num", cos_q.alias("cos_q")
     ).localCheckpoint(eager=True)
     bad = served.where(
         doomed_node | (F.col("probe_id") % _DEL_MOD == _DEL_REM)

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_glove_spark.functions.vector import dot
+from spark_glove_spark.functions.vector import dot, lit_double_array
 from spark_glove_spark.registry import defer_unpersist, query
 from spark_glove_spark.sources import parallelized, table
 
@@ -60,7 +60,7 @@ def _assign_expr(centers, vec_col: str):
             F.struct(
                 F.lit(float((c * c).sum())).alias("cnorm"),
                 F.lit(i).alias("cid"),
-                F.array(*[F.lit(float(v)) for v in c]).alias("cv"),
+                lit_double_array(c).alias("cv"),
             )
             for i, c in enumerate(centers)
         ]
@@ -153,7 +153,7 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(float((c * c).sum())).alias("cnorm"),
                 F.lit(i).alias("cid"),
-                F.array(*[F.lit(float(v)) for v in c]).alias("cv"),
+                lit_double_array(c).alias("cv"),
             )
             for i, c in enumerate(centers)
         ]
@@ -316,12 +316,12 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = parallelized(table(spark, sf_dir, "embeddings"))
     centered = F.zip_with(
         "embedding",
-        F.array(*[F.lit(float(v)) for v in mean]),
+        lit_double_array(mean),
         lambda x, m: x - m,
     )
     pcs = [
         F.round(
-            dot(centered, F.array(*[F.lit(float(v)) for v in comp])), 6
+            dot(centered, lit_double_array(comp)), 6
         ).alias(f"pc{r}")
         for r, comp in enumerate(comps)
     ]
@@ -577,7 +577,7 @@ def ml_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     c0 = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
 
     def sq_to(center: list[float]):
-        lit = F.array(*[F.lit(float(v)) for v in center])
+        lit = lit_double_array(center)
         diff = F.zip_with("embedding", lit, lambda x, y: (x - y) * (x - y))
         return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
 

@@ -128,10 +128,17 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).persist()
     )
     w = Window.partitionBy("text").orderBy("doc_id")
-    ex = (
+    # persisted (doc_id, rn) only — text dropped before the cache. Two
+    # consumers need the exact-dup rank (the survivor semi-join and the
+    # final status join); unpersisted, each re-paid the shuffle-by-text
+    # + window pass over the quality-passed corpus (r14 optimization
+    # round, guide §2.4 — the same partitioning work ran twice).
+    ex = defer_unpersist(
         q.where("pass_q")
         .select("doc_id", "text")
         .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "rn")
+        .persist()
     )
     s2 = (
         q.join(ex.where(F.col("rn") == 1).select("doc_id"), "doc_id")
@@ -1186,7 +1193,6 @@ def pipeline_rag_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     dl = tf.groupBy("cid").agg(F.sum("tf").cast("long").alias("dl"))
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.avg("dl").alias("avgdl"),
@@ -1194,6 +1200,20 @@ def pipeline_rag_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = spark.createDataFrame(
         [(i, w) for i, t in _RAG_QUERIES for w in t.split(" ")],
         "query_id long, word string",
+    )
+    # df only for words a query can score (r14 optimization round,
+    # guide §2.3): the former tf.groupBy("word") shuffled the FULL
+    # (chunk, word) aggregate by word and broadcast a vocabulary-sized
+    # df table, of which the BM25 join consumed only the query terms'
+    # rows. Pre-filtering tf to query words first makes the df
+    # aggregate a few-row job and the broadcast bounded by |query
+    # terms| at any corpus size; df values for those words are
+    # unchanged (tf has exactly one row per (cid, word)).
+    tfq = tf.join(
+        F.broadcast(qterms.select("word").distinct()), "word"
+    )
+    dfreq = tfq.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
     )
     score = (
         F.log(
@@ -1204,7 +1224,7 @@ def pipeline_rag_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
     )
     bm = (
-        tf.join(F.broadcast(qterms), "word")
+        tfq.join(F.broadcast(qterms), "word")
         .join(F.broadcast(dfreq), "word")
         .join(dl, "cid")
         .crossJoin(F.broadcast(stats))
@@ -1247,8 +1267,11 @@ def pipeline_rag_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- recall dashboard: the h15_retrieval_metrics math ---
+    # truth is bounded at queries × _RAG_K rows at ANY corpus size, so
+    # the broadcast is scale-safe and spares the metrics join a
+    # shuffle of the (equally bounded) system list (r14, guide §3.1)
     lab = sys_list.join(
-        truth,
+        F.broadcast(truth),
         (sys_list.query_id == truth.query_id) & (sys_list.cid == truth.tcid),
         "left",
     ).select(

@@ -818,20 +818,29 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = tok.select("word").distinct()
     langs = t.groupBy("lang").agg(F.count(F.lit(1)).alias("d_l"))
-    vs = vocab.count()
-    dtot = t.count()
+    # vocabulary size and corpus size ride the plan as broadcast 1-row
+    # aggregates instead of the former driver-side .count() actions
+    # (r14 optimization round, guide §1/§5): the two eager jobs — one a
+    # full distinct shuffle, one a corpus scan — ran during query
+    # CONSTRUCTION on every invocation; as scalar frames the same
+    # numbers are computed inside the single query job. Identical
+    # algebra (long + long, same doubles), so the oracle hash is
+    # untouched.
+    vsdf = vocab.agg(F.count(F.lit(1)).alias("vs"))
+    dtotdf = t.agg(F.count(F.lit(1)).alias("dd"))
     cw = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
     nl = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
     lp = (
         langs.crossJoin(vocab)
         .join(nl, "lang")
         .join(cw, ["lang", "word"], "left")
+        .crossJoin(F.broadcast(vsdf))
         .select(
             "lang",
             "word",
             F.log(
                 (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
-                / (F.col("n_l") + F.lit(vs))
+                / (F.col("n_l") + F.col("vs"))
             ).alias("logp"),
         )
     )
@@ -848,11 +857,12 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "cand",
         )
+        .crossJoin(F.broadcast(dtotdf))
         .groupBy("doc_id", "true_lang", "cand")
         .agg(
             F.round(
                 F.sum("logp")
-                + F.log(F.max("d_l").cast("double") / F.lit(dtot)),
+                + F.log(F.max("d_l").cast("double") / F.max("dd")),
                 6,
             ).alias("s")
         )
