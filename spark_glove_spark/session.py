@@ -28,6 +28,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Allow shuffled-hash joins where the per-partition build side
+        # fits (guide §3.1/§9): sort-merge pays two sorts that a hash
+        # build skips. Scale-safe — the planner picks SHJ only under
+        # its size conditions, and the AQE rewrite is bounded by the
+        # 64 MB per-partition threshold (r14 optimization round; A/B
+        # at sf0.1 read SHJ ≤ SMJ on every join-heavy entry).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
