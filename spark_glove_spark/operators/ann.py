@@ -4342,13 +4342,18 @@ def h16_bq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _bq_search(codes, vecs)
         if topk_only:
             out = out.where(F.col("rn") <= _BQ_TOPK)
-        return out.select(
+        cols = [
             "probe_id",
             "vec_id",
             "hamming",
             "num",
             F.round("cos_raw", 6).alias("cos_q"),
-        )
+        ]
+        # the full-shortlist form keeps ``rn`` so ONE materialized
+        # search can also answer the top-k view (r14 optimization
+        # round) — the rank is deterministic, so filtering the
+        # checkpointed shortlist equals re-running the search
+        return out.select(*cols) if topk_only else out.select(*cols, "rn")
 
     # teeth run on the FULL reranked shortlist (the phase-1 served
     # artifact, _BQ_SHORT rows per probe) — at tiny SFs the final
@@ -4367,15 +4372,18 @@ def h16_bq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     if info["rows_deleted"] == 0:
         raise AssertionError("delete_mor matched nothing")
     # v1: DV-subtracted serving — no deleted id anywhere in the
-    # shortlist, as candidate or as probe
-    n_doomed_post = (
-        serve(None, topk_only=False).where(doomed).count()
-    )
+    # shortlist, as candidate or as probe. ONE materialized search
+    # answers both the doomed-row tooth (full shortlist) and the
+    # served top-k (an rn filter over the same checkpointed rows) —
+    # formerly two independent search executions (r14 optimization
+    # round).
+    post_full = serve(None, topk_only=False).localCheckpoint(eager=True)
+    n_doomed_post = post_full.where(doomed).count()
     if n_doomed_post != 0:
         raise AssertionError(
             f"DV-subtracted serving returned {n_doomed_post} deleted rows"
         )
-    served_mor = serve(None).localCheckpoint(eager=True)
+    served_mor = post_full.where(F.col("rn") <= _BQ_TOPK).drop("rn")
     # time travel: the PRE-delete snapshot still serves the slice
     if serve(0, topk_only=False).where(doomed).count() != n_doomed_pre:
         raise AssertionError("v0 time travel no longer serves the slice")

@@ -149,19 +149,37 @@ def run_stream(
     return sdf.sparkSession.table(name)
 
 
-def run_stream_foreach_batch(sdf: DataFrame, fn, output_mode: str = "update") -> None:
+def run_stream_foreach_batch(
+    sdf: DataFrame, fn, output_mode: str = "update", shuffle_partitions: int = 8
+) -> None:
     """A6 production form: per-microbatch delivery through
     ``foreachBatch`` — ``fn(batch_df, epoch_id)`` receives each
     micro-batch as a NORMAL DataFrame, so any batch sink (parquet,
     JDBC, merge-into) works unchanged. availableNow: drains then
-    stops."""
-    q = (
-        sdf.writeStream.outputMode(output_mode)
-        .foreachBatch(fn)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    stops.
+
+    ``shuffle_partitions`` applies :func:`run_stream`'s StateStore
+    sizing to this drain path too (r14 optimization round): the
+    update-mode lanes (i20/i21) aggregate ON the stream, so every
+    micro-batch commits one state store per shuffle partition — at
+    the session's 32 the fixed store-commit cost quadruples against
+    the measured-right 8 (run_stream's documented ~2× end-to-end).
+    The epoch bodies' batch joins also inherit the smaller pre-AQE
+    width; results are partition-count-independent and the conf is
+    restored after the drain."""
+    sess = sdf.sparkSession
+    prev = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            sdf.writeStream.outputMode(output_mode)
+            .foreachBatch(fn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stage_ranged_stream(

@@ -1212,7 +1212,13 @@ def i20_streaming_cooccurrence_update(
     epochs = {"n": 0, "rows": 0}
 
     def apply_delta(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.select("wi", "wj", "x")
+        # one eager checkpoint per epoch: foreachBatch hands a LOGICAL
+        # plan, so the count below plus the merge's key-distinct,
+        # upsert-count and write actions would each re-execute the
+        # stateful aggregate read (~4 state-store scans per epoch)
+        # without it (r14 optimization round; the Structured Streaming
+        # guide's persist-in-foreachBatch rule)
+        rows = batch_df.select("wi", "wj", "x").localCheckpoint(eager=True)
         n = rows.count()
         if n == 0:
             return
@@ -1314,7 +1320,12 @@ def i21_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     epochs = {"n": 0}
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.select("bin", "a_c", "b_c")
+        # eager checkpoint for the same multi-action reason as i20's
+        # apply_delta — the merge would re-execute the stateful
+        # aggregate per internal action otherwise
+        rows = batch_df.select("bin", "a_c", "b_c").localCheckpoint(
+            eager=True
+        )
         if rows.count() == 0:
             return
         epochs["n"] += 1
