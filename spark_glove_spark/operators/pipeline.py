@@ -452,7 +452,17 @@ def pipeline_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("D"))
             .alias("op"),
         )
-        txlog.merge(spark, rep_path, apply_set, on=["k"], op_col="op")
+        # one eager checkpoint per change set: merge consumes its
+        # source ~5 times internally (op validation, key distinct,
+        # delete/upsert counts, the rewrite), and each pass would
+        # re-run the CDC diff otherwise (r14 optimization round)
+        txlog.merge(
+            spark,
+            rep_path,
+            apply_set.localCheckpoint(eager=True),
+            on=["k"],
+            op_col="op",
+        )
 
     src_final = txlog.read(spark, src_path)
     rep_final = txlog.read(spark, rep_path)
@@ -568,8 +578,16 @@ def pipeline_cdc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     flags = []
     for v in range(1, latest + 1):
+        # checkpoint the change set once — merge's internal actions
+        # (op validation, key distinct, counts, rewrite) would re-run
+        # the CDC diff ~5× otherwise (r14 optimization round). The
+        # restart loop below deliberately passes the LAZY form: its
+        # merges must no-op at the watermark check without ever
+        # executing the source plan, which is the exactly-once claim.
         r = txlog.merge(
-            spark, rep_path, apply_set_for(v), on=["k"], op_col="op",
+            spark, rep_path,
+            apply_set_for(v).localCheckpoint(eager=True),
+            on=["k"], op_col="op",
             txn=("cdc", v),
         )
         flags.append(r["applied"])
