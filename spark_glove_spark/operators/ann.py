@@ -2213,8 +2213,10 @@ def h16_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("long")
 
     def subdist(vec_col, s: int, j: int):
-        cent = F.array(
-            *[F.lit(_pqp_coef(s, j, d)).cast("long") for d in range(_PQP_SUBDIM)]
+        # one parsed array literal, not _PQP_SUBDIM py4j round trips
+        # (r14 optimization round — the lit_long_array driver-cost fix)
+        cent = lit_long_array(
+            _pqp_coef(s, j, d) for d in range(_PQP_SUBDIM)
         )
         part = F.slice(vec_col, s * _PQP_SUBDIM + 1, _PQP_SUBDIM)
         return F.aggregate(
@@ -2452,9 +2454,11 @@ def h16_opq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("long")
 
     def rot_dim(d: int):
-        signs = F.array(
-            *[F.lit(_opq_had(perm[d], j)).cast("long") for j in range(DIM)]
-        )
+        # one parsed array literal per output dim instead of DIM
+        # py4j round trips — the DIM² unroll built 4096 F.lit calls
+        # of pure driver time per construction (r14 optimization
+        # round — the lit_long_array driver-cost fix)
+        signs = lit_long_array(_opq_had(perm[d], j) for j in range(DIM))
         return F.aggregate(
             F.zip_with(F.col("qv"), signs, lambda x, s: x * s),
             zero,
@@ -2468,8 +2472,10 @@ def h16_opq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def subdist(vec_col, s: int, j: int):
-        cent = F.array(
-            *[F.lit(_opq_coef(s, j, d)).cast("long") for d in range(_OPQ_SUBDIM)]
+        # one parsed array literal, not _OPQ_SUBDIM py4j round trips
+        # (r14 optimization round — the lit_long_array driver-cost fix)
+        cent = lit_long_array(
+            _opq_coef(s, j, d) for d in range(_OPQ_SUBDIM)
         )
         part = F.slice(vec_col, s * _OPQ_SUBDIM + 1, _OPQ_SUBDIM)
         return F.aggregate(
@@ -2500,13 +2506,12 @@ def h16_opq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def adc_term(s: int):
+        # one parsed inner array per centroid instead of KSUB×SUBDIM
+        # py4j round trips (r14 optimization round)
         cents = F.array(
             *[
-                F.array(
-                    *[
-                        F.lit(_opq_coef(s, j, d)).cast("long")
-                        for d in range(_OPQ_SUBDIM)
-                    ]
+                lit_long_array(
+                    _opq_coef(s, j, d) for d in range(_OPQ_SUBDIM)
                 )
                 for j in range(_OPQ_KSUB)
             ]
@@ -2717,8 +2722,10 @@ def h16_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- PQ encoding (the h16_pq_portable math, _ipq codebook) ---
     def subdist(vec_col, s: int, j: int):
-        cent = F.array(
-            *[F.lit(_ipq_coef(s, j, d)).cast("long") for d in range(_IPQ_SUBDIM)]
+        # one parsed array literal, not _IPQ_SUBDIM py4j round trips
+        # (r14 optimization round — the lit_long_array driver-cost fix)
+        cent = lit_long_array(
+            _ipq_coef(s, j, d) for d in range(_IPQ_SUBDIM)
         )
         part = F.slice(vec_col, s * _IPQ_SUBDIM + 1, _IPQ_SUBDIM)
         return F.aggregate(
@@ -2764,13 +2771,12 @@ def h16_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- ADC over codes within the candidate set ---
     def adc_term(s: int):
+        # one parsed inner array per centroid instead of KSUB×SUBDIM
+        # py4j round trips (r14 optimization round)
         book = F.array(
             *[
-                F.array(
-                    *[
-                        F.lit(_ipq_coef(s, j, d)).cast("long")
-                        for d in range(_IPQ_SUBDIM)
-                    ]
+                lit_long_array(
+                    _ipq_coef(s, j, d) for d in range(_IPQ_SUBDIM)
                 )
                 for j in range(_IPQ_KSUB)
             ]

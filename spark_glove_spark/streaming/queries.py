@@ -1590,8 +1590,12 @@ def _curate_epoch(
     )
     from spark_glove_spark.sources import txlog
 
-    if batch_df.count() == 0:
-        return
+    # no leading batch_df.count(): every write below is already behind
+    # the passed.count() guard, and the quality-gate checkpoint is the
+    # batch's first (and only) full scan — the former emptiness
+    # pre-check re-scanned each micro-batch as a separate job per
+    # epoch for a case the passed guard covers identically (r14
+    # optimization round, guide §1.2 — don't compute what you discard)
     # 1. quality gate (i14's signals, identical expressions)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
