@@ -3452,6 +3452,7 @@ def _nsw_search(
     graph_pred: Column | None = None,
     tombstones: DataFrame | None = None,
     captured: dict | None = None,
+    base_in: DataFrame | None = None,
 ) -> DataFrame:
     """The NSW build+search pipeline behind h16_nsw_portable, with the
     graph/beam knobs exposed so the scale probe can PIN the probe set
@@ -3473,20 +3474,34 @@ def _nsw_search(
     ranked results, but still present as ROUTING nodes in the beam
     (the Lucene/Vespa deleted-doc semantics — edges through a
     tombstone stay navigable until a rebuild/compaction physically
-    drops it, so deletes never disconnect the graph)."""
+    drops it, so deletes never disconnect the graph).
+
+    ``base_in`` (r14 optimization round): a caller-owned persisted
+    (vec_id, qv, nn) frame — lanes that run several searches share
+    ONE quantized corpus instead of re-reading and re-persisting it
+    per call (the caller keeps unpersist responsibility). The frame
+    is the exact expression this function would build, so results
+    are bit-identical."""
     if probe_pred is None:
         probe_pred = F.col("vec_id") % 100 == 0
     t0 = time.time()
-    e = parallelized(table(spark, sf_dir, "embeddings"))
-    qv = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
-    )
     zero = F.lit(0).cast("long")
-    nn = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
-    base = defer_unpersist(
-        e.select("vec_id", qv.alias("qv")).withColumn("nn", nn).persist()
-    )
+    if base_in is None:
+        e = parallelized(table(spark, sf_dir, "embeddings"))
+        qv = F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)
+            ),
+        )
+        nn = F.aggregate(
+            F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x
+        )
+        base = defer_unpersist(
+            e.select("vec_id", qv.alias("qv")).withColumn("nn", nn).persist()
+        )
+    else:
+        base = base_in
     # knobs not pinned by the caller derive from corpus size (the r13
     # build-side plane law + the r14 search-side beam law; one count
     # on the persisted base frame) — the fixture SFs all land on the
@@ -4022,6 +4037,7 @@ def _hnsw_search(
     edges_in: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     graph_pred: Column | None = None,
     timings: dict | None = None,
+    base_in: DataFrame | None = None,
 ) -> DataFrame:
     """The layered build+descent pipeline behind h16_hnsw_portable,
     with the hop/beam knobs exposed so the scale probe can PIN the
@@ -4034,20 +4050,35 @@ def _hnsw_search(
     snapshot split by layer — instead of building inline;
     ``graph_pred`` then restricts the GLOBAL ENTRY to top-layer nodes
     the pinned snapshot's watermark covers (expansions are confined
-    to the stored edges by construction)."""
+    to the stored edges by construction).
+
+    ``base_in`` (r14 optimization round): a caller-owned persisted
+    (vec_id, qv, nn) frame — lanes that run several descents (the
+    insert epochs, snapshot serving, compaction recall) share ONE
+    quantized corpus instead of re-reading and re-persisting it per
+    call (the caller keeps unpersist responsibility). The frame is
+    the exact expression this function would build, so results are
+    bit-identical."""
     if probe_pred is None:
         probe_pred = F.col("vec_id") % 100 == 0
     t0 = time.time()
-    e = parallelized(table(spark, sf_dir, "embeddings"))
-    qv = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
-    )
     zero = F.lit(0).cast("long")
-    nn = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
-    base = defer_unpersist(
-        e.select("vec_id", qv.alias("qv")).withColumn("nn", nn).persist()
-    )
+    if base_in is None:
+        e = parallelized(table(spark, sf_dir, "embeddings"))
+        qv = F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)
+            ),
+        )
+        nn = F.aggregate(
+            F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x
+        )
+        base = defer_unpersist(
+            e.select("vec_id", qv.alias("qv")).withColumn("nn", nn).persist()
+        )
+    else:
+        base = base_in
 
     # base layer: two tables unioned (the NSW long-link trick); upper
     # layers: one proposal table each. Eager localCheckpoint truncates
@@ -4450,7 +4481,11 @@ def h16_nsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
     )
-    base = defer_unpersist(e.select("vec_id", qv.alias("qv")).persist())
+    zero = F.lit(0).cast("long")
+    nn = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
+    base = defer_unpersist(
+        e.select("vec_id", qv.alias("qv")).withColumn("nn", nn).persist()
+    )
     hi = int(base.agg(F.max("vec_id")).collect()[0][0])
     mid = hi // 2
     base_dir = tempfile.mkdtemp(prefix="nsw_index_")
@@ -4489,6 +4524,7 @@ def h16_nsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "src", "dst"
             ),
             graph_pred=F.col("vec_id") <= wm,
+            base_in=base,
         ).collect()
         delta_hits = sum(1 for r in res if r["vec_id"] > mid)
         audit.append(
@@ -4632,7 +4668,11 @@ def h16_nsw_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
     )
-    base = defer_unpersist(e.select("vec_id", qv.alias("qv")).persist())
+    zero = F.lit(0).cast("long")
+    nn = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
+    base = defer_unpersist(
+        e.select("vec_id", qv.alias("qv")).withColumn("nn", nn).persist()
+    )
     base_dir = tempfile.mkdtemp(prefix="nsw_del_")
     defer_cleanup(lambda: shutil.rmtree(base_dir, ignore_errors=True))
     edges_path = os.path.join(base_dir, "edges")
@@ -4653,7 +4693,8 @@ def h16_nsw_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     doomed_node = F.col("vec_id") % _DEL_MOD == _DEL_REM
     cap: dict = {}
     pre = _nsw_search(
-        spark, sf_dir, edges_in=edges, topk=_NB_BEAM, captured=cap
+        spark, sf_dir, edges_in=edges, topk=_NB_BEAM, captured=cap,
+        base_in=base,
     ).localCheckpoint(eager=True)
     n_doomed_pre = pre.where(doomed_node).count()
     if n_doomed_pre == 0:
@@ -4797,7 +4838,11 @@ def h16_hnsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         lambda x: F.floor(x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)),
     )
-    base = defer_unpersist(e.select("vec_id", qv.alias("qv")).persist())
+    zero = F.lit(0).cast("long")
+    nn = F.aggregate(F.transform("qv", lambda x: x * x), zero, lambda a, x: a + x)
+    base = defer_unpersist(
+        e.select("vec_id", qv.alias("qv")).withColumn("nn", nn).persist()
+    )
     hi = int(base.agg(F.max("vec_id")).collect()[0][0])
     mid = hi // 2
     base_dir = tempfile.mkdtemp(prefix="hnsw_index_")
@@ -4867,6 +4912,7 @@ def h16_hnsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             sf_dir,
             edges_in=eds,
             graph_pred=F.col("vec_id") <= wm,
+            base_in=base,
         ).collect()
         delta_hits = sum(1 for r in res if r["vec_id"] > mid)
         audit.append(
@@ -4955,6 +5001,7 @@ def _hn_insert_epoch(
             graph_pred=covered,
             hops=hops,
             topk=deg,
+            base_in=base,
         ).localCheckpoint(eager=True)
         fw = nb.select(
             F.lit(layer).alias("layer"),
@@ -5127,6 +5174,7 @@ def h16_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             sf_dir,
             edges_in=snapshot_edges(snap),
             graph_pred=F.col("vec_id") <= wm,
+            base_in=base,
         ).collect()
         beyond = sum(1 for r in res if r["vec_id"] > wm)
         if beyond:
@@ -5361,6 +5409,7 @@ def h16_hnsw_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark,
                 sf_dir,
                 edges_in=_hn_snapshot_edges(spark, edges_path, version),
+                base_in=base,
             ).collect()
         }
         return round(len(got & exact) / max(len(exact), 1), 4)
