@@ -1474,16 +1474,19 @@ def h16_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     recon = F.transform(
         "codes", lambda c: c.cast("double") * F.col("scale")
     )
+    # decide with SMALL rows, move big rows once (guide §8.4, r14):
+    # reconstruction happens once per corpus row, the candidate
+    # product and the top-30 window carry only (probe_id, vec_id,
+    # approx_cos) — the float vectors rejoin for the ≤30 survivors
+    # per probe, not for every corpus×probe pair.
+    recon_rows = parallelized(q).select("vec_id", recon.alias("recon"))
     cand_scored = (
-        parallelized(q)
-        .crossJoin(F.broadcast(probes))
+        recon_rows.crossJoin(F.broadcast(probes))
         .where(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "vec_id",
-            "exact",
-            "pq",
-            F.round(dot(recon, F.col("pq")), 6).alias("approx_cos"),
+            F.round(dot(F.col("recon"), F.col("pq")), 6).alias("approx_cos"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -1492,11 +1495,14 @@ def h16_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = (
         cand_scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 30)
-        .drop("rn")
+        .select("probe_id", "vec_id")
     )
     w2 = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
     return (
-        survivors.select(
+        e.select("vec_id", F.col("embedding").alias("exact"))
+        .join(F.broadcast(survivors), "vec_id")
+        .join(F.broadcast(probes), "probe_id")
+        .select(
             "probe_id",
             "vec_id",
             F.round(dot(F.col("exact"), F.col("pq")), 6).alias("cos"),
@@ -1593,9 +1599,10 @@ def h16_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )[0]["code"]
 
     codes = F.array(*[encode_subspace(j) for j in range(m)])
-    encoded = parallelized(e).select(
-        "vec_id", F.col("embedding").alias("exact"), codes.alias("codes")
-    )
+    # the encoded corpus is codes-only (guide §8.4, r14): the shortlist
+    # decides on 8 sub-codes per row, and the float vectors rejoin only
+    # for the ≤100 survivors per probe
+    encoded = parallelized(e).select("vec_id", codes.alias("codes"))
     probes = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("q")
     )
@@ -1614,17 +1621,20 @@ def h16_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         encoded.crossJoin(F.broadcast(probes))
         .where(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", "exact", "q", adc.alias("approx_cos"))
+        .select("probe_id", "vec_id", adc.alias("approx_cos"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("approx_cos").desc(), "vec_id")
     survivors = (
         cand.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 100)
-        .drop("rn")
+        .select("probe_id", "vec_id")
     )
     w2 = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
     return (
-        survivors.select(
+        e.select("vec_id", F.col("embedding").alias("exact"))
+        .join(F.broadcast(survivors), "vec_id")
+        .join(F.broadcast(probes), "probe_id")
+        .select(
             "probe_id",
             "vec_id",
             F.round(dot(F.col("exact"), F.col("q")), 6).alias("cos"),
@@ -1733,16 +1743,17 @@ def h16_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )[0]["code"]
 
+    # the encoded corpus is codes-only (guide §8.4, r14): rotation is
+    # an encode-time projection, the shortlist decides on 8 sub-codes
+    # per row, and the float vectors rejoin only for the ≤30 survivors
     encoded = (
         parallelized(e)
         .select(
             "vec_id",
-            F.col("embedding").alias("exact"),
             rotated(F.col("embedding")).alias("rot"),
         )
         .select(
             "vec_id",
-            "exact",
             F.array(*[encode_subspace(j) for j in range(m)]).alias("codes"),
         )
     )
@@ -1764,7 +1775,7 @@ def h16_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         encoded.crossJoin(F.broadcast(probes))
         .where(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", "exact", "q", adc.alias("approx_cos"))
+        .select("probe_id", "vec_id", adc.alias("approx_cos"))
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("approx_cos").desc(), "vec_id"
@@ -1772,11 +1783,14 @@ def h16_opq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = (
         cand.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 30)
-        .drop("rn")
+        .select("probe_id", "vec_id")
     )
     w2 = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
     return (
-        survivors.select(
+        e.select("vec_id", F.col("embedding").alias("exact"))
+        .join(F.broadcast(survivors), "vec_id")
+        .join(F.broadcast(probes), "probe_id")
+        .select(
             "probe_id",
             "vec_id",
             F.round(dot(F.col("exact"), F.col("q")), 6).alias("cos"),
