@@ -289,19 +289,81 @@ def h5_glove_planted_analogy(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = Glove(
         dim=8, window=4, min_count=5, iterations=50, seed=3, blocks=2
     ).fit(df)
+    # All 12 probes resolve in ONE job (guide §5.1 — don't loop driver
+    # actions): same arithmetic as GloveModel.analogy per probe —
+    # q = (va − vb) + vc via zip_with, cosine via dot/norm, candidates
+    # exclude the probe's own a/b/c, top-1 by (cos desc, word asc) —
+    # so each predicted word is bit-identical to the former
+    # 12 × analogy(k=1).collect() round-trips it replaces.
+    from pyspark.sql import Window as W
+
+    from spark_glove_spark.functions.vector import dot
+
+    probes = spark.createDataFrame(
+        [
+            (t * topics + s, target[(t, 1)], target[(t, 0)],
+             target[(s, 0)], target[(s, 1)])
+            for t in range(topics)
+            for s in range(topics)
+            if s != t
+        ],
+        "pid long, a string, b string, c string, expected string",
+    )
+    v = m.vectors.select("word", "vector")
+    qv = (
+        probes
+        .join(v.select(F.col("word").alias("a"), F.col("vector").alias("va")), "a")
+        .join(v.select(F.col("word").alias("b"), F.col("vector").alias("vb")), "b")
+        .join(v.select(F.col("word").alias("c"), F.col("vector").alias("vc")), "c")
+        .select(
+            "pid", "a", "b", "c", "expected",
+            F.zip_with(
+                F.zip_with("va", "vb", lambda x, y: x - y),
+                "vc",
+                lambda x, y: x + y,
+            ).alias("q"),
+        )
+    )
+    norm = lambda col: F.sqrt(dot(col, col))  # noqa: E731
+    scored = (
+        v.crossJoin(F.broadcast(qv))
+        .where(
+            (F.col("word") != F.col("a"))
+            & (F.col("word") != F.col("b"))
+            & (F.col("word") != F.col("c"))
+        )
+        .select(
+            "pid", "a", "b", "c", "expected", "word",
+            (
+                dot(F.col("vector"), F.col("q"))
+                / (norm(F.col("vector")) * norm(F.col("q")))
+            ).alias("cos"),
+        )
+    )
+    top1 = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("pid").orderBy(F.col("cos").desc(), "word")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .orderBy("pid")
+        .collect()
+    )
+    if len(top1) != topics * (topics - 1):
+        # the former per-probe collect()[0] crashed on a missing vocab
+        # word; keep that loudness in the batched form
+        raise AssertionError(f"analogy probes resolved: {len(top1)}/12")
     out_rows = []
     hits = total = 0
-    for t in range(topics):
-        for s in range(topics):
-            if s == t:
-                continue
-            total += 1
-            a, b, c = target[(t, 1)], target[(t, 0)], target[(s, 0)]
-            expected = target[(s, 1)]
-            got = m.analogy(a, b, c, k=1).collect()[0].word
-            hit = int(got == expected)
-            hits += hit
-            out_rows.append((a, b, c, expected, got, hit))
+    for r in top1:
+        total += 1
+        hit = int(r["word"] == r["expected"])
+        hits += hit
+        out_rows.append(
+            (r["a"], r["b"], r["c"], r["expected"], r["word"], hit)
+        )
     # load-bearing tooth — explicit raise survives python -O
     if hits < total - 2:
         raise AssertionError(f"analogy recovery {hits}/{total}")
