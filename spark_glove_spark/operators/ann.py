@@ -3388,6 +3388,31 @@ def _nsw_bucket_col(t: int, n_planes: int) -> Column:
     )
 
 
+def _probe_dedup_scored(scored_raw: DataFrame) -> DataFrame:
+    """Per-probe dedup of a scored beam frontier in ONE exchange (r14
+    optimization round, guide §2.4): the former hop shape paid TWO
+    exchanges per round — ``distinct()`` over (probe_id, node) before
+    scoring, then the rank window's hash(probe_id) shuffle. Here the
+    duplicates (a node proposed by several frontier edges scores to
+    bit-identical rows — every column is a deterministic function of
+    (probe_id, node)) ride into ONE groupBy(probe_id) whose
+    ``array_distinct`` collapses them, and the exploded output KEEPS
+    hashpartitioning(probe_id) — so the downstream row_number window
+    (and the final top-k rank) satisfy their required distribution
+    with a local sort, no second exchange. Ordering semantics are
+    untouched: selection still happens in the untouched row_number
+    window over Spark's own total order, so results are
+    bit-identical."""
+    packed = scored_raw.groupBy("probe_id").agg(
+        F.array_distinct(
+            F.collect_list(F.struct("node", "num", "nn", "score"))
+        ).alias("cs")
+    )
+    return packed.select("probe_id", F.inline("cs")).select(
+        "probe_id", "node", "num", "nn", "score"
+    )
+
+
 def _nsw_edges(
     base: DataFrame,
     *,
@@ -3583,9 +3608,12 @@ def _nsw_search(
             .join(edges, state["node"] == edges["src"])
             .select("probe_id", F.col("dst").alias("node"))
         )
-        cand = state.union(expanded).distinct()
+        # duplicates survive to the scoring join and collapse inside
+        # _probe_dedup_scored's single exchange — one exchange per hop
+        # instead of distinct's + the window's (r14 optimization round)
+        cand = state.union(expanded)
         with_qp = cand.join(probes, "probe_id")  # both tiny
-        scored = (
+        scored = _probe_dedup_scored(
             base.join(F.broadcast(with_qp), base["vec_id"] == with_qp["node"])
             .select("probe_id", "node", num_pc.alias("num"), "nn")
             .withColumn("score", beam_score)
@@ -4166,9 +4194,11 @@ def _hnsw_search(
                 .join(layer_edges, state["node"] == layer_edges["src"])
                 .select("probe_id", F.col("dst").alias("node"))
             )
-            cand = state.union(expanded).distinct()
+            # one exchange per hop: dups collapse in the groupBy whose
+            # output keeps hash(probe_id) for the rank window (r14)
+            cand = state.union(expanded)
             with_qp = cand.join(probes, "probe_id")  # both tiny
-            scored = (
+            scored = _probe_dedup_scored(
                 base.join(F.broadcast(with_qp), base["vec_id"] == with_qp["node"])
                 .select("probe_id", "node", num_pc.alias("num"), "nn")
                 .withColumn("score", beam_score)

@@ -965,3 +965,39 @@ def test_ivf_list_schedule_law():
         p / l for l, p in map(ivf_list_schedule, (20_000, 200_000, 10**9))
     ]
     assert fracs == sorted(fracs, reverse=True) and fracs[-1] < 0.05
+
+
+def test_probe_dedup_scored_equals_distinct_window(spark):
+    """r14 optimization: the beam hop's per-probe dedup rides ONE
+    exchange (groupBy + array_distinct + inline) instead of
+    distinct() + the rank window's shuffle. Teeth: (1) the helper's
+    output EQUALS the old distinct() on a duplicate-heavy frontier,
+    (2) a row_number window over its output plans with exactly one
+    Exchange — the aggregate's — because inline preserves
+    hashpartitioning(probe_id)."""
+    from pyspark.sql import Window
+
+    from spark_glove_spark.operators.ann import _probe_dedup_scored
+
+    rows = []
+    for p in range(5):
+        for nd in range(20):
+            # every (probe, node) appears 3x with identical payload —
+            # the multi-edge proposal shape the hop actually produces
+            for _ in range(3):
+                rows.append((p, nd, (p * 7 + nd) % 11 - 5, nd + 1))
+    raw = spark.createDataFrame(
+        rows, "probe_id long, node long, num long, nn long"
+    ).withColumn(
+        "score",
+        F.col("num").cast("double") / F.sqrt(F.col("nn").cast("double")),
+    )
+    got = _probe_dedup_scored(raw)
+    want = raw.distinct()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    wb = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), "node")
+    ranked = got.withColumn("rn", F.row_number().over(wb)).where("rn <= 3")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
