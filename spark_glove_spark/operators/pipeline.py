@@ -1205,12 +1205,24 @@ def pipeline_rag_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- sparse ranker: h10 BM25 over the chunk token streams ---
-    tf = defer_unpersist(
-        ctoks.groupBy("cid", "word")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # No full-vocabulary (chunk, word) aggregate anywhere (r14
+    # optimization round, second pass; guide §2.3): BM25 consumes only
+    # (a) per-chunk token counts — computed directly as a narrow
+    # count-per-cid aggregate (bit-identical to summing per-word term
+    # frequencies, which is how the former persisted tf table derived
+    # it), and (b) term frequencies FOR QUERY WORDS — aggregated after
+    # a broadcast semi-join of the token stream against the ~tens of
+    # query terms. The former shape materialized and cached the whole
+    # vocabulary's (chunk, word) aggregate to serve those two
+    # consumers; at corpus scale that was the largest shuffle + the
+    # largest cache in the BM25 phase. dl is persisted instead —
+    # chunk-count rows of 16 bytes — for its two consumers (the score
+    # join and the corpus stats).
+    dl = defer_unpersist(
+        ctoks.groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("dl"))
         .persist()
     )
-    dl = tf.groupBy("cid").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.avg("dl").alias("avgdl"),
@@ -1219,16 +1231,13 @@ def pipeline_rag_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, w) for i, t in _RAG_QUERIES for w in t.split(" ")],
         "query_id long, word string",
     )
-    # df only for words a query can score (r14 optimization round,
-    # guide §2.3): the former tf.groupBy("word") shuffled the FULL
-    # (chunk, word) aggregate by word and broadcast a vocabulary-sized
-    # df table, of which the BM25 join consumed only the query terms'
-    # rows. Pre-filtering tf to query words first makes the df
-    # aggregate a few-row job and the broadcast bounded by |query
-    # terms| at any corpus size; df values for those words are
-    # unchanged (tf has exactly one row per (cid, word)).
-    tfq = tf.join(
-        F.broadcast(qterms.select("word").distinct()), "word"
+    # persisted for its two consumers (df aggregate + score join):
+    # query-word rows only, ≤ chunks × |query terms| at any corpus size
+    tfq = defer_unpersist(
+        ctoks.join(F.broadcast(qterms.select("word").distinct()), "word")
+        .groupBy("cid", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
     )
     dfreq = tfq.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("df")
