@@ -544,8 +544,20 @@ def prefix_filter_pairs(sets: DataFrame, t: float) -> DataFrame:
             ).alias("shingles")
         )
     )
-    prefixes = ordered.select(
-        "doc_id", F.explode(F.slice("shingles", 1, p)).alias("shingle")
+    # Persisted: the candidate self-join below consumes prefixes on
+    # BOTH sides, and unpersisted each side re-ran the whole prefix
+    # pipeline — the freq aggregate (explode + groupBy shingle) AND
+    # the rare-first per-doc sort (join by shingle + groupBy doc_id),
+    # i.e. two shuffles and two corpus-wide aggregates duplicated per
+    # query (verified in the captured plan: two expression-id families
+    # of the same shingle/doc_id aggregates, no ReusedExchange). The
+    # cache holds ≤ prefix-length rows per doc of (long, string) —
+    # a bounded fraction of the caller's persisted shingle sets
+    # (r14 optimization round, guide §2.4 — compute the proxy once).
+    prefixes = defer_unpersist(
+        ordered.select(
+            "doc_id", F.explode(F.slice("shingles", 1, p)).alias("shingle")
+        ).persist()
     )
     cand = (
         prefixes.alias("a")
