@@ -166,9 +166,20 @@ def h13_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within blocks. On the fixture corpus this recovers the planted
     near-duplicate pairs (38 pairs at sf0.01)."""
     d = parallelized(table(spark, sf_dir, "documents"))
-    fp = d.select(
-        "doc_id", simhash64_fast(tokenize(F.col("text"))).alias("simhash")
-    ).withColumn("block", F.shiftright("simhash", 48))
+    # Persisted: the block self-join below consumes fp on BOTH sides,
+    # and unpersisted each side re-paid the ArrowEvalPython
+    # fingerprint pass (tokenize + per-token hashes across the Python
+    # boundary, the numpy vote fold, and the return trip) over the
+    # whole corpus. The cache is 3 longs/doc; one Python-boundary
+    # corpus pass instead of two (r14 optimization round, guide
+    # §4.1/§2.4).
+    fp = defer_unpersist(
+        d.select(
+            "doc_id", simhash64_fast(tokenize(F.col("text"))).alias("simhash")
+        )
+        .withColumn("block", F.shiftright("simhash", 48))
+        .persist()
+    )
     a = fp.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("fp_a"),
