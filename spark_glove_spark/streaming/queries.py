@@ -1658,21 +1658,43 @@ def _curate_epoch(
         "doc_id", "lang", "n"
     ).localCheckpoint(eager=True)
     # history accumulates EVERY quality-passed doc (kept or dropped) —
-    # the order-free contract i22 proves; exactly-once per epoch
-    for app, tbl, frame in (
-        ("psc-buckets", tables["bk"], bk_new),
-        ("psc-shingles", tables["sh"], sh_new),
-    ):
-        txlog.append_idempotent(frame.coalesce(1), tbl, app, int(epoch_id))
-    if kept.count() == 0:
+    # the order-free contract i22 proves; exactly-once per epoch.
+    # The two history appends are independent writers to independent
+    # tables, and the kept count reads its own checkpoint — so the
+    # three jobs OVERLAP in a small pool instead of running serially
+    # (guide §2.6: Spark happily runs concurrent jobs; actions were
+    # only sequential because this function called them sequentially).
+    # Exactly-once is untouched: each append carries its own
+    # per-table SetTransaction watermark, and replay no-ops each
+    # writer independently, in any order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                txlog.append_idempotent,
+                frame.coalesce(1),
+                tbl,
+                app,
+                int(epoch_id),
+            )
+            for app, tbl, frame in (
+                ("psc-buckets", tables["bk"], bk_new),
+                ("psc-shingles", tables["sh"], sh_new),
+            )
+        ]
+        n_kept = kept.count()
+        for f in futs:
+            f.result()
+    if n_kept == 0:
         return
-    # 3. transactional sink: one idempotent commit per epoch
-    txlog.append_idempotent(
-        kept.coalesce(1), tables["cur"], "psc-curated", int(epoch_id)
-    )
-    # 4. incremental monitor: bounded per-lang delta, idempotent MERGE
-    # (on replay the delta is recomputed against the POST-epoch state
-    # and would be wrong — the watermark no-op discards it unapplied)
+    # 3 + 4, overlapped the same way: the transactional curated sink
+    # and the incremental monitor MERGE write different tables under
+    # different watermarks, and the monitor delta reads kept's
+    # checkpoint plus the PRE-epoch monitor state — independent of
+    # the curated append by construction. (On replay the delta is
+    # recomputed against the POST-epoch state and would be wrong —
+    # the watermark no-op discards it unapplied, exactly as before.)
     delta = kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("d_docs"),
         F.sum("n").cast("long").alias("d_tokens"),
@@ -1682,26 +1704,35 @@ def _curate_epoch(
         F.col("n_docs").alias("o_docs"),
         F.col("total_tokens").alias("o_tokens"),
     )
-    src_rows = (
-        delta.join(old, "lang", "left")
-        .select(
-            "lang",
-            (F.col("d_docs") + F.coalesce(F.col("o_docs"), F.lit(0))).alias(
-                "n_docs"
-            ),
-            (
-                F.col("d_tokens") + F.coalesce(F.col("o_tokens"), F.lit(0))
-            ).alias("total_tokens"),
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fcur = pool.submit(
+            txlog.append_idempotent,
+            kept.coalesce(1),
+            tables["cur"],
+            "psc-curated",
+            int(epoch_id),
         )
-        .localCheckpoint(eager=True)
-    )
-    txlog.merge(
-        spark,
-        tables["mon"],
-        src_rows,
-        on=["lang"],
-        txn=("psc-monitor", int(epoch_id)),
-    )
+        src_rows = (
+            delta.join(old, "lang", "left")
+            .select(
+                "lang",
+                (F.col("d_docs") + F.coalesce(F.col("o_docs"), F.lit(0))).alias(
+                    "n_docs"
+                ),
+                (
+                    F.col("d_tokens") + F.coalesce(F.col("o_tokens"), F.lit(0))
+                ).alias("total_tokens"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        txlog.merge(
+            spark,
+            tables["mon"],
+            src_rows,
+            on=["lang"],
+            txn=("psc-monitor", int(epoch_id)),
+        )
+        fcur.result()
 
 
 @query(
