@@ -569,7 +569,15 @@ class Glove:
                 grads.groupBy(blk)
                 .cogroup(params.groupBy(blk))
                 .applyInPandas(step_kernel, schema=_PARAMS_SCHEMA)
-                .localCheckpoint(eager=True)  # cut lineage — O(3^T) plan growth otherwise
+                # lazy checkpoint: the loss collect below is this
+                # iteration's first action and materializes the
+                # checkpoint AND the persist in ONE job — the former
+                # eager=True ran the kernel as its own job and then
+                # paid a second scheduling round for the collect
+                # (r14 optimization round, guide §1.2). Lineage is
+                # still cut and the stats chain still resets at the
+                # same point.
+                .localCheckpoint(eager=False)  # cut lineage — O(3^T) plan growth otherwise
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             loss = (
