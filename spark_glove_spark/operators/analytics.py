@@ -1109,19 +1109,30 @@ def e10_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("last_touch").isNotNull()
     )
 
-    def credit(model: str, col: str) -> DataFrame:
-        return conv.groupBy(F.col(col).alias("channel")).agg(
-            F.count(F.lit(1)).alias("n_conversions"),
-            F.round(F.sum("value"), 2).alias("revenue"),
-        ).select(
-            F.lit(model).alias("model"),
-            "channel",
-            "n_conversions",
-            "revenue",
-        )
-
-    return credit("first_touch", "first_touch").unionByName(
-        credit("last_touch", "last_touch")
+    # One subtree, not two: a union of per-model groupBys re-executes
+    # the user_id sort window once per branch (column pruning splits
+    # the plans, so Spark cannot reuse the subtree); exploding a
+    # 2-struct array per conversion keeps one window pass and feeds
+    # one (model, channel) aggregate with the identical row multiset.
+    credited = conv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("first_touch").alias("channel"),
+                    F.col("value"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("last_touch").alias("channel"),
+                    F.col("value"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.model", "s.channel", "s.value")
+    return credited.groupBy("model", "channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.sum("value"), 2).alias("revenue"),
     )
 
 

@@ -2292,20 +2292,7 @@ def max_dup_spans(
         F.min("pos_a").alias("sa"),
         F.min("pos_b").alias("sb"),
     )
-    span = (F.col("nwin") + F.lit(k - 1)).cast("long")
-    spans = runs.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("partner_doc"),
-        span.alias("span"),
-        F.col("sa").alias("start_pos"),
-    ).unionByName(
-        runs.select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("doc_a").alias("partner_doc"),
-            span.alias("span"),
-            F.col("sb").alias("start_pos"),
-        )
-    )
+    spans = _run_spans(runs, k)
     wbest = Window.partitionBy("doc_id").orderBy(
         F.col("span").desc(), "partner_doc", "start_pos"
     )
@@ -2319,6 +2306,35 @@ def max_dup_spans(
             F.col("start_pos").cast("long").alias("start_pos"),
         )
     )
+
+
+def _run_spans(runs: DataFrame, k: int) -> DataFrame:
+    """Emit each diagonal run once per participating document.
+
+    A union of two projections over ``runs`` re-executes the whole
+    pair-join + window subtree per branch (column pruning splits the
+    aggregate into a min(pos_a) plan and a min(pos_b) plan, so Spark
+    cannot reuse it); exploding a 2-struct array keeps one subtree and
+    produces the identical row multiset."""
+    span = (F.col("nwin") + F.lit(k - 1)).cast("long")
+    return runs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("partner_doc"),
+                    span.alias("span"),
+                    F.col("sa").alias("start_pos"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("doc_a").alias("partner_doc"),
+                    span.alias("span"),
+                    F.col("sb").alias("start_pos"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.doc_id", "s.partner_doc", "s.span", "s.start_pos")
 
 
 @query(
@@ -2631,20 +2647,7 @@ def h17_span_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pos_a").alias("sa"),
         F.min("pos_b").alias("sb"),
     )
-    span = (F.col("nwin") + F.lit(k - 1)).cast("long")
-    spans = runs.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("partner_doc"),
-        span.alias("span"),
-        F.col("sa").alias("start_pos"),
-    ).unionByName(
-        runs.select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("doc_a").alias("partner_doc"),
-            span.alias("span"),
-            F.col("sb").alias("start_pos"),
-        )
-    )
+    spans = _run_spans(runs, k)
     wbest = Window.partitionBy("doc_id").orderBy(
         F.col("span").desc(), "partner_doc", "start_pos"
     )
