@@ -775,8 +775,12 @@ def portable_sig(sh: DataFrame) -> DataFrame:
             )
         )
 
+    # "*" keeps whatever the caller carries alongside (doc_id,
+    # shingles) — the streaming curate epoch rides its quality-gate
+    # columns through the SAME checkpointed frame, so gate + sketch
+    # cost one materialization, not two.
     return sh.select(
-        "doc_id", "shingles", *[mh(i).alias(f"m{i}") for i in range(_MH_HASHES)]
+        "*", *[mh(i).alias(f"m{i}") for i in range(_MH_HASHES)]
     )
 
 

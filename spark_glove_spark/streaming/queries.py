@@ -1583,44 +1583,52 @@ def _curate_epoch(
     replay the history already contains this epoch's rows, but equal
     doc_ids never pair, so ``kept`` recomputes identically and the
     downstream no-ops see the same payload."""
+    from spark_glove_spark.functions.text import shingles, tokenize
     from spark_glove_spark.operators.dedup import (
         buckets_from_sig,
-        portable_shingles,
         portable_sig,
     )
     from spark_glove_spark.sources import txlog
 
     # no leading batch_df.count(): every write below is already behind
-    # the passed.count() guard, and the quality-gate checkpoint is the
-    # batch's first (and only) full scan — the former emptiness
-    # pre-check re-scanned each micro-batch as a separate job per
-    # epoch for a case the passed guard covers identically (r14
-    # optimization round, guide §1.2 — don't compute what you discard)
-    # 1. quality gate (i14's signals, identical expressions)
+    # the sig.count() guard, and the fused checkpoint is the batch's
+    # first (and only) full scan — the former emptiness pre-check
+    # re-scanned each micro-batch as a separate job per epoch for a
+    # case the guard covers identically (r14 optimization round,
+    # guide §1.2 — don't compute what you discard)
+    # 1 + 2 front half, FUSED: the quality gate (i14's signals,
+    # identical expressions) and the near-dup sketch (i22's portable
+    # shingles + minhash signature) ride ONE eager checkpoint — the
+    # former two checkpoints paid an extra job and an extra
+    # materialization of the gate output per epoch for columns the
+    # sketch pass could carry along (r14 optimization round, third
+    # pass). Row set = the gate rows exactly: the empty-shingle
+    # filter that portable_shingles used to apply moves AFTER the
+    # checkpoint (`live`), so `kept` still ranges over every
+    # quality-passed doc, as before.
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     sr = (
         F.size(F.filter(toks, lambda x: x.isin("a", "the"))).cast("double")
         / n
     )
-    passed = (
+    sig = portable_sig(
         batch_df.select("doc_id", "lang", "text", n.alias("n"))
         .where(n.between(20, 80) & (sr < 0.3))
-        .localCheckpoint(eager=True)
-    )
-    if passed.count() == 0:
-        return
-    # 2. online near-dup filter (i22's incremental banding)
-    # ONE eager checkpoint carrying shingle sets AND the minhash
-    # signature (r14 optimization round): banding derives from the
-    # checkpointed mins as a trivial projection, where the former
-    # second checkpoint re-read the shingles and recomputed every
-    # per-shingle md5 min as a separate job per epoch.
-    sig_new = portable_sig(
-        portable_shingles(passed.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            "lang",
+            "n",
+            F.array_distinct(
+                shingles(tokenize(F.col("text")), 3)
+            ).alias("shingles"),
+        )
     ).localCheckpoint(eager=True)
-    sh_new = sig_new.select("doc_id", "shingles")
-    bk_new = buckets_from_sig(sig_new)
+    if sig.count() == 0:
+        return
+    live = sig.where(F.size("shingles") > 0)
+    sh_new = live.select("doc_id", "shingles")
+    bk_new = buckets_from_sig(live)
     bk_all = txlog.read(spark, tables["bk"]).unionByName(bk_new)
     sh_all = txlog.read(spark, tables["sh"]).unionByName(sh_new)
     a = bk_all.alias("a")
@@ -1654,7 +1662,7 @@ def _curate_epoch(
         .distinct()
         .withColumnRenamed("doc_b", "doc_id")
     )
-    kept = passed.join(dropped, "doc_id", "left_anti").select(
+    kept = sig.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", "n"
     ).localCheckpoint(eager=True)
     # history accumulates EVERY quality-passed doc (kept or dropped) —
