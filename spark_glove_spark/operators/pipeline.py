@@ -435,12 +435,13 @@ def pipeline_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_path = tempfile.mkdtemp(prefix="sgs_cdcr_") + "/replica"
     txlog.create(txlog.read(spark, src_path, version=0), rep_path)
     latest = txlog.current_version(src_path)
-    for v in range(1, latest + 1):
+
+    def _apply_set(v: int) -> DataFrame:
         ch = txlog.changes(spark, src_path, v - 1, v)
         # changelog -> upsert collapse: per key, an insert row wins as
         # an upsert; a delete-only key becomes a D op. (At most one
         # insert per key per version, so first(ignorenulls) is exact.)
-        apply_set = ch.groupBy("k").agg(
+        collapsed = ch.groupBy("k").agg(
             F.first(
                 F.when(F.col("_change_type") == "insert", F.col("price")),
                 ignorenulls=True,
@@ -456,13 +457,21 @@ def pipeline_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         # source ~5 times internally (op validation, key distinct,
         # delete/upsert counts, the rewrite), and each pass would
         # re-run the CDC diff otherwise (r14 optimization round)
-        txlog.merge(
-            spark,
-            rep_path,
-            apply_set.localCheckpoint(eager=True),
-            on=["k"],
-            op_col="op",
-        )
+        return collapsed.localCheckpoint(eager=True)
+
+    # The replica merges must apply in version order (each consumes
+    # the previous replica state), but the change-set DIFFS read only
+    # the source log's immutable files — independent of the replica
+    # and of each other. Materialize them concurrently so the diff of
+    # version v+1 overlaps the merge of version v instead of
+    # serializing behind it (guide §2.6; r15 round — the loop tail
+    # VERDICT r14 item 3 names).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_apply_set, v) for v in range(1, latest + 1)]
+        for f in futs:
+            txlog.merge(spark, rep_path, f.result(), on=["k"], op_col="op")
 
     src_final = txlog.read(spark, src_path)
     rep_final = txlog.read(spark, rep_path)
@@ -577,20 +586,32 @@ def pipeline_cdc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     flags = []
-    for v in range(1, latest + 1):
-        # checkpoint the change set once — merge's internal actions
-        # (op validation, key distinct, counts, rewrite) would re-run
-        # the CDC diff ~5× otherwise (r14 optimization round). The
-        # restart loop below deliberately passes the LAZY form: its
-        # merges must no-op at the watermark check without ever
-        # executing the source plan, which is the exactly-once claim.
-        r = txlog.merge(
-            spark, rep_path,
-            apply_set_for(v).localCheckpoint(eager=True),
-            on=["k"], op_col="op",
-            txn=("cdc", v),
-        )
-        flags.append(r["applied"])
+    # checkpoint each change set once — merge's internal actions
+    # (op validation, key distinct, counts, rewrite) would re-run
+    # the CDC diff ~5× otherwise (r14 optimization round) — and
+    # materialize the diffs CONCURRENTLY: they read only the source
+    # log's immutable files, so diff v+1 overlaps merge v instead of
+    # serializing behind it (guide §2.6; r15 round, VERDICT r14 item
+    # 3's loop tail). The merges still apply strictly in version
+    # order, one watermark per version, so the exactly-once claim is
+    # untouched. The restart loop below deliberately passes the LAZY
+    # form: its merges must no-op at the watermark check without ever
+    # executing the source plan, which is the exactly-once claim.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                lambda v=v: apply_set_for(v).localCheckpoint(eager=True)
+            )
+            for v in range(1, latest + 1)
+        ]
+        for v, f in zip(range(1, latest + 1), futs):
+            r = txlog.merge(
+                spark, rep_path, f.result(), on=["k"], op_col="op",
+                txn=("cdc", v),
+            )
+            flags.append(r["applied"])
     rep_v = txlog.current_version(rep_path)
     # SIMULATED RESTART: the replicator re-delivers everything
     for v in range(1, latest + 1):

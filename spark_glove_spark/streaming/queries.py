@@ -1506,15 +1506,35 @@ def i22_streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("kept"),
         )
-        for tbl, frame in (
-            (bk_tbl, bk_new),
-            (sh_tbl, sh_new),
-            (verdicts_tbl, verdict),
-        ):
+        # The three per-epoch writes are independent writers to three
+        # independent tables: bk_new/sh_new project the eager sig_new
+        # checkpoint, and verdict's plan reads bk/sh snapshots whose
+        # file lists txlog.read resolved BEFORE any append (snapshot
+        # isolation — appends land as new immutable files the resolved
+        # plans never see). Overlap them in a small pool instead of
+        # running serially (guide §2.6; the _curate_epoch pattern).
+        # Replay semantics unchanged: the drain harness delivers each
+        # epoch exactly once (processAllAvailable, no restart), the
+        # per-table create/append branch is evaluated inside each
+        # thread against its own table only, and no declared output
+        # observes intermediate cross-table ordering — verdicts are
+        # read once, after the stream has fully drained.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _land(tbl: str, frame: DataFrame) -> None:
             if txlog.current_version(tbl) < 0:
                 txlog.create(frame.coalesce(1), tbl)
             else:
                 txlog.append(frame.coalesce(1), tbl)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(_land, tbl, frame)
+                for tbl, frame in ((bk_tbl, bk_new), (sh_tbl, sh_new))
+            ]
+            _land(verdicts_tbl, verdict)
+            for f in futs:
+                f.result()
 
     run_stream_foreach_batch(sdf, process, "append")
     # load-bearing invariants — explicit raises survive python -O
@@ -2237,10 +2257,9 @@ def i25_streaming_index_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pq.select("probe_id"), truth
 
-    def _epoch_monitor_row(epoch_id: int):
-        """Probe the accumulated index; exact truth restricted to the
-        ingested id set. Returns a 1-row DataFrame."""
-        acc = txlog.read(spark, codes_tbl)
+    def _epoch_monitor_row(epoch_id: int, acc: DataFrame):
+        """Probe the accumulated index ``acc``; exact truth restricted
+        to the ingested id set. Returns a 1-row DataFrame."""
         vecs = vecs_all.join(acc.select("vec_id"), "vec_id", "left_semi")
         sys_df = (
             _bq_search(acc, vecs)
@@ -2284,20 +2303,61 @@ def i25_streaming_index_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x.cast("double") * F.lit(float(_PL_SCALE)) + F.lit(0.5)
             ),
         )
-        codes = _bq_pack(batch_df.select("vec_id", qv.alias("qv")))
-        txlog.append_idempotent(
-            codes.coalesce(1), codes_tbl, "bq-ingest25", int(epoch_id)
-        )
-        txlog.append_idempotent(
-            _epoch_monitor_row(int(epoch_id)).coalesce(1),
-            mon_tbl,
-            "bq-monitor25",
-            int(epoch_id),
-        )
+        # One eager checkpoint of the batch's codes: the codes append
+        # and the monitor's accumulated-index union both consume it
+        # without re-packing, and its materialized files are what make
+        # the two writers independent (below).
+        codes = _bq_pack(
+            batch_df.select("vec_id", qv.alias("qv"))
+        ).localCheckpoint(eager=True)
+        # The monitor row measures the POST-append index; build that
+        # set as pre-append snapshot ∪ this batch's codes instead of
+        # re-reading the table after the append — identical rows
+        # (vec_ids are disjoint across epochs: the stream is ranged by
+        # vec_id), and it makes the two per-epoch writers independent,
+        # so they OVERLAP instead of running serially (guide §2.6; the
+        # _curate_epoch pattern). Replay semantics unchanged: both
+        # appends carry their own SetTransaction watermark, and
+        # append_idempotent no-ops at the watermark BEFORE evaluating
+        # its frame — a replayed epoch (whose pre-append snapshot
+        # would already contain these codes) never computes the
+        # monitor row at all, exactly as before.
+        acc = txlog.read(spark, codes_tbl).unionByName(codes)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fcodes = pool.submit(
+                txlog.append_idempotent,
+                codes.coalesce(1),
+                codes_tbl,
+                "bq-ingest25",
+                int(epoch_id),
+            )
+            txlog.append_idempotent(
+                _epoch_monitor_row(int(epoch_id), acc).coalesce(1),
+                mon_tbl,
+                "bq-monitor25",
+                int(epoch_id),
+            )
+            fcodes.result()
 
     run_stream_foreach_batch(sdf, process, "append")
     if txlog.current_version(mon_tbl) < 2:
         raise AssertionError("replay collapsed to a single monitor epoch")
+    # replay tooth (r15, with the overlapped per-epoch writers): a
+    # RE-FIRED completed epoch must no-op BOTH writers — the codes
+    # append at its watermark fast path, and the monitor append
+    # before its row (now computed against the pre-append snapshot ∪
+    # batch) is ever evaluated. Versions unchanged = exactly-once
+    # held under the at-least-once contract.
+    last_epoch_id = txlog.last_txn_version(mon_tbl, "bq-monitor25")
+    vc, vm = txlog.current_version(codes_tbl), txlog.current_version(mon_tbl)
+    process(e.limit(5), last_epoch_id)
+    if (txlog.current_version(codes_tbl), txlog.current_version(mon_tbl)) != (
+        vc,
+        vm,
+    ):
+        raise AssertionError("re-fired epoch advanced a state table")
     mon = txlog.read(spark, mon_tbl).localCheckpoint(eager=True)
     # final-epoch agreement with the ORACLE-checked batch evaluation:
     # once everything is ingested the online monitor IS the batch
